@@ -1,13 +1,157 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys ↔ `oracleSql` keys; the Spark DataFrame column
+  * aliases and the DuckDB SQL aliases must match exactly (the driver's
+  * compare sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q6JoinChain(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_scan_project"    -> (Relational.q1ScanProject _),
+    "q2_agg_features"    -> (Relational.q2AggFeatures _),
+    "q3_latest_per_key"  -> (Relational.q3LatestPerKey _),
+    "q4_enrich_join"     -> (Relational.q4EnrichJoin _),
+    "q5_exists"          -> (Relational.q5Exists _),
+    "q5_not_exists"      -> (Relational.q5NotExists _),
+    "q6_join_chain"      -> (Relational.q6JoinChain _),
+    "q7_distinct_count"  -> (Relational.q7DistinctCount _),
+    "q8_topk"            -> (Relational.q8TopK _),
+    "q9_ts_format"       -> (Relational.q9TsFormat _),
+    "q10_window"         -> (Relational.q10WindowAnalytics _),
+    "q11_except"         -> (Relational.q11Except _),
+    "q11_union_count"    -> (Relational.q11UnionCount _),
+    "q12_rollup"         -> (Relational.q12Rollup _),
+    "q13_doc_stats"      -> (Relational.q13DocStats _),
+    "q13_json_extract"   -> (Relational.q13JsonExtract _),
+    "q14_state_fold"     -> (StateFold.q14StateFold _),
+    "q15_exact_dups"     -> (Dedup.q15ExactDups _),
+    "q15_dedup_stats"    -> (Dedup.q15DedupStats _),
+    "q15_dedup_survivors" -> (Dedup.q15DedupSurvivors _),
+    "q16_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q17_token_stats"    -> (TextStats.q17TokenStats _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_scan_project" ->
+      """SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS qty, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q2_agg_features" ->
+      """SELECT user_id, max(ts) AS last_ts, avg(value) AS avg_value,
+        |  max_by(value, ts) AS latest_value, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q3_latest_per_key" ->
+      """SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q4_enrich_join" ->
+      """SELECT e.event_id, e.user_id, e.value,
+        |  coalesce(f.f_avg_value, e.value) AS avg_value,
+        |  coalesce(f.f_n, 0) AS hist_n
+        |FROM events e LEFT JOIN (
+        |  SELECT user_id, avg(value) AS f_avg_value, count(*) AS f_n
+        |  FROM events GROUP BY user_id) f USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
+    "q5_exists" ->
+      """SELECT count(*) AS n_exists FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "q5_not_exists" ->
+      """SELECT count(*) AS n_not_exists FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "q6_join_chain" ->
+      """SELECT n_name, count(*) AS cnt, sum(o_totalprice) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q7_distinct_count" ->
+      "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "q8_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q9_ts_format" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+    "q10_window" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q11_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey""".stripMargin,
+    "q11_union_count" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  UNION ALL SELECT o_custkey AS k FROM orders)""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS q,
+        |  avg(l_extendedprice) AS p, count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q13_doc_stats" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+        |  max(length(text)) AS maxlen
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    // Closed form of the order-dependent pairwise-average fold
+    // a_n = (a_{n-1} + v_n)/2, a_1 = v_1: exact power-of-two weights.
+    "q14_state_fold" ->
+      """SELECT user_id,
+        |  sum(value * CASE WHEN rn = 1 THEN pow(2.0, -(n - 1))
+        |                   ELSE pow(2.0, -(n - rn + 1)) END) AS folded_avg,
+        |  max(n) AS n
+        |FROM (SELECT user_id, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q15_exact_dups" ->
+      """SELECT text, count(*) AS c FROM documents
+        |GROUP BY text HAVING count(*) > 1 ORDER BY c DESC, text""".stripMargin,
+    "q15_dedup_stats" ->
+      "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_distinct FROM documents",
+    "q15_dedup_survivors" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q16_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |     s AS (SELECT p.probe_id, e.vec_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], p.pe) AS sim
+        |           FROM embeddings e CROSS JOIN p)
+        |SELECT probe_id, vec_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 10
+        |ORDER BY probe_id, sim DESC, vec_id""".stripMargin,
+    "q17_token_stats" ->
+      """SELECT doc_id, length(text) AS len,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(replace(text, ' ', '')) AS n_nonspace,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Q15 + north-star deduplication over `documents` (SURVEY.md §2.12
+  * Q15; training-data-pipeline extension). Exact dedup here; near-dup
+  * families (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine)
+  * live in [[NearDup]].
+  *
+  * Exact dedup at 100 TB: group on a 256-bit content hash, not the raw
+  * text — the shuffle then carries ~32 bytes + doc_id per row instead
+  * of whole documents, and skew collapses to genuinely-duplicate keys.
+  */
+object Dedup {
+
+  /** Q15 — exact duplicate detection: texts appearing more than once. */
+  def q15ExactDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"text")
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .orderBy($"c".desc, $"text")
+  }
+
+  /** Q15b — dedup cardinality check (count vs distinct count). */
+  def q15DedupStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_rows"), countDistinct($"text").as("n_distinct"))
+  }
+
+  /** Scale path: keep one representative doc per distinct text, chosen
+    * deterministically (min doc_id), grouping on sha2(text) so the
+    * shuffle key is fixed-width. Returns the surviving doc_ids + text.
+    */
+  def dedupByContentHash(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("content_hash", sha2($"text", 256))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("doc_id"), first($"text").as("text"),
+        count(lit(1)).as("dup_count"))
+      .drop("content_hash")
+  }
+
+  /** Q15c — surviving-representative dedup, oracle-checkable shape:
+    * min doc_id per distinct text plus how many copies it had.
+    */
+  def q15DedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupByContentHash(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"dup_count")
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The declared relational query inventory (SURVEY.md §2.12 Q1–Q13),
+  * expressed Spark-first with the DataFrame API so Catalyst owns
+  * pushdown, pruning, join strategy and AQE re-planning.
+  *
+  * Column aliases here are the contract with the DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]] — keep them in sync.
+  *
+  * Reference provenance (all /root/reference): scans `main.py:98`,
+  * projections `main.py:128-129`, group-by agg `core/utils.py:199-215`,
+  * latest-per-key online-store semantics
+  * `core/feature_store_manager.py:101,165-168`, enrich join + cold-start
+  * defaults `core/inference.py:89-126`, existence probe
+  * `core/feature_store_manager.py:155-172`, training sort
+  * `core/feature_store_manager.py:141`, timestamp wire format
+  * `core/utils.py:226-228`.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Q1 — scan + projection + cast (S1/S3/P1/F4). Projection reaches the
+    * parquet scan as ReadSchema (only 4 of 11 lineitem columns read).
+    */
+  def q1ScanProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity".cast("double").as("qty"),
+        $"l_extendedprice", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"qty", $"l_extendedprice")
+  }
+
+  /** Q2 — hash group-by multi-agg: the `engineer_features` shape
+    * (reference `core/utils.py:199-215`) over `events`. `max_by` replaces
+    * pandas file-order `last` — deterministic under shuffle (SURVEY §2.4
+    * A1 trap). Catalyst plans partial (map-side) + final aggregation, so
+    * the shuffle carries one row per (partition, user_id), not raw rows.
+    */
+  def q2AggFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        max($"ts").as("last_ts"),
+        avg($"value").as("avg_value"),
+        max_by($"value", $"ts").as("latest_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id")
+  }
+
+  /** Q3 — latest-per-key window dedup: the online-store "latest view"
+    * (W2; reference online store semantics
+    * `core/feature_store_manager.py:101`). Tie-break on event_id for
+    * determinism. One shuffle on user_id; at scale this is the
+    * compaction pass of the online view.
+    */
+  def q3LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .orderBy($"user_id")
+  }
+
+  /** Q4 — left-outer enrich + coalesce cold-start defaults (J1 + P4;
+    * reference `core/inference.py:89-126`: existing customer → stored
+    * averages, new customer → avg=value, hist=0). The aggregated feature
+    * side is one row per key — small relative to the event stream — so
+    * it is broadcast; no shuffle of the big side.
+    */
+  def q4EnrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "events")
+    val features = e.groupBy($"user_id")
+      .agg(avg($"value").as("f_avg_value"), count(lit(1)).as("f_n"))
+    e.join(broadcast(features), Seq("user_id"), "left_outer")
+      .select(
+        $"event_id", $"user_id", $"value",
+        coalesce($"f_avg_value", $"value").as("avg_value"),
+        coalesce($"f_n", lit(0L)).as("hist_n"))
+      .orderBy($"event_id")
+  }
+
+  /** Q5 — existence probe as semi-join (J2/P2; reference
+    * `customer_features_exist`, `core/feature_store_manager.py:155-172`).
+    * Catalyst plans EXISTS → left-semi broadcast-hash on the filtered
+    * customer side.
+    */
+  def q5Exists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = t(spark, dir, "orders")
+    val building = t(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    o.join(broadcast(building), o("o_custkey") === building("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_exists"))
+  }
+
+  /** Q5b — the matching NOT EXISTS via anti-join. */
+  def q5NotExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = t(spark, dir, "orders")
+    val building = t(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    o.join(broadcast(building), o("o_custkey") === building("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_not_exists"))
+  }
+
+  /** Q6 — multi-table equi-join chain + agg (extended surface). The dim
+    * chain region→nation→customer is reduced first (filter ASIA prunes
+    * 4/5 of regions before the fact join) and broadcast into `orders`,
+    * so the only shuffle is the final small group-by on n_name. This is
+    * the plan shape that survives 100×: fact table never shuffles for
+    * the join.
+    */
+  def q6JoinChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asia = t(spark, dir, "region").filter($"r_name" === "ASIA")
+    val dims = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name")
+    t(spark, dir, "orders")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("total"))
+      .orderBy($"n_name")
+  }
+
+  /** Q7 — distinct + count (A2; reference `main.py:121`). Plans as
+    * partial distinct per partition, then exchange — not a global
+    * collect.
+    */
+  def q7DistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  /** Q8 — top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows), not a global sort. Tie-break on
+    * o_orderkey.
+    */
+  def q8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Q9 — timestamp → ISO-8601 wire format (F2; reference
+    * `core/utils.py:226-228`, Python `%f` = microseconds → SSSSSS).
+    */
+  def q9TsFormat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select($"event_id",
+        date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("iso"))
+      .orderBy($"event_id")
+      .limit(100)
+  }
+
+  /** Q10 — frame-spec analytics: lag + running average per key
+    * (extended surface, natural purchase-history features).
+    */
+  def q10WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        avg($"value").over(run).as("run_avg"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Q11 — set op: customers with no orders (EXCEPT = distinct set
+    * difference; plans as left-anti after Catalyst's
+    * ReplaceExceptWithAntiJoin).
+    */
+  def q11Except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer").select($"c_custkey")
+      .except(t(spark, dir, "orders").select($"o_custkey".as("c_custkey")))
+      .orderBy($"c_custkey")
+  }
+
+  /** Q11b — UNION ALL row-count check. */
+  def q11UnionCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer").select($"c_custkey".as("k"))
+      .unionAll(t(spark, dir, "orders").select($"o_custkey".as("k")))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Q12 — ROLLUP grouping sets over lineitem (TPC-H Q1-shaped). The
+    * shipdate predicate pushes into the parquet scan as a row-group
+    * filter; Expand + partial agg keeps the shuffle at
+    * |groups|·|grouping sets| rows.
+    */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("q"),
+        avg($"l_extendedprice").as("p"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
+  }
+
+  /** Q13 — string scalars + agg over documents. */
+  def q13DocStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("chars"),
+        max(length($"text")).as("maxlen"))
+      .orderBy($"lang")
+  }
+
+  /** Q13b — JSON extraction from events.props (verified JSON-shaped:
+    * `{"k": N}`).
+    */
+  def q13JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select($"event_id", get_json_object($"props", "$.k").as("k"))
+      .orderBy($"event_id")
+      .limit(1000)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Q16 — similarity search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim). North-star operator: the
+  * reference has no vector search; this is the training-data-pipeline
+  * extension (SURVEY.md §2.12 Q16).
+  *
+  * Brute-force top-k cosine is the exactness baseline: probes are tiny
+  * (broadcast), the corpus streams once per partition, and the top-k is
+  * a per-probe window — at scale this is a single corpus scan with a
+  * per-partition partial top-k (TakeOrdered-shaped), no corpus shuffle.
+  * The LSH-bucketed approximate variant for 100 TB lives in
+  * [[graft.operators.AnnIndex]].
+  *
+  * Math is done in double (array<float> cast element-wise, exact) via
+  * codegen'd higher-order functions `zip_with`/`aggregate` — no Scala
+  * UDF in the hot path.
+  */
+object Similarity {
+
+  /** dot(a,b) with both sides cast to array<double>. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosineSim(a: Column, b: Column): Column =
+    dotD(a, b) / (normD(a) * normD(b))
+
+  val defaultProbeIds: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** Exact brute-force top-k cosine for a fixed probe set. */
+  def cosineTopK(spark: SparkSession, dir: String,
+      probeIds: Seq[Long] = defaultProbeIds, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    emb.crossJoin(broadcast(probes))
+      .withColumn("sim", cosineSim($"embedding", $"probe_emb"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"probe_id", $"vec_id", $"sim")
+      .orderBy($"probe_id", $"sim".desc, $"vec_id")
+  }
+}
