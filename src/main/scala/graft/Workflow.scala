@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{FeatureEngineering, LoyaltyModel}
+import graft.store.FeatureStore
+import graft.streaming.InferencePipeline
+
+/** End-to-end smoke of the full reference workflow (`main.py:97-134`,
+  * SURVEY.md §3.1→3.3) on driver test data: engineer features from a
+  * historical split of `events` → ingest into the feature store →
+  * train OLS → replay the remaining events through the streaming
+  * inference pipeline → report final state.
+  *
+  * Usage: runMain graft.Workflow [sfDir] [workDir]
+  */
+object Workflow {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val workDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-workflow").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    // events → the reference's purchase schema (FIXTURES.md §B:
+    // user_id/ts/value ↔ customer_id/purchase_timestamp/purchase_value;
+    // a derived bounded score plays loyalty_score)
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+      .select(
+        $"user_id".as("customer_id"),
+        $"ts".as("purchase_timestamp"),
+        $"value".as("purchase_value"),
+        (lit(1.0) + pmod($"event_id", lit(90)) / lit(10.0)).as("loyalty_score"),
+        $"event_id")
+    // 70/30 historical/inference split by time (reference README.md:33-36)
+    val splitTs = events.select(
+      percentile_approx($"purchase_timestamp".cast("double"), lit(0.7), lit(10000)))
+      .head().getDouble(0)
+    val hist = events.filter($"purchase_timestamp".cast("double") <= splitTs)
+    val live = events.filter($"purchase_timestamp".cast("double") > splitTs)
+
+    // §3.1 engineer + ingest
+    val feats = FeatureEngineering.engineerFeatures(
+      hist.drop("event_id"))
+    val store = FeatureStore(spark, s"$workDir/store",
+      "customer_id", "purchase_timestamp")
+    store.ingest(feats)
+    println(s"[workflow] ingested ${feats.count()} customer features; " +
+      s"offline rows=${store.offline().count()}")
+
+    // §3.2 train + persist + reload
+    val model = LoyaltyModel.train(feats)
+    LoyaltyModel.save(model, s"$workDir/model")
+    val loaded = LoyaltyModel.load(s"$workDir/model")
+    println(s"[workflow] trained OLS coef=${loaded.coefficients} " +
+      s"intercept=${loaded.intercept}")
+
+    // §3.3 streaming replay of the live split (file source → micro-batches)
+    val eventDir = s"$workDir/incoming"
+    live.select($"customer_id", $"purchase_timestamp", $"purchase_value")
+      .repartition(4).write.mode("overwrite").parquet(eventDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventDir)
+    val t0 = System.nanoTime()
+    val q = InferencePipeline.run(stream, store, loaded,
+      s"$workDir/scored", s"$workDir/dlq", s"$workDir/ckpt")
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val scored = spark.read.parquet(s"$workDir/scored")
+    val n = scored.count()
+    println(f"[workflow] streamed $n events in $secs%.1f s " +
+      f"(${n / secs}%.0f events/s); online keys=${store.online().count()}")
+    val sample = scored.orderBy($"customer_id", $"purchase_timestamp")
+      .select($"customer_id", $"purchase_value", $"predicted_loyalty_score")
+      .head(3).toSeq
+    println(s"[workflow] sample scored rows: $sample")
+    spark.stop()
+  }
+}

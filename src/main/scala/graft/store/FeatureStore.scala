@@ -41,28 +41,40 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
   private def key = col(conf.keyCol)
   private def ts  = col(conf.eventTimeCol)
 
-  /** Next ingest sequence number: max existing + 1 (single writer —
-    * the reference ingests with `max_workers=1`,
-    * `feature_store_manager.py:119`).
+  /** Next ingest sequence number (single writer — the reference
+    * ingests with `max_workers=1`, `feature_store_manager.py:119`).
+    * Read from storage once, then counted in memory: a full history
+    * scan per micro-batch would dominate streaming upsert cost.
     */
-  private def nextSeq(): Long =
-    if (!exists) 0L
-    else offline().agg(max(col(seqCol))).head().getLong(0) + 1L
+  private var seqCounter: Long = -1L
+  private def nextSeq(): Long = {
+    if (seqCounter < 0L)
+      seqCounter =
+        if (!exists) 0L
+        else offline().agg(max(col(seqCol))).head().getLong(0) + 1L
+    val s = seqCounter
+    seqCounter += 1L
+    s
+  }
 
   def exists: Boolean =
     new java.io.File(s"$offlineDir/_SUCCESS").exists() ||
       new java.io.File(offlineDir).exists()
 
   /** S5 — batch ingest: append the frame to the offline history and
-    * refresh the online compaction. One parquet append, no per-row
-    * calls (vs the reference's row-at-a-time `PutRecord` loop).
+    * merge it into the online compaction. One parquet append, no
+    * per-row calls (vs the reference's row-at-a-time `PutRecord`
+    * loop). The online merge is incremental — window-dedup of
+    * (current online ∪ new batch), O(#keys + batch) — NOT a recompact
+    * of the full history, which would make upsert cost grow with
+    * history size (the thing that kills streaming at 100 TB).
     */
   def ingest(df: DataFrame): Unit = {
     val seq = nextSeq()
-    df.withColumn(seqCol, lit(seq))
-      .withColumn("event_date", to_date(ts))
+    val stamped = df.withColumn(seqCol, lit(seq))
+    stamped.withColumn("event_date", to_date(ts))
       .write.mode("append").partitionBy("event_date").parquet(offlineDir)
-    compactOnline()
+    mergeOnline(stamped)
   }
 
   /** S6 — upsert semantics are identical to ingest at the storage
@@ -76,24 +88,40 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
   /** S3 — full append-only history (offline store scan). */
   def offline(): DataFrame = spark.read.parquet(offlineDir)
 
-  /** W2 — latest record per key, computed from history. The window
-    * shuffles once on the key; at scale this is the compaction pass.
+  /** Window-dedup to the newest `(event_time, _seq)` record per key.
+    * Input must carry the `_seq` column.
     */
-  def latestView(): DataFrame = {
+  private def dedupLatest(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts.desc, col(seqCol).desc)
-    offline()
-      .withColumn("_rn", row_number().over(w))
+    df.withColumn("_rn", row_number().over(w))
       .filter($"_rn" === 1)
-      .drop("_rn", seqCol, "event_date")
+      .drop("_rn")
   }
 
-  /** Materialize the online view so lookups read a compacted table
-    * (one row per key) instead of re-windowing the history. Idempotent:
-    * compact ∘ compact = compact.
+  /** W2 — latest record per key, computed from the full history. The
+    * window shuffles once on the key; at scale this is the (rare) full
+    * compaction pass — steady-state upserts use [[mergeOnline]].
     */
-  def compactOnline(): Unit = {
+  def latestView(): DataFrame =
+    dedupLatest(offline()).drop(seqCol, "event_date")
+
+  /** Incremental MERGE: newest-wins dedup of (current online ∪ batch).
+    * The matched/not-matched branches of a MERGE statement are exactly
+    * the two sides of this dedup. Cost is O(#keys + batch), constant
+    * in history size.
+    */
+  private def mergeOnline(stamped: DataFrame): Unit = {
+    val base = stamped.drop("event_date")
+    val merged =
+      if (new java.io.File(onlineDir).exists())
+        dedupLatest(spark.read.parquet(onlineDir).unionByName(base))
+      else dedupLatest(base)
+    writeOnline(merged)
+  }
+
+  private def writeOnline(df: DataFrame): Unit = {
     val tmp = s"$onlineDir.tmp"
-    latestView().write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     val dir = new java.io.File(onlineDir)
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -105,9 +133,16 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
     new java.io.File(tmp).renameTo(dir): Unit
   }
 
+  /** Full recompaction of the online table from history. Idempotent:
+    * compact ∘ compact = compact.
+    */
+  def compactOnline(): Unit =
+    writeOnline(dedupLatest(offline()).drop("event_date"))
+
   /** Compacted online table (falls back to computing the view). */
   def online(): DataFrame =
-    if (new java.io.File(onlineDir).exists()) spark.read.parquet(onlineDir)
+    if (new java.io.File(onlineDir).exists())
+      spark.read.parquet(onlineDir).drop(seqCol)
     else latestView()
 
   /** S4 — online point lookup (`get_record`,

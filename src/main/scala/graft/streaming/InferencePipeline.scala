@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.ml.regression.LinearRegressionModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{EventEnricher, LoyaltyModel}
+import graft.store.FeatureStore
+
+/** Port of the real-time inference loop (`core/inference.py:227-281`)
+  * as a Structured Streaming micro-batch pipeline:
+  *
+  *   readStream → per-batch (sort by event time → enrich against the
+  *   online view (J1/P4) → batch-score (M3) → upsert into the feature
+  *   store (S6) → append scored rows to a sink; rows that fail
+  *   validation go to a dead-letter sink (T4)).
+  *
+  * The reference processes <2 events/s (sequential `iterrows` +
+  * simulated delays); here each micro-batch is one broadcast join +
+  * one model transform + one parquet append, so throughput is bounded
+  * by batch overhead, not per-event calls. Checkpointing supplies
+  * at-least-once redelivery (the reference's retry queue,
+  * `inference.py:270-279`); the DLQ reproduces its log-and-drop of
+  * twice-failed events.
+  */
+object InferencePipeline {
+
+  /** Validation predicate — the "processing failure" surface. The
+    * reference fails an event on a 5% coin flip (`inference.py:255-259`,
+    * simulation); our engine's real failure mode is malformed input.
+    */
+  def isValid(c: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    c.map(_.isNotNull).reduce(_ && _)
+
+  /** Process one micro-batch. Returns (scored, deadLetters). Exposed
+    * separately so batch-vs-stream equivalence is testable without a
+    * streaming harness.
+    */
+  def processBatch(
+      batch: DataFrame,
+      store: FeatureStore,
+      model: LinearRegressionModel): (DataFrame, DataFrame) = {
+    import batch.sparkSession.implicits._
+    val valid = batch.filter(
+      isValid($"customer_id", $"purchase_timestamp", $"purchase_value"))
+    val dead = batch.filter(
+      !isValid($"customer_id", $"purchase_timestamp", $"purchase_value"))
+    // no per-batch sort needed: enrichment and scoring are
+    // row-independent, and the store's MERGE applies newest-wins by
+    // event time regardless of row order
+    val enriched = EventEnricher.enrich(valid, store.online())
+    // materialize before the upsert: putRecords re-compacts the online
+    // view, replacing the parquet files this plan reads — a later
+    // re-execution of the lazy plan would hit deleted files
+    val scored = LoyaltyModel.score(model, enriched).persist()
+    scored.count(): Unit
+    // per-event upsert → one MERGE-semantics append per batch; the
+    // store's latest view applies newest-wins per key
+    store.putRecords(scored.select(
+      $"customer_id", $"purchase_timestamp",
+      $"latest_purchase_value", $"avg_purchase_value",
+      $"avg_loyalty_score",
+      $"predicted_loyalty_score".as("latest_loyalty_score")))
+    (scored, dead)
+  }
+
+  /** Launch the streaming query over an event stream with the given
+    * sinks. `events` must be a streaming DataFrame with columns
+    * (customer_id, purchase_timestamp, purchase_value).
+    */
+  def run(
+      events: DataFrame,
+      store: FeatureStore,
+      model: LinearRegressionModel,
+      scoredSink: String,
+      dlqSink: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (scored, dead) = processBatch(batch, store, model)
+        scored.write.mode("append").parquet(scoredSink)
+        if (!dead.isEmpty) dead.write.mode("append").parquet(dlqSink)
+        scored.unpersist(): Unit
+      }
+      .start()
+}

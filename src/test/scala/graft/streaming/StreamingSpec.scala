@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.pipeline.{FeatureEngineering, LoyaltyModel}
+import graft.store.FeatureStore
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingStateFold.{Event, KeyResult}
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Event(1, ts("2024-01-01 10:00:00"), 1L, 10.0),
+    Event(2, ts("2024-01-02 10:00:00"), 1L, 20.0),
+    Event(3, ts("2024-01-03 10:00:00"), 1L, 30.0),
+    Event(4, ts("2024-01-01 11:00:00"), 2L, 7.0),
+    Event(5, ts("2024-01-02 11:00:00"), 2L, 9.0),
+  )
+
+  /** Run the fold over the events split into `splits` micro-batches,
+    * return final state per key.
+    */
+  private def runStream(splits: Seq[Seq[Event]]): Map[Long, (Double, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingStateFold(input.toDS())
+      .writeStream.format("memory").queryName("fold_out")
+      .outputMode(OutputMode.Update()).start()
+    splits.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    // last emitted row per key = final state
+    spark.table("fold_out").groupBy($"user_id")
+      .agg(last($"folded_avg").as("a"), max($"n").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+  }
+
+  test("stream fold in 1 batch == stream fold in N batches == sequential replay (T1-T3)") {
+    // a(1) over 10,20,30: 10 → 15 → 22.5 ; a(2) over 7,9: 7 → 8
+    val expected = Map(1L -> (22.5, 3L), 2L -> (8.0, 2L))
+    assert(runStream(Seq(events)) == expected)
+    assert(runStream(events.grouped(2).toSeq) == expected)
+    assert(runStream(events.map(Seq(_))) == expected)
+  }
+
+  test("out-of-order within a micro-batch is reordered by (ts, event_id)") {
+    val shuffled = Seq(events(2), events(0), events(4), events(1), events(3))
+    assert(runStream(Seq(shuffled)) == Map(1L -> (22.5, 3L), 2L -> (8.0, 2L)))
+  }
+
+  test("end-to-end micro-batch inference: enrich + score + upsert + DLQ (T4)") {
+    val dir = Files.createTempDirectory("infer-test").toString
+    val store = FeatureStore(spark, s"$dir/store", "customer_id", "purchase_timestamp")
+
+    // seed the store from engineered historical features
+    val hist = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, 5.0),
+      (1L, ts("2024-01-03 09:30:00"), 50.0, 6.0),
+      (2L, ts("2024-01-02 12:00:00"), 200.0, 9.0),
+    ).toDF("customer_id", "purchase_timestamp", "purchase_value", "loyalty_score")
+    val feats = FeatureEngineering.engineerFeatures(hist)
+    store.ingest(feats)
+    val model = LoyaltyModel.train(feats.unionByName(feats.withColumn(
+      "latest_loyalty_score", $"latest_loyalty_score" + 0.1))) // >p rows for OLS
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.lang.Long, Timestamp, java.lang.Double)]
+    val stream = input.toDF()
+      .toDF("customer_id", "purchase_timestamp", "purchase_value")
+    val q = InferencePipeline.run(stream, store, model,
+      s"$dir/scored", s"$dir/dlq", s"$dir/ckpt")
+    input.addData(
+      (1L, ts("2024-02-01 00:00:00"), 80.0),           // known customer
+      (9L, ts("2024-02-01 00:00:00"), 40.0),           // cold start
+      (null, ts("2024-02-01 00:00:00"), 1.0))          // poison → DLQ
+    q.processAllAvailable()
+    q.stop()
+
+    val scored = spark.read.parquet(s"$dir/scored")
+    assert(scored.count() == 2)
+    assert(scored.columns.contains("predicted_loyalty_score"))
+    val dlq = spark.read.parquet(s"$dir/dlq")
+    assert(dlq.count() == 1 && dlq.head().isNullAt(0))
+
+    // upsert landed: customer 9 now exists online; customer 1 updated
+    assert(store.recordExists(9L))
+    val c1 = store.getRecord(1L).get
+    assert(c1.getAs[Double]("latest_purchase_value") == 80.0)
+    // offline history is append-only: 2 seed rows + 2 scored rows
+    assert(store.offline().count() == 4)
+  }
+}
