@@ -40,6 +40,15 @@ object SparkEntry {
     "q15_dedup_survivors" -> (Dedup.q15DedupSurvivors _),
     "q16_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q17_token_stats"    -> (TextStats.q17TokenStats _),
+    "q18_ngram_jaccard"  -> (NearDup.q18NgramJaccard _),
+    "q19_windowed_agg"   -> (Temporal.q19WindowedAgg _),
+    "q20_asof_join"      -> (Temporal.q20AsOfJoin _),
+    "q21_cube"           -> (Temporal.q21Cube _),
+    "q22_quality"        -> (TextAnalysis.q22Quality _),
+    "q23_media_meta"     -> (Multimodal.q23MediaMeta _),
+    "q24_embedding_near_dup" -> (NearDup.q24EmbeddingNearDup _),
+    "q25_langid"         -> (TextAnalysis.q25LangId _),
+    "q26_fingerprint"    -> (TextAnalysis.q26Fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +161,82 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '),
         |      t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, co::DOUBLE / (ca.n + cb.n - co) AS jac
+        |FROM pairs JOIN counts ca ON ca.doc_id = doc_a
+        |           JOIN counts cb ON cb.doc_id = doc_b
+        |WHERE co::DOUBLE / (ca.n + cb.n - co) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q19_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS win, event_type,
+        |  count(*) AS n, sum(value) AS total
+        |FROM events GROUP BY win, event_type ORDER BY win, event_type""".stripMargin,
+    "q20_asof_join" ->
+      """WITH snaps AS (
+        |  SELECT user_id, value AS snap_value, ts AS snap_ts
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, date_trunc('day', ts)
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, s.snap_value, s.snap_ts
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts > s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q21_cube" ->
+      """SELECT event_type, date_part('day', ts) AS d,
+        |  count(*) AS n, sum(value) AS total
+        |FROM events GROUP BY CUBE (event_type, d)
+        |ORDER BY event_type NULLS LAST, d NULLS LAST""".stripMargin,
+    "q22_quality" ->
+      """SELECT doc_id,
+        |  least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |  (1.0 - len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','an','and','of','to','in','is','on','for')))::DOUBLE
+        |       / len(string_split(text, ' '))) * 0.3 +
+        |  least(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |       / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_media_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  sha256(text) AS content_sha
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q24_embedding_near_dup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q25_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN en = m THEN 'en' WHEN fr = m THEN 'fr'
+        |       WHEN de = m THEN 'de' ELSE 'es' END AS pred_lang,
+        |  en AS en_hits
+        |FROM (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS en,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('le','la','les','et','de','un','une','est','dans','pour'))) AS fr,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('der','die','das','und','von','ein','eine','ist','im','mit'))) AS de,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('el','la','los','y','de','un','una','es','en','para'))) AS es,
+        |  greatest(en, fr, de, es) AS m
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q26_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(text[i])::BIGINT),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

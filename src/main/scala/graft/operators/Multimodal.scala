@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing (north star): image/audio/video as
+  * opaque `binary` payloads plus typed metadata, with batched
+  * per-partition feature extraction. The container has no media
+  * libraries, so the DECODE step is a deterministic stub
+  * ([[stubDecode]]); everything around it — schema, partition-batch
+  * shape, metadata extraction, storage layout — is real and tested.
+  *
+  * At 100 TB: payloads dominate storage, so (1) metadata-only queries
+  * must never read the payload column (parquet column pruning — the
+  * scan's ReadSchema excludes `payload`), and (2) decode runs
+  * per-partition with bounded batch memory, never per-row JVM churn
+  * and never a driver collect.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("content_sha", StringType, nullable = false)))
+
+  /** Build a media table from `documents` — each text payload plays
+    * the role of an opaque media blob (deterministic; lets every
+    * downstream step run for real without media libs).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      $"doc_id".as("media_id"),
+      $"text".cast(BinaryType).as("payload"),
+      lit("text/plain").as("media_type"),
+      octet_length($"text".cast(BinaryType)).cast(LongType).as("n_bytes"),
+      sha2($"text".cast(BinaryType), 256).as("content_sha"))
+  }
+
+  /** STUB DECODE — stands in for image decode / audio PCM / frame
+    * sampling, which need native libs absent from this container. A
+    * real deployment swaps ONLY this function (same signature: bytes →
+    * fixed-width feature vector). Deterministic: 8-bucket byte
+    * histogram, L1-normalized.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](8)
+    if (payload == null || payload.isEmpty) hist
+    else {
+      payload.foreach { b => hist((b & 0xff) >> 5) += 1f }
+      val n = payload.length.toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** Batched per-partition feature extraction: one task per input
+    * split, payload bytes stream through the decoder, output is
+    * (media_id, feature array). The Spark-side shape — mapPartitions
+    * over an Iterator, no materialized partition buffer — is what a
+    * Pandas-UDF `mapInPandas` would compile to on a JVM-only stack.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, stubDecode(bytes)) })
+      .toDF("media_id", "features")
+  }
+
+  /** Q23 — metadata-only path, oracle-checked: byte length + content
+    * hash per media item. `.explain` shows ReadSchema without the
+    * payload column when run over a stored media table.
+    */
+  def q23MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(Tables.load(spark, dir, "documents"))
+      .select($"media_id", $"media_type", $"n_bytes", $"content_sha")
+      .orderBy($"media_id")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** North-star text analysis beyond [[TextStats]]: heuristic language
+  * ID, quality scoring, and content fingerprinting over `documents`.
+  * All pure `functions._` expressions — codegen'd, shuffle-free per
+  * row, embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Function-word profiles for the heuristic language scorer. The
+    * engine contract is the scoring formula, not linguistic truth:
+    * score(lang) = |tokens ∩ profile(lang)| / |tokens|; argmax wins,
+    * ties broken by profile order below.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist", "im", "mit"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "una", "es", "en", "para"))
+
+  private def toks(text: Column): Column = split(text, " ", -1)
+
+  def profileHits(text: Column, words: Seq[String]): Column =
+    size(filter(toks(text), t => t.isInCollection(words)))
+
+  /** Q25 — language ID: argmax profile hit-ratio with deterministic
+    * tie-break (first profile in declaration order wins ties, via
+    * strict `>` against the running best).
+    */
+  def detectLanguage(text: Column): Column =
+    profiles.tail.foldLeft(
+      (lit(profiles.head._1), profileHits(text, profiles.head._2))) {
+      case ((bestLang, bestHits), (lang, words)) =>
+        val h = profileHits(text, words)
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+          greatest(h, bestHits))
+    }._1
+
+  def q25LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", detectLanguage($"text").as("pred_lang"),
+        profileHits($"text", profiles.head._2).as("en_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Q22 — quality score: bounded [0,1] blend of length, stopword
+    * ratio and mean token length — the heuristic-filter shape used to
+    * drop boilerplate/garbage docs from training corpora. Formula is
+    * the contract (oracle reproduces it exactly).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val meanLen = (length(text) - (size(t) - 1)).cast("double") / nTok
+    val stopRatio = profileHits(text, profiles.head._2).cast("double") / nTok
+    least(nTok / lit(100.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - stopRatio) * lit(0.3) +
+      least(meanLen / lit(8.0), lit(1.0)) * lit(0.3)
+  }
+
+  def q22Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Q26 — content fingerprint: rolling polynomial hash over the
+    * character stream, mod 1e9+7 (engine-independent arithmetic — the
+    * same fold runs in any engine, unlike builtin hash functions).
+    * Used for cheap dedup keys and shard-stable sampling.
+    */
+  def fingerprint(text: Column): Column = {
+    // explicit 1-based position indexing: split-on-empty-string
+    // trailing-empty semantics differ between engines
+    val chars = transform(
+      sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))).cast("long"))
+    when(length(text) === 0, lit(0L))
+      .otherwise(aggregate(chars, lit(0L),
+        (acc, c) => (acc * 31L + c) % 1000000007L))
+  }
+
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NorthStarSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams, distinct, short-text guard") {
+    val df = Seq("a b c d", "a b", "x y z x y z").toDF("text")
+    val got = df.select(NearDup.shingles($"text", 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set.empty[String]) // shorter than n → empty, not sequence-down
+    assert(got(2) == Set("x y z", "y z x", "z x y")) // distinct collapses repeats
+  }
+
+  test("jaccardPairs finds planted near-dup, skips unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different words with no overlap at all here"),
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.jaccardPairs(docs, 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val jac = pairs.head.getDouble(2)
+    // docs 1,2 share 6 of their 8+8 distinct shingles → 6/10
+    assert(math.abs(jac - 0.6) < 1e-12)
+  }
+
+  test("q20 as-of join: strict before, carries latest snapshot, null before first") {
+    // hand fixture via temp view shadowing is overkill — check invariants on sf data
+    val df = Temporal.q20AsOfJoin(spark, sf).cache()
+    val e = graft.core.Tables.load(spark, sf, "events")
+    assert(df.count() == e.count()) // left join keeps every event
+    // strictly before: snap_ts < ts for every matched row
+    val joined = df.join(e.select($"event_id", $"ts"), "event_id")
+    assert(joined.filter($"snap_ts".isNotNull && $"snap_ts" >= $"ts").count() == 0)
+    // each user's earliest event has no earlier snapshot
+    val firstEvents = e.groupBy($"user_id").agg(min(struct($"ts", $"event_id")).as("f"))
+      .select($"user_id", $"f.event_id".as("event_id"))
+    assert(firstEvents.join(df, "event_id").filter($"snap_value".isNotNull).count() == 0)
+  }
+
+  test("q19 windowed agg partitions all events into day buckets") {
+    val df = Temporal.q19WindowedAgg(spark, sf)
+    val total = df.agg(sum($"n")).head().getLong(0)
+    assert(total == graft.core.Tables.load(spark, sf, "events").count())
+  }
+
+  test("q21 cube emits all 4 granularities consistently") {
+    val rows = Temporal.q21Cube(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(grand.length == 1 && grand.head.getLong(2) == detail)
+  }
+
+  test("detectLanguage: argmax with declaration-order tie-break") {
+    val df = Seq(
+      "the cat is on the mat",       // en hits
+      "le chat est dans la maison",  // fr hits
+      "xyz qrs tuv",                 // no hits anywhere → tie at 0 → en
+    ).toDF("text")
+    val got = df.select(TextAnalysis.detectLanguage($"text")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "fr", "en"))
+  }
+
+  test("fingerprint: deterministic rolling hash, matches hand computation") {
+    val got = Seq("ab").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    // ((0*31+97) * 31 + 98) % 1000000007 = 97*31+98 = 3105
+    assert(got == 3105L)
+  }
+
+  test("multimodal: stub decode histogram is L1-normalized; features distributed per partition") {
+    val media = Multimodal.mediaFromDocuments(
+      graft.core.Tables.load(spark, sf, "documents")).repartition(4)
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 500)
+    val sums = feats.select(aggregate($"features",
+      lit(0.0), (a, x) => a + x).as("s")).collect().map(_.getDouble(0))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-5))
+  }
+
+  test("multimodal: metadata-only query prunes the payload column from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("media-test").toString
+    Multimodal.mediaFromDocuments(
+      graft.core.Tables.load(spark, sf, "documents"))
+      .write.parquet(s"$dir/media")
+    val meta = spark.read.parquet(s"$dir/media")
+      .select($"media_id", $"n_bytes", $"content_sha")
+    val scan = meta.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("payload"))
+  }
+}
