@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators._
+
+/** Physical-plan assertions — the shapes that must survive a 100×
+  * scale-up. Correctness tests say the answers are right; these say
+  * the PLANS are right: filters reach the parquet scan, projections
+  * prune columns, small sides broadcast, top-k never global-sorts,
+  * and the fact table never shuffles for a dim join.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: projection prunes lineitem scan to the 4 needed columns") {
+    val p = plan(Relational.q1ScanProject(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q12: shipdate predicate pushes into the parquet scan") {
+    val p = plan(Relational.q12Rollup(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q6: dims broadcast — the orders fact table never shuffles for the join") {
+    val p = plan(Relational.q6JoinChain(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5: EXISTS plans as broadcast semi-join, NOT EXISTS as anti-join") {
+    assert(plan(Relational.q5Exists(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.q5NotExists(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q8: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q8TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q2: aggregation is partial (map-side) then final — shuffle carries aggregates") {
+    val p = plan(Relational.q2AggFeatures(spark, sf))
+    assert(p.contains("partial_"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q2/q12 hot paths stay inside whole-stage codegen") {
+    // AQE finalizes the plan on execution; codegen spans appear then
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // "*(n)" prefixes mark whole-stage-codegen spans in plan strings
+    assert(finalPlan(Relational.q2AggFeatures(spark, sf)).contains("*(1) HashAggregate"))
+    assert(finalPlan(Relational.q12Rollup(spark, sf)).contains("*(1) HashAggregate"))
+  }
+
+  test("q16: probes broadcast — the embedding corpus is never shuffled for the cross join") {
+    val p = plan(Similarity.cosineTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events load still pushes filters down through the ts normalization") {
+    val df = Tables.load(spark, sf, "events").filter($"user_id" === 3)
+    assert(plan(df).contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]"))
+  }
+}
