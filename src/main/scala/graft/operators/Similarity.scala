@@ -24,7 +24,9 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** dot(a,b) with both sides cast to array<double>. */
+  /** dot(a,b) with both sides cast to array<double> — composable
+    * higher-order-function formulation (kept for reference/fallback).
+    */
   def dotD(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
@@ -32,8 +34,13 @@ object Similarity {
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Cosine similarity — fused single-pass native expression with
+    * codegen ([[graft.functions.cosineSimilarity]]); ~4× less array
+    * traffic than the zip_with/aggregate composition.
+    */
   def cosineSim(a: Column, b: Column): Column =
-    dotD(a, b) / (normD(a) * normD(b))
+    graft.functions.cosineSimilarity(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   val defaultProbeIds: Seq[Long] = Seq(0L, 1L, 2L)
 

@@ -74,14 +74,15 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(java.lang.Long, Timestamp, java.lang.Double)]
     val stream = input.toDF()
       .toDF("customer_id", "purchase_timestamp", "purchase_value")
-    val q = InferencePipeline.run(stream, store, model,
-      s"$dir/scored", s"$dir/dlq", s"$dir/ckpt")
+    // data must be present before start: AvailableNow snapshots the
+    // available offsets when the query starts
     input.addData(
       (1L, ts("2024-02-01 00:00:00"), 80.0),           // known customer
       (9L, ts("2024-02-01 00:00:00"), 40.0),           // cold start
       (null, ts("2024-02-01 00:00:00"), 1.0))          // poison → DLQ
-    q.processAllAvailable()
-    q.stop()
+    val q = InferencePipeline.run(stream, store, model,
+      s"$dir/scored", s"$dir/dlq", s"$dir/ckpt")
+    q.awaitTermination()
 
     val scored = spark.read.parquet(s"$dir/scored")
     assert(scored.count() == 2)
