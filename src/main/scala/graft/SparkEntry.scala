@@ -49,6 +49,26 @@ object SparkEntry {
     "q24_embedding_near_dup" -> (NearDup.q24EmbeddingNearDup _),
     "q25_langid"         -> (TextAnalysis.q25LangId _),
     "q26_fingerprint"    -> (TextAnalysis.q26Fingerprint _),
+    // approximate operators: no DuckDB oracle (probabilistic); the
+    // driver records a rows-only check, exactness is spec-verified
+    // (ScalePathSpec) against the exact operators above
+    "q27_ann_topk" -> ((s: SparkSession, d: String) => {
+      val emb = graft.core.Tables.load(s, d, "embeddings")
+      AnnIndex.topK(AnnIndex.index(emb),
+        emb.filter(emb("vec_id").isin(0L, 1L, 2L)), k = 10)
+    }),
+    "q28_minhash_candidates" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      MinHashDedup.candidatePairs(
+        graft.core.Tables.load(s, d, "documents"), maxDistance = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q29_simhash_pairs" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      SimHash.nearDupPairs(
+        graft.core.Tables.load(s, d, "documents"), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

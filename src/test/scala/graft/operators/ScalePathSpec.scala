@@ -30,17 +30,26 @@ class ScalePathSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ d))
   }
 
-  test("simhash banded join finds exact-duplicate docs (hamming 0) present in driver data") {
-    val docs = Tables.load(spark, sf, "documents")
-    val dupTexts = docs.groupBy($"text").agg(count(lit(1)).as("c"), min($"doc_id").as("a"),
-        max($"doc_id").as("b"))
-      .filter($"c" === 2)
-      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("simhash banded join finds planted exact and near dups, skips unrelated") {
+    // sf0.001/sf0.01 documents contain NO exact dups (verified against
+    // the parquet) — assert on planted fixtures, not vacuously
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup → hamming 0
+      (3L, base.replace("epsilon", "EPSILON")),     // near dup → tiny hamming
+      (4L, "zero one two three four five six seven eight nine " * 5),
+    ).toDF("doc_id", "text")
     val pairs = SimHash.nearDupPairs(docs, maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every exact duplicate pair must be found (distance 0 ⇒ all chunks match)
-    assert(dupTexts.forall(pairs.contains),
-      s"missed ${dupTexts.count(!pairs.contains(_))} of ${dupTexts.size} exact dups")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"exact dup missing: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // near-dup 3 may or may not clear hamming<=3; its distance to 1
+    // must at least be far smaller than unrelated distance
+    val s1 = SimHash.simhash(base)
+    val s3 = SimHash.simhash(base.replace("epsilon", "EPSILON"))
+    val s4 = SimHash.simhash("zero one two three four five six seven eight nine " * 5)
+    assert(java.lang.Long.bitCount(s1 ^ s3) < java.lang.Long.bitCount(s1 ^ s4))
   }
 
   test("ANN top-k: self-hit always found, recall vs brute force is usable") {
