@@ -25,4 +25,19 @@ object WindowedAgg {
       .agg(count(lit(1)).as("n"), sum($"value").as("total"))
       .select($"w.start".as("win"), $"event_type", $"n", $"total")
   }
+
+  /** Per-user session windows: events closer than `gap` merge into one
+    * session (state per OPEN session only under a watermark). The
+    * natural "visit"/"burst" segmentation for activity features.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 day"): DataFrame = {
+    import events.sparkSession.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src.groupBy(session_window($"ts", gap).as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total"))
+      .select($"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"user_id", $"n_events", $"total")
+  }
 }

@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // fresh per-JVM warehouse: saveAsTable locations must not leak
+    // across test runs (in-memory catalog forgets, directories don't)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
