@@ -20,15 +20,8 @@ object Workflow {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val workDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-workflow").toString)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.Sessions.local(appName = "graft-workflow")
     import spark.implicits._
-    spark.sparkContext.setLogLevel("WARN")
 
     // events → the reference's purchase schema (FIXTURES.md §B:
     // user_id/ts/value ↔ customer_id/purchase_timestamp/purchase_value;
