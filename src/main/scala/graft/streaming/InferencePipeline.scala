@@ -55,12 +55,22 @@ object InferencePipeline {
     // re-execution of the lazy plan would hit deleted files
     val scored = LoyaltyModel.score(model, enriched).persist()
     scored.count(): Unit
-    // per-event upsert → one MERGE-semantics append per batch; the
-    // store's latest view applies newest-wins per key
+    // the A3 state transition on write-back
+    // (`update_customer_features`, feature_store_manager.py:260-264):
+    // existing → new_avg = (old_avg + new)/2 for purchase value and
+    // (predicted) loyalty; new customer → avg seeds from this event
+    // (feature_store_manager.py:227-230, with the PREDICTED score,
+    // inference.py:218-225). Per-batch MERGE granularity: a key seen
+    // twice in one micro-batch gets one newest-event transition, not
+    // two sequential ones (divergence documented in SURVEY.md §7
+    // risks; exact per-event sequencing is StreamingStateFold).
     store.putRecords(scored.select(
       $"customer_id", $"purchase_timestamp",
-      $"latest_purchase_value", $"avg_purchase_value",
-      $"avg_loyalty_score",
+      $"latest_purchase_value",
+      when($"known_customer", ($"avg_purchase_value" + $"purchase_value") / 2)
+        .otherwise($"purchase_value").as("avg_purchase_value"),
+      when($"known_customer", ($"avg_loyalty_score" + $"predicted_loyalty_score") / 2)
+        .otherwise($"predicted_loyalty_score").as("avg_loyalty_score"),
       $"predicted_loyalty_score".as("latest_loyalty_score")))
     (scored, dead)
   }

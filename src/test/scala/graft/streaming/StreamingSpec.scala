@@ -91,9 +91,22 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.count() == 1 && dlq.head().isNullAt(0))
 
     // upsert landed: customer 9 now exists online; customer 1 updated
+    // with the A3 pairwise-average transition
+    // (feature_store_manager.py:260-264)
     assert(store.recordExists(9L))
     val c1 = store.getRecord(1L).get
     assert(c1.getAs[Double]("latest_purchase_value") == 80.0)
+    assert(c1.getAs[Double]("avg_purchase_value") == (75.0 + 80.0) / 2)
+    val pred1 = scored.filter($"customer_id" === 1L)
+      .head().getAs[Double]("predicted_loyalty_score")
+    assert(math.abs(c1.getAs[Double]("avg_loyalty_score") - (5.5 + pred1) / 2) < 1e-12)
+    // cold start seeds averages from this event (predicted score,
+    // feature_store_manager.py:227-230)
+    val c9 = store.getRecord(9L).get
+    assert(c9.getAs[Double]("avg_purchase_value") == 40.0)
+    val pred9 = scored.filter($"customer_id" === 9L)
+      .head().getAs[Double]("predicted_loyalty_score")
+    assert(math.abs(c9.getAs[Double]("avg_loyalty_score") - pred9) < 1e-12)
     // offline history is append-only: 2 seed rows + 2 scored rows
     assert(store.offline().count() == 4)
   }
