@@ -77,6 +77,29 @@ object Workflow {
       .select($"customer_id", $"purchase_value", $"predicted_loyalty_score")
       .head(3).toSeq
     println(s"[workflow] sample scored rows: $sample")
+
+    // per-event-faithful state-store path (StatefulInference) over the
+    // same live split, for throughput comparison with the MERGE path
+    import graft.streaming.StatefulInference
+    import graft.streaming.StatefulInference.PEvent
+    val t1 = System.nanoTime()
+    val stateStream = spark.readStream
+      .schema(spark.read.parquet(eventDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventDir)
+      .as[PEvent]
+    val sq = StatefulInference(stateStream,
+      loaded.coefficients.toArray, loaded.intercept)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/state_scored")
+      .option("checkpointLocation", s"$workDir/state_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    val n2 = spark.read.parquet(s"$workDir/state_scored").count()
+    println(f"[workflow] stateful path: $n2 events in $secs2%.1f s " +
+      f"(${n2 / secs2}%.0f events/s)")
     spark.stop()
   }
 }
