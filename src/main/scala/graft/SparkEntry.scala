@@ -69,6 +69,12 @@ object SparkEntry {
         graft.core.Tables.load(s, d, "documents"), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "q30_ivf_topk" -> ((s: SparkSession, d: String) => {
+      val emb = graft.core.Tables.load(s, d, "embeddings")
+      val (indexed, model) = IvfIndex.build(emb)
+      IvfIndex.topK(indexed, model,
+        emb.filter(emb("vec_id").isin(0L, 1L, 2L)), k = 10)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF top-k: self-hit found, recall beats LSH at same corpus, cells prune") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (indexed, model) = IvfIndex.build(emb, nLists = 16)
+    val cached = indexed.cache()
+    // cells partition the corpus (no cell dominates)
+    val total = cached.count()
+    val cellSizes = cached.groupBy($"cell").count()
+    assert(cellSizes.count() > 4)
+    assert(cellSizes.agg(max($"count")).head().getLong(0) < total)
+
+    val probes = emb.filter($"vec_id".isin(0L, 1L, 2L, 3L, 4L))
+    val ivf = IvfIndex.topK(cached, model, probes, k = 10, nProbe = 4).cache()
+    assert(ivf.groupBy($"probe_id").count().collect().forall(_.getLong(1) == 10))
+    // self-match: a vector's own cell is always its nearest centroid set
+    assert(ivf.filter($"probe_id" === $"vec_id").count() == 5)
+
+    val brute = Similarity.cosineTopK(spark, sf, Seq(0L, 1L, 2L, 3L, 4L), 10)
+    val bruteSet = brute.select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.select($"probe_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bruteSet.count(ivfSet.contains).toDouble / bruteSet.size
+    info(s"IVF recall@10 (nProbe=4/16) = $recall")
+    // 4/16 cells searched; clustered data keeps true neighbors together
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
