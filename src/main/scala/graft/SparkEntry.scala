@@ -49,6 +49,8 @@ object SparkEntry {
     "q24_embedding_near_dup" -> (NearDup.q24EmbeddingNearDup _),
     "q25_langid"         -> (TextAnalysis.q25LangId _),
     "q26_fingerprint"    -> (TextAnalysis.q26Fingerprint _),
+    "q31_term_doc_freq"  -> (Relational.q31TermDocFreq _),
+    "q32_stats"          -> (Relational.q32Stats _),
     // approximate operators: no DuckDB oracle (probabilistic); the
     // driver records a rows-only check, exactness is spec-verified
     // (ScalePathSpec) against the exact operators above
@@ -264,5 +266,15 @@ object SparkEntry {
         |      i -> ascii(text[i])::BIGINT),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_term_doc_freq" ->
+      """SELECT tok, count(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+    "q32_stats" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, stddev_samp(value) AS sd,
+        |  corr(value, user_id::DOUBLE) AS c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

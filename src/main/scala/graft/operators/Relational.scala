@@ -240,4 +240,36 @@ object Relational {
       .orderBy($"event_id")
       .limit(1000)
   }
+
+  /** Q31 — term document frequency: the vocabulary/df table every
+    * corpus pipeline derives (stopword mining, df-cuts for the
+    * shingle join, TF-IDF weights). Distinct-tokens-per-doc explode →
+    * count distinct docs per token; one shuffle on token.
+    */
+  def q31TermDocFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " ", -1))).as("tok"))
+      .groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+      .orderBy($"df".desc, $"tok")
+      .limit(50)
+  }
+
+  /** Q32 — statistical aggregates per group: exact interpolated
+    * percentiles (one pass, no sort of the full data past the
+    * per-group collection), sample stddev, Pearson correlation.
+    */
+  def q32Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.9)).as("p90"),
+        stddev_samp($"value").as("sd"),
+        corr($"value", $"user_id".cast("double")).as("c"))
+      .orderBy($"event_type")
+  }
 }
