@@ -26,6 +26,20 @@ object WindowedAgg {
       .select($"w.start".as("win"), $"event_type", $"n", $"total")
   }
 
+  /** Sliding event-time windows: each event lands in
+    * length/slide overlapping windows (e.g. 1-day window sliding
+    * 6 hours → 4). Same batch/stream duality as [[tumbling]].
+    */
+  def sliding(events: DataFrame, windowLength: String = "1 day",
+      slide: String = "6 hours", watermark: String = "1 day"): DataFrame = {
+    import events.sparkSession.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src.groupBy(window($"ts", windowLength, slide).as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"w.start".as("win"), $"event_type", $"n", $"total")
+  }
+
   /** Per-user session windows: events closer than `gap` merge into one
     * session (state per OPEN session only under a watermark). The
     * natural "visit"/"burst" segmentation for activity features.

@@ -28,6 +28,17 @@ class SessionWindowSpec extends SparkSpec {
     assert(s(0).getTimestamp(1) == t("2024-01-01 10:40:00"))
   }
 
+  test("sliding windows: every event lands in length/slide windows") {
+    val events = Seq((1L, t("2024-01-01 13:00:00"), "click", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val wins = WindowedAgg.sliding(events).orderBy($"win").collect()
+    // 1-day window, 6-h slide → the event appears in 4 windows
+    assert(wins.length == 4)
+    assert(wins.forall(_.getAs[Long]("n") == 1L))
+    assert(wins.head.getTimestamp(0) == t("2023-12-31 18:00:00"))
+    assert(wins.last.getTimestamp(0) == t("2024-01-01 12:00:00"))
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     val e = Tables.load(spark, sf, "events")
     val exact = e.select($"user_id").distinct().count().toDouble
