@@ -51,6 +51,8 @@ object SparkEntry {
     "q26_fingerprint"    -> (TextAnalysis.q26Fingerprint _),
     "q31_term_doc_freq"  -> (Relational.q31TermDocFreq _),
     "q32_stats"          -> (Relational.q32Stats _),
+    "q33_part_stats"     -> (Relational.q33PartStats _),
+    "q34_supplier_nation" -> (Relational.q34SupplierNation _),
     // approximate operators: no DuckDB oracle (probabilistic); the
     // driver records a rows-only check, exactness is spec-verified
     // (ScalePathSpec) against the exact operators above
@@ -276,5 +278,15 @@ object SparkEntry {
         |  quantile_cont(value, 0.9) AS p90, stddev_samp(value) AS sd,
         |  corr(value, user_id::DOUBLE) AS c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_part_stats" ->
+      """SELECT p_brand, count(*) AS n, avg(p_retailprice) AS avg_price,
+        |  max(p_size) AS max_size
+        |FROM part WHERE p_size <= 20
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q34_supplier_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers, sum(s_acctbal) AS total_bal,
+        |  max(s_acctbal) AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

@@ -42,11 +42,31 @@ object NearDup {
     * posting instead of ~20-char text (collision odds at 64 bits are
     * ~n²/2⁶⁴, irrelevant below trillions of distinct shingles).
     */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    jaccardPairsDfCut(docs, minJaccard, dfCut = Int.MaxValue)
+
+  /** [[jaccardPairs]] with stop-shingling: shingles occurring in more
+    * than `dfCut` documents are dropped from the INDEX (candidate
+    * generation) — the standard cap on postings-list skew at corpus
+    * scale. NOTE this makes the join approximate (a pair whose every
+    * shared shingle is hot gets missed) and changes the Jaccard
+    * denominator to the kept-shingle sets, so the oracle-checked q18
+    * uses dfCut = ∞; the cut exists for the 100 TB path and is
+    * spec-checked against the exact result on this corpus.
+    */
+  def jaccardPairsDfCut(docs: DataFrame, minJaccard: Double,
+      dfCut: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = docs
+    val shAll = docs
       .select($"doc_id", explode(shingles($"text")).as("shingle"))
       .select($"doc_id", xxhash64($"shingle").as("sh"))
+    val sh =
+      if (dfCut == Int.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy($"sh").agg(count(lit(1)).as("df"))
+          .filter($"df" > dfCut).select($"sh")
+        shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val co = sh.as("a").join(sh.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")

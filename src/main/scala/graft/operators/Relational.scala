@@ -272,4 +272,33 @@ object Relational {
         corr($"value", $"user_id".cast("double")).as("c"))
       .orderBy($"event_type")
   }
+
+  /** Q33 — part-catalog stats: pushed-down size predicate + brand
+    * rollup (`part` table coverage; filter reaches the parquet scan).
+    */
+  def q33PartStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .filter($"p_size" <= 20)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        avg($"p_retailprice").as("avg_price"),
+        max($"p_size").as("max_size"))
+      .orderBy($"p_brand")
+  }
+
+  /** Q34 — supplier balances per nation: broadcast dim join
+    * (`supplier` table coverage; same dims-broadcast shape as Q6).
+    */
+  def q34SupplierNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"s_acctbal").as("total_bal"),
+        max($"s_acctbal").as("max_bal"))
+      .orderBy($"n_name")
+  }
 }
