@@ -53,6 +53,9 @@ object SparkEntry {
     "q32_stats"          -> (Relational.q32Stats _),
     "q33_part_stats"     -> (Relational.q33PartStats _),
     "q34_supplier_nation" -> (Relational.q34SupplierNation _),
+    "q35_intersect"      -> (Relational.q35Intersect _),
+    "q36_pivot"          -> (Relational.q36Pivot _),
+    "q14b_udaf_fold"     -> (StateFold.q14bUdafFold _),
     // approximate operators: no DuckDB oracle (probabilistic); the
     // driver records a rows-only check, exactness is spec-verified
     // (ScalePathSpec) against the exact operators above
@@ -288,5 +291,27 @@ object SparkEntry {
         |  max(s_acctbal) AS max_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q35_intersect" ->
+      """SELECT c_custkey FROM customer
+        |INTERSECT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q36_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q14b_udaf_fold" ->
+      """SELECT user_id,
+        |  sum(value * CASE WHEN rn = 1 THEN pow(2.0, -(n - 1))
+        |                   ELSE pow(2.0, -(n - rn + 1)) END) AS folded_avg,
+        |  max(n) AS n
+        |FROM (SELECT user_id, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -301,4 +301,29 @@ object Relational {
         max($"s_acctbal").as("max_bal"))
       .orderBy($"n_name")
   }
+
+  /** Q35 — INTERSECT set op (completes the §2.7 family with q11's
+    * EXCEPT/UNION): customers that do have orders. Plans as left-semi
+    * after ReplaceIntersectWithSemiJoin.
+    */
+  def q35Intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer").select($"c_custkey")
+      .intersect(t(spark, dir, "orders").select($"o_custkey".as("c_custkey")))
+      .orderBy($"c_custkey")
+  }
+
+  /** Q36 — pivot: event counts per user × event_type as columns (the
+    * wide-feature shape feature stores export). Fixed pivot value
+    * list → no extra discovery pass, stable schema.
+    */
+  def q36Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
 }

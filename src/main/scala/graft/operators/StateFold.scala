@@ -49,4 +49,21 @@ object StateFold {
       .toDF("user_id", "folded_avg", "n")
       .orderBy($"user_id")
   }
+
+  /** Q14b — identical semantics via the registered UDAF
+    * ([[graft.functions.PairwiseAvgAgg]]): the fold as an aggregate
+    * expression inside a plain groupBy/SQL GROUP BY. Same DuckDB
+    * closed-form oracle as q14.
+    */
+  def q14bUdafFold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.PairwiseAvgAgg.register(spark)
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        expr("pairwise_avg(unix_micros(ts), event_id, value)").as("folded_avg"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id")
+  }
 }

@@ -11,6 +11,14 @@ class StateFoldSpec extends SparkSpec {
     assert(StateFold.foldValues(Seq(7.0)) == 7.0) // cold start: avg = value
   }
 
+  test("pairwise_avg UDAF == mapGroups fold (q14b == q14)") {
+    val a = StateFold.q14StateFold(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val b = StateFold.q14bUdafFold(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
   test("q14 distributed fold matches a driver-side sequential replay") {
     val got = StateFold.q14StateFold(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
