@@ -59,25 +59,39 @@ object StatefulInference {
     (next, Scored(e.customer_id, e.purchase_timestamp, e.purchase_value, pred))
   }
 
+  /** @param idleTimeout optional processing-time TTL ("30 days"):
+    *   keys idle longer are evicted (timed-out key → cold-start on
+    *   next event). The reference never expires state; the TTL is the
+    *   100 TB bound — state stays ∝ ACTIVE customers instead of
+    *   all-time customers. None ⇒ reference parity (no expiry).
+    */
   def apply(events: Dataset[PEvent], coef: Array[Double],
-      intercept: Double): Dataset[Scored] = {
+      intercept: Double, idleTimeout: Option[String] = None): Dataset[Scored] = {
     import events.sparkSession.implicits._
     val f = step(coef, intercept) _
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.customer_id)
       .flatMapGroupsWithState[CustomerState, Scored](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: Long, it: Iterator[PEvent], state: GroupState[CustomerState]) =>
-          val ordered = it.toArray.sortBy(e =>
-            (e.purchase_timestamp.getTime, e.purchase_value))
-          val out = Array.newBuilder[Scored]
-          var s = state.getOption
-          ordered.foreach { e =>
-            val (s2, scored) = f(s, e)
-            s = Some(s2)
-            out += scored
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = it.toArray.sortBy(e =>
+              (e.purchase_timestamp.getTime, e.purchase_value))
+            val out = Array.newBuilder[Scored]
+            var s = state.getOption
+            ordered.foreach { e =>
+              val (s2, scored) = f(s, e)
+              s = Some(s2)
+              out += scored
+            }
+            s.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          s.foreach(state.update)
-          out.result().iterator
       }
   }
 }
