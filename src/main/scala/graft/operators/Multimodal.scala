@@ -72,6 +72,27 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
+  /** STUB FRAME SAMPLER — the one-to-many extraction shape (video →
+    * frames, audio → windows): each payload yields ceil(n_bytes /
+    * frameBytes) pseudo-frames, each with its index and byte offset.
+    * A real deployment swaps the slicing for codec-aware frame
+    * decoding; the Spark shape — flatMap inside mapPartitions, output
+    * rows ≫ input rows, no driver involvement — is the real contract.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else bytes.grouped(frameBytes).zipWithIndex.map {
+          case (frame, i) =>
+            (id, i, i.toLong * frameBytes, stubDecode(frame))
+        }
+      })
+      .toDF("media_id", "frame_idx", "byte_offset", "features")
+  }
+
   /** Q23 — metadata-only path, oracle-checked: byte length + content
     * hash per media item. `.explain` shows ReadSchema without the
     * payload column when run over a stored media table.

@@ -85,6 +85,20 @@ class NorthStarSpec extends SparkSpec {
     assert(sums.forall(s => math.abs(s - 1.0) < 1e-5))
   }
 
+  test("multimodal: frame sampling yields ceil(bytes/frame) rows with correct offsets") {
+    val media = Multimodal.mediaFromDocuments(
+      graft.core.Tables.load(spark, sf, "documents"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256).cache()
+    val expected = media.select(
+      ceil($"n_bytes".cast("double") / 256).cast("long").as("nf"))
+      .agg(sum($"nf")).head().getLong(0)
+    assert(frames.count() == expected)
+    val f = frames.filter($"media_id" === 0L).orderBy($"frame_idx").collect()
+    assert(f.zipWithIndex.forall { case (r, i) =>
+      r.getInt(1) == i && r.getLong(2) == i.toLong * 256
+    })
+  }
+
   test("multimodal: metadata-only query prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media-test").toString
     Multimodal.mediaFromDocuments(
