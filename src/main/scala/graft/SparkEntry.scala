@@ -55,6 +55,8 @@ object SparkEntry {
     "q34_supplier_nation" -> (Relational.q34SupplierNation _),
     "q35_intersect"      -> (Relational.q35Intersect _),
     "q36_pivot"          -> (Relational.q36Pivot _),
+    "q37_date_math"      -> (Relational.q37DateMath _),
+    "q38_string_funcs"   -> (Relational.q38StringFuncs _),
     "q14b_udaf_fold"     -> (StateFold.q14bUdafFold _),
     // approximate operators: no DuckDB oracle (probabilistic); the
     // driver records a rows-only check, exactness is spec-verified
@@ -295,6 +297,17 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |INTERSECT SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+    "q37_date_math" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  count(*) AS n,
+        |  sum(datediff('day', DATE '1995-01-01', o_orderdate)) AS total_days
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "q38_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        |  substring(c_name, 1, 8) AS pre, length(trim(c_name)) AS l,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS lev,
+        |  concat(c_mktsegment, '#', c_nationkey) AS tag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -313,6 +313,34 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Q37 — date arithmetic breadth (F-family): year/month extraction
+    * and day-difference aggregation over order dates.
+    */
+  def q37DateMath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(datediff($"o_orderdate", to_date(lit("1995-01-01"))))
+          .as("total_days"))
+      .orderBy($"y", $"m")
+  }
+
+  /** Q38 — string scalar breadth (F-family): case, substring, trim,
+    * edit distance, concat.
+    */
+  def q38StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .select($"c_custkey",
+        upper($"c_name").as("uname"),
+        substring($"c_name", 1, 8).as("pre"),
+        length(trim($"c_name")).as("l"),
+        levenshtein($"c_mktsegment", lit("BUILDING")).as("lev"),
+        concat($"c_mktsegment", lit("#"), $"c_nationkey").as("tag"))
+      .orderBy($"c_custkey")
+  }
+
   /** Q36 — pivot: event counts per user × event_type as columns (the
     * wide-feature shape feature stores export). Fixed pivot value
     * list → no extra discovery pass, stable schema.
