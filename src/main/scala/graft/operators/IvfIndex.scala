@@ -42,6 +42,7 @@ object IvfIndex {
     val vecs = emb.withColumn("fv",
       array_to_vector($"embedding".cast("array<double>")))
     val km = new KMeans().setK(nLists).setSeed(seed)
+      .setMaxIter(8) // a coarse quantizer needs rough cells, not convergence
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(vecs)
     val indexed = model.transform(vecs).drop("fv")
