@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Differential SQL fuzzer: generate seeded random queries from a
+grammar both Spark SQL and DuckDB agree on, run both, compare.
+
+Grammar (deliberately restricted to the common deterministic core):
+  SELECT <group keys>, <aggs>
+  FROM events|orders|lineitem [JOIN dim]
+  [WHERE <pred>]
+  [GROUP BY keys] [HAVING count(*) > h]
+  ORDER BY all output columns
+
+Usage: python3 tools/fuzz_differential.py [n_queries] [seed] [sfDir]
+"""
+import json, math, random, subprocess, sys
+
+import duckdb
+
+SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+OUT = "/tmp/fuzz_out"
+TABLES = {
+    "events": {
+        "num": ["value", "user_id", "event_id"],
+        "cat": ["event_type"],
+        "all": ["event_id", "user_id", "event_type", "value"],
+    },
+    "orders": {
+        "num": ["o_totalprice", "o_custkey", "o_orderkey"],
+        "cat": ["o_orderstatus", "o_orderpriority"],
+        "all": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    },
+    "lineitem": {
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"],
+        "cat": ["l_returnflag", "l_linestatus"],
+        "all": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    },
+}
+
+
+def gen_query(rnd):
+    t = rnd.choice(list(TABLES))
+    cols = TABLES[t]
+    preds = []
+    for _ in range(rnd.randint(0, 2)):
+        if rnd.random() < 0.6:
+            c = rnd.choice(cols["num"])
+            op = rnd.choice(["<", "<=", ">", ">=", "<>"])
+            v = round(rnd.uniform(0, 200), 2)
+            preds.append(f"{c} {op} {v}")
+        else:
+            c = rnd.choice(cols["cat"])
+            preds.append(f"{c} IS NOT NULL" if rnd.random() < 0.2
+                         else f"length({c}) >= {rnd.randint(1,5)}")
+    where = (" WHERE " + rnd.choice([" AND ", " OR "]).join(preds)) if preds else ""
+    if rnd.random() < 0.75:
+        keys = rnd.sample(cols["cat"] + cols["num"][:1], rnd.randint(1, 2))
+        aggs = []
+        for i in range(rnd.randint(1, 3)):
+            fn = rnd.choice(["sum", "avg", "min", "max", "count"])
+            c = rnd.choice(cols["num"])
+            aggs.append(f"{fn}({c}) AS a{i}")
+        having = f" HAVING count(*) > {rnd.randint(0,3)}" if rnd.random() < 0.3 else ""
+        sel = ", ".join(keys + aggs + ["count(*) AS n"])
+        orderby = ", ".join(f"{k} NULLS LAST" for k in keys)
+        return (f"SELECT {sel} FROM {t}{where} "
+                f"GROUP BY {', '.join(keys)}{having} ORDER BY {orderby}")
+    else:
+        sel = ", ".join(cols["all"])
+        orderby = ", ".join(f"{c} NULLS LAST" for c in cols["all"])
+        limit = f" LIMIT {rnd.randint(10, 500)}" if rnd.random() < 0.5 else ""
+        return f"SELECT {sel} FROM {t}{where} ORDER BY {orderby}{limit}"
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(v) for v in t))
+    return sorted(cols), out
+
+
+def cell_eq(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
+    return str(a) == str(b)
+
+
+def main():
+    rnd = random.Random(SEED)
+    queries = {f"f{i:03d}": gen_query(rnd) for i in range(N)}
+    with open("/tmp/fuzz_queries.json", "w") as f:
+        json.dump(queries, f, indent=1)
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.SqlRunner {SF} /tmp/fuzz_queries.json {OUT}"],
+        cwd="/root/repo", check=True, capture_output=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(queries.items()):
+        try:
+            o = con.sql(sql)
+            ocols, orows = canon(o.fetchall(), [d[0] for d in o.description])
+            s = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+            scols, srows = canon(s.fetchall(), [d[0] for d in s.description])
+        except Exception as e:
+            print(f"FAIL {name}: harness error {e}\n  SQL: {sql}")
+            n_fail += 1
+            continue
+        ok = (ocols == scols and len(orows) == len(srows) and
+              all(len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+                  for a, b in zip(orows, srows)))
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name} ({len(orows)} oracle vs {len(srows)} spark rows)")
+            print(f"  SQL: {sql}")
+    print(f"== fuzz: {n_pass} pass, {n_fail} fail (seed={SEED}, n={N}) ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
