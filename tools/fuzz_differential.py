@@ -38,7 +38,45 @@ TABLES = {
 }
 
 
+def gen_join_query(rnd):
+    # orders x customer equi-join with optional filters and aggregation
+    fn = rnd.choice(["sum", "avg", "min", "max"])
+    pred = (f" WHERE o_totalprice {rnd.choice(['<', '>='])} "
+            f"{round(rnd.uniform(1000, 200000), 2)}") if rnd.random() < 0.6 else ""
+    jt = rnd.choice(["JOIN", "LEFT JOIN"])
+    if rnd.random() < 0.5:
+        return (f"SELECT c_mktsegment, count(*) AS n, {fn}(o_totalprice) AS a0 "
+                f"FROM orders {jt} customer ON o_custkey = c_custkey{pred} "
+                f"GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS LAST")
+    return (f"SELECT n_name, count(*) AS n, {fn}(c_acctbal) AS a0 "
+            f"FROM customer {jt} nation ON c_nationkey = n_nationkey "
+            f"GROUP BY n_name ORDER BY n_name NULLS LAST")
+
+
+def gen_window_query(rnd):
+    # NOTE (fuzzer finding): Spark SQL rejects frame refinement of a
+    # named window (`OVER (w ROWS ...)`), which DuckDB accepts — framed
+    # functions must inline the window spec; bare `OVER w` works in both.
+    inline = "(PARTITION BY user_id ORDER BY ts, event_id"
+    wfn = rnd.choice([
+        "lag(value) OVER w", "lead(value) OVER w",
+        "rank() OVER w", "row_number() OVER w",
+        f"sum(value) OVER {inline} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        f"avg(value) OVER {inline} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+    ])
+    pred = (f" WHERE value {rnd.choice(['<', '>='])} "
+            f"{round(rnd.uniform(10, 150), 2)}") if rnd.random() < 0.5 else ""
+    return (f"SELECT event_id, user_id, value, {wfn} AS w0 FROM events{pred} "
+            f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            f"ORDER BY event_id")
+
+
 def gen_query(rnd):
+    r = rnd.random()
+    if r < 0.15:
+        return gen_join_query(rnd)
+    if r < 0.30:
+        return gen_window_query(rnd)
     t = rnd.choice(list(TABLES))
     cols = TABLES[t]
     preds = []
@@ -92,6 +130,9 @@ def cell_eq(a, b):
 
 
 def main():
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)  # stale dirs from a prior
+    # seed would silently stand in for failed queries
     rnd = random.Random(SEED)
     queries = {f"f{i:03d}": gen_query(rnd) for i in range(N)}
     with open("/tmp/fuzz_queries.json", "w") as f:
@@ -101,7 +142,7 @@ def main():
          f"runMain graft.SqlRunner {SF} /tmp/fuzz_queries.json {OUT}"],
         cwd="/root/repo", check=True, capture_output=True)
     con = duckdb.connect()
-    for t in TABLES:
+    for t in list(TABLES) + ["customer", "nation"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     n_pass = n_fail = 0
     for name, sql in sorted(queries.items()):
