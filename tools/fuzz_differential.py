@@ -71,12 +71,37 @@ def gen_window_query(rnd):
             f"ORDER BY event_id")
 
 
+def gen_rollup_query(rnd):
+    t = rnd.choice(["lineitem", "events"])
+    k = (["l_returnflag", "l_linestatus"] if t == "lineitem"
+         else ["event_type", "user_id"])
+    fn = rnd.choice(["sum", "avg", "min", "max"])
+    c = rnd.choice(TABLES[t]["num"])
+    g = rnd.choice(["ROLLUP", "CUBE"])
+    return (f"SELECT {k[0]}, {k[1]}, count(*) AS n, {fn}({c}) AS a0 "
+            f"FROM {t} GROUP BY {g} ({k[0]}, {k[1]}) "
+            f"ORDER BY {k[0]} NULLS LAST, {k[1]} NULLS LAST")
+
+
+def gen_setop_query(rnd):
+    op = rnd.choice(["INTERSECT", "EXCEPT", "UNION"])
+    lo = rnd.randint(0, 50)
+    hi = lo + rnd.randint(10, 120)
+    return (f"SELECT user_id AS k FROM events WHERE value < {hi} "
+            f"{op} SELECT user_id AS k FROM events WHERE value >= {lo} "
+            f"ORDER BY k")
+
+
 def gen_query(rnd):
     r = rnd.random()
     if r < 0.15:
         return gen_join_query(rnd)
     if r < 0.30:
         return gen_window_query(rnd)
+    if r < 0.40:
+        return gen_rollup_query(rnd)
+    if r < 0.48:
+        return gen_setop_query(rnd)
     t = rnd.choice(list(TABLES))
     cols = TABLES[t]
     preds = []
