@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.ml.regression.LinearRegressionModel
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
