@@ -58,6 +58,7 @@ object SparkEntry {
     "q37_date_math"      -> (Relational.q37DateMath _),
     "q38_string_funcs"   -> (Relational.q38StringFuncs _),
     "q14b_udaf_fold"     -> (StateFold.q14bUdafFold _),
+    "q39_profile"        -> (Profiling.q39Profile _),
     // approximate operators: no DuckDB oracle (probabilistic); the
     // driver records a rows-only check, exactness is spec-verified
     // (ScalePathSpec) against the exact operators above
@@ -308,6 +309,12 @@ object SparkEntry {
         |  levenshtein(c_mktsegment, 'BUILDING') AS lev,
         |  concat(c_mktsegment, '#', c_nationkey) AS tag
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q39_profile" ->
+      """SELECT count(*) AS n_rows, count(value) AS n_value,
+        |  count(props) AS n_props, min(value) AS min_value,
+        |  max(value) AS max_value, min(ts) AS min_ts, max(ts) AS max_ts,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -109,4 +109,21 @@ class NorthStarSpec extends SparkSpec {
     val scan = meta.queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema") && !scan.contains("payload"))
   }
+
+  test("stratified sample: deterministic, roughly honors per-stratum fractions") {
+    val e = graft.core.Tables.load(spark, sf, "events")
+    val fr = Map("click" -> 0.5, "view" -> 0.1, "error" -> 0.0,
+      "purchase" -> 1.0, "signup" -> 0.25)
+    val s1 = Profiling.stratifiedSample(e, "event_type", fr)
+    val s2 = Profiling.stratifiedSample(e, "event_type", fr)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // seeded => identical
+    val got = s1.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = e.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("error"))                        // 0.0 stratum empty
+    assert(got("purchase") == base("purchase"))           // 1.0 stratum full
+    val clickRatio = got("click").toDouble / base("click")
+    assert(clickRatio > 0.3 && clickRatio < 0.7, s"click ratio $clickRatio")
+  }
 }
