@@ -59,6 +59,7 @@ object SparkEntry {
     "q38_string_funcs"   -> (Relational.q38StringFuncs _),
     "q14b_udaf_fold"     -> (StateFold.q14bUdafFold _),
     "q39_profile"        -> (Profiling.q39Profile _),
+    "q40_bpe_tokens"     -> (TextStats.q40BpeTokenCount _),
     // approximate operators: no DuckDB oracle (probabilistic); the
     // driver records a rows-only check, exactness is spec-verified
     // (ScalePathSpec) against the exact operators above
@@ -315,6 +316,10 @@ object SparkEntry {
         |  max(value) AS max_value, min(ts) AS min_ts, max(ts) AS max_ts,
         |  count(DISTINCT event_type) AS n_types
         |FROM events""".stripMargin,
+    "q40_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+        |  '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))::BIGINT AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -27,6 +27,26 @@ object TextStats {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isInCollection(stopwords)))
 
+  /** BPE-ish pre-tokenizer: the GPT-2-style regex split (contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace) — the token counting a training-data pipeline
+    * budgets with, without needing a vocab file. RE2-compatible (no
+    * lookahead) so the same pattern runs in any engine.
+    */
+  val bpePattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Q40 — BPE-ish token counts per document. */
+  def q40BpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(bpeTokens($"text")).cast("long").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
   /** Q17 — per-document token/length/stopword stats. */
   def q17TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -27,6 +27,13 @@ class SimilaritySpec extends SparkSpec {
     top.foreach { r => assert(r.getLong(0) == r.getLong(1) || math.abs(r.getDouble(2) - 1.0) < 1e-12) }
   }
 
+  test("BPE-ish tokenizer splits like a GPT-2 pretokenizer") {
+    val toks = Seq("hello world, it's 42 spark-engines!").toDF("t")
+      .select(TextStats.bpeTokens($"t")).head().getSeq[String](0)
+    assert(toks == Seq("hello", " world", ",", " it", "'s", " 42",
+      " spark", "-", "engines", "!"))
+  }
+
   test("q17 token stats: n_nonspace + (n_tokens-1) == len for space-joined text") {
     val bad = TextStats.q17TokenStats(spark, sf)
       .filter($"n_nonspace" + ($"n_tokens" - 1) =!= $"len").count()
