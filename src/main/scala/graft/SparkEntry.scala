@@ -70,7 +70,7 @@ object SparkEntry {
     }),
     "q28_minhash_candidates" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions.col
-      MinHashDedup.candidatePairs(
+      MinHashDedup.nearDupPairs(
         graft.core.Tables.load(s, d, "documents"), maxDistance = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -137,8 +137,10 @@ object SparkEntry {
     "q10_window" ->
       """SELECT event_id, user_id, value,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_avg
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |    / (count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0) AS run_avg
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q11_except" ->
       """SELECT c_custkey FROM customer
@@ -154,8 +156,8 @@ object SparkEntry {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
     "q13_doc_stats" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS chars,
-        |  max(length(text)) AS maxlen
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars,
+        |  max(length(text))::BIGINT AS maxlen
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q13_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k
@@ -302,7 +304,7 @@ object SparkEntry {
     "q37_date_math" ->
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |  count(*) AS n,
-        |  sum(datediff('day', DATE '1995-01-01', o_orderdate)) AS total_days
+        |  sum(datediff('day', DATE '1995-01-01', o_orderdate))::BIGINT AS total_days
         |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
     "q38_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS uname,

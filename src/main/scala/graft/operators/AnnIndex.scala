@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -70,12 +69,13 @@ object AnnIndex {
     val expanded = probeB
       .withColumn("bucket", explode(transform(flips, f => $"b0".bitwiseXOR(f))))
       .drop("b0")
-    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
-    indexed.join(broadcast(expanded), "bucket")
-      .withColumn("sim", Similarity.cosineSim($"embedding", $"probe_emb"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"probe_id", $"vec_id", $"sim")
+    // bounded-heap grouped top-k (partial agg before the shuffle) —
+    // not a per-probe window, which would single-reducer each probe's
+    // full candidate set
+    val scored = indexed.join(broadcast(expanded), "bucket")
+      .select($"probe_id", $"vec_id",
+        Similarity.cosineSim($"embedding", $"probe_emb").as("sim"))
+    Similarity.topKPerProbe(scored, k)
       .orderBy($"probe_id", $"sim".desc, $"vec_id")
   }
 }

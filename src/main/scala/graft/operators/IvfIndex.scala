@@ -4,7 +4,6 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor index — the
@@ -65,13 +64,13 @@ object IvfIndex {
       model.nearestCells(v.map(_.toDouble), nProbe).map(c => (id, c))
     }.toSeq.toDF("probe_id", "cell")
     val probeEmb = probeRows.toSeq.toDF("probe_id", "probe_emb")
-    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
-    indexed.join(broadcast(probeCells), "cell")
+    // bounded-heap grouped top-k (partial agg before the shuffle) —
+    // not a per-probe window over the reranked candidate set
+    val scored = indexed.join(broadcast(probeCells), "cell")
       .join(broadcast(probeEmb), "probe_id")
-      .withColumn("sim", Similarity.cosineSim($"embedding", $"probe_emb"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"probe_id", $"vec_id", $"sim")
+      .select($"probe_id", $"vec_id",
+        Similarity.cosineSim($"embedding", $"probe_emb").as("sim"))
+    Similarity.topKPerProbe(scored, k)
       .orderBy($"probe_id", $"sim".desc, $"vec_id")
   }
 }

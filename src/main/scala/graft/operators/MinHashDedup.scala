@@ -1,51 +1,130 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** MinHash-LSH near-duplicate candidate generation — the probabilistic
-  * scale path next to the exact inverted-index join in [[NearDup]].
-  * At 100 TB the exact join's postings lists on hot shingles explode;
-  * MinHash keeps per-doc state at a fixed signature width and LSH
-  * banding turns the similarity join into an equi-join on band hashes.
+import scala.util.Random
+
+/** MinHash-LSH near-duplicate detection — the probabilistic scale path
+  * next to the exact inverted-index join in [[NearDup]]. At 100 TB the
+  * exact join's postings lists on hot shingles explode; MinHash keeps
+  * per-doc state at a fixed signature width and LSH banding turns the
+  * similarity join into an equi-join on band keys.
   *
-  * Built on public Spark ML: shingles → binary `HashingTF` vector →
-  * `MinHashLSH` → `approxSimilarityJoin` (band-bucket equi-join +
-  * exact Jaccard-on-vector verify). Probabilistic ⇒ spec-checked
-  * (planted dups must surface), not oracle-checked.
+  * r1 used Spark ML's `MinHashLSH.approxSimilarityJoin`, which
+  * explodes 2^18-dim sparse vectors through a generic key-distance
+  * join — 17.8 s at sf0.1, 40% of the whole bench. This is the
+  * explicit form (the [[SimHash]] banding pattern): one pass computes
+  * all permutation minima per doc with primitive loops, band keys
+  * equi-join via grouped pair emission, and candidates are verified
+  * with the EXACT shingle-set Jaccard. Exact verification makes the
+  * output deterministic and SQL-expressible: precision is 1 by
+  * construction, and with `numBands` single-row bands a pair at
+  * Jaccard j is missed with probability (1−j)^numBands (1.5e-5 at
+  * j = 0.5, b = 16) — so the driver's DuckDB oracle can hold the
+  * output to exact equality with the exact-join result (q28).
+  *
+  * Permutations are `a·x + c` over the 2^64 ring (a odd ⇒ bijective),
+  * compared in unsigned order; parameters derive deterministically
+  * from the seed.
   */
 object MinHashDedup {
 
-  /** Candidate near-dup pairs with hashed-set Jaccard distance ≤
-    * maxDistance. Output: (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+  /** (doc_id, shs): distinct 64-bit 3-gram shingle hashes per doc.
+    * Docs with no shingles (< 3 tokens) drop out — they have no
+    * Jaccard neighbors under this shingling.
     */
-  /** numHashTables is OR-amplification only (Spark ML MinHashLSH):
-    * P(miss a pair at Jaccard j) = (1−j)^tables. 4 tables put a
-    * 0.9-Jaccard near-dup's miss odds at 1e-4 while halving the
-    * candidate-join cost vs 8; raise for lower-similarity targets.
-    */
-  def candidatePairs(
-      docs: DataFrame,
-      maxDistance: Double = 0.5,
-      numHashTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+  private def shingleHashes(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val shingled = docs.select($"doc_id",
-      NearDup.shingles($"text").as("shingles"))
-    // binary term-presence vector; 2^18 features keeps the
-    // collision-induced Jaccard error ≪ the LSH approximation itself
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("vec")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val vecs = tf.transform(shingled).filter(size($"shingles") > 0)
-    val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("bands")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDistance, "jaccard_dist")
-      .select(
-        $"datasetA.doc_id".as("doc_a"),
-        $"datasetB.doc_id".as("doc_b"),
-        $"jaccard_dist")
-      .filter($"doc_a" < $"doc_b")
+    docs.select($"doc_id", NearDup.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", transform($"sh", s => xxhash64(s)).as("shs"))
+  }
+
+  /** Per-doc LSH band keys: `numBands` bands of `rowsPerBand` minhash
+    * rows each, folded to one 64-bit key per band (FNV mix). One
+    * primitive-loop pass over the shingle hashes computes all
+    * numBands·rowsPerBand permutation minima.
+    */
+  def bandKeys(docs: DataFrame, numBands: Int, rowsPerBand: Int,
+      seed: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val numHashes = numBands * rowsPerBand
+    val rnd = new Random(seed)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val cs = Array.fill(numHashes)(rnd.nextLong())
+    shingleHashes(docs).as[(Long, Array[Long])]
+      .mapPartitions(_.map { case (id, shs) =>
+        val bands = new Array[Long](numBands)
+        var b = 0
+        while (b < numBands) {
+          var key = 0xcbf29ce484222325L
+          var r = 0
+          while (r < rowsPerBand) {
+            val h = b * rowsPerBand + r
+            val a = as(h); val c = cs(h)
+            var m = Long.MaxValue
+            var i = 0
+            while (i < shs.length) {
+              // sign-bit flip = unsigned comparison order
+              val p = (a * shs(i) + c) ^ Long.MinValue
+              if (p < m) m = p
+              i += 1
+            }
+            key = (key ^ m) * 1099511628211L
+            r += 1
+          }
+          bands(b) = key
+          b += 1
+        }
+        (id, bands)
+      })
+      .toDF("doc_id", "bands")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing ≥ 1 band key.
+    * One shuffle on (band, key); pairs emit via grouped combination
+    * (the q18 pattern) instead of a self-join. `maxBucket` caps a
+    * band bucket's size (a hot minhash value would otherwise emit
+    * O(|bucket|²) pairs — the LSH analogue of q18's df-cut); the cap
+    * is the 100 TB knob and defaults to unbounded so q28 stays an
+    * exact-equality contract on this corpus.
+    */
+  def candidatePairs(docs: DataFrame, numBands: Int = 16,
+      rowsPerBand: Int = 1, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
+    val posting = bandKeys(docs, numBands, rowsPerBand, seed)
+      .select($"doc_id", posexplode($"bands"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+    val lists = posting.groupBy($"band", $"key")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds") > 1 && size($"ds") <= maxBucket)
+    lists.select(explode(flatten(transform($"ds", (x, i) =>
+        transform(slice($"ds", i + 2, size($"ds")), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with the EXACT shingle-set Jaccard:
+    * (doc_a, doc_b, jaccard_dist = 1 − J) for pairs with J ≥
+    * 1 − maxDistance. Output equals the exact inverted-index join's
+    * pairs except for (1−j)^numBands-probability misses — the q28
+    * oracle contract.
+    */
+  def nearDupPairs(docs: DataFrame, maxDistance: Double = 0.5,
+      numBands: Int = 16, rowsPerBand: Int = 1, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sets = shingleHashes(docs)
+    candidatePairs(docs, numBands, rowsPerBand, seed, maxBucket)
+      .join(sets.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
+      .withColumn("co", size(array_intersect($"sa", $"sb")))
+      .withColumn("jac",
+        $"co".cast("double") / (size($"sa") + size($"sb") - $"co"))
+      .filter($"jac" >= 1.0 - maxDistance)
+      .select($"doc_a", $"doc_b", (lit(1.0) - $"jac").as("jaccard_dist"))
   }
 }

@@ -94,39 +94,41 @@ object NearDup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Embedding near-dup: exact all-pairs cosine ≥ τ as a broadcast-
-    * block kernel. Each vector is L2-normalized ONCE; one block of
-    * normalized vectors broadcasts; every partition streams its rows
-    * against the block with primitive-array dot products (no per-pair
-    * array allocation — a naive `zip_with` join recomputes norms and
-    * allocates per pair, measured 60× slower). At 100 TB this is the
-    * tile×tile pattern: partition the corpus into blocks, broadcast
-    * one side per round.
+  /** Embedding near-dup: exact all-pairs cosine ≥ τ as a distributed
+    * tile×tile self-join — no driver collect, no whole-corpus
+    * broadcast (the r1 shape died at scale: O(corpus) driver memory).
+    *
+    * Each vector hashes to one of `nBlocks` blocks; the unordered
+    * block pair (i ≤ j) is the tile key. The left side replicates a
+    * row to tiles (blk, j ≥ blk), the right side to tiles (i ≤ blk,
+    * blk), so every vector pair meets in EXACTLY one tile and each
+    * row is replicated ≤ nBlocks times — O(N·B) shuffle for O(N²)
+    * pair work, the classic triangle-join scheme. Per-pair cosine is
+    * the fused codegen'd expression ([[Similarity.cosineSim]], one
+    * pass, no intermediate arrays). At 100 TB, set nBlocks ≈
+    * √parallelism so tiles saturate the cluster while the sort-merge
+    * join buffers only N/B rows per tile key (spillable).
     */
-  def embeddingNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+  def embeddingNearDupPairs(emb: DataFrame, tau: Double,
+      nBlocks: Int = 16): DataFrame = {
     import emb.sparkSession.implicits._
-    val spark = emb.sparkSession
-    val normalized = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val d = v.map(_.toDouble)
-        val n = math.sqrt(d.map(x => x * x).sum)
-        (id, if (n == 0) d else d.map(_ / n))
-      }
-    val block = spark.sparkContext.broadcast(normalized.collect().sortBy(_._1))
-    normalized.mapPartitions { it =>
-      val corpus = block.value
-      it.flatMap { case (ida, a) =>
-        corpus.iterator
-          .filter { case (idb, _) => ida < idb }
-          .map { case (idb, b) =>
-            var s = 0.0
-            var i = 0
-            while (i < a.length) { s += a(i) * b(i); i += 1 }
-            (ida, idb, s)
-          }
-          .filter(_._3 >= tau)
-      }
-    }.toDF("vec_a", "vec_b", "sim")
+    val v = emb.select($"vec_id",
+        $"embedding".cast("array<double>").as("e"),
+        pmod(xxhash64($"vec_id"), lit(nBlocks.toLong)).cast("int").as("blk"))
+    val left = v
+      .withColumn("tj", explode(sequence($"blk", lit(nBlocks - 1))))
+      .select($"vec_id".as("ida"), $"e".as("ea"), $"blk".as("ti"), $"tj")
+    val right = v
+      .withColumn("ti", explode(sequence(lit(0), $"blk")))
+      .select($"vec_id".as("idb"), $"e".as("eb"), $"ti", $"blk".as("tj"))
+    left.join(right, Seq("ti", "tj"))
+      // same-block tile keeps one ordering; cross-block tiles already
+      // see each unordered pair exactly once
+      .filter($"ti" < $"tj" || $"ida" < $"idb")
+      .withColumn("sim", Similarity.cosineSim($"ea", $"eb"))
+      .filter($"sim" >= tau)
+      .select(least($"ida", $"idb").as("vec_a"),
+        greatest($"ida", $"idb").as("vec_b"), $"sim")
   }
 
   def q24EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {

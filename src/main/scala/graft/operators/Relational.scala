@@ -171,7 +171,14 @@ object Relational {
   }
 
   /** Q10 — frame-spec analytics: lag + running average per key
-    * (extended surface, natural purchase-history features).
+    * (extended surface, natural purchase-history features). `run_avg`
+    * is CENT-EXACT: `value` carries 2 decimals, so the running sum is
+    * taken over `round(value·100)` as exact integers and divided once
+    * at the end. A float `avg() OVER` accumulates in engine-specific
+    * order (last-ulp drift, and rounding can't save a value that
+    * lands exactly on a .5 boundary — r1's hash miss); integer sums
+    * are order-independent, so both engines produce bit-identical
+    * doubles.
     */
   def q10WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -180,7 +187,8 @@ object Relational {
     t(spark, dir, "events")
       .select($"event_id", $"user_id", $"value",
         lag($"value", 1).over(w).as("prev_value"),
-        avg($"value").over(run).as("run_avg"))
+        (sum(round($"value" * 100).cast("long")).over(run).cast("double") /
+          (count(lit(1)).over(run) * lit(100.0))).as("run_avg"))
       .orderBy($"user_id", $"event_id")
   }
 
@@ -219,14 +227,18 @@ object Relational {
       .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
   }
 
-  /** Q13 — string scalars + agg over documents. */
+  /** Q13 — string scalars + agg over documents. Sums are pinned to
+    * BIGINT on both sides: DuckDB's sum(INT) widens to HUGEINT
+    * (int128), which the driver's hash canonicalization distinguishes
+    * from Spark's int64.
+    */
   def q13DocStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n"),
-        sum($"n_chars").as("chars"),
-        max(length($"text")).as("maxlen"))
+        sum($"n_chars").cast("long").as("chars"),
+        max(length($"text")).cast("long").as("maxlen"))
       .orderBy($"lang")
   }
 
@@ -322,7 +334,7 @@ object Relational {
       .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
       .agg(count(lit(1)).as("n"),
         sum(datediff($"o_orderdate", to_date(lit("1995-01-01"))))
-          .as("total_days"))
+          .cast("long").as("total_days"))
       .orderBy($"y", $"m")
   }
 

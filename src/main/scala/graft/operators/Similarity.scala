@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.TopKAgg
 
 /** Q16 — similarity search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim). North-star operator: the
@@ -44,19 +44,42 @@ object Similarity {
 
   val defaultProbeIds: Seq[Long] = Seq(0L, 1L, 2L)
 
-  /** Exact brute-force top-k cosine for a fixed probe set. */
+  /** Grouped top-k over a scored frame `(probe_id, vec_id, sim)` via
+    * the bounded-heap [[graft.functions.TopKAgg]] aggregate. Catalyst
+    * plans partial + final ObjectHashAggregate: every input partition
+    * reduces to ≤ k rows per probe BEFORE the exchange, so the shuffle
+    * carries k·partitions rows per probe — never the scored corpus.
+    * (A `row_number` window here would hash ALL |corpus| scored rows
+    * of a probe onto one reducer: |probes| reducers total, the
+    * single-node bottleneck VERDICT r1 flagged.)
+    *
+    * Output ordering inside each probe is (sim DESC, vec_id ASC) —
+    * identical to the window formulation row-for-row.
+    */
+  def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val tk = udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    scored.groupBy($"probe_id")
+      .agg(tk($"vec_id", $"sim").as("topk"))
+      .select($"probe_id", explode($"topk").as("t"))
+      .select($"probe_id", $"t.vec_id".as("vec_id"), $"t.sim".as("sim"))
+  }
+
+  /** Exact brute-force top-k cosine for a fixed probe set: one corpus
+    * scan (probes broadcast), per-partition partial top-k, merge of
+    * k·partitions rows per probe.
+    */
   def cosineTopK(spark: SparkSession, dir: String,
       probeIds: Seq[Long] = defaultProbeIds, k: Int = 10): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
     val probes = emb.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
-    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
-    emb.crossJoin(broadcast(probes))
-      .withColumn("sim", cosineSim($"embedding", $"probe_emb"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"probe_id", $"vec_id", $"sim")
+    val scored = emb.crossJoin(broadcast(probes))
+      .select($"probe_id", $"vec_id",
+        cosineSim($"embedding", $"probe_emb").as("sim"))
+    topKPerProbe(scored, k)
       .orderBy($"probe_id", $"sim".desc, $"vec_id")
   }
 }

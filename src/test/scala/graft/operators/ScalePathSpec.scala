@@ -14,7 +14,7 @@ class ScalePathSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty) // planted near-dups exist in driver data
-    val approx = MinHashDedup.candidatePairs(docs, maxDistance = 0.5)
+    val approx = MinHashDedup.candidatePairs(docs)
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
