@@ -60,9 +60,12 @@ object SparkEntry {
     "q14b_udaf_fold"     -> (StateFold.q14bUdafFold _),
     "q39_profile"        -> (Profiling.q39Profile _),
     "q40_bpe_tokens"     -> (TextStats.q40BpeTokenCount _),
-    // approximate operators: no DuckDB oracle (probabilistic); the
-    // driver records a rows-only check, exactness is spec-verified
-    // (ScalePathSpec) against the exact operators above
+    // approximate operators — still oracle-checked: q27/q30 are
+    // deterministic given their seeds and the oracle SQL recomputes
+    // the index itself; q28's LSH candidates are exact-verified so
+    // its output equals the exact-Jaccard pairs; q29's pigeonhole
+    // banding is exact and its signatures use a portable hash both
+    // engines compute.
     "q27_ann_topk" -> ((s: SparkSession, d: String) => {
       val emb = graft.core.Tables.load(s, d, "embeddings")
       AnnIndex.topK(AnnIndex.index(emb),
@@ -82,7 +85,7 @@ object SparkEntry {
     }),
     "q30_ivf_topk" -> ((s: SparkSession, d: String) => {
       val emb = graft.core.Tables.load(s, d, "embeddings")
-      val (indexed, model) = IvfIndex.build(emb)
+      val (indexed, model) = IvfIndex.buildPivots(emb)
       IvfIndex.topK(indexed, model,
         emb.filter(emb("vec_id").isin(0L, 1L, 2L)), k = 10)
     }),
@@ -340,5 +343,59 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY user_id) AS n
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q27/q30: the oracle recomputes the (deterministic, seeded) index
+    // itself — hyperplanes/masks and pivot hashing are inlined by the
+    // generators, so the approximate result is equality-checked.
+    "q27_ann_topk" -> AnnIndex.oracleSql(),
+    "q30_ivf_topk" -> IvfIndex.oracleSql(),
+    // q28: LSH candidates are verified with EXACT shingle-set Jaccard,
+    // so the output contract is the exact-Jaccard pair set (q18's
+    // inverted-index result, as a distance). A pair at Jaccard j slips
+    // the 16 bands with probability (1-j)^16 ≤ 1.5e-5 — checked
+    // empirically to be zero misses on the test corpora.
+    "q28_minhash_candidates" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, 1.0 - co::DOUBLE / (ca.n + cb.n - co) AS jaccard_dist
+        |FROM pairs JOIN counts ca ON ca.doc_id = doc_a
+        |           JOIN counts cb ON cb.doc_id = doc_b
+        |WHERE co::DOUBLE / (ca.n + cb.n - co) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q29: portable simhash (two mod-prime poly char hashes packed to
+    // 60 bits — the q26 pattern), 15-bit pigeonhole bands, exact
+    // bit_count verify. Fully deterministic: DuckDB recomputes the
+    // signatures themselves.
+    "q29_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, length(tok) + 1),
+        |        i -> ascii(tok[i])::BIGINT), (a, c) -> (a * 31 + c) % 1073741789) * 1073741824
+        |    + list_reduce(list_transform(range(1, length(tok) + 1),
+        |        i -> ascii(tok[i])::BIGINT), (a, c) -> (a * 37 + c) % 1073741783) AS h
+        |  FROM tok WHERE length(tok) > 0),
+        | bitcnt AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
+        | sig AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bitcnt GROUP BY doc_id),
+        | banded AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        | prs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming::INT AS hamming FROM prs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

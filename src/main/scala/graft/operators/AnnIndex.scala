@@ -78,4 +78,44 @@ object AnnIndex {
     Similarity.topKPerProbe(scored, k)
       .orderBy($"probe_id", $"sim".desc, $"vec_id")
   }
+
+  /** DuckDB SQL that reproduces `topK(index(embeddings), probes, k)`
+    * EXACTLY: the LSH is deterministic given the seed, so the seeded
+    * hyperplanes and the multiprobe flip masks are inlined as literals
+    * and the oracle recomputes bucketing, multiprobe expansion, and
+    * the exact-cosine rerank itself. This is what moves q27 from
+    * `no_oracle` to a full equality check — the approximation is part
+    * of the contract, not an excuse to skip verification.
+    *
+    * (Double literals use Java's shortest round-trip repr; strtod
+    * parsing recovers the identical bits. A sign flip on a projection
+    * would need |dot| within 1 ulp of 0 — probability ~1e-11 across
+    * the corpus.)
+    */
+  def oracleSql(probeIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10,
+      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+      hammingRadius: Int = 2): String = {
+    val planesLit = hyperplanes(nBits, dim, seed)
+      .map(_.mkString("[", ", ", "]")).mkString("[\n  ", ",\n  ", "]")
+    val masksLit = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= hammingRadius)
+      .mkString("[", ", ", "]")
+    s"""WITH pl AS (SELECT $planesLit::DOUBLE[][] AS ps),
+       | bkt AS (
+       |  SELECT vec_id, e, list_sum(list_transform(range(1, ${nBits + 1}),
+       |      j -> CASE WHEN list_dot_product(e, ps[j]) > 0
+       |           THEN (1::BIGINT << (j - 1)) ELSE 0 END))::BIGINT AS bucket
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), pl),
+       | pr AS (SELECT vec_id AS probe_id, e AS pe, bucket AS b0
+       |        FROM bkt WHERE vec_id IN (${probeIds.mkString(", ")})),
+       | ex AS (SELECT probe_id, pe, xor(b0, m)::BIGINT AS bucket
+       |        FROM pr CROSS JOIN (SELECT unnest($masksLit) AS m)),
+       | sc AS (SELECT probe_id, c.vec_id,
+       |          list_cosine_similarity(c.e, ex.pe) AS sim
+       |        FROM bkt c JOIN ex USING (bucket))
+       |SELECT probe_id, vec_id, sim FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY sim DESC, vec_id) <= $k
+       |ORDER BY probe_id, sim DESC, vec_id""".stripMargin
+  }
 }

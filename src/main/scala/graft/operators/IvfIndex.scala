@@ -50,6 +50,74 @@ object IvfIndex {
     (indexed, Model(centroids))
   }
 
+  /** Deterministic pivot-based coarse quantizer — IVF with a random
+    * (hash-sampled) coarse quantizer instead of a learned k-means one.
+    * Pivots are the `nLists` corpus vectors minimizing the portable
+    * hash `(vec_id · 2654435761) mod 2^31` (Knuth multiplicative —
+    * plain BIGINT arithmetic any engine reproduces); a vector's cell
+    * is its highest-cosine pivot, smaller pivot index on ties.
+    *
+    * Fully deterministic end-to-end ⇒ a DuckDB oracle can recompute
+    * pivot selection, cell assignment, probe-cell choice, and the
+    * rerank exactly (q30's equality contract — see [[oracleSql]]).
+    * The learned k-means quantizer ([[build]]) stays as the
+    * quality-cells API; it trades oracle-reproducibility for tighter
+    * cells, and is spec-checked instead.
+    *
+    * Cell assignment is one shuffle-free projection: an
+    * `array_max` over nLists (sim, -pivotIdx) structs, each sim a
+    * fused codegen'd cosine against a pivot literal.
+    */
+  def buildPivots(emb: DataFrame, nLists: Int = 16): (DataFrame, Model) = {
+    import emb.sparkSession.implicits._
+    val pivots = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("h", ($"vec_id" * lit(2654435761L)) % lit(2147483648L))
+      .orderBy($"h", $"vec_id").limit(nLists)
+      .select($"vec_id", $"e").as[(Long, Array[Double])].collect()
+    val model = Model(pivots.zipWithIndex.map { case ((_, c), i) => (i, c) })
+    val entries = model.centroids.map { case (cid, c) =>
+      struct(
+        Similarity.cosineSim($"embedding", typedLit(c.toSeq)).as("sim"),
+        lit(-cid).as("negid"))
+    }
+    val indexed = emb.withColumn("cell",
+      (-array_max(array(entries.toIndexedSeq: _*)).getField("negid")).cast("int"))
+    (indexed, model)
+  }
+
+  /** DuckDB SQL reproducing `topK(buildPivots(embeddings), probes, k)`
+    * exactly — the q30 oracle. Mirrors [[buildPivots]]: same pivot
+    * hash order, same cosine argmax tie-breaks, same nProbe cells.
+    */
+  def oracleSql(probeIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): String =
+    s"""WITH pv AS (SELECT * FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) - 1 AS pid,
+       |      embedding::DOUBLE[] AS pe
+       |    FROM embeddings) WHERE pid < $nLists),
+       | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | asg AS (SELECT vec_id, e, pid AS cell FROM (
+       |    SELECT c.vec_id, c.e, pv.pid, row_number() OVER (
+       |        PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.e, pv.pe) DESC, pv.pid) AS rn
+       |    FROM corpus c CROSS JOIN pv) WHERE rn = 1),
+       | pc AS (SELECT probe_id, pid AS cell, pemb FROM (
+       |    SELECT c.vec_id AS probe_id, c.e AS pemb, pv.pid, row_number() OVER (
+       |        PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.e, pv.pe) DESC, pv.pid) AS rn
+       |    FROM (SELECT * FROM corpus
+       |          WHERE vec_id IN (${probeIds.mkString(", ")})) c
+       |    CROSS JOIN pv) WHERE rn <= $nProbe),
+       | sc AS (SELECT probe_id, a.vec_id,
+       |          list_cosine_similarity(a.e, pc.pemb) AS sim
+       |        FROM asg a JOIN pc USING (cell))
+       |SELECT probe_id, vec_id, sim FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY sim DESC, vec_id) <= $k
+       |ORDER BY probe_id, sim DESC, vec_id""".stripMargin
+
   /** Top-k per probe over the nProbe nearest cells only. Probe cell
     * assignment happens driver-side against the tiny centroid table;
     * the corpus is filtered by cell (partition pruning at scale) and

@@ -1,34 +1,60 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
-
 /** SimHash near-duplicate detection: each document compresses to one
-  * 64-bit signature whose Hamming distance tracks token-multiset
+  * 60-bit signature whose Hamming distance tracks token-multiset
   * similarity. The cheapest of the dedup family at 100 TB — 8 bytes of
-  * state per doc, and the candidate join is an equi-join on 16-bit
+  * state per doc, and the candidate join is an equi-join on 15-bit
   * signature chunks (pigeonhole: Hamming distance ≤ 3 ⇒ at least one
   * of 4 chunks identical), verified with codegen'd `bit_count(a ^ b)`.
+  *
+  * The token hash is PORTABLE: two mod-prime polynomial character
+  * hashes (the q26 fingerprint pattern) packed `hi·2^30 + lo`. Exact
+  * BIGINT arithmetic, left-to-right fold — any SQL engine reproduces
+  * it (`list_reduce` in DuckDB), which makes the whole pipeline
+  * signature → banding → Hamming verify deterministic and
+  * oracle-checkable (q29), not merely spec-checked. Pigeonhole
+  * banding is exact (no probabilistic misses), so q29 is an equality
+  * contract, unlike LSH candidate generation.
   */
 object SimHash {
 
-  val bits = 64
-  val chunks = 4 // supports Hamming threshold ≤ chunks - 1
+  val bits = 60
+  val chunks = 4 // 15-bit bands; supports Hamming threshold ≤ chunks - 1
+  private val P1 = 1073741789L // two largest primes < 2^30
+  private val P2 = 1073741783L
 
-  /** 64-bit SimHash of whitespace tokens. Deterministic across JVMs
-    * (MurmurHash3 with fixed seeds).
+  /** Portable 60-bit token hash. Zero-init fold ≡ reduce-without-init
+    * (first step yields the first char code), matching DuckDB's
+    * `list_reduce` exactly.
+    */
+  def tokenHash(tok: String): Long = {
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < tok.length) {
+      val c = tok.charAt(i).toLong
+      h1 = (h1 * 31 + c) % P1
+      h2 = (h2 * 37 + c) % P2
+      i += 1
+    }
+    (h1 << 30) | h2 // h2 < 2^30 ⇒ | ≡ +
+  }
+
+  /** 60-bit SimHash of whitespace tokens (empty tokens skipped — Java
+    * split and SQL string_split disagree on trailing empties).
     */
   def simhash(text: String): Long = {
     val counts = new Array[Int](bits)
     text.split(" ").foreach { tok =>
-      val h = (MurmurHash3.stringHash(tok, 0xbeef).toLong << 32) |
-        (MurmurHash3.stringHash(tok, 0xcafe).toLong & 0xffffffffL)
-      var j = 0
-      while (j < bits) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      if (tok.nonEmpty) {
+        val h = tokenHash(tok)
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
     }
     counts.zipWithIndex.foldLeft(0L) {
@@ -53,7 +79,7 @@ object SimHash {
     require(maxHamming < chunks, s"banding supports Hamming < $chunks")
     import docs.sparkSession.implicits._
     val sig = signatures(docs)
-    // band into 16-bit chunks: (chunk_idx, chunk_value, doc, sig)
+    // band into 15-bit chunks: (chunk_idx, chunk_value, doc, sig)
     val banded = sig.select($"doc_id", $"simhash",
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
