@@ -17,7 +17,7 @@ object SqlRunner {
     val Array(sfDir, queriesJson, outDir) = args
     val spark = core.Sessions.local(appName = "graft-sqlrunner")
     Tables.registerAll(spark, sfDir)
-    new java.io.File(outDir).mkdirs()
+    Files.createDirectories(Paths.get(outDir)): Unit
     // minimal JSON object parser for {"name": "sql", ...} — values may
     // contain escaped quotes/newlines
     val raw = Files.readString(Paths.get(queriesJson))

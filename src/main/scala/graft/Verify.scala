@@ -6,7 +6,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = graft.core.Sessions.local(appName = "graft-verify")
-    new java.io.File(outDir).mkdirs()
+    Files.createDirectories(Paths.get(outDir)): Unit
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

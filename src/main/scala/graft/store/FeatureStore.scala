@@ -1,5 +1,6 @@
 package graft.store
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,9 +58,14 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
     s
   }
 
-  def exists: Boolean =
-    new java.io.File(s"$offlineDir/_SUCCESS").exists() ||
-      new java.io.File(offlineDir).exists()
+  /** All storage probes and the online-table commit go through the
+    * Hadoop `FileSystem` API — the store works identically on local
+    * FS, HDFS, or an object store, and never assumes POSIX rename.
+    */
+  private def fs =
+    new Path(conf.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(offlineDir))
 
   /** S5 — batch ingest: append the frame to the offline history and
     * merge it into the online compaction. One parquet append, no
@@ -112,25 +118,48 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
     */
   private def mergeOnline(stamped: DataFrame): Unit = {
     val base = stamped.drop("event_date")
-    val merged =
-      if (new java.io.File(onlineDir).exists())
-        dedupLatest(spark.read.parquet(onlineDir).unionByName(base))
-      else dedupLatest(base)
+    val merged = currentOnlineDir match {
+      case Some(dir) => dedupLatest(spark.read.parquet(dir).unionByName(base))
+      case None      => dedupLatest(base)
+    }
     writeOnline(merged)
   }
 
-  private def writeOnline(df: DataFrame): Unit = {
-    val tmp = s"$onlineDir.tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(onlineDir)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
+  /** Online-table commit protocol: versioned dirs `online/v_{n}`, the
+    * live table = the max `n` whose dir contains `_SUCCESS` (written
+    * LAST by Spark's output committer). Crash-safe with no rename
+    * window: a failed write leaves a version dir without `_SUCCESS`
+    * that every reader ignores; the previous version stays live and
+    * intact throughout. Old versions are pruned only after the new
+    * commit, keeping one behind for in-flight readers (single writer,
+    * like the reference's `max_workers=1` ingest).
+    */
+  private val versionRe = "v_(\\d+)".r
+
+  private def onlineVersions: Seq[(Long, Path)] = {
+    val root = new Path(onlineDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case versionRe(n) if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+            Some((n.toLong, st.getPath))
+          case _ => None
+        }
       }
-      rm(dir)
-    }
-    new java.io.File(tmp).renameTo(dir): Unit
+      .sortBy(_._1)
+  }
+
+  private def currentOnlineDir: Option[String] =
+    onlineVersions.lastOption.map(_._2.toString)
+
+  private def writeOnline(df: DataFrame): Unit = {
+    val versions = onlineVersions
+    val next = versions.lastOption.map(_._1 + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$onlineDir/v_$next")
+    // prune all but the previous committed version (readers mid-scan)
+    versions.dropRight(1).foreach { case (_, p) => fs.delete(p, true): Unit }
   }
 
   /** Full recompaction of the online table from history. Idempotent:
@@ -140,10 +169,29 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
     writeOnline(dedupLatest(offline()).drop("event_date"))
 
   /** Compacted online table (falls back to computing the view). */
-  def online(): DataFrame =
-    if (new java.io.File(onlineDir).exists())
-      spark.read.parquet(onlineDir).drop(seqCol)
-    else latestView()
+  def online(): DataFrame = currentOnlineDir match {
+    case Some(dir) => spark.read.parquet(dir).drop(seqCol)
+    case None      => latestView()
+  }
+
+  /** Read-optimized serving layout: materialize the online table
+    * hash-bucketed by the entity key as a catalog table
+    * ([[graft.operators.Layout.writeBucketed]]). Point lookups prune
+    * to ONE bucket (`SelectedBucketsCount: 1 out of n` in the scan)
+    * and joins against any table bucketed the same way plan with zero
+    * Exchange — the 100 TB serving shape: bucket once at compaction,
+    * serve forever without shuffling. The versioned parquet dirs
+    * ([[writeOnline]]) remain the streaming-merge path; this is the
+    * batch compaction for read-heavy serving. Both are spec-asserted
+    * in StoreLayoutSpec.
+    */
+  def compactOnlineBucketed(table: String, nBuckets: Int = 32): Unit =
+    graft.operators.Layout.writeBucketed(
+      dedupLatest(offline()).drop("event_date"), table, conf.keyCol, nBuckets)
+
+  /** The bucketed serving table written by [[compactOnlineBucketed]]. */
+  def onlineBucketed(table: String): DataFrame =
+    spark.table(table).drop(seqCol)
 
   /** S4 — online point lookup (`get_record`,
     * `feature_store_manager.py:165-168`). Equality predicate pushes

@@ -74,6 +74,36 @@ class FeatureStoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("online commit is crash-safe: an uncommitted version dir is ignored") {
+    val dir = Files.createTempDirectory("fs-crash").toString
+    val fs = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    fs.ingest(batch1)
+    fs.compactOnline()
+    val before = fs.online().orderBy($"customer_id").collect().toSeq
+    // simulate a writer crash: a newer version dir with data files but
+    // no _SUCCESS marker (the committer writes the marker last)
+    val partial = java.nio.file.Paths.get(dir, "online", "v_99")
+    Files.createDirectories(partial)
+    Files.writeString(partial.resolve("part-00000.parquet"), "garbage")
+    val after = fs.online().orderBy($"customer_id").collect().toSeq
+    assert(after == before) // still serving the last committed version
+  }
+
+  test("online versions are pruned to current + previous after commits") {
+    val dir = Files.createTempDirectory("fs-prune").toString
+    val fs = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    fs.ingest(batch1)
+    fs.compactOnline()
+    fs.compactOnline()
+    fs.compactOnline()
+    val versions = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "online")).toArray.map(_.toString)
+      .filter(_.matches(".*/v_\\d+"))
+    assert(versions.length == 2, s"expected 2 retained versions: ${versions.toSeq}")
+  }
+
   test("offline store partitioned by event_date (partition pruning path)") {
     val fs = freshStore()
     fs.ingest(batch1)
