@@ -351,7 +351,7 @@ object SparkEntry {
     // q28: LSH candidates are verified with EXACT shingle-set Jaccard,
     // so the output contract is the exact-Jaccard pair set (q18's
     // inverted-index result, as a distance). A pair at Jaccard j slips
-    // the 16 bands with probability (1-j)^16 ≤ 1.5e-5 — checked
+    // the 24 bands with probability (1-j)^24 ≤ 6e-8 — checked
     // empirically to be zero misses on the test corpora.
     "q28_minhash_candidates" ->
       """WITH sh AS (

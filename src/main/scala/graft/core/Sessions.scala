@@ -17,6 +17,10 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep bucketed scans bucketed: the auto-disable rule only looks
+      // at join/agg distribution needs and would drop bucket PRUNING
+      // for filter-only plans — the store's point-lookup path
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

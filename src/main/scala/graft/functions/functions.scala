@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.CosineSimilarityExpr
+import org.apache.spark.sql.graft.{CosineSimilarityExpr, SortedIntersectSizeExpr}
 
 /** Public surface for graft's native Catalyst expressions. */
 package object functions {
@@ -12,9 +12,18 @@ package object functions {
   def cosineSimilarity(a: Column, b: Column): Column =
     CosineSimilarityExpr.column(a, b)
 
-  /** Register graft's SQL functions (`graft_cosine_sim`) in a
-    * session.
+  /** |A ∩ B| of two sorted-ascending distinct array<bigint> columns —
+    * codegen'd linear merge, no per-row hash set (the near-dup verify
+    * hot loop).
     */
-  def registerAll(spark: SparkSession): Unit =
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    SortedIntersectSizeExpr.column(a, b)
+
+  /** Register graft's SQL functions (`graft_cosine_sim`,
+    * `graft_sorted_intersect_size`) in a session.
+    */
+  def registerAll(spark: SparkSession): Unit = {
     CosineSimilarityExpr.register(spark)
+    SortedIntersectSizeExpr.register(spark)
+  }
 }

@@ -20,9 +20,11 @@ import scala.util.Random
   * with the EXACT shingle-set Jaccard. Exact verification makes the
   * output deterministic and SQL-expressible: precision is 1 by
   * construction, and with `numBands` single-row bands a pair at
-  * Jaccard j is missed with probability (1−j)^numBands (1.5e-5 at
-  * j = 0.5, b = 16) — so the driver's DuckDB oracle can hold the
-  * output to exact equality with the exact-join result (q28).
+  * Jaccard j is missed with probability (1−j)^numBands (6e-8 at
+  * j = 0.5, b = 24) — so the driver's DuckDB oracle can hold the
+  * output to exact equality with the exact-join result (q28). Should
+  * the gate ever trip anyway, [[missedPairs]] pinpoints the slipped
+  * pair(s) instead of leaving a bare hash mismatch.
   *
   * Permutations are `a·x + c` over the 2^64 ring (a odd ⇒ bijective),
   * compared in unsigned order; parameters derive deterministically
@@ -30,16 +32,13 @@ import scala.util.Random
   */
 object MinHashDedup {
 
-  /** (doc_id, shs): distinct 64-bit 3-gram shingle hashes per doc.
+  /** (doc_id, shs): distinct sorted 64-bit 3-gram shingle hashes per
+    * doc ([[NearDup.shingleHashSets]] — typed loop, fanned-out input).
     * Docs with no shingles (< 3 tokens) drop out — they have no
     * Jaccard neighbors under this shingling.
     */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs.select($"doc_id", NearDup.shingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
-      .select($"doc_id", transform($"sh", s => xxhash64(s)).as("shs"))
-  }
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    NearDup.shingleHashSets(docs)
 
   /** Per-doc LSH band keys: `numBands` bands of `rowsPerBand` minhash
     * rows each, folded to one 64-bit key per band (FNV mix). One
@@ -90,7 +89,7 @@ object MinHashDedup {
     * is the 100 TB knob and defaults to unbounded so q28 stays an
     * exact-equality contract on this corpus.
     */
-  def candidatePairs(docs: DataFrame, numBands: Int = 16,
+  def candidatePairs(docs: DataFrame, numBands: Int = 24,
       rowsPerBand: Int = 1, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
@@ -98,12 +97,20 @@ object MinHashDedup {
       .select($"doc_id", posexplode($"bands"))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
     val lists = posting.groupBy($"band", $"key")
-      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .agg(collect_list($"doc_id").as("ds"))
       .filter(size($"ds") > 1 && size($"ds") <= maxBucket)
-    lists.select(explode(flatten(transform($"ds", (x, i) =>
-        transform(slice($"ds", i + 2, size($"ds")), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+    // ordered-combination emission as a typed flatMap (plain loops) —
+    // the nested array-lambda formulation is interpreted and builds
+    // the whole m²/2 pair array as one row before exploding
+    lists.select($"ds").as[Array[Long]]
+      .flatMap { ds =>
+        java.util.Arrays.sort(ds)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.length
+        } yield (ds(i), ds(j))
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
   }
 
@@ -114,17 +121,33 @@ object MinHashDedup {
     * oracle contract.
     */
   def nearDupPairs(docs: DataFrame, maxDistance: Double = 0.5,
-      numBands: Int = 16, rowsPerBand: Int = 1, seed: Long = 42L,
+      numBands: Int = 24, rowsPerBand: Int = 1, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
     val sets = shingleHashes(docs)
     candidatePairs(docs, numBands, rowsPerBand, seed, maxBucket)
       .join(sets.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(sets.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
-      .withColumn("co", size(array_intersect($"sa", $"sb")))
+      // sorted-merge intersect (codegen'd native expression): the
+      // per-candidate hot loop — no per-row hash set, no materialized
+      // intersection array (shs arrives sorted from shingleHashSets)
+      .withColumn("co", graft.functions.sortedIntersectSize($"sa", $"sb"))
       .withColumn("jac",
         $"co".cast("double") / (size($"sa") + size($"sb") - $"co"))
       .filter($"jac" >= 1.0 - maxDistance)
       .select($"doc_a", $"doc_b", (lit(1.0) - $"jac").as("jaccard_dist"))
+  }
+
+  /** Diagnostic: exact-Jaccard pairs at τ = 1 − maxDistance that LSH
+    * banding failed to surface as candidates — the (1−j)^numBands
+    * misses. Empty on every tested corpus/seed; if the q28 equality
+    * gate ever fails, this query names the slipped pairs (ADVICE r2).
+    */
+  def missedPairs(docs: DataFrame, maxDistance: Double = 0.5,
+      numBands: Int = 24, rowsPerBand: Int = 1, seed: Long = 42L): DataFrame = {
+    import docs.sparkSession.implicits._
+    NearDup.jaccardPairs(docs, 1.0 - maxDistance)
+      .join(candidatePairs(docs, numBands, rowsPerBand, seed),
+        Seq("doc_a", "doc_b"), "left_anti")
   }
 }

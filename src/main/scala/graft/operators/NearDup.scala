@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Parallel, Tables}
 
 /** Near-duplicate detection over `documents` — the training-data-
   * pipeline dedup family (north star). The reference has no dedup at
@@ -27,6 +27,12 @@ object NearDup {
   /** Distinct n-word shingles of a space-tokenized text. Empty for
     * texts shorter than n tokens (guard needed: Spark `sequence`
     * counts DOWN when stop < start instead of returning empty).
+    *
+    * Column formulation, kept as the string-valued reference shape
+    * (tests, ad-hoc SQL). The hot paths use [[shingleHashSets]]: the
+    * nested higher-order functions here don't participate in
+    * whole-stage codegen, so each shingle costs an interpreted
+    * slice-copy + concat — ~50× slower than the typed hash loop.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ", -1)
@@ -34,6 +40,79 @@ object NearDup {
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** SplitMix64 finalizer — bijective, full-avalanche 64-bit mix. */
+  @inline private def smix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31; x
+  }
+
+  /** FNV-1a-64 over UTF-16 code units, finalized with [[smix]] so the
+    * value is safe as minhash-permutation input.
+    */
+  def tokenHash64(tok: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < tok.length) {
+      h = (h ^ tok.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    smix(h)
+  }
+
+  /** 64-bit hash of one n-gram from per-token hashes `th(i..i+n-1)`:
+    * sequential avalanche fold, order-sensitive. Token→string→hash
+    * equality is preserved: tokens contain no separator char, so the
+    * joined shingle string determines the token tuple and vice versa.
+    */
+  @inline private def shingleHash(th: Array[Long], i: Int, n: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var j = 0
+    while (j < n) { h = smix(h ^ th(i + j)); j += 1 }
+    h
+  }
+
+  /** (doc_id, shs): the distinct n-gram shingle hashes of each doc as
+    * a SORTED-ascending `array<bigint>` — the typed fast path feeding
+    * both the exact inverted-index join and [[MinHashDedup]]. Docs
+    * with < n tokens drop out (no shingles ⇒ no Jaccard neighbors).
+    * Plain while-loops per partition: tokenize once, hash each token
+    * once, fold n-gram hashes, sort + dedup in place. Input is
+    * fanned out ([[graft.core.Parallel.fan]]) so single-file scans
+    * don't pin the loop to one core.
+    *
+    * Collision note: distinct shingles collide at ~|shingles|²/2⁶⁴ —
+    * negligible below trillions of distinct shingles (same contract
+    * as the previous `xxhash64(shingle_string)` formulation).
+    */
+  def shingleHashSets(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) None
+        else {
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { th(i) = tokenHash64(toks(i)); i += 1 }
+          val m = toks.length - n + 1
+          val out = new Array[Long](m)
+          i = 0
+          while (i < m) { out(i) = shingleHash(th, i, n); i += 1 }
+          java.util.Arrays.sort(out)
+          var w = 1
+          i = 1
+          while (i < m) {
+            if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+            i += 1
+          }
+          Some((id, if (w == m) out else java.util.Arrays.copyOf(out, w)))
+        }
+      })
+      .toDF("doc_id", "shs")
   }
 
   /** Exact Jaccard similarity join: pairs (doc_a < doc_b) with
@@ -57,9 +136,8 @@ object NearDup {
   def jaccardPairsDfCut(docs: DataFrame, minJaccard: Double,
       dfCut: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val shAll = docs
-      .select($"doc_id", explode(shingles($"text")).as("shingle"))
-      .select($"doc_id", xxhash64($"shingle").as("sh"))
+    val shAll = shingleHashSets(docs)
+      .select($"doc_id", explode($"shs").as("sh"))
     val sh =
       if (dfCut == Int.MaxValue) shAll
       else {
@@ -68,17 +146,15 @@ object NearDup {
         shAll.join(broadcast(hot), Seq("sh"), "left_anti")
       }
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // pair generation: group postings per shingle and emit ordered
-    // combinations with codegen'd array lambdas — one shuffle on the
-    // shingle instead of the self-join's two + join (measured ~30%
-    // faster at sf0.1, identical output)
-    val lists = sh.groupBy($"sh")
-      .agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds") > 1)
-    val co = lists.select(explode(flatten(transform($"ds", (x, i) =>
-        transform(slice($"ds", i + 2, size($"ds")), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+    // pair generation: plain postings self-join on the shingle hash —
+    // fully codegen'd (the grouped array-lambda emission used before
+    // falls out of whole-stage codegen and materializes per-shingle
+    // pair arrays; the streaming join is faster and never builds a
+    // bucket-sized row). Co-occurrence count then one hash agg.
+    val co = sh.select($"sh", $"doc_id".as("doc_a"))
+      .join(sh.select($"sh", $"doc_id".as("doc_b")), "sh")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("co"))
     co.join(broadcast(counts.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
       .join(broadcast(counts.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")

@@ -62,10 +62,13 @@ object SimHash {
     }
   }
 
-  /** (doc_id, simhash) signatures — one tiny row per doc. */
+  /** (doc_id, simhash) signatures — one tiny row per doc. Input is
+    * fanned out so a single-file scan doesn't pin the hash loop to
+    * one core.
+    */
   def signatures(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
+    graft.core.Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash(t)) })
       .toDF("doc_id", "simhash")
   }

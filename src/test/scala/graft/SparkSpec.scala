@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // mirror Sessions.local: keep bucket PRUNING for filter-only
+    // plans (the auto-disable rule only considers join/agg needs)
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     // fresh per-JVM warehouse: saveAsTable locations must not leak
     // across test runs (in-memory catalog forgets, directories don't)
     .config("spark.sql.warehouse.dir",
