@@ -19,18 +19,29 @@ final case class ScoredId(vec_id: Long, sim: Double)
   * O(k) arraycopy; k is small). Ordering is (sim DESC, vec_id ASC) —
   * the same deterministic tie-break as the window formulation, so
   * results are identical row-for-row.
+  *
+  * NaN policy: `java.lang.Double.compare` total order — NaN ranks
+  * ABOVE every real sim, exactly where Spark's `ORDER BY sim DESC`
+  * (and DuckDB's) sorts it. A naive `>` would have false on every
+  * NaN comparison and silently sink a zero-norm-embedding NaN to the
+  * bottom, diverging from the window formulation. −0.0 is
+  * canonicalized to 0.0 on insert so Double.compare's −0.0 < 0.0
+  * never splits a SQL-equal tie.
   */
 final class TopKAgg(k: Int)
   extends Aggregator[(Long, Double), Array[ScoredId], Array[ScoredId]] {
   require(k > 0, "k must be positive")
 
-  private def beats(aSim: Double, aId: Long, bSim: Double, bId: Long): Boolean =
-    aSim > bSim || (aSim == bSim && aId < bId)
+  private def beats(aSim: Double, aId: Long, bSim: Double, bId: Long): Boolean = {
+    val c = java.lang.Double.compare(aSim, bSim)
+    c > 0 || (c == 0 && aId < bId)
+  }
 
   override def zero: Array[ScoredId] = Array.empty
 
   override def reduce(buf: Array[ScoredId], in: (Long, Double)): Array[ScoredId] = {
-    val (id, sim) = in
+    val id = in._1
+    val sim = if (in._2 == 0.0) 0.0 else in._2 // −0.0 → 0.0
     val n = buf.length
     if (n == k && !beats(sim, id, buf(n - 1).sim, buf(n - 1).vec_id)) buf
     else {

@@ -53,9 +53,12 @@ object IvfIndex {
   /** Deterministic pivot-based coarse quantizer — IVF with a random
     * (hash-sampled) coarse quantizer instead of a learned k-means one.
     * Pivots are the `nLists` corpus vectors minimizing the portable
-    * hash `(vec_id · 2654435761) mod 2^31` (Knuth multiplicative —
-    * plain BIGINT arithmetic any engine reproduces); a vector's cell
-    * is its highest-cosine pivot, smaller pivot index on ties.
+    * hash `((vec_id mod 2^31) · 2654435761) mod 2^31` (Knuth
+    * multiplicative; the id is masked to 31 bits BEFORE the multiply
+    * so the product stays < 2^63 — plain BIGINT arithmetic that never
+    * overflows, in Spark or an oracle engine that raises on BIGINT
+    * overflow, at any corpus size); a vector's cell is its
+    * highest-cosine pivot, smaller pivot index on ties.
     *
     * Fully deterministic end-to-end ⇒ a DuckDB oracle can recompute
     * pivot selection, cell assignment, probe-cell choice, and the
@@ -72,7 +75,8 @@ object IvfIndex {
     import emb.sparkSession.implicits._
     val pivots = emb
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("h", ($"vec_id" * lit(2654435761L)) % lit(2147483648L))
+      .withColumn("h",
+        (($"vec_id" % lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L))
       .orderBy($"h", $"vec_id").limit(nLists)
       .select($"vec_id", $"e").as[(Long, Array[Double])].collect()
     val model = Model(pivots.zipWithIndex.map { case ((_, c), i) => (i, c) })
@@ -94,7 +98,8 @@ object IvfIndex {
       nLists: Int = 16, nProbe: Int = 4): String =
     s"""WITH pv AS (SELECT * FROM (
        |    SELECT row_number() OVER (
-       |        ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) - 1 AS pid,
+       |        ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+       |          vec_id) - 1 AS pid,
        |      embedding::DOUBLE[] AS pe
        |    FROM embeddings) WHERE pid < $nLists),
        | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

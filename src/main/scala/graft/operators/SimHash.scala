@@ -28,16 +28,20 @@ object SimHash {
 
   /** Portable 60-bit token hash. Zero-init fold ≡ reduce-without-init
     * (first step yields the first char code), matching DuckDB's
-    * `list_reduce` exactly.
+    * `list_reduce` exactly. Folds Unicode CODE POINTS, not UTF-16
+    * units — SQL engines index strings by code point (`tok[i]` /
+    * `ascii`), so folding `charAt` would diverge on any non-BMP
+    * character (emoji etc.): one code point there, two surrogates
+    * here.
     */
   def tokenHash(tok: String): Long = {
     var h1 = 0L; var h2 = 0L
     var i = 0
     while (i < tok.length) {
-      val c = tok.charAt(i).toLong
-      h1 = (h1 * 31 + c) % P1
-      h2 = (h2 * 37 + c) % P2
-      i += 1
+      val cp = tok.codePointAt(i).toLong
+      h1 = (h1 * 31 + cp) % P1
+      h2 = (h2 * 37 + cp) % P2
+      i += Character.charCount(cp.toInt)
     }
     (h1 << 30) | h2 // h2 < 2^30 ⇒ | ≡ +
   }

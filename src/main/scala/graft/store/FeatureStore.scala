@@ -156,10 +156,25 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
 
   private def writeOnline(df: DataFrame): Unit = {
     val versions = onlineVersions
-    val next = versions.lastOption.map(_._1 + 1).getOrElse(0L)
+    val prev = versions.lastOption.map(_._1)
+    val next = prev.map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(s"$onlineDir/v_$next")
-    // prune all but the previous committed version (readers mid-scan)
-    versions.dropRight(1).foreach { case (_, p) => fs.delete(p, true): Unit }
+    // prune everything except the new version and the previous
+    // committed one (readers mid-scan). Crucially this also removes
+    // UNCOMMITTED dirs (crashed writes, no _SUCCESS) older than the
+    // new version — readers already ignore them, but left in place
+    // they would accumulate forever since their numbers are only
+    // reused by accident (single-writer protocol).
+    fs.listStatus(new Path(onlineDir)).toSeq.filter(_.isDirectory)
+      .foreach { st =>
+        st.getPath.getName match {
+          case versionRe(n) =>
+            val num = n.toLong
+            val keep = num == next || prev.contains(num)
+            if (!keep && num < next) { fs.delete(st.getPath, true): Unit }
+          case _ => ()
+        }
+      }
   }
 
   /** Full recompaction of the online table from history. Idempotent:
