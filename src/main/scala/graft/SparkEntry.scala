@@ -60,6 +60,9 @@ object SparkEntry {
     "q14b_udaf_fold"     -> (StateFold.q14bUdafFold _),
     "q39_profile"        -> (Profiling.q39Profile _),
     "q40_bpe_tokens"     -> (TextStats.q40BpeTokenCount _),
+    "q41_dup_clusters"   -> (DupClusters.q41DupClusters _),
+    "q42_tfidf"          -> (TextStats.q42TfIdf _),
+    "q43_chunks"         -> (TextStats.q43Chunks _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -325,6 +328,59 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_extract_all(text,
         |  '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))::BIGINT AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q41: duplicate clusters = connected components of the exact
+    // near-dup pair graph (q18's pairs at τ = 0.5). DuckDB computes
+    // the same components via a recursive transitive-closure CTE —
+    // tractable because near-dup clusters are tiny; the Spark side
+    // propagates min labels instead of materializing the closure.
+    "q41_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | np AS (SELECT doc_a, doc_b FROM prs
+        |   JOIN counts ca ON ca.doc_id = doc_a
+        |   JOIN counts cb ON cb.doc_id = doc_b
+        |   WHERE co::DOUBLE / (ca.n + cb.n - co) >= 0.5),
+        | e AS (SELECT doc_a AS s, doc_b AS d FROM np
+        |       UNION ALL SELECT doc_b, doc_a FROM np),
+        | reach AS (
+        |   SELECT s AS id, s AS r FROM e
+        |   UNION
+        |   SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d)
+        |SELECT id AS doc_id, min(r) AS cluster_id,
+        |  (id = min(r)) AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q42: ranking is by the integer key (tf DESC, df ASC, term) —
+    // never by the float tfidf, which mathematically-equal products
+    // could round differently across engines; the emitted score is
+    // rounded on both sides.
+    "q42_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * ln(n.n::DOUBLE / df), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY tf DESC, df ASC, term ASC) <= 3
+        |ORDER BY doc_id, tf DESC, df ASC, term""".stripMargin,
+    "q43_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |         unnest(range(0, len(toks), 15)) AS st FROM t)
+        |SELECT doc_id, st // 15 AS chunk_id,
+        |  array_to_string(list_slice(toks, st + 1, st + 20), ' ') AS chunk_text,
+        |  len(string_split(array_to_string(list_slice(toks, st + 1, st + 20), ' '),
+        |      ' '))::BIGINT AS chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Near-duplicate CLUSTER assignment — the step after pair detection
+  * in a training-data dedup pipeline: near-dup pairs form a graph,
+  * each connected component is one duplicate cluster, and the keeper
+  * per cluster is the canonical representative (min doc_id). The
+  * reference has no graph ops at all; at corpus scale this is the
+  * standard "dedup by transitive closure" shape (a ∼ b ∼ c collapses
+  * to one survivor even when a ≁ c directly).
+  *
+  * Components via iterative min-label propagation over DataFrames:
+  * every vertex starts labeled with its own id; each round joins
+  * labels across edges and takes the per-vertex min; fixpoint when no
+  * label shrinks. Rounds = graph diameter — near-dup clusters are
+  * shallow (pairs share text, so clusters are dense and tiny), which
+  * makes plain propagation the right cost at 100 TB: each round is
+  * one equi-join + one partial-agg min, all shuffle-on-key, no
+  * driver-side graph. (For adversarially long path graphs the
+  * large-star/small-star scheme [Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"] halves diameter per round;
+  * not needed for dedup-shaped graphs, documented as the escalation
+  * path.)
+  */
+object DupClusters {
+
+  /** (id, cluster_id) for every vertex of `edges`; cluster_id = min
+    * vertex id reachable. `edges` is undirected (any orientation).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.toDF("src", "dst")
+    // symmetric closure once; propagation then only needs src→dst.
+    // localCheckpoint (not persist) on every iteration state: an
+    // iterative DataFrame algorithm otherwise accretes each round's
+    // joins into one exponentially-growing logical plan — lineage
+    // must be CUT, not just cached.
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = labels
+        .join(
+          sym.join(labels.select($"id".as("dst"), $"label".as("nl")), "dst")
+            .groupBy($"src").agg(min($"nl").as("nl"))
+            .withColumnRenamed("src", "id"),
+          Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+        .localCheckpoint(true)
+      val shrunk = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter($"n.label" < $"o.label")
+        .limit(1).count()
+      labels = next
+      converged = shrunk == 0
+      iter += 1
+    }
+    labels.select($"id", $"label".as("cluster_id"))
+  }
+
+  /** Q41 — oracle-checked duplicate-cluster assignment over the
+    * `documents` near-dup graph at τ = 0.5 (the q18 pair set):
+    * (doc_id, cluster_id, is_keeper). DuckDB recomputes components
+    * with a recursive transitive-closure CTE — feasible because
+    * clusters are tiny; Spark never materializes the closure.
+    */
+  def q41DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = NearDup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.5)
+      .select($"doc_a", $"doc_b")
+    connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"cluster_id",
+        ($"id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+}

@@ -47,6 +47,78 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF top terms per document. Ranking is by the INTEGER key
+    * (tf DESC, df ASC, term ASC) — "most frequent, most distinctive"
+    * — which never depends on float comparison, so any engine ranks
+    * identically; the tfidf VALUE `tf · ln(N/df)` is emitted as a
+    * score. (Ranking by the float itself is a correctness trap:
+    * mathematically-equal products like `2·ln(2)` vs `ln(4)` can
+    * round differently across engines and flip near-ties.)
+    *
+    * Shape at scale: tf is one (doc, term) partial-agg; df one
+    * (term) agg, broadcast (vocabularies are bounded; a df-side
+    * shuffle join is the fallback switch); per-doc top-k is a window
+    * over ≤ |doc| rows per key — bounded groups, so the window is the
+    * right tool here (unlike q16's corpus-sized probe groups).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = docs.count()
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val ranked = tf.join(broadcast(df), "term")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"tf".desc, $"df".asc, $"term".asc)))
+      .filter($"rn" <= k)
+    ranked.select($"doc_id", $"term", $"tf", $"df",
+      ($"tf" * log(lit(n.toDouble) / $"df")).as("tfidf"))
+  }
+
+  /** Q42 — top-3 TF-IDF terms per document (tfidf rounded so the
+    * float column is hash-stable across engines; ordering never
+    * touches it).
+    */
+  def q42TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tfIdfTopTerms(Tables.load(spark, dir, "documents"), 3)
+      .withColumn("tfidf", round($"tfidf", 6))
+      .orderBy($"doc_id", $"tf".desc, $"df".asc, $"term")
+  }
+
+  /** Fixed-size token-window chunking with overlap — the passage
+    * splitter feeding embedding/pretraining pipelines: chunk i covers
+    * tokens [i·stride, i·stride + size). Start offsets run while
+    * < n_tokens, so every token lands in ≥ 1 chunk and the final
+    * chunk may be short. Pure per-row expression (no shuffle, no
+    * UDF); one doc fans out to ~n/stride rows.
+    */
+  def chunk(docs: DataFrame, size: Int = 20, stride: Int = 15): DataFrame = {
+    require(stride > 0 && size >= stride, "need stride > 0, size >= stride")
+    import docs.sparkSession.implicits._
+    val toks = tokens($"text")
+    // largest start offset = biggest stride multiple ≤ n−1, computed
+    // with integer ops (Column `/` is double division)
+    val lastTok = org.apache.spark.sql.functions.size(toks) - 1
+    val lastStart = lastTok - pmod(lastTok, lit(stride))
+    docs
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), lastStart, lit(stride)),
+        s => array_join(slice(toks, s + 1, lit(size)), " "))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+        $"col".as("chunk_text"),
+        org.apache.spark.sql.functions.size(split($"col", " ", -1))
+          .cast("long").as("chunk_tokens"))
+  }
+
+  /** Q43 — 20-token chunks, stride 15, over `documents`. */
+  def q43Chunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunk(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Q17 — per-document token/length/stopword stats. */
   def q17TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

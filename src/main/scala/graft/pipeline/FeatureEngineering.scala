@@ -75,4 +75,40 @@ object FeatureEngineering {
       $"avg_loyalty_score".cast(StringType),
       $"latest_loyalty_score".cast(StringType))
   }
+
+  /** The reference's literal record wire shape: one
+    * `array<struct<FeatureName, ValueAsString>>` per row — what
+    * `put_record` sends and `get_record` returns
+    * (`feature_store_manager.py:224-236`, `utils.py:145-158`). */
+  def toWireRecords(features: DataFrame): DataFrame = {
+    import features.sparkSession.implicits._
+    val entries =
+      struct(lit("customer_id").as("FeatureName"),
+        $"customer_id".cast(StringType).as("ValueAsString")) +:
+      struct(lit("purchase_timestamp").as("FeatureName"),
+        date_format($"purchase_timestamp", wireTsFormat).as("ValueAsString")) +:
+      featureCols.drop(2).map(c => struct(lit(c).as("FeatureName"),
+        col(c).cast(StringType).as("ValueAsString")))
+    features.select(array(entries: _*).as("record"))
+  }
+
+  /** Inbound wire decode — the inverse of [[toWireRecords]] and the
+    * port of `get_feature_value`'s name/value-list extraction
+    * (`utils.py:160-164`, consumed by `get_latest_features`,
+    * `feature_store_manager.py:174-204`). The reference re-parses
+    * stringly values with `float()` at every read
+    * (`inference.py:108,116-117`); here the decode happens once at
+    * the boundary and everything downstream is typed. Name lookup via
+    * `map_from_entries` + `element_at` — codegen'd, no UDF.
+    */
+  def fromWireRecords(records: DataFrame): DataFrame = {
+    import records.sparkSession.implicits._
+    val m = map_from_entries($"record")
+    records.select(
+      element_at(m, "customer_id").cast(LongType).as("customer_id") +:
+        to_timestamp(element_at(m, "purchase_timestamp"), wireTsFormat)
+          .as("purchase_timestamp") +:
+        featureCols.drop(2).map(c =>
+          element_at(m, c).cast(DoubleType).as(c)): _*)
+  }
 }

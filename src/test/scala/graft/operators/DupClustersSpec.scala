@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DupClusters.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: chain, triangle, isolated pair, transitive merge") {
+    val got = cc(Seq(
+      (1L, 2L), (2L, 3L),           // chain → component 1
+      (10L, 11L),                   // pair → component 10
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle → component 20
+      (3L, 4L)))                    // extends the chain
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long path converges (propagation needs diameter rounds)") {
+    val n = 12L
+    val got = cc((1L until n).map(i => (i, i + 1)))
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("edge orientation irrelevant; duplicate edges harmless") {
+    val a = cc(Seq((5L, 9L), (9L, 5L), (5L, 9L), (7L, 9L)))
+    assert(a == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
+  }
+
+  test("q41 shape: keeper iff min of cluster; clusters are q18 pairs' closure") {
+    val q = DupClusters.q41DupClusters(spark, sf).cache()
+    val rows = q.collect()
+    // every cluster's keeper is its min doc_id, exactly one per cluster
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.map(_.getLong(0)).min == cid)
+      assert(rs.count(_.getBoolean(2)) == 1)
+    }
+    // doc ids in clusters = doc ids in the pair set
+    val inPairs = NearDup.jaccardPairs(
+      graft.core.Tables.load(spark, sf, "documents"), 0.5)
+      .select($"doc_a").union(
+        NearDup.jaccardPairs(
+          graft.core.Tables.load(spark, sf, "documents"), 0.5).select($"doc_b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == inPairs)
+    q.unpersist(); ()
+  }
+}

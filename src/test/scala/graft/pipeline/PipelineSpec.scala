@@ -43,6 +43,27 @@ class PipelineSpec extends SparkSpec {
     assert(w.schema.fields.forall(_.dataType.typeName == "string"))
   }
 
+  test("wire-record codec round-trips: fromWireRecords ∘ toWireRecords = id") {
+    val f = FeatureEngineering.engineerFeatures(raw)
+    val rt = FeatureEngineering.fromWireRecords(
+      FeatureEngineering.toWireRecords(f))
+    // compare names+types (decode can't prove non-null, so
+    // nullability legitimately widens)
+    assert(rt.schema.map(f => (f.name, f.dataType)) ==
+      f.schema.map(f => (f.name, f.dataType)))
+    assert(rt.exceptAll(f).isEmpty && f.exceptAll(rt).isEmpty)
+  }
+
+  test("toWireRecords emits the reference's name/value record shape (utils.py:145-158)") {
+    val rec = FeatureEngineering.toWireRecords(
+      FeatureEngineering.engineerFeatures(raw))
+      .select(explode($"record").as("e"))
+      .select($"e.FeatureName", $"e.ValueAsString")
+    assert(rec.select($"FeatureName").distinct().count() == 6)
+    // every value is stringly on the wire, like ValueAsString demands
+    assert(rec.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
   test("enrich: known customer gets stored averages, unknown gets cold-start defaults") {
     val online = FeatureEngineering.engineerFeatures(raw)
     val events = Seq(
