@@ -60,10 +60,15 @@ object DupClusters {
         .join(labels.as("o"), "id")
         .filter($"n.label" < $"o.label")
         .limit(1).count()
+      labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
       converged = shrunk == 0
       iter += 1
     }
+    sym.unpersist()
+    // the result stays backed by the final round's checkpoint blocks
+    // (|vertices-in-pairs| label rows); callers done with it may
+    // `.unpersist()` to release them
     labels.select($"id", $"label".as("cluster_id"))
   }
 

@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-layout controls for 100 TB: bucketed tables (co-located,
@@ -24,6 +26,69 @@ object Layout {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Key-bucket column for the partitioned-merge layout:
+    * `pmod(xxhash64(key), nBuckets)`.
+    */
+  def keyBucket(keyCol: String, nBuckets: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
+
+  /** Incremental newest-wins merge into a key-bucket-PARTITIONED
+    * parquet table (`dir/kb=N/…`): the O(batch) upsert path at scale.
+    * A full-table rewrite per micro-batch costs O(#keys) no matter how
+    * small the batch; here the batch's keys hash to ≤ nBuckets
+    * partition dirs, only those partitions are read (partition-pruned
+    * scan), merged (newest `orderCols` per key wins), and rewritten
+    * via DYNAMIC partition overwrite — untouched buckets' files are
+    * never opened or replaced.
+    *
+    * The touched current buckets are pinned with `localCheckpoint`
+    * before the write: it materializes exactly the data the merge
+    * must hold before overwriting, and cuts the file-source lineage
+    * so the plan never reads the dir it is replacing.
+    *
+    * Consistency: dynamic partition overwrite commits per-partition
+    * (not atomic across buckets). Single writer, and a crashed merge
+    * is repaired by replaying the batch — the merge is idempotent
+    * (newest-wins dedup), the usual at-least-once contract.
+    */
+  def mergeBucketPartitioned(dir: String, batch: DataFrame,
+      keyCol: String, orderCols: Seq[String], nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.withColumn("kb", keyBucket(keyCol, nBuckets))
+    if (b.isEmpty) return // no touched buckets — a write would leave
+                          // an empty (schema-less) partition root
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (!fs.exists(new Path(dir))) b
+      else {
+        val touched = b.select($"kb").distinct().as[Int].collect().toSeq
+        val cur = spark.read.parquet(dir)
+          .filter($"kb".isin(touched: _*))
+          .localCheckpoint(true)
+        cur.unionByName(b.select(cur.columns.map(col).toIndexedSeq: _*))
+      }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col(_).desc): _*)
+    all.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1).drop("_rn")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(dir)
+  }
+
+  /** Partition-pruned point lookup against a
+    * [[mergeBucketPartitioned]] table: the filter pins `kb`, so the
+    * scan lists exactly one bucket directory.
+    */
+  def bucketLookup(spark: SparkSession, dir: String, keyCol: String,
+      keyValue: Column, nBuckets: Int): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("kb") === pmod(xxhash64(keyValue), lit(nBuckets.toLong))
+        .cast("int") && col(keyCol) === keyValue)
 
   /** Salted aggregation for skewed keys: two-phase group-by. Phase 1
     * groups on (key, salt) — the hot key's rows spread over

@@ -32,7 +32,7 @@ final case class FeatureStoreConf(
     keyCol: String,
     eventTimeCol: String)
 
-class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
+class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   import spark.implicits._
 
   private val offlineDir = s"${conf.path}/offline"
@@ -207,6 +207,69 @@ class FeatureStore(spark: SparkSession, conf: FeatureStoreConf) {
   /** The bucketed serving table written by [[compactOnlineBucketed]]. */
   def onlineBucketed(table: String): DataFrame =
     spark.table(table).drop(seqCol)
+
+  private val servingDir = s"${conf.path}/serving"
+  private val servingBuckets = 64
+
+  /** Incremental O(batch) serving merge — the steady-state streaming
+    * upsert path at 100 TB. [[mergeOnline]] rewrites the whole online
+    * table every micro-batch (O(#keys) regardless of batch size);
+    * this merges into a key-bucket-PARTITIONED layout
+    * ([[graft.operators.Layout.mergeBucketPartitioned]]) where a
+    * batch only reads and rewrites the ≤ |batch| bucket dirs its keys
+    * hash into. Newest-`(event_time, _seq)`-wins, same MERGE
+    * semantics as the versioned table; idempotent, so at-least-once
+    * batch replay repairs a crashed multi-bucket commit.
+    */
+  def mergeServing(df: DataFrame): Unit = {
+    val stamped = df.withColumn(seqCol, lit(nextSeq()))
+    graft.operators.Layout.mergeBucketPartitioned(
+      servingDir, stamped, conf.keyCol,
+      Seq(conf.eventTimeCol, seqCol), servingBuckets)
+  }
+
+  /** S5/S6 in serving-layout mode: the same dual-store contract as
+    * [[ingest]] (offline append-only history + online merge), but the
+    * online side is the O(batch) partitioned merge instead of the
+    * full-table rewrite.
+    */
+  def ingestServing(df: DataFrame): Unit = {
+    val seq = nextSeq()
+    val stamped = df.withColumn(seqCol, lit(seq))
+    stamped.withColumn("event_date", to_date(ts))
+      .write.mode("append").partitionBy("event_date").parquet(offlineDir)
+    // first merge BOOTSTRAPS the layout from the full history (one
+    // full compaction, like compactOnline) — otherwise keys ingested
+    // before serving mode began would look like cold starts
+    val batch =
+      if (servingInitialized) stamped
+      else dedupLatest(offline()).drop("event_date")
+    graft.operators.Layout.mergeBucketPartitioned(
+      servingDir, batch, conf.keyCol,
+      Seq(conf.eventTimeCol, seqCol), servingBuckets)
+  }
+
+  /** Full scan of the serving table (all buckets); falls back to the
+    * history view before the first serving merge.
+    */
+  def serving(): DataFrame =
+    if (!servingInitialized) latestView()
+    else spark.read.parquet(servingDir).drop(seqCol, "kb")
+
+  private def servingInitialized: Boolean = {
+    val root = new Path(servingDir)
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("kb="))
+  }
+
+  /** Partition-pruned point lookup against the serving table — the
+    * scan lists exactly one `kb=` directory (asserted in
+    * StoreServingSpec).
+    */
+  def getServingRecord(id: Any): DataFrame =
+    graft.operators.Layout.bucketLookup(
+      spark, servingDir, conf.keyCol, lit(id), servingBuckets)
+      .drop(seqCol, "kb")
 
   /** S4 — online point lookup (`get_record`,
     * `feature_store_manager.py:165-168`). Equality predicate pushes

@@ -40,7 +40,8 @@ object InferencePipeline {
   def processBatch(
       batch: DataFrame,
       store: FeatureStore,
-      model: LinearRegressionModel): (DataFrame, DataFrame) = {
+      model: LinearRegressionModel,
+      useServing: Boolean = false): (DataFrame, DataFrame) = {
     import batch.sparkSession.implicits._
     val valid = batch.filter(
       isValid($"customer_id", $"purchase_timestamp", $"purchase_value"))
@@ -49,7 +50,11 @@ object InferencePipeline {
     // no per-batch sort needed: enrichment and scoring are
     // row-independent, and the store's MERGE applies newest-wins by
     // event time regardless of row order
-    val enriched = EventEnricher.enrich(valid, store.online())
+    // serving mode reads/writes the bucket-partitioned layout: the
+    // upsert then costs O(batch) bucket rewrites, not O(#keys) — the
+    // steady-state streaming shape at 100 TB
+    val enriched = EventEnricher.enrich(valid,
+      if (useServing) store.serving() else store.online())
     // materialize before the upsert: putRecords re-compacts the online
     // view, replacing the parquet files this plan reads — a later
     // re-execution of the lazy plan would hit deleted files
@@ -64,14 +69,15 @@ object InferencePipeline {
     // twice in one micro-batch gets one newest-event transition, not
     // two sequential ones (divergence documented in SURVEY.md §7
     // risks; exact per-event sequencing is StreamingStateFold).
-    store.putRecords(scored.select(
+    val upserts = scored.select(
       $"customer_id", $"purchase_timestamp",
       $"latest_purchase_value",
       when($"known_customer", ($"avg_purchase_value" + $"purchase_value") / 2)
         .otherwise($"purchase_value").as("avg_purchase_value"),
       when($"known_customer", ($"avg_loyalty_score" + $"predicted_loyalty_score") / 2)
         .otherwise($"predicted_loyalty_score").as("avg_loyalty_score"),
-      $"predicted_loyalty_score".as("latest_loyalty_score")))
+      $"predicted_loyalty_score".as("latest_loyalty_score"))
+    if (useServing) store.ingestServing(upserts) else store.putRecords(upserts)
     (scored, dead)
   }
 
@@ -85,13 +91,14 @@ object InferencePipeline {
       model: LinearRegressionModel,
       scoredSink: String,
       dlqSink: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      useServing: Boolean = false): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (scored, dead) = processBatch(batch, store, model)
+        val (scored, dead) = processBatch(batch, store, model, useServing)
         scored.write.mode("append").parquet(scoredSink)
         if (!dead.isEmpty) dead.write.mode("append").parquet(dlqSink)
         scored.unpersist(): Unit

@@ -1,0 +1,142 @@
+package graft.store
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** The incremental serving layout: merges rewrite only touched
+  * key-buckets, lookups prune to one bucket dir, semantics equal the
+  * full-table online merge.
+  */
+class StoreServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def freshStore() = FeatureStore(
+    spark,
+    Files.createTempDirectory("fs-serving").toString,
+    keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+
+  private def bucketFiles(dir: String): Map[String, Set[(String, Long)]] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath)
+            .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+      }.toMap
+  }
+
+  test("merge upserts: newest wins, new keys insert, others untouched") {
+    val s = freshStore()
+    s.mergeServing(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (2L, ts("2024-01-02 10:00:00"), 200.0),
+    ).toDF("customer_id", "purchase_timestamp", "v"))
+    s.mergeServing(Seq(
+      (2L, ts("2024-01-05 10:00:00"), 222.0), // update
+      (3L, ts("2024-01-03 10:00:00"), 300.0), // insert
+    ).toDF("customer_id", "purchase_timestamp", "v"))
+    val got = s.serving().collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 100.0, 2L -> 222.0, 3L -> 300.0))
+  }
+
+  test("stale event loses to stored newer record (MERGE matched branch)") {
+    val s = freshStore()
+    s.mergeServing(Seq((1L, ts("2024-06-01 00:00:00"), 5.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 9.0)) // older
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    assert(s.serving().head().getDouble(2) == 5.0)
+  }
+
+  test("a merge rewrites ONLY the bucket dirs its keys hash into") {
+    val s = freshStore()
+    // seed many keys so several buckets exist
+    s.mergeServing((1L to 200L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val dir = s"${s.conf.path}/serving"
+    val before = bucketFiles(dir)
+    assert(before.size > 10) // many kb= dirs
+    // single-key merge
+    s.mergeServing(Seq((7L, ts("2024-02-01 00:00:00"), 7.7))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val after = bucketFiles(dir)
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // and the data is correct
+    assert(s.getServingRecord(7L).head().getDouble(2) == 7.7)
+  }
+
+  test("point lookup scans exactly one bucket partition") {
+    val s = freshStore()
+    s.mergeServing((1L to 100L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val q = s.getServingRecord(42L)
+    assert(q.head().getDouble(2) == 42.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("kb"),
+      s"expected kb partition filter in:\n$plan")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("inference in serving mode == versioned-online mode (final state)") {
+    import graft.pipeline.{FeatureEngineering, LoyaltyModel}
+    import graft.streaming.InferencePipeline
+    val hist = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, 5.0),
+      (1L, ts("2024-01-03 09:30:00"), 50.0, 6.0),
+      (2L, ts("2024-01-02 12:00:00"), 200.0, 9.0),
+    ).toDF("customer_id", "purchase_timestamp", "purchase_value", "loyalty_score")
+    val feats = FeatureEngineering.engineerFeatures(hist)
+    val model = LoyaltyModel.train(feats.unionByName(feats.withColumn(
+      "latest_loyalty_score", $"latest_loyalty_score" + 0.1)))
+    val batches = Seq(
+      Seq((1L, ts("2024-02-01 00:00:00"), 80.0),
+        (9L, ts("2024-02-01 00:00:00"), 40.0)),
+      Seq((2L, ts("2024-02-02 00:00:00"), 10.0),
+        (9L, ts("2024-02-03 00:00:00"), 60.0)))
+      .map(_.toDF("customer_id", "purchase_timestamp", "purchase_value"))
+    def runMode(useServing: Boolean) = {
+      val s = freshStore()
+      s.ingest(feats) // serving() falls back to the history view
+                      // until the first serving merge
+      batches.foreach { b =>
+        val (scored, _) = InferencePipeline.processBatch(b, s, model, useServing)
+        scored.unpersist(): Unit
+      }
+      val view = if (useServing) s.serving() else s.online()
+      view.orderBy($"customer_id").collect()
+        .map(r => (r.getLong(0),
+          r.getAs[Double]("avg_purchase_value"),
+          r.getAs[Double]("avg_loyalty_score"),
+          r.getAs[Double]("latest_loyalty_score"))).toSeq
+    }
+    assert(runMode(useServing = true) == runMode(useServing = false))
+  }
+
+  test("serving merge is idempotent (at-least-once replay safe)") {
+    val s = freshStore()
+    val batch = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-02 00:00:00"), 2.0))
+      .toDF("customer_id", "purchase_timestamp", "v")
+    s.mergeServing(batch)
+    val once = s.serving().orderBy($"customer_id").collect().toSeq
+    s.mergeServing(batch) // replay
+    val twice = s.serving().orderBy($"customer_id").collect().toSeq
+    assert(once.map(_.getLong(0)) == twice.map(_.getLong(0)))
+    assert(once.map(_.getDouble(2)) == twice.map(_.getDouble(2)))
+  }
+}
