@@ -63,6 +63,8 @@ object SparkEntry {
     "q41_dup_clusters"   -> (DupClusters.q41DupClusters _),
     "q42_tfidf"          -> (TextStats.q42TfIdf _),
     "q43_chunks"         -> (TextStats.q43Chunks _),
+    "q44_curation"       -> (Curation.q44Curation _),
+    "q45_label_centroids" -> (Curation.q45LabelCentroids _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -381,6 +383,51 @@ object SparkEntry {
         |  len(string_split(array_to_string(list_slice(toks, st + 1, st + 20), ' '),
         |      ' '))::BIGINT AS chunk_tokens
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // q44: the composed curation policy — language allowlist, quality
+    // threshold (rounded before comparing so both engines gate on the
+    // same number), and near-dup keeper via the q41 closure.
+    "q44_curation" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | np AS (SELECT doc_a, doc_b FROM prs
+        |   JOIN counts ca ON ca.doc_id = doc_a
+        |   JOIN counts cb ON cb.doc_id = doc_b
+        |   WHERE co::DOUBLE / (ca.n + cb.n - co) >= 0.5),
+        | e AS (SELECT doc_a AS s, doc_b AS d FROM np
+        |       UNION ALL SELECT doc_b, doc_a FROM np),
+        | reach AS (
+        |   SELECT s AS id, s AS r FROM e
+        |   UNION
+        |   SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+        | nonkeep AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r)),
+        | q AS (SELECT doc_id, lang, n_chars,
+        |  round(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |  (1.0 - len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','an','and','of','to','in','is','on','for')))::DOUBLE
+        |       / len(string_split(text, ' '))) * 0.3 +
+        |  least(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |       / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3, 6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, lang, quality, n_chars FROM q
+        |WHERE lang IN ('en', 'de') AND quality >= 0.5
+        |  AND doc_id NOT IN (SELECT id FROM nonkeep)
+        |ORDER BY doc_id""".stripMargin,
+    // q45: element sums quantized to 1e-6 BIGINT ticks — exact integer
+    // accumulation, bit-identical under any aggregation order (a
+    // double avg's last ulp depends on shuffle order).
+    "q45_label_centroids" ->
+      """WITH d AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        | idx AS (SELECT unnest(range(0, 64)) AS dim),
+        | x AS (SELECT label, dim, e[dim + 1] AS v FROM d CROSS JOIN idx)
+        |SELECT label, dim, sum(CAST(round(v * 1000000) AS BIGINT))::DOUBLE
+        |    / (count(*) * 1000000.0) AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** End-to-end corpus curation — the composed filter a training-data
+  * pipeline actually ships: language allowlist ∧ heuristic quality
+  * threshold ∧ near-duplicate keeper. Each leg is an already-proven
+  * operator (q22 quality, q18 pairs → q41 clusters); this query is
+  * the composition contract, oracle-checked end-to-end (q44).
+  *
+  * Scale shape: the language/quality legs are per-row expressions on
+  * the scan (no shuffle); the dedup leg joins against the CLUSTER
+  * assignment — |dup-involved docs| rows, usually ≪ corpus — as a
+  * broadcast-able anti-join of non-keepers.
+  */
+object Curation {
+
+  val defaultLangs: Seq[String] = Seq("en", "de")
+  val defaultMinQuality: Double = 0.5
+
+  /** Docs surviving (lang ∈ allowlist) ∧ (quality ≥ τ) ∧ (not a
+    * non-keeper of a near-dup cluster). Quality is rounded to 6
+    * decimals BEFORE thresholding so the gate compares the same
+    * number in any engine.
+    */
+  def curate(docs: DataFrame, langs: Seq[String] = defaultLangs,
+      minQuality: Double = defaultMinQuality,
+      dupTau: Double = 0.5): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nonKeepers = DupClusters
+      .connectedComponents(
+        NearDup.jaccardPairs(docs, dupTau).select($"doc_a", $"doc_b"))
+      .filter($"id" =!= $"cluster_id")
+      .select($"id".as("doc_id"))
+    docs
+      .withColumn("quality", round(TextAnalysis.qualityScore($"text"), 6))
+      .filter($"lang".isin(langs: _*) && $"quality" >= minQuality)
+      .join(broadcast(nonKeepers), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"quality", $"n_chars")
+  }
+
+  /** Q44 — curated corpus at the default policy. */
+  def q44Curation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    curate(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** Per-label embedding centroids — the per-class mean vector used
+    * for cluster seeding, probe selection, and drift monitoring.
+    * Element sums are quantized to 1e-6 BIGINT ticks so the
+    * accumulation is exact integer arithmetic: float→double products
+    * with 1e6 are exact (24+20 mantissa bits < 53), both engines
+    * round ties away from zero, and integer addition is associative —
+    * so the result is bit-identical under ANY aggregation order,
+    * unlike a double `avg` whose last-ulp depends on shuffle order
+    * (the q10 lesson). One shuffle of |labels|·dims partial rows.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"label", posexplode($"embedding".cast("array<double>")))
+      .select($"label", $"pos".cast("long").as("dim"),
+        round($"col" * 1e6).cast("long").as("q"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"q").as("s"), count(lit(1)).as("n"))
+      .select($"label", $"dim",
+        ($"s".cast("double") / ($"n".cast("double") * 1e6)).as("centroid"))
+  }
+
+  /** Q45 — 64-dim centroid per label over `embeddings`. */
+  def q45LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    labelCentroids(Tables.load(spark, dir, "embeddings"))
+      .orderBy($"label", $"dim")
+  }
+}

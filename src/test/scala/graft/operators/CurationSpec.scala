@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long high-quality text (≥ 0.5 quality), distinct per seed word
+  private def goodText(seed: String) =
+    (1 to 60).map(i => s"$seed$i").mkString(" ")
+
+  test("curate: lang allowlist, quality gate, dup non-keepers dropped") {
+    val dupText = goodText("dup") // identical → Jaccard 1.0 pair
+    val docs = Seq(
+      (1L, dupText, "en"),            // keeper (min id of cluster)
+      (2L, dupText, "en"),            // non-keeper → dropped
+      (3L, goodText("ok"), "en"),     // clean survivor
+      (4L, goodText("fr"), "fr"),     // lang-filtered
+      (5L, "a of the to in", "en"),   // low quality → dropped
+    ).map { case (id, t, l) => (id, t, l, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Curation.curate(docs).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("labelCentroids: hand-computed means") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Curation.labelCentroids(emb)
+      .orderBy($"label", $"dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0, 0L, 2.0), (0, 1L, 4.0), (1, 0L, 10.0), (1, 1L, 0.0)))
+  }
+
+  test("labelCentroids: exact under any partitioning (integer-tick accumulation)") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val a = Curation.labelCentroids(emb)
+      .orderBy($"label", $"dim").collect().map(_.getDouble(2)).toSeq
+    val b = Curation.labelCentroids(emb.repartition(13, $"vec_id"))
+      .orderBy($"label", $"dim").collect().map(_.getDouble(2)).toSeq
+    assert(a == b) // bit-identical, not approximately equal
+  }
+}
