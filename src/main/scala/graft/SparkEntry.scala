@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_chunks"         -> (TextStats.q43Chunks _),
     "q44_curation"       -> (Curation.q44Curation _),
     "q45_label_centroids" -> (Curation.q45LabelCentroids _),
+    "q46_packed_sequences" -> (SequencePacking.q46PackedSequences _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -428,6 +429,37 @@ object SparkEntry {
         |SELECT label, dim, sum(CAST(round(v * 1000000) AS BIGINT))::DOUBLE
         |    / (count(*) * 1000000.0) AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // q46: next-fit sequence packing is prefix-dependent, so the
+    // oracle replays each group's ordered chunk scan with a recursive
+    // CTE (depth = largest group's chunk count — bounded by nGroups).
+    // Group hash is the portable masked Knuth multiplicative.
+    "q46_packed_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |         unnest(range(0, len(toks), 15)) AS st FROM t),
+        | c0 AS (SELECT doc_id, st // 15 AS chunk_id,
+        |   len(string_split(array_to_string(list_slice(toks, st + 1, st + 20), ' '),
+        |       ' '))::BIGINT AS chunk_tokens
+        | FROM s),
+        | g AS (SELECT doc_id, chunk_id, chunk_tokens,
+        |   ((((doc_id % 2147483648) * 2654435761) % 2147483648) % 32)::INT AS grp
+        | FROM c0),
+        | o AS (SELECT *, row_number() OVER (
+        |   PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn FROM g),
+        | pk AS (
+        |   SELECT grp, rn, doc_id, chunk_id, chunk_tokens,
+        |     0::BIGINT AS bin, chunk_tokens AS bin_fill
+        |   FROM o WHERE rn = 1
+        |   UNION ALL
+        |   SELECT c.grp, c.rn, c.doc_id, c.chunk_id, c.chunk_tokens,
+        |     CASE WHEN p.bin_fill + c.chunk_tokens > 50
+        |          THEN p.bin + 1 ELSE p.bin END,
+        |     CASE WHEN p.bin_fill + c.chunk_tokens > 50
+        |          THEN c.chunk_tokens ELSE p.bin_fill + c.chunk_tokens END
+        |   FROM o c JOIN pk p ON c.grp = p.grp AND c.rn = p.rn + 1)
+        |SELECT doc_id, chunk_id, chunk_tokens, grp, bin, bin_fill FROM pk
+        |ORDER BY grp, doc_id, chunk_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

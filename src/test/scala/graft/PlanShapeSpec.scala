@@ -72,4 +72,29 @@ class PlanShapeSpec extends SparkSpec {
     val df = Tables.load(spark, sf, "events").filter($"user_id" === 3)
     assert(plan(df).contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]"))
   }
+
+  test("q42: df side broadcasts — the tf table never shuffles for the idf join") {
+    val p = plan(TextStats.q42TfIdf(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q43: chunking is shuffle-free — pure per-row fan-out on the scan") {
+    val p = plan(TextStats.chunk(Tables.load(spark, sf, "documents")))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("q45: centroid aggregation is partial before the exchange") {
+    val p = plan(Curation.q45LabelCentroids(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"expected map-side partial agg:\n$p")
+  }
+
+  test("q44: non-keeper set applies as a broadcast anti-join") {
+    val df = Curation.q44Curation(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
 }
