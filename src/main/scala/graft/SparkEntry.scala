@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_curation"       -> (Curation.q44Curation _),
     "q45_label_centroids" -> (Curation.q45LabelCentroids _),
     "q46_packed_sequences" -> (SequencePacking.q46PackedSequences _),
+    "q47_followup_window" -> (RangeJoin.q47FollowUpWindow _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -460,6 +461,23 @@ object SparkEntry {
         |   FROM o c JOIN pk p ON c.grp = p.grp AND c.rn = p.rn + 1)
         |SELECT doc_id, chunk_id, chunk_tokens, grp, bin, bin_fill FROM pk
         |ORDER BY grp, doc_id, chunk_id""".stripMargin,
+    // q47: interval join — oracle states it as the plain inequality
+    // join; the engine computes it as a binned equi-join (no
+    // nested-loop, no broadcast of a whole side). Tick-quantized sums
+    // keep the double column order-independent.
+    "q47_followup_window" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        | m AS (SELECT a.event_id, count(e.event_id) AS n_follow,
+        |   coalesce(sum(CAST(round(e.value * 1000000) AS BIGINT)), 0)::DOUBLE
+        |     / 1000000.0 AS follow_value
+        | FROM a LEFT JOIN events e
+        |   ON e.user_id = a.user_id AND e.ts > a.ts
+        |  AND e.ts <= a.ts + INTERVAL 1 HOUR
+        | GROUP BY a.event_id)
+        |SELECT a.event_id, a.user_id, m.n_follow, m.follow_value
+        |FROM a JOIN m USING (event_id) ORDER BY event_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
