@@ -1,0 +1,98 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-style seeded-random checks for the round-3 kernels
+  * (plain seeded generation — the scalatest/scalacheck bridge isn't
+  * in the offline dependency cache).
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: sortedIntersectSize == set intersection, random sorted arrays") {
+    val rnd = new Random(7)
+    val cases = (1 to 200).map { _ =>
+      def arr() = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      val (a, b) = (arr(), arr())
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val bad = cases.toDF("a", "b", "want")
+      .filter(graft.functions.sortedIntersectSize($"a", $"b") =!= $"want")
+    assert(bad.isEmpty)
+  }
+
+  test("property: typed shingle co-counts == string-shingle co-counts, random texts") {
+    // small vocab + occasional double spaces / short docs stress the
+    // tokenization parity (split keeps empty tokens)
+    val rnd = new Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "")
+    val docs = (0L until 40L).map { id =>
+      val n = rnd.nextInt(12)
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = NearDup.shingleHashSets(docs)
+    val hashCo = sets.select($"doc_id".as("doc_a"), $"shs".as("sa"))
+      .crossJoin(sets.select($"doc_id".as("doc_b"), $"shs".as("sb")))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        graft.functions.sortedIntersectSize($"sa", $"sb").as("co"))
+      .filter($"co" > 0)
+    val strSh = docs
+      .select($"doc_id", explode(NearDup.shingles($"text")).as("s"))
+    val strCo = strSh.select($"s", $"doc_id".as("doc_a"))
+      .join(strSh.select($"s", $"doc_id".as("doc_b")), "s")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).cast("int").as("co"))
+    assert(hashCo.exceptAll(strCo).isEmpty && strCo.exceptAll(hashCo).isEmpty)
+  }
+
+  test("property: TopKAgg == sort-take under ties, NaN, and signed zero") {
+    val rnd = new Random(23)
+    val sims = Array(0.9, 0.5, 0.5, -0.0, 0.0, Double.NaN, -0.3)
+    val rows = for {
+      probe <- 0L until 4L
+      vec <- 0L until 30L
+    } yield (probe, vec, sims(rnd.nextInt(sims.length)))
+    val got = Similarity.topKPerProbe(
+        rows.toDF("probe_id", "vec_id", "sim"), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      rs.sortWith { case ((_, v1, s1), (_, v2, s2)) =>
+        val c = java.lang.Double.compare(
+          if (s1 == 0.0) 0.0 else s1, if (s2 == 0.0) 0.0 else s2)
+        c > 0 || (c == 0 && v1 < v2)
+      }.take(5).map(_._2)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("property: packing invariants under random chunk sizes incl. oversized") {
+    val rnd = new Random(31)
+    val chunks = (0L until 25L).flatMap { d =>
+      (0L until (1 + rnd.nextInt(6)).toLong).map { c =>
+        (d, c, (1 + rnd.nextInt(70)).toLong) // some chunks > budget 50
+      }
+    }.toDF("doc_id", "chunk_id", "chunk_tokens")
+    val packed = SequencePacking.pack(chunks, maxTokens = 50).cache()
+    assert(packed.count() == chunks.count())
+    val overfull = packed.groupBy($"grp", $"bin")
+      .agg(sum($"chunk_tokens").as("t"), count(lit(1)).as("n"))
+      .filter($"t" > 50 && $"n" > 1)
+    assert(overfull.isEmpty)
+    // within (grp, doc), bins never decrease as chunk_id increases
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp", $"doc_id").orderBy($"chunk_id")
+    val regress = packed
+      .withColumn("prev", lag($"bin", 1).over(w))
+      .filter($"prev".isNotNull && $"bin" < $"prev")
+    assert(regress.isEmpty)
+    packed.unpersist(); ()
+  }
+}
