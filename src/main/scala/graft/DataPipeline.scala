@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** End-to-end training-data pipeline over `documents` + `embeddings`
+  * — the curation flow the LLM-data operators exist for, run as one
+  * job with per-stage counts and timings:
+  *
+  *   1. curate: language allowlist ∧ quality gate ∧ near-dup keeper
+  *      (exact pair graph → connected components → min-id keeper)
+  *   2. chunk: 20-token windows, stride 15, over surviving docs
+  *   3. pack: next-fit 50-token training sequences in parallel groups
+  *   4. embed side: per-label centroids + IVF index build + a probe
+  *      batch served from pruned cells
+  *
+  * Usage: runMain graft.DataPipeline [sfDir]
+  */
+object DataPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.Sessions.local(appName = "graft-data-pipeline")
+    import spark.implicits._
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pipeline] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      r
+    }
+
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+
+    val curated = timed("curate (lang+quality+dedup)") {
+      val c = Curation.curate(docs).cache()
+      println(s"[pipeline]   docs $total -> ${c.count()} curated")
+      c
+    }
+
+    val chunks = timed("chunk (20/15 windows)") {
+      val ch = TextStats.chunk(docs.join(curated.select($"doc_id"), "doc_id"))
+        .cache()
+      println(s"[pipeline]   ${ch.count()} chunks")
+      ch
+    }
+
+    timed("pack (next-fit, 50-token)") {
+      val packed = SequencePacking.pack(chunks)
+      val bins = packed.select($"grp", $"bin").distinct().count()
+      val fill = packed.agg(sum($"chunk_tokens")).head().getLong(0)
+      println(f"[pipeline]   $bins bins, mean fill ${fill.toDouble / bins}%.1f tokens")
+    }
+
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    timed("label centroids") {
+      println(s"[pipeline]   ${Curation.labelCentroids(emb).count()} (label, dim) rows")
+    }
+
+    timed("IVF index + probe batch") {
+      val (indexed, model) = IvfIndex.buildPivots(emb)
+      val hits = IvfIndex.topK(indexed, model,
+        emb.filter($"vec_id".isin(0L, 1L, 2L)), k = 10)
+      println(s"[pipeline]   ${hits.count()} ANN results for 3 probes")
+    }
+
+    spark.stop()
+  }
+}

@@ -99,6 +99,26 @@ object Workflow {
     val n2 = spark.read.parquet(s"$workDir/state_scored").count()
     println(f"[workflow] stateful path: $n2 events in $secs2%.1f s " +
       f"(${n2 / secs2}%.0f events/s)")
+
+    // serving-layout path: same replay, but the online side is the
+    // kb-partitioned incremental merge (O(batch) rewrites) instead of
+    // the full-table MERGE — the steady-state shape at scale
+    val store2 = FeatureStore(spark, s"$workDir/store_serving",
+      "customer_id", "purchase_timestamp")
+    store2.ingest(feats)
+    val servingStream = spark.readStream
+      .schema(spark.read.parquet(eventDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventDir)
+    val t2 = System.nanoTime()
+    val q3 = InferencePipeline.run(servingStream, store2, loaded,
+      s"$workDir/scored_serving", s"$workDir/dlq_serving",
+      s"$workDir/ckpt_serving", useServing = true)
+    q3.awaitTermination()
+    val secs3 = (System.nanoTime() - t2) / 1e9
+    val n3 = spark.read.parquet(s"$workDir/scored_serving").count()
+    println(f"[workflow] serving path: $n3 events in $secs3%.1f s " +
+      f"(${n3 / secs3}%.0f events/s); serving keys=${store2.serving().count()}")
     spark.stop()
   }
 }
