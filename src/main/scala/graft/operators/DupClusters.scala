@@ -45,6 +45,15 @@ object DupClusters {
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint(true)
+    // convergence probe: labels only ever DECREASE under min-label
+    // propagation, so sum(label) is strictly monotone until fixpoint —
+    // one agg per round instead of a join-and-compare
+    // decimal accumulator: a Long sum could wrap at corpus scale and
+    // (astronomically unlikely, but) fake a fixpoint
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -56,13 +65,11 @@ object DupClusters {
           Seq("id"), "left")
         .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
         .localCheckpoint(true)
-      val shrunk = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter($"n.label" < $"o.label")
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
-      converged = shrunk == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist()
