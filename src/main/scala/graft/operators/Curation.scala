@@ -12,9 +12,12 @@ import graft.core.Tables
   * the composition contract, oracle-checked end-to-end (q44).
   *
   * Scale shape: the language/quality legs are per-row expressions on
-  * the scan (no shuffle); the dedup leg joins against the CLUSTER
-  * assignment — |dup-involved docs| rows, usually ≪ corpus — as a
-  * broadcast-able anti-join of non-keepers.
+  * the scan (no shuffle); the dedup leg anti-joins against the
+  * non-keeper set — |dup-involved docs| rows, usually ≪ corpus but
+  * corpus-PROPORTIONAL in the worst case, so the join is left
+  * unhinted: AQE broadcasts it when it measures small and falls back
+  * to a shuffle join when it doesn't (a forced broadcast here would
+  * be the q24-r1 mistake at a heavily-duplicated 100 TB corpus).
   */
 object Curation {
 
@@ -38,7 +41,7 @@ object Curation {
     docs
       .withColumn("quality", round(TextAnalysis.qualityScore($"text"), 6))
       .filter($"lang".isin(langs: _*) && $"quality" >= minQuality)
-      .join(broadcast(nonKeepers), Seq("doc_id"), "left_anti")
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"quality", $"n_chars")
   }
 

@@ -47,4 +47,14 @@ class SessionWindowSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile lands within rank error of the exact quantile") {
+    val e = Tables.load(spark, sf, "events")
+    val n = e.count()
+    // accuracy a ⇒ rank error ≤ n/a; a = 100 ⇒ ±1% of ranks
+    val approx = e.agg(percentile_approx($"value", lit(0.5), lit(100)))
+      .head().getDouble(0)
+    val rank = e.filter($"value" <= approx).count().toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.02, s"median rank off: $rank")
+  }
 }
