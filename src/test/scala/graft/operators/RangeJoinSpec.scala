@@ -25,6 +25,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(101L, 102L, 103L))
   }
 
+  test("negative coordinates (pre-epoch time) bin correctly") {
+    // interval (-25, -5] with binWidth 10 spans bins -3..-1
+    val points = Seq(
+      (1L, 200L, -25L), // == start → excluded
+      (1L, 201L, -24L), // in
+      (1L, 202L, -11L), // in (bin -2)
+      (1L, 203L, -5L),  // == end → included
+      (1L, 204L, -4L),  // past end
+    ).toDF("user_id", "pid", "pt")
+    val intervals = Seq((1L, 900L, -25L, -5L))
+      .toDF("user_id", "aid", "w_start", "w_end")
+    val got = RangeJoin.binnedFollowUpJoin(points, intervals,
+        "user_id", "pt", "w_start", "w_end", binWidth = 10L)
+      .select($"pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(201L, 202L, 203L))
+  }
+
   test("binned join equals the naive inequality join at sf") {
     val ev = graft.core.Tables.load(spark, sf, "events")
     val hour = 3600L * 1000000L
