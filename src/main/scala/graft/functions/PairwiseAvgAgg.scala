@@ -63,6 +63,9 @@ object PairwiseAvgAgg
   }
 
   override def finish(b: PairBuf): Double = {
+    if (b.n == 0) return Double.NaN // empty aggregation (e.g. a global
+    // agg over zero rows) — NaN, not a crash; SQL NULL isn't
+    // expressible through the primitive Double output encoder
     val order = (0 until b.n).sortBy(i => (b.ts(i), b.id(i)))
     var acc = b.v(order.head)
     order.tail.foreach { i => acc = (acc + b.v(i)) / 2.0 }

@@ -73,6 +73,13 @@ object DupClusters {
       iter += 1
     }
     sym.unpersist()
+    // an unconverged result is silently WRONG (split clusters, several
+    // keepers per real component) — fail loudly instead of returning it
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the propagation budget; raise maxIter " +
+          "or use a diameter-halving scheme (large-star/small-star)")
     // the result stays backed by the final round's checkpoint blocks
     // (|vertices-in-pairs| label rows); callers done with it may
     // `.unpersist()` to release them

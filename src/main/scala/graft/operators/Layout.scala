@@ -52,6 +52,18 @@ object Layout {
     * is repaired by replaying the batch — the merge is idempotent
     * (newest-wins dedup), the usual at-least-once contract.
     */
+  /** True iff `dir` holds ≥ 1 committed `kb=` partition — a bare
+    * existence probe would treat a crashed first merge's leftover
+    * `_temporary` dir as a table and wedge the replay-repair path on
+    * an unreadable (schema-less) directory.
+    */
+  def hasCommittedBuckets(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("kb="))
+  }
+
   def mergeBucketPartitioned(dir: String, batch: DataFrame,
       keyCol: String, orderCols: Seq[String], nBuckets: Int): Unit = {
     val spark = batch.sparkSession
@@ -59,10 +71,8 @@ object Layout {
     val b = batch.withColumn("kb", keyBucket(keyCol, nBuckets))
     if (b.isEmpty) return // no touched buckets — a write would leave
                           // an empty (schema-less) partition root
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
-      if (!fs.exists(new Path(dir))) b
+      if (!hasCommittedBuckets(spark, dir)) b
       else {
         val touched = b.select($"kb").distinct().as[Int].collect().toSeq
         val cur = spark.read.parquet(dir)
@@ -82,13 +92,19 @@ object Layout {
 
   /** Partition-pruned point lookup against a
     * [[mergeBucketPartitioned]] table: the filter pins `kb`, so the
-    * scan lists exactly one bucket directory.
+    * scan lists exactly one bucket directory. The key literal is cast
+    * to the STORED key column's type before hashing — xxhash64 hashes
+    * an Int and a Long to different values, so an uncast
+    * `getServingRecord(42)` against a Long-keyed table would pin the
+    * wrong bucket and silently return nothing.
     */
   def bucketLookup(spark: SparkSession, dir: String, keyCol: String,
-      keyValue: Column, nBuckets: Int): DataFrame =
-    spark.read.parquet(dir)
-      .filter(col("kb") === pmod(xxhash64(keyValue), lit(nBuckets.toLong))
-        .cast("int") && col(keyCol) === keyValue)
+      keyValue: Column, nBuckets: Int): DataFrame = {
+    val table = spark.read.parquet(dir)
+    val k = keyValue.cast(table.schema(keyCol).dataType)
+    table.filter(col("kb") === pmod(xxhash64(k), lit(nBuckets.toLong))
+      .cast("int") && col(keyCol) === k)
+  }
 
   /** Salted aggregation for skewed keys: two-phase group-by. Phase 1
     * groups on (key, salt) — the hot key's rows spread over

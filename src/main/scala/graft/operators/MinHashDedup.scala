@@ -46,13 +46,17 @@ object MinHashDedup {
     * numBands·rowsPerBand permutation minima.
     */
   def bandKeys(docs: DataFrame, numBands: Int, rowsPerBand: Int,
-      seed: Long): DataFrame = {
-    import docs.sparkSession.implicits._
+      seed: Long): DataFrame =
+    bandKeysOf(shingleHashes(docs), numBands, rowsPerBand, seed)
+
+  private def bandKeysOf(sets: DataFrame, numBands: Int,
+      rowsPerBand: Int, seed: Long): DataFrame = {
+    import sets.sparkSession.implicits._
     val numHashes = numBands * rowsPerBand
     val rnd = new Random(seed)
     val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
     val cs = Array.fill(numHashes)(rnd.nextLong())
-    shingleHashes(docs).as[(Long, Array[Long])]
+    sets.as[(Long, Array[Long])]
       .mapPartitions(_.map { case (id, shs) =>
         val bands = new Array[Long](numBands)
         var b = 0
@@ -91,9 +95,14 @@ object MinHashDedup {
     */
   def candidatePairs(docs: DataFrame, numBands: Int = 24,
       rowsPerBand: Int = 1, seed: Long = 42L,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    import docs.sparkSession.implicits._
-    val posting = bandKeys(docs, numBands, rowsPerBand, seed)
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    candidatePairsOf(shingleHashes(docs), numBands, rowsPerBand, seed,
+      maxBucket)
+
+  private def candidatePairsOf(sets: DataFrame, numBands: Int,
+      rowsPerBand: Int, seed: Long, maxBucket: Int): DataFrame = {
+    import sets.sparkSession.implicits._
+    val posting = bandKeysOf(sets, numBands, rowsPerBand, seed)
       .select($"doc_id", posexplode($"bands"))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
     val lists = posting.groupBy($"band", $"key")
@@ -124,8 +133,11 @@ object MinHashDedup {
       numBands: Int = 24, rowsPerBand: Int = 1, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
-    val sets = shingleHashes(docs)
-    candidatePairs(docs, numBands, rowsPerBand, seed, maxBucket)
+    // pin the sets once: band keys + both verify-join sides would
+    // otherwise each re-run the shingle hash pass (same rationale as
+    // NearDup.jaccardPairsDfCut)
+    val sets = shingleHashes(docs).localCheckpoint(true)
+    candidatePairsOf(sets, numBands, rowsPerBand, seed, maxBucket)
       .join(sets.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(sets.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
       // sorted-merge intersect (codegen'd native expression): the

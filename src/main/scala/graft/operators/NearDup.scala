@@ -136,8 +136,12 @@ object NearDup {
   def jaccardPairsDfCut(docs: DataFrame, minJaccard: Double,
       dfCut: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val shAll = shingleHashSets(docs)
-      .select($"doc_id", explode($"shs").as("sh"))
+    // pin the hash sets: counts + both self-join sides would otherwise
+    // each re-run the tokenize+hash+sort pass (3× the dominant per-row
+    // cost — the two join sides' differing projections defeat exchange
+    // reuse). ~16 bytes/shingle of block storage, released with the JVM.
+    val sets = shingleHashSets(docs).localCheckpoint(true)
+    val shAll = sets.select($"doc_id", explode($"shs").as("sh"))
     val sh =
       if (dfCut == Int.MaxValue) shAll
       else {
@@ -145,7 +149,12 @@ object NearDup {
           .filter($"df" > dfCut).select($"sh")
         shAll.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts =
+      if (dfCut == Int.MaxValue)
+        // no cut ⇒ per-doc kept-shingle count is just the set size —
+        // no explode, no shuffle
+        sets.select($"doc_id", size($"shs").cast("long").as("n"))
+      else sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // pair generation: plain postings self-join on the shingle hash —
     // fully codegen'd (the grouped array-lambda emission used before
     // falls out of whole-stage codegen and materializes per-shingle

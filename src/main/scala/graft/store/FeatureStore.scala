@@ -50,9 +50,17 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   private var seqCounter: Long = -1L
   private def nextSeq(): Long = {
     if (seqCounter < 0L)
+      // recover from WHICHEVER store carries sequence state: a store
+      // used only via mergeServing has no offline dir, and restarting
+      // the counter at 0 there would invert the (ts, _seq) newest-wins
+      // tie-break against surviving serving rows
       seqCounter =
-        if (!exists) 0L
-        else offline().agg(max(col(seqCol))).head().getLong(0) + 1L
+        if (exists)
+          offline().agg(max(col(seqCol))).head().getLong(0) + 1L
+        else if (servingInitialized)
+          spark.read.parquet(servingDir)
+            .agg(max(col(seqCol))).head().getLong(0) + 1L
+        else 0L
     val s = seqCounter
     seqCounter += 1L
     s
@@ -220,6 +228,15 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * hash into. Newest-`(event_time, _seq)`-wins, same MERGE
     * semantics as the versioned table; idempotent, so at-least-once
     * batch replay repairs a crashed multi-bucket commit.
+    *
+    * ISOLATION CAVEAT (vs the versioned online table, which keeps the
+    * previous committed version for in-flight readers): a bucket
+    * merge replaces that bucket's files IN PLACE, so a reader that
+    * planned its scan just before a merge of the same bucket commits
+    * can hit deleted files. Single writer is assumed; concurrent
+    * reads during a merge of the same bucket need
+    * `spark.sql.files.ignoreMissingFiles` + retry, or the versioned
+    * [[online]] table where strict read isolation matters.
     */
   def mergeServing(df: DataFrame): Unit = {
     val stamped = df.withColumn(seqCol, lit(nextSeq()))

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Intege
   * Precondition: both inputs sorted ascending with distinct elements
   * (the shape [[graft.operators.NearDup.shingleHashSets]] emits).
   * Duplicates would count min-multiplicity matches; unsorted input
-  * gives an undercount — callers own the contract.
+  * gives an undercount — callers own the contract. NULL elements are
+  * skipped during the merge and counted as one match iff BOTH sides
+  * contain one — `size(array_intersect(…))` semantics (null equals
+  * null there) — rather than being read as garbage zeros.
   */
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -37,13 +40,20 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
+    var nullA = false; var nullB = false
     while (i < nx && j < ny) {
-      val xa = x.getLong(i); val yb = y.getLong(j)
-      if (xa < yb) i += 1
-      else if (xa > yb) j += 1
-      else { c += 1; i += 1; j += 1 }
+      if (x.isNullAt(i)) { nullA = true; i += 1 }
+      else if (y.isNullAt(j)) { nullB = true; j += 1 }
+      else {
+        val xa = x.getLong(i); val yb = y.getLong(j)
+        if (xa < yb) i += 1
+        else if (xa > yb) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
-    c
+    while (i < nx) { if (x.isNullAt(i)) nullA = true; i += 1 }
+    while (j < ny) { if (y.isNullAt(j)) nullB = true; j += 1 }
+    if (nullA && nullB) c + 1 else c
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,17 +65,26 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xa = ctx.freshName("xa")
       val yb = ctx.freshName("yb")
+      val na = ctx.freshName("nullA")
+      val nb = ctx.freshName("nullB")
       s"""
          |int $nx = $a.numElements(), $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
+         |boolean $na = false, $nb = false;
          |while ($i < $nx && $j < $ny) {
-         |  long $xa = $a.getLong($i);
-         |  long $yb = $b.getLong($j);
-         |  if ($xa < $yb) { $i++; }
-         |  else if ($xa > $yb) { $j++; }
-         |  else { $c++; $i++; $j++; }
+         |  if ($a.isNullAt($i)) { $na = true; $i++; }
+         |  else if ($b.isNullAt($j)) { $nb = true; $j++; }
+         |  else {
+         |    long $xa = $a.getLong($i);
+         |    long $yb = $b.getLong($j);
+         |    if ($xa < $yb) { $i++; }
+         |    else if ($xa > $yb) { $j++; }
+         |    else { $c++; $i++; $j++; }
+         |  }
          |}
-         |${ev.value} = $c;
+         |while ($i < $nx) { if ($a.isNullAt($i)) $na = true; $i++; }
+         |while ($j < $ny) { if ($b.isNullAt($j)) $nb = true; $j++; }
+         |${ev.value} = ($na && $nb) ? $c + 1 : $c;
        """.stripMargin
     })
 

@@ -64,6 +64,22 @@ class ShinglingSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("sortedIntersectSize: null elements follow array_intersect semantics") {
+    // null counts as a common element iff present on BOTH sides —
+    // and is never read as a garbage zero
+    val cases = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(2L, CAST(NULL AS BIGINT)), array(0L, 2L), 1),
+        |  (array(CAST(NULL AS BIGINT)), array(CAST(NULL AS BIGINT)), 1),
+        |  (array(CAST(NULL AS BIGINT), 7L), array(CAST(NULL AS BIGINT), 7L), 2),
+        |  (array(0L), array(CAST(NULL AS BIGINT)), 0)
+        |  AS t(a, b, want)""".stripMargin)
+    import org.apache.spark.sql.functions.col
+    val bad = cases.filter(
+      graft.functions.sortedIntersectSize(col("a"), col("b")) =!= col("want"))
+    assert(bad.isEmpty)
+  }
+
   test("minhash missedPairs diagnostic: empty at sf (no banding misses)") {
     val docs = Tables.load(spark, sf, "documents")
     assert(MinHashDedup.missedPairs(docs).isEmpty)

@@ -127,6 +127,33 @@ class StoreServingSpec extends SparkSpec {
     assert(runMode(useServing = true) == runMode(useServing = false))
   }
 
+  test("seq counter recovers from the serving table after a restart") {
+    val dir = Files.createTempDirectory("fs-serving").toString
+    val s1 = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    val t0 = ts("2024-01-01 00:00:00")
+    s1.mergeServing(Seq((1L, t0, 1.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    s1.mergeServing(Seq((1L, t0, 2.0)) // same ts — _seq breaks the tie
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    // "restart": a fresh store instance over the same path (no offline
+    // dir exists — serving-only usage). A reset counter would stamp
+    // _seq 0 and lose to the stored _seq 1 row.
+    val s2 = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    s2.mergeServing(Seq((1L, t0, 3.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    assert(s2.serving().head().getDouble(2) == 3.0)
+  }
+
+  test("point lookup with an Int literal against a Long key still hits") {
+    val s = freshStore()
+    s.mergeServing(Seq((42L, ts("2024-01-01 00:00:00"), 4.2))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    // Int 42 must hash to the same bucket as the stored Long 42
+    assert(s.getServingRecord(42).head().getDouble(2) == 4.2)
+  }
+
   test("serving merge is idempotent (at-least-once replay safe)") {
     val s = freshStore()
     val batch = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
