@@ -67,6 +67,9 @@ object SparkEntry {
     "q45_label_centroids" -> (Curation.q45LabelCentroids _),
     "q46_packed_sequences" -> (SequencePacking.q46PackedSequences _),
     "q47_followup_window" -> (RangeJoin.q47FollowUpWindow _),
+    "q48_split_assign"   -> (Curation.q48SplitAssign _),
+    "q49_top_quality_per_lang" -> (Curation.q49TopQualityPerLang _),
+    "q50_bigram_stats"   -> (TextStats.q50BigramStats _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -478,6 +481,43 @@ object SparkEntry {
         | GROUP BY a.event_id)
         |SELECT a.event_id, a.user_id, m.n_follow, m.follow_value
         |FROM a JOIN m USING (event_id) ORDER BY event_id""".stripMargin,
+    "q48_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN (((doc_id % 2147483648) * 2654435761) % 2147483648) % 100 < 80
+        |       THEN 'train'
+        |       WHEN (((doc_id % 2147483648) * 2654435761) % 2147483648) % 100 < 90
+        |       THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q49: ranking on the ROUNDED quality (q22's exact-round contract)
+    // with doc_id tie-break — both engines order identical numbers.
+    "q49_top_quality_per_lang" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |  (1.0 - len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','an','and','of','to','in','is','on','for')))::DOUBLE
+        |       / len(string_split(text, ' '))) * 0.3 +
+        |  least(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |       / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3, 6) AS quality
+        |  FROM documents)
+        |SELECT lang, doc_id, quality FROM q
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY quality DESC, doc_id) <= 3
+        |ORDER BY lang, quality DESC, doc_id""".stripMargin,
+    // q50: counts are exact integers; c1 cast to BIGINT (DuckDB
+    // sum(BIGINT) widens to HUGEINT — the q13 lesson); p is one
+    // double division on identical integers.
+    "q50_bigram_stats" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |     i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        |   FROM t WHERE len(toks) >= 2),
+        | c12 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c12
+        |   FROM b GROUP BY 1, 2),
+        | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1)
+        |SELECT w1, w2, c12, c1, c12::DOUBLE / c1 AS p
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -78,4 +78,48 @@ object Curation {
     labelCentroids(Tables.load(spark, dir, "embeddings"))
       .orderBy($"label", $"dim")
   }
+
+  /** Deterministic train/valid/test assignment by key hash — the
+    * reproducible split every training pipeline needs: no sampling
+    * state, no shuffle, re-runnable on any engine (masked-Knuth hash
+    * in plain BIGINT arithmetic), stable under corpus growth (a doc's
+    * split never changes as others arrive). `cuts` are cumulative
+    * percentages, e.g. (80, 90) → 80/10/10.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+      cuts: (Int, Int) = (80, 90)): DataFrame = {
+    val h = (((col(keyCol) % lit(2147483648L)) * lit(2654435761L))
+      % lit(2147483648L)) % lit(100L)
+    df.withColumn("split",
+      when(h < cuts._1, "train")
+        .when(h < cuts._2, "valid")
+        .otherwise("test"))
+  }
+
+  /** Q48 — split assignment over `documents`. */
+  def q48SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assignSplits(Tables.load(spark, dir, "documents"), "doc_id")
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** Q49 — top-3 quality docs per language via the bounded-heap
+    * grouped top-k ([[Similarity.topKPerProbe]] — partial agg before
+    * the shuffle). Docs-per-language is corpus-proportional, so a
+    * per-lang `row_number` window would be the q16-r1 single-reducer
+    * shape; the aggregate form ships ≤ k rows per (partition, lang).
+    * Quality is rounded before ranking so both engines order the
+    * same numbers.
+    */
+  def q49TopQualityPerLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.load(spark, dir, "documents")
+      .select($"lang".as("probe_id"), $"doc_id".as("vec_id"),
+        round(TextAnalysis.qualityScore($"text"), 6).as("sim"))
+    Similarity.topKPerProbe(scored, k = 3)
+      .select($"probe_id".as("lang"), $"vec_id".as("doc_id"),
+        $"sim".as("quality"))
+      .orderBy($"lang", $"quality".desc, $"doc_id")
+  }
 }

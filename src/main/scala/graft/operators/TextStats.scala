@@ -119,6 +119,35 @@ object TextStats {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Bigram occurrence stats — the count side of an n-gram language
+    * model: c(w1 w2), c(w1 ·) and the conditional p(w2|w1) =
+    * c12/c1. Counts are exact integers (both aggs are plain sums),
+    * and the probability is one double division on identical
+    * integers — deterministic in any engine.
+    */
+  def bigramStats(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = tokens($"text")
+    val bi = docs
+      .select(explode(when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    c12.join(c1, "w1")
+      .select($"w1", $"w2", $"c12", $"c1",
+        ($"c12".cast("double") / $"c1").as("p"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(topK)
+  }
+
+  /** Q50 — top-50 bigrams with conditional probabilities. */
+  def q50BigramStats(spark: SparkSession, dir: String): DataFrame =
+    bigramStats(Tables.load(spark, dir, "documents"))
+
   /** Q17 — per-document token/length/stopword stats. */
   def q17TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
