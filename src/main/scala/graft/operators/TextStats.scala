@@ -128,7 +128,9 @@ object TextStats {
   def bigramStats(docs: DataFrame, topK: Int = 50): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = tokens($"text")
-    val bi = docs
+    // fan out: the interpreted per-token struct build would otherwise
+    // run on a single-file scan's one partition
+    val bi = graft.core.Parallel.fan(docs)
       .select(explode(when(size(toks) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(transform(sequence(lit(0), size(toks) - 2),
