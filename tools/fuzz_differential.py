@@ -92,8 +92,23 @@ def gen_setop_query(rnd):
             f"ORDER BY k")
 
 
+def gen_subquery_query(rnd):
+    # correlated EXISTS / IN probes (the q5 semi/anti-join family)
+    neg = rnd.choice(["", "NOT "])
+    bal = round(rnd.uniform(-500, 5000), 2)
+    if rnd.random() < 0.5:
+        return (f"SELECT count(*) AS n FROM orders WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM customer WHERE c_custkey = o_custkey "
+                f"AND c_acctbal > {bal})")
+    lo = rnd.randint(0, 80)
+    return (f"SELECT count(*) AS n FROM events WHERE user_id {neg}IN "
+            f"(SELECT user_id FROM events WHERE value < {lo})")
+
+
 def gen_query(rnd):
     r = rnd.random()
+    if r < 0.12:
+        return gen_subquery_query(rnd)
     if r < 0.15:
         return gen_join_query(rnd)
     if r < 0.30:
