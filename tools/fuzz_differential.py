@@ -107,15 +107,17 @@ def gen_subquery_query(rnd):
 
 def gen_query(rnd):
     r = rnd.random()
-    if r < 0.12:
+    # keep join coverage at ~15% — inserting the subquery branch must
+    # shift every later threshold, not eat the join band
+    if r < 0.10:
         return gen_subquery_query(rnd)
-    if r < 0.15:
+    if r < 0.25:
         return gen_join_query(rnd)
-    if r < 0.30:
+    if r < 0.38:
         return gen_window_query(rnd)
-    if r < 0.40:
+    if r < 0.46:
         return gen_rollup_query(rnd)
-    if r < 0.48:
+    if r < 0.54:
         return gen_setop_query(rnd)
     t = rnd.choice(list(TABLES))
     cols = TABLES[t]
