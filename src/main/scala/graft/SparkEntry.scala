@@ -70,6 +70,10 @@ object SparkEntry {
     "q48_split_assign"   -> (Curation.q48SplitAssign _),
     "q49_top_quality_per_lang" -> (Curation.q49TopQualityPerLang _),
     "q50_bigram_stats"   -> (TextStats.q50BigramStats _),
+    "q51_contamination"  -> (Contamination.q51Contamination _),
+    "q52_repetition"     -> (TextStats.q52Repetition _),
+    "q53_quantiles"      -> (Profiling.q53Quantiles _),
+    "q54_lm_score"       -> (LmScore.q54LmScore _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -518,6 +522,76 @@ object SparkEntry {
         |SELECT w1, w2, c12, c1, c12::DOUBLE / c1 AS p
         |FROM c12 JOIN c1 USING (w1)
         |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q51: n-gram overlap counts are exact integers over distinct
+    // 8-gram sets; the Spark side joins on a 64-bit shingle hash
+    // (collision odds ~|shingles|²/2⁶⁴ — the q18 contract).
+    "q51_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 6),
+        |     i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |   FROM t WHERE len(toks) >= 8)
+        |SELECT a.doc_id AS doc_id,
+        |  count(DISTINCT a.s)::BIGINT AS n_shared,
+        |  count(DISTINCT b.doc_id)::BIGINT AS n_bench_docs
+        |FROM sh a JOIN sh b ON a.s = b.s
+        |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q52: every count is an exact integer from per-doc token/bigram
+    // tallies; ratios are single divisions of those integers.
+    "q52_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | tok AS (SELECT doc_id, count(*) AS c FROM
+        |     (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        | tc AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |     count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_tok
+        |   FROM tok GROUP BY doc_id),
+        | bg AS (SELECT doc_id, count(*) AS c FROM
+        |     (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS b
+        |      FROM t WHERE len(toks) >= 2) GROUP BY doc_id, b),
+        | bc AS (SELECT doc_id, max(c)::BIGINT AS top_bigram FROM bg GROUP BY doc_id)
+        |SELECT tc.doc_id, n_tokens, n_distinct, top_tok,
+        |  coalesce(top_bigram, 0) AS top_bigram,
+        |  n_distinct::DOUBLE / n_tokens AS distinct_ratio,
+        |  top_tok::DOUBLE / n_tokens AS top_tok_frac,
+        |  CASE WHEN n_tokens > 1
+        |    THEN coalesce(top_bigram, 0)::DOUBLE / (n_tokens - 1) END
+        |    AS top_bigram_frac
+        |FROM tc LEFT JOIN bc USING (doc_id) ORDER BY tc.doc_id""".stripMargin,
+    // q53: Spark `percentile` and DuckDB `quantile_cont` share the
+    // (n−1)·q linear-interpolation definition on exact BIGINTs;
+    // floats rounded to 6 as the stable contract.
+    "q53_quantiles" ->
+      """SELECT source, count(*) AS n,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q54: each bigram's log-prob is quantized once to 1e-6 BIGINT
+    // ticks (round-half-away in both engines); per-doc accumulation
+    // is then exact integer arithmetic — order-independent. BIGINT
+    // casts on sums = the q13 HUGEINT lesson.
+    "q54_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | db AS (SELECT doc_id, b[1] AS w1, b[2] AS w2, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> [toks[i], toks[i+1]])) AS b
+        |         FROM t WHERE len(toks) >= 2)
+        |   GROUP BY 1, 2, 3),
+        | c12 AS (SELECT w1, w2, sum(c)::BIGINT AS c12 FROM db GROUP BY 1, 2),
+        | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        | v AS (SELECT count(DISTINCT w) AS v
+        |   FROM (SELECT unnest(toks) AS w FROM t)),
+        | lm AS (SELECT w1, w2,
+        |     round(ln((c12 + 1)::DOUBLE / (c1 + v)) * 1e6)::BIGINT AS tick
+        |   FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |  round(-(sum(c * tick)::DOUBLE) / (sum(c)::BIGINT * 1e6), 6) AS nll
+        |FROM db JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Benchmark decontamination — flag training docs that share long
+  * token n-grams with an evaluation/benchmark set, the standard
+  * pre-training hygiene pass (n-gram overlap decontamination as
+  * described in public LM training reports; 8-grams long enough that
+  * chance collisions are negligible, short enough to catch partial
+  * copies).
+  *
+  * Scale shape: both sides reduce to distinct-shingle postings
+  * ([[NearDup.shingleHashSets]] — typed loop, 8-byte hashes), and the
+  * overlap is one equi-join on the hash followed by a per-doc
+  * partial+final agg. The benchmark side is usually tiny (eval sets
+  * are MBs against a 100 TB corpus) so AQE broadcasts it; nothing in
+  * the plan is all-pairs, and the corpus is touched exactly once.
+  * Against a pathological benchmark with hot shingles, the same
+  * df-cut used by [[NearDup.jaccardPairsDfCut]] applies.
+  *
+  * Reference scope: the reference pipeline has no decontamination
+  * stage; this extends the curation family (`SURVEY.md` §2.13) for
+  * the training-data use-case the engine targets.
+  */
+object Contamination {
+
+  /** Corpus docs (doc_id % benchMod ≠ 0) sharing ≥ 1 distinct
+    * n-gram with any benchmark doc (doc_id % benchMod = 0):
+    * (doc_id, n_shared distinct shingles, n_bench_docs hit).
+    */
+  def contaminated(docs: DataFrame, n: Int = 8,
+      benchMod: Long = 10L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sets = NearDup.shingleHashSets(docs, n)
+    val bench = sets.filter($"doc_id" % benchMod === 0)
+      .select($"doc_id".as("bench_id"), explode($"shs").as("sh"))
+    val corpus = sets.filter($"doc_id" % benchMod =!= 0)
+      .select($"doc_id", explode($"shs").as("sh"))
+    corpus.join(bench, "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+  }
+
+  /** Q51 — 8-gram contamination of `documents` against the held-out
+    * tenth (doc_id % 10 = 0) as the stand-in benchmark set.
+    */
+  def q51Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contaminated(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+}

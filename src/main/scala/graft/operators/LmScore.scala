@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-LM document scoring — the CCNet-style quality signal from
+  * public data-curation literature: score every document by its mean
+  * negative log-likelihood under a bigram language model fit on the
+  * corpus itself (add-one smoothing). Low-perplexity ≈ fluent /
+  * in-distribution; high ≈ noise, boilerplate, or wrong-language —
+  * the filter threshold is a downstream policy choice.
+  *
+  * Determinism contract (the q10 lesson, via the labelCentroids
+  * trick): each bigram's log-probability is quantized ONCE to 1e-6
+  * ticks as a BIGINT; per-doc accumulation is then exact integer
+  * arithmetic, so the result is identical under any aggregation
+  * order or engine. The only float ops are one division and one
+  * `ln` per DISTINCT bigram — both correctly rounded in Spark and
+  * DuckDB.
+  *
+  * Scale shape: per-doc bigram counts come from one typed
+  * per-partition loop (no shuffle); the LM is two partial+final
+  * aggs over those counts (|vocab²| rows, NOT |tokens|); scoring is
+  * one equi-join of doc-bigrams against the LM — AQE broadcasts the
+  * LM while it is small (bounded vocab) and falls back to a shuffle
+  * join for open-vocabulary corpora. No driver collect anywhere.
+  */
+object LmScore {
+
+  /** Per-document bigram counts (doc_id, w1, w2, c) — typed loop,
+    * one hash map per doc, emitted pre-aggregated so downstream
+    * shuffles carry distinct bigrams, not occurrences.
+    */
+  def docBigramCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.core.Parallel.fan(docs)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val m = new java.util.HashMap[(String, String), Array[Long]]()
+        if (text != null) {
+          val toks = text.split(" ", -1)
+          var i = 0
+          while (i < toks.length - 1) {
+            val k = (toks(i), toks(i + 1))
+            val c = m.get(k)
+            if (c == null) m.put(k, Array(1L)) else c(0) += 1L
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala
+          .map(e => (id, e.getKey._1, e.getKey._2, e.getValue()(0)))
+      })
+      .toDF("doc_id", "w1", "w2", "c")
+  }
+
+  /** Mean bigram NLL per doc under the corpus add-one bigram LM:
+    * p(w2|w1) = (c12 + 1) / (c1 + V). Docs with < 2 tokens have no
+    * bigrams and drop out (none exist in the driver corpus).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // pinned: the LM aggs and the scoring join would otherwise each
+    // re-run the tokenize+count pass
+    val db = docBigramCounts(docs).localCheckpoint(true)
+    val c12 = db.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val vocab = docs
+      .select(explode(TextStats.tokens($"text")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select($"w1", $"w2",
+        round(log(($"c12" + 1).cast("double") / ($"c1" + $"v")) * 1e6)
+          .cast("long").as("tick"))
+    db.join(lm, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), sum($"c" * $"tick").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round(-$"s".cast("double") / ($"n_bigrams" * 1e6), 6).as("nll"))
+  }
+
+  /** Q54 — corpus-LM NLL score per document. */
+  def q54LmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lmScore(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+}

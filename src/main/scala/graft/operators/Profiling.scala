@@ -28,6 +28,32 @@ object Profiling {
         countDistinct($"event_type").as("n_types"))
   }
 
+  /** Q53 — exact per-source length quantiles over `documents`:
+    * the distribution summary a curation pipeline thresholds on
+    * (truncation budgets, length filters). `percentile` is the exact
+    * linear-interpolation quantile — identical definition
+    * ((n−1)·q rank) in Spark and DuckDB `quantile_cont`, computed on
+    * exact BIGINT inputs, so the doubles agree; rounded to 6 as the
+    * stable float contract. One partial+final agg pass; exact
+    * quantiles hold sorted per-group state, so at 100 TB per-group
+    * cardinality this switches to `approx_percentile` (t-digest,
+    * mergeable fixed-size sketch) — same call shape, documented
+    * trade.
+    */
+  def q53Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"n_chars"), 6).as("mean_chars"),
+        round(percentile($"n_chars", lit(0.25)), 6).as("p25"),
+        round(percentile($"n_chars", lit(0.5)), 6).as("p50"),
+        round(percentile($"n_chars", lit(0.75)), 6).as("p75"),
+        round(percentile($"n_chars", lit(0.9)), 6).as("p90"))
+      .orderBy($"source")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions with a
     * fixed seed (`sampleBy` = per-row Bernoulli keyed on the stratum —
     * no shuffle, exact-fraction in expectation). Training pipelines

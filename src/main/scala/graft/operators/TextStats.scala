@@ -168,6 +168,62 @@ object TextStats {
   def q50BigramStats(spark: SparkSession, dir: String): DataFrame =
     bigramStats(Tables.load(spark, dir, "documents"))
 
+  /** Per-document repetition diagnostics — the Gopher-rules family of
+    * repetitiveness filters from public LM data-curation reports:
+    * distinct-token ratio, top-token fraction, top-bigram fraction.
+    * Templated/looping text scores high and gets filtered before
+    * training.
+    *
+    * Typed per-partition loop (two small hash maps per doc, reused
+    * across rows) — per-row compute only, no shuffle before the
+    * final sort; every derived ratio is a single division of exact
+    * integers, so any engine computes identical doubles.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.core.Parallel.fan(docs)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val tok = new java.util.HashMap[String, Array[Long]]()
+        val bg = new java.util.HashMap[(String, String), Array[Long]]()
+        it.map { case (id, text) =>
+          tok.clear(); bg.clear()
+          val toks = text.split(" ", -1)
+          var i = 0
+          while (i < toks.length) {
+            val c = tok.get(toks(i))
+            if (c == null) tok.put(toks(i), Array(1L)) else c(0) += 1L
+            if (i < toks.length - 1) {
+              val k = (toks(i), toks(i + 1))
+              val c2 = bg.get(k)
+              if (c2 == null) bg.put(k, Array(1L)) else c2(0) += 1L
+            }
+            i += 1
+          }
+          var topTok = 0L
+          tok.values.forEach(c => if (c(0) > topTok) topTok = c(0))
+          var topBg = 0L
+          bg.values.forEach(c => if (c(0) > topBg) topBg = c(0))
+          (id, toks.length.toLong, tok.size.toLong, topTok, topBg)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "top_tok", "top_bigram")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_tok",
+        $"top_bigram",
+        ($"n_distinct".cast("double") / $"n_tokens").as("distinct_ratio"),
+        ($"top_tok".cast("double") / $"n_tokens").as("top_tok_frac"),
+        when($"n_tokens" > 1,
+          $"top_bigram".cast("double") / ($"n_tokens" - 1))
+          .as("top_bigram_frac"))
+  }
+
+  /** Q52 — repetition diagnostics over `documents`. */
+  def q52Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repetitionStats(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+
   /** Q17 — per-document token/length/stopword stats. */
   def q17TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

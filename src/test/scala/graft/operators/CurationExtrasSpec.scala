@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Round-4 curation additions: decontamination (q51), repetition
+  * diagnostics (q52), exact quantiles (q53), corpus-LM scoring (q54).
+  */
+class CurationExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminated: planted 8-gram copy is flagged; clean docs are not") {
+    // bench doc 10 shares an exact 8-token run with corpus doc 1;
+    // doc 2 shares only shorter runs; doc 3 is disjoint
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (10L, s"pre $run post extra tail words here"),
+      (1L, s"other lead-in $run completely different ending"),
+      (2L, "w1 w2 w3 w4 pause w5 w6 w7 w8 pause"),
+      (3L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val got = Contamination.contaminated(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == ((1L, 1L)))
+  }
+
+  test("contaminated: multi-gram, multi-bench counts") {
+    // doc 1 shares a 9-token run with bench 10 (→ two distinct
+    // 8-grams) and an 8-token run with bench 20 (→ one more)
+    val nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    val eight = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (10L, s"x y $nine z"),
+      (20L, s"$eight q r s t u v w"),
+      (1L, s"$nine gap gap $eight")).toDF("doc_id", "text")
+    val got = Contamination.contaminated(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 2L)))
+  }
+
+  test("repetitionStats: hand-computed counts and ratios") {
+    val docs = Seq(
+      (1L, "a a a b"),        // top token a×3, top bigram (a,a)×2
+      (2L, "x"),              // single token: no bigrams
+      (3L, "p q p q p")).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3), d1.getLong(4))
+      == ((4L, 2L, 3L, 2L)))
+    assert(d1.getDouble(5) == 0.5 && d1.getDouble(6) == 0.75)
+    assert(d1.getDouble(7) == 2.0 / 3)
+    val d2 = got(2L)
+    assert((d2.getLong(1), d2.getLong(4)) == ((1L, 0L)))
+    assert(d2.isNullAt(7)) // top_bigram_frac undefined at 1 token
+    val d3 = got(3L)
+    assert((d3.getLong(3), d3.getLong(4)) == ((3L, 2L))) // p×3, (p,q)×2
+  }
+
+  test("q53 quantiles: linear interpolation against a hand case") {
+    // percentile([10,20,30,40], .25) = 10 + .75*(20-10) = 17.5
+    val df = Seq(("s", 10L), ("s", 20L), ("s", 30L), ("s", 40L))
+      .toDF("source", "n_chars")
+    val r = df.groupBy($"source")
+      .agg(percentile($"n_chars", lit(0.25)).as("p25"),
+        percentile($"n_chars", lit(0.5)).as("p50"))
+      .head()
+    assert(r.getDouble(1) == 17.5 && r.getDouble(2) == 25.0)
+  }
+
+  test("lmScore: hand-computed add-one bigram NLL") {
+    // corpus: "a b" ×2 and "a c". V = 3 (a, b, c).
+    // c(a·)=3: p(b|a) = (2+1)/(3+3) = .5 ; p(c|a) = (1+1)/6 = 1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = LmScore.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nllB = math.rint(math.log(0.5) * 1e6) / 1e6
+    val nllC = math.rint(math.log(1.0 / 3) * 1e6) / 1e6
+    assert(got(1L)._1 == 1L && got(1L)._2 == -BigDecimal(nllB)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(3L)._2 == -BigDecimal(nllC)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("lmScore: repeated bigrams weight the average by count") {
+    // doc "a a a": bigram (a,a)×2; corpus adds "a b" so p(a|a) is
+    // not degenerate. V=2; c(a·)=3; p(a|a)=(2+1)/(3+2)=.6
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = LmScore.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 2L)
+    val tick = math.rint(math.log(0.6) * 1e6)
+    val want = BigDecimal(-2 * tick / (2 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == want)
+  }
+}
