@@ -74,6 +74,8 @@ object SparkEntry {
     "q52_repetition"     -> (TextStats.q52Repetition _),
     "q53_quantiles"      -> (Profiling.q53Quantiles _),
     "q54_lm_score"       -> (LmScore.q54LmScore _),
+    "q55_incremental_dedup" -> (Dedup.q55IncrementalDedup _),
+    "q56_int8_quantize"  -> (Quantize.q56Int8Quantize _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -592,6 +594,39 @@ object SparkEntry {
         |  round(-(sum(c * tick)::DOUBLE) / (sum(c)::BIGINT * 1e6), 6) AS nll
         |FROM db JOIN lm USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q55: sha-256 hex is identical across engines; the split point
+    // (max(doc_id)+1)/2 is exact integer arithmetic.
+    "q55_incremental_dedup" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+        | old AS (SELECT DISTINCT sha256(text) AS content_hash
+        |   FROM documents, cut WHERE doc_id < c),
+        | batch AS (SELECT doc_id, sha256(text) AS content_hash
+        |   FROM documents, cut WHERE doc_id >= c)
+        |SELECT min(doc_id)::BIGINT AS doc_id, content_hash,
+        |  count(*)::BIGINT AS dup_count
+        |FROM batch ANTI JOIN old USING (content_hash)
+        |GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+    // q56: float→double widening, one multiply, one divide, and
+    // round-half-away are identical IEEE ops in both engines; codes
+    // emitted as CSV text so the hash never sees a list value.
+    "q56_int8_quantize" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_aggregate(list_transform(embedding::DOUBLE[],
+        |      x -> abs(x)), 'max') AS maxabs,
+        |    embedding::DOUBLE[] AS e
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN maxabs = 0 THEN 0.0
+        |    ELSE round(maxabs / 127.0, 6) END AS scale,
+        |  CASE WHEN maxabs = 0
+        |    THEN array_to_string(list_transform(e, x -> 0), ',')
+        |    ELSE array_to_string(list_transform(e,
+        |      x -> round(x * 127.0 / maxabs)::BIGINT), ',') END AS q_csv,
+        |  CASE WHEN maxabs = 0 THEN 0
+        |    ELSE list_aggregate(list_transform(e,
+        |      x -> round(x * 127.0 / maxabs)::BIGINT), 'sum') END::BIGINT
+        |    AS qsum
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -56,4 +56,36 @@ object Dedup {
       .select($"doc_id", $"dup_count")
       .orderBy($"doc_id")
   }
+
+  /** Incremental-ingest dedup — the steady-state shape of corpus
+    * dedup at 100 TB: new batches are checked against the EXISTING
+    * corpus's content-hash index instead of re-deduplicating the
+    * whole corpus per ingest. One anti-join on the 32-byte hash:
+    * O(|batch| + |index|) shuffled bytes, never O(|corpus|·text).
+    * `within`-batch duplicates also collapse (min doc_id survives),
+    * so the result is exactly the rows a full re-dedup would add.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val idx = corpus.select(sha2($"text", 256).as("content_hash")).distinct()
+    batch
+      .withColumn("content_hash", sha2($"text", 256))
+      .join(idx, Seq("content_hash"), "left_anti")
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Q55 — incremental dedup with the lower doc_id half as the
+    * existing corpus and the upper half as the arriving batch.
+    */
+  def q55IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val (old, batch) =
+      (docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
+    incrementalNew(batch, old)
+      .select($"doc_id", $"content_hash", $"dup_count")
+      .orderBy($"doc_id")
+  }
 }

@@ -86,6 +86,79 @@ object DupClusters {
     labels.select($"id", $"label".as("cluster_id"))
   }
 
+  /** Components via alternating large-star/small-star rounds
+    * [Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14] — the diameter-halving escalation for graphs
+    * where plain min-label propagation's round count (= diameter)
+    * is the bottleneck: long chains, adversarial paths. Converges in
+    * O(log n) rounds regardless of diameter.
+    *
+    * Each round is two (join + partial-agg min) passes over the
+    * edge set — same shuffle-on-key shape as one propagation round,
+    * so the trade is 2× per-round cost for exponentially fewer
+    * rounds. Dedup-shaped graphs (dense, shallow clusters) converge
+    * in 2-3 propagation rounds and don't need this; q41 keeps
+    * [[connectedComponents]] and this is the documented switch for
+    * chain-shaped graphs (e.g. temporal session stitching).
+    *
+    * Large-star: every node's strictly-larger neighbors re-attach to
+    * the min of its closed neighborhood. Small-star: orient edges to
+    * the smaller endpoint; every node's smaller neighbors (and the
+    * node) attach to the minimum one. Both preserve connectivity
+    * exactly; fixpoint = star forests, one star per component rooted
+    * at its min id.
+    */
+  def connectedComponentsStar(edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    import edges.sparkSession.implicits._
+    val spark = edges.sparkSession
+    val verts = {
+      val e0 = edges.toDF("src", "dst")
+      e0.select($"src".as("id"))
+        .union(e0.select($"dst".as("id"))).distinct()
+        .localCheckpoint(true)
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = sym.groupBy($"src")
+        .agg(min(least($"dst", $"src")).as("m"))
+      sym.join(mins, "src").filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.filter($"src" =!= $"dst")
+        .select(greatest($"src", $"dst").as("src"),
+          least($"src", $"dst").as("dst"))
+      val mins = or.groupBy($"src").agg(min($"dst").as("m"))
+      or.join(mins, "src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .union(mins.select($"src", $"m".as("dst")))
+        .filter($"src" =!= $"dst").distinct()
+    }
+
+    var e = edges.toDF("src", "dst")
+      .filter($"src" =!= $"dst").distinct().localCheckpoint(true)
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint when the edge set is exactly stable (both are
+      // checkpointed, so this costs two anti-join probes, no recompute)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are (member → root); roots have no outgoing edge
+    verts.join(e.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select($"id", coalesce($"dst", $"id").as("cluster_id"))
+  }
+
   /** Q41 — oracle-checked duplicate-cluster assignment over the
     * `documents` near-dup graph at τ = 0.5 (the q18 pair set):
     * (doc_id, cluster_id, is_keeper). DuckDB recomputes components

@@ -1,0 +1,96 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Round-4 scale escalations: large-star/small-star components,
+  * incremental dedup, int8 quantization.
+  */
+class StarComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ccStar(edges: Seq[(Long, Long)],
+      maxIter: Int = 50): Map[Long, Long] =
+    DupClusters.connectedComponentsStar(edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star components: chain, triangle, pair, orientation-free") {
+    val got = ccStar(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("star components: 256-node path in logarithmic rounds " +
+      "(propagation would need 255)") {
+    val n = 256L
+    // 8 alternating rounds suffice where propagation needs diameter;
+    // the cap proves the O(log n) bound is real, not luck
+    val got = ccStar((1L until n).map(i => (i, i + 1)), maxIter = 10)
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("star components agree with min-label propagation on random graphs") {
+    val rnd = new Random(4)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val star = ccStar(edges)
+      val prop = DupClusters.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop)
+    }
+  }
+
+  test("incrementalNew equals full-re-dedup's new survivors") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val got = Dedup.q55IncrementalDedup(spark, sf)
+    // reference semantics: a batch doc survives iff its text never
+    // appears in the old corpus, keeping min doc_id per text
+    val old = docs.filter($"doc_id" < cut).select($"text").distinct()
+    val want = docs.filter($"doc_id" >= cut)
+      .join(old, Seq("text"), "left_anti")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select($"doc_id", $"dup_count")
+    assert(got.select($"doc_id", $"dup_count").exceptAll(want).isEmpty &&
+      want.exceptAll(got.select($"doc_id", $"dup_count")).isEmpty)
+  }
+
+  test("int8 quantization round-trips within one quantization step") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = Quantize.int8(emb)
+      .join(emb.select($"vec_id", $"embedding".cast("array<double>").as("e")),
+        "vec_id")
+      .select($"vec_id", $"scale", $"q", $"e",
+        array_max(transform($"q", c => abs(c))).as("qmax"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Long](2)
+      val orig = r.getSeq[Double](3)
+      assert(r.getLong(4) <= 127L) // codes live in int8 range
+      // dequantized error ≤ half a step (+ the 1e-6 scale rounding)
+      codes.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-4)
+      }
+    }
+  }
+
+  test("zero vector quantizes to zero codes and zero scale") {
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8(df).head()
+    assert(r.getDouble(1) == 0.0 && r.getSeq[Long](2).forall(_ == 0L))
+  }
+}
