@@ -105,6 +105,19 @@ def gen_subquery_query(rnd):
             f"(SELECT user_id FROM events WHERE value < {lo})")
 
 
+def gen_percentile_query(rnd):
+    # ANSI percentile_cont — the one ordered-set aggregate whose
+    # syntax AND (n−1)·q interpolation both engines share
+    t = rnd.choice(["events", "orders", "lineitem"])
+    cols = TABLES[t]
+    c = rnd.choice(cols["num"])
+    k = rnd.choice(cols["cat"])
+    q = rnd.choice([0.1, 0.25, 0.5, 0.75, 0.9])
+    return (f"SELECT {k}, round(percentile_cont({q}) WITHIN GROUP "
+            f"(ORDER BY {c}), 6) AS p, count(*) AS n "
+            f"FROM {t} GROUP BY {k} ORDER BY {k} NULLS LAST")
+
+
 def gen_query(rnd):
     r = rnd.random()
     # keep join coverage at ~15% — inserting the subquery branch must
@@ -119,6 +132,8 @@ def gen_query(rnd):
         return gen_rollup_query(rnd)
     if r < 0.54:
         return gen_setop_query(rnd)
+    if r < 0.60:
+        return gen_percentile_query(rnd)
     t = rnd.choice(list(TABLES))
     cols = TABLES[t]
     preds = []
