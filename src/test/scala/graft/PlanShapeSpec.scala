@@ -97,4 +97,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("q50/q54: bigram emission is the typed loop, not an exploded expression") {
+    // the interpreted transform-into-struct HOF shape (r3) planned as
+    // Generate(explode(...)); the typed pre-aggregating loop plans as
+    // MapPartitions and ships distinct-bigram partials instead
+    val p50 = plan(TextStats.q50BigramStats(spark, sf))
+    assert(p50.contains("MapPartitions"), s"expected typed loop:\n$p50")
+    assert(!p50.contains("Generate explode"), s"HOF shape crept back:\n$p50")
+    // q54 localCheckpoints the typed counts, so its bigram legs read
+    // the checkpointed RDD (the only remaining explode is the
+    // |vocab| scalar's token count — not bigram emission)
+    val p54 = plan(LmScore.q54LmScore(spark, sf))
+    assert(p54.contains("ExistingRDD"))
+  }
+
+  test("q51: contamination join keys are the 8-byte shingle hashes") {
+    val df = Contamination.q51Contamination(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // bench side broadcasts at this scale; never a cartesian
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("partial_"), "per-doc counts must partial-agg")
+  }
+
+  test("q55: incremental dedup plans as an anti-join on the hash index") {
+    val df = Dedup.q55IncrementalDedup(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q56: quantization has no shuffle before the output sort") {
+    val p = plan(Quantize.int8(Tables.load(spark, sf, "embeddings")))
+    assert(!p.contains("Exchange"), s"quantization must be per-row only:\n$p")
+  }
 }

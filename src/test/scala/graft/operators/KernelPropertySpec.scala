@@ -95,4 +95,81 @@ class KernelPropertySpec extends SparkSpec {
     assert(regress.isEmpty)
     packed.unpersist(); ()
   }
+
+  private def randomDocs(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    // tiny vocab (forced collisions) + empty tokens from double
+    // spaces + length-0/1 docs stress tokenization parity
+    val rnd = new Random(seed)
+    val vocab = Vector("a", "bb", "c", "dd", "e", "")
+    (0L until nDocs.toLong).map { id =>
+      val n = rnd.nextInt(14)
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  test("property: typed bigram loop == exploded-expression formulation, random texts") {
+    val docs = randomDocs(17, 40).toDF("doc_id", "text")
+    val got = TextStats.bigramStats(docs, topK = 10000).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // r3's expression formulation as the independent reference
+    val toks = split($"text", " ", -1)
+    val bi = docs.select(explode(when(size(toks) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val want = c12.join(c1, "w1")
+      .select($"w1", $"w2", $"c12", $"c1",
+        ($"c12".cast("double") / $"c1").as("p")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want)
+  }
+
+  test("property: repetitionStats == plain-Scala tallies, random texts") {
+    val raw = randomDocs(23, 40)
+    val got = TextStats.repetitionStats(raw.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    raw.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val tokC = toks.groupBy(identity).map(_._2.length)
+      val bgC = toks.sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))).toSeq.groupBy(identity).map(_._2.length)
+      val want = (toks.length.toLong, tokC.size.toLong, tokC.max.toLong,
+        (if (bgC.isEmpty) 0 else bgC.max).toLong)
+      assert(got(id) == want, s"doc $id '$text'")
+    }
+  }
+
+  test("property: lmScore == plain-Scala add-one bigram NLL, random corpus") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = randomDocs(29, 30)
+    val got = LmScore.lmScore(raw.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docBi = raw.map { case (id, text) =>
+      id -> text.split(" ", -1).toSeq.sliding(2).filter(_.length == 2)
+        .map(s => (s(0), s(1))).toSeq
+    }.toMap
+    val all = docBi.values.flatten.toSeq
+    val c12 = all.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = all.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val v = raw.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    val tick = c12.map { case (k, c) =>
+      k -> BigDecimal(math.log((c + 1).toDouble / (c1(k._1) + v)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    docBi.filter(_._2.nonEmpty).foreach { case (id, bis) =>
+      val s = bis.map(tick).sum
+      val n = bis.length.toLong
+      val want = r6(-s.toDouble / (n * 1e6))
+      assert(got(id) == ((n, want)), s"doc $id")
+    }
+    assert(got.keySet == docBi.filter(_._2.nonEmpty).keySet)
+  }
 }
