@@ -10,10 +10,12 @@ import graft.operators._
   *
   *   1. curate: language allowlist ∧ quality gate ∧ near-dup keeper
   *      (exact pair graph → connected components → min-id keeper)
-  *   2. chunk: 20-token windows, stride 15, over surviving docs
-  *   3. pack: next-fit 50-token training sequences in parallel groups
-  *   4. embed side: per-label centroids + IVF index build + a probe
-  *      batch served from pruned cells
+  *   2. decontaminate: drop docs sharing 8-grams with the held-out
+  *      benchmark tenth; gate on repetition + corpus-LM NLL
+  *   3. chunk: 20-token windows, stride 15, over surviving docs
+  *   4. pack: next-fit 50-token training sequences in parallel groups
+  *   5. embed side: per-label centroids + int8 codes + IVF index
+  *      build + a probe batch served from pruned cells
   *
   * Usage: runMain graft.DataPipeline [sfDir]
   */
@@ -39,8 +41,24 @@ object DataPipeline {
       c
     }
 
+    val clean = timed("decontaminate + gate (8-gram, repetition, LM)") {
+      val contaminated = Contamination.contaminated(docs)
+        .select($"doc_id")
+      val repetitive = TextStats.repetitionStats(docs)
+        .filter($"top_bigram_frac" > 0.2 || $"distinct_ratio" < 0.3)
+        .select($"doc_id")
+      val offDistribution = LmScore.lmScore(docs)
+        .filter($"nll" > 8.0).select($"doc_id")
+      val c = curated
+        .join(contaminated.union(repetitive).union(offDistribution)
+          .distinct(), Seq("doc_id"), "left_anti")
+        .cache()
+      println(s"[pipeline]   ${curated.count()} curated -> ${c.count()} clean")
+      c
+    }
+
     val chunks = timed("chunk (20/15 windows)") {
-      val ch = TextStats.chunk(docs.join(curated.select($"doc_id"), "doc_id"))
+      val ch = TextStats.chunk(docs.join(clean.select($"doc_id"), "doc_id"))
         .cache()
       println(s"[pipeline]   ${ch.count()} chunks")
       ch
@@ -56,6 +74,10 @@ object DataPipeline {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     timed("label centroids") {
       println(s"[pipeline]   ${Curation.labelCentroids(emb).count()} (label, dim) rows")
+    }
+
+    timed("int8 quantization") {
+      println(s"[pipeline]   ${Quantize.int8(emb).count()} vectors quantized")
     }
 
     timed("IVF index + probe batch") {
