@@ -76,6 +76,7 @@ object SparkEntry {
     "q54_lm_score"       -> (LmScore.q54LmScore _),
     "q55_incremental_dedup" -> (Dedup.q55IncrementalDedup _),
     "q56_int8_quantize"  -> (Quantize.q56Int8Quantize _),
+    "q57_per_lang_cap"   -> (Curation.q57PerLangCap _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -627,6 +628,16 @@ object SparkEntry {
         |      x -> round(x * 127.0 / maxabs)::BIGINT), 'sum') END::BIGINT
         |    AS qsum
         |FROM q ORDER BY vec_id""".stripMargin,
+    // q57: the masked-Knuth hash is plain BIGINT arithmetic (the q48
+    // contract); selection is rank ≤ 40 by (h DESC, doc_id).
+    "q57_per_lang_cap" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+        |  FROM documents)
+        |SELECT lang, doc_id, h FROM s
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY h DESC, doc_id) <= 40
+        |ORDER BY lang, doc_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

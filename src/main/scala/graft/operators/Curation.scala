@@ -104,6 +104,37 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic per-group cap sampling — the "at most K docs per
+    * domain/language" budget every data-mixture recipe applies.
+    * Selection ranks by the same portable masked-Knuth hash as
+    * [[assignSplits]] (uniform-ish, engine-independent, and stable
+    * under corpus growth for the docs that stay under the cap's
+    * hash frontier), so reruns and engines agree exactly. The
+    * per-group top-k is the bounded-heap aggregate
+    * ([[Similarity.topKPerProbe]]): ≤ k rows per (partition, group)
+    * reach the shuffle — group sizes are corpus-proportional, so a
+    * `row_number` window here would be the q16-r1 single-reducer
+    * shape.
+    */
+  def perGroupCap(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val h = (((col(keyCol) % lit(2147483648L)) * lit(2654435761L))
+      % lit(2147483648L))
+    val scored = df.select(col(groupCol).as("probe_id"),
+      col(keyCol).as("vec_id"), h.cast("double").as("sim"))
+    Similarity.topKPerProbe(scored, k)
+      .select($"probe_id".as(groupCol), $"vec_id".as(keyCol),
+        $"sim".cast("long").as("h"))
+  }
+
+  /** Q57 — at most 40 docs per language, hash-frontier selection. */
+  def q57PerLangCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    perGroupCap(Tables.load(spark, dir, "documents"), "lang", "doc_id", 40)
+      .orderBy($"lang", $"doc_id")
+  }
+
   /** Q49 — top-3 quality docs per language via the bounded-heap
     * grouped top-k ([[Similarity.topKPerProbe]] — partial agg before
     * the shuffle). Docs-per-language is corpus-proportional, so a

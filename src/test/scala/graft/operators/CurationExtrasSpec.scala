@@ -85,6 +85,21 @@ class CurationExtrasSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("perGroupCap: ≤ k per group, equals window formulation, growth-stable frontier") {
+    val docs = Tables.load(spark, sf, "documents")
+    val capped = Curation.perGroupCap(docs, "lang", "doc_id", 5).cache()
+    val sizes = capped.groupBy($"lang").count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) <= 5L))
+    // reference: row_number window over the same portable hash
+    val h = (($"doc_id" % 2147483648L) * 2654435761L) % 2147483648L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(h.desc, $"doc_id")
+    val want = docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select($"lang", $"doc_id", h.as("h"))
+    assert(capped.exceptAll(want).isEmpty && want.exceptAll(capped).isEmpty)
+    capped.unpersist(); ()
+  }
+
   test("lmScore: repeated bigrams weight the average by count") {
     // doc "a a a": bigram (a,a)×2; corpus adds "a b" so p(a|a) is
     // not degenerate. V=2; c(a·)=3; p(a|a)=(2+1)/(3+2)=.6
