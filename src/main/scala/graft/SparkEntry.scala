@@ -77,6 +77,7 @@ object SparkEntry {
     "q55_incremental_dedup" -> (Dedup.q55IncrementalDedup _),
     "q56_int8_quantize"  -> (Quantize.q56Int8Quantize _),
     "q57_per_lang_cap"   -> (Curation.q57PerLangCap _),
+    "q58_sessions"       -> (Temporal.q58Sessions _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -638,6 +639,21 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY h DESC, doc_id) <= 40
         |ORDER BY lang, doc_id""".stripMargin,
+    // q58: gap test is exact integer µs arithmetic (both engines
+    // floor the ns source column to µs); session numbering is an
+    // integer running sum.
+    "q58_sessions" ->
+      """WITH m AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM m)
+        |SELECT user_id, session::BIGINT AS session, count(*) AS n,
+        |  min(ts) AS start_ts, max(ts) AS end_ts, sum(value) AS total
+        |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -87,4 +87,40 @@ object Temporal {
       .agg(count(lit(1)).as("n"), sum($"value").as("total"))
       .orderBy($"event_type".asc_nulls_last, $"d".asc_nulls_last)
   }
+
+  /** Batch sessionization — gaps-and-islands: a new session starts
+    * when a user is idle longer than `gapSec`. The batch twin of the
+    * streaming session windows (`streaming.WindowedAgg`), as the
+    * training-side sessionizer: one lag to mark breaks, one running
+    * sum to number sessions, one group-by for the stats. Gap
+    * comparison is exact integer epoch-microsecond arithmetic
+    * (identical in any engine — both floor the source ns column to
+    * µs); per-user windows are bounded groups (the q10 shape), so no
+    * single-reducer risk.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    import events.sparkSession.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+    val marked = events
+      .withColumn("prev_us",
+        lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("brk",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session",
+        sum($"brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy($"user_id", $"session")
+      .agg(count(lit(1)).as("n"),
+        min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        sum($"value").as("total"))
+  }
+
+  /** Q58 — 30-minute-gap sessions per user over `events`. */
+  def q58Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionize(Tables.load(spark, dir, "events"))
+      .orderBy($"user_id", $"session")
+  }
 }

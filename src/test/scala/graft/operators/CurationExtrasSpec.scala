@@ -100,6 +100,25 @@ class CurationExtrasSpec extends SparkSpec {
     capped.unpersist(); ()
   }
 
+  test("sessionize: gap splits, boundary-exact, per-user independence") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: events at 0s, 1800s (exactly the gap — same session),
+    // 3601s (> gap after 1800 — new session); user 2: one event
+    val ev = Seq(
+      (1L, ts(0), 1L, 10.0), (2L, ts(1800), 1L, 20.0),
+      (3L, ts(3601), 1L, 5.0), (4L, ts(50), 2L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val got = Temporal.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((2L, 30.0)),   // 0s + 1800s: gap == 1800 keeps
+      (1L, 2L) -> ((1L, 5.0)),    // 3601s: 1801 > 1800 splits
+      (2L, 1L) -> ((1L, 1.0))))
+  }
+
   test("lmScore: repeated bigrams weight the average by count") {
     // doc "a a a": bigram (a,a)×2; corpus adds "a b" so p(a|a) is
     // not degenerate. V=2; c(a·)=3; p(a|a)=(2+1)/(3+2)=.6
