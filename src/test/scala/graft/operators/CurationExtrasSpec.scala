@@ -119,6 +119,20 @@ class CurationExtrasSpec extends SparkSpec {
       (2L, 1L) -> ((1L, 1.0))))
   }
 
+  test("sessionize == session_window on µs-precision events") {
+    // the two differ only when a gap is EXACTLY 1800.000000 s
+    // (session_window's end is exclusive; gaps-and-islands keeps ==)
+    // — impossible-in-practice on µs event data, absent here
+    val ev = Tables.load(spark, sf, "events")
+    val batch = Temporal.sessionize(ev)
+      .select($"user_id", $"start_ts", $"n", $"total")
+    val stream = graft.streaming.WindowedAgg.sessions(ev)
+      .select($"user_id", $"session_start".as("start_ts"),
+        $"n_events".as("n"), $"total")
+    assert(batch.exceptAll(stream).isEmpty &&
+      stream.exceptAll(batch).isEmpty)
+  }
+
   test("lmScore: repeated bigrams weight the average by count") {
     // doc "a a a": bigram (a,a)×2; corpus adds "a b" so p(a|a) is
     // not degenerate. V=2; c(a·)=3; p(a|a)=(2+1)/(3+2)=.6
