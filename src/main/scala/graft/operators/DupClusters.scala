@@ -42,8 +42,12 @@ object DupClusters {
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("label", $"id")
+    // seed labels with the 1-hop closed-neighborhood min — exactly
+    // what round 1 of propagation would compute from identity labels,
+    // for the price of the agg alone (no join): one round saved
+    var labels = sym.groupBy($"src")
+      .agg(min(least($"dst", $"src")).as("label"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint(true)
     // convergence probe: labels only ever DECREASE under min-label
     // propagation, so sum(label) is strictly monotone until fixpoint —
