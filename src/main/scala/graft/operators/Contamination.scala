@@ -30,15 +30,32 @@ object Contamination {
   /** Corpus docs (doc_id % benchMod ≠ 0) sharing ≥ 1 distinct
     * n-gram with any benchmark doc (doc_id % benchMod = 0):
     * (doc_id, n_shared distinct shingles, n_bench_docs hit).
+    *
+    * `dfCut` is the postings-skew knob for adversarial benchmarks: a
+    * shingle present in more than `dfCut` documents (across both
+    * sides) is dropped from the index before the join — the same
+    * stop-shingling as [[NearDup.jaccardPairsDfCut]]. This makes the
+    * check approximate (overlap carried ONLY by ubiquitous n-grams
+    * is missed — at n = 8 such n-grams are boilerplate, which
+    * decontamination pipelines ignore anyway); q51's oracle contract
+    * keeps the default ∞.
     */
   def contaminated(docs: DataFrame, n: Int = 8,
-      benchMod: Long = 10L): DataFrame = {
+      benchMod: Long = 10L, dfCut: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
     val sets = NearDup.shingleHashSets(docs, n)
-    val bench = sets.filter($"doc_id" % benchMod === 0)
-      .select($"doc_id".as("bench_id"), explode($"shs").as("sh"))
-    val corpus = sets.filter($"doc_id" % benchMod =!= 0)
-      .select($"doc_id", explode($"shs").as("sh"))
+    val postings = sets.select($"doc_id", explode($"shs").as("sh"))
+    val kept =
+      if (dfCut == Int.MaxValue) postings
+      else {
+        val hot = postings.groupBy($"sh")
+          .agg(count(lit(1)).as("df")) // sets are distinct per doc
+          .filter($"df" > dfCut).select($"sh")
+        postings.join(hot, Seq("sh"), "left_anti")
+      }
+    val bench = kept.filter($"doc_id" % benchMod === 0)
+      .select($"doc_id".as("bench_id"), $"sh")
+    val corpus = kept.filter($"doc_id" % benchMod =!= 0)
     corpus.join(bench, "sh")
       .groupBy($"doc_id")
       .agg(countDistinct($"sh").as("n_shared"),

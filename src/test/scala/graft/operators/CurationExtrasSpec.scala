@@ -40,6 +40,26 @@ class CurationExtrasSpec extends SparkSpec {
     assert(got(1L) == ((3L, 2L)))
   }
 
+  test("contaminated: df-cut drops ubiquitous shingles, keeps rare overlap") {
+    val hot = "h1 h2 h3 h4 h5 h6 h7 h8"   // planted in 4 docs
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8"  // shared by exactly 2
+    val docs = Seq(
+      (10L, s"$hot x y z w v u t"),
+      (20L, s"$rare k l m n o p q"),
+      (1L, s"$hot a b c d e f g"),
+      (2L, s"$hot $rare"),
+      (3L, s"$hot i j aa bb cc dd ee")).toDF("doc_id", "text")
+    // unbounded: both overlaps found
+    val full = Contamination.contaminated(docs)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(full == Set(1L, 2L, 3L))
+    // dfCut 3: the hot 8-gram (df=4) leaves the index; only doc 2's
+    // rare overlap with bench 20 survives
+    val cut = Contamination.contaminated(docs, dfCut = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cut == Map(2L -> 1L))
+  }
+
   test("repetitionStats: hand-computed counts and ratios") {
     val docs = Seq(
       (1L, "a a a b"),        // top token a×3, top bigram (a,a)×2
