@@ -78,6 +78,7 @@ object SparkEntry {
     "q56_int8_quantize"  -> (Quantize.q56Int8Quantize _),
     "q57_per_lang_cap"   -> (Curation.q57PerLangCap _),
     "q58_sessions"       -> (Temporal.q58Sessions _),
+    "q59_hard_negatives" -> (Similarity.q59HardNegatives _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -654,6 +655,19 @@ object SparkEntry {
         |SELECT user_id, session::BIGINT AS session, count(*) AS n,
         |  min(ts) AS start_ts, max(ts) AS end_ts, sum(value) AS total
         |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+    // q59: the q16 kernel contract with the label predicate applied
+    // before ranking.
+    "q59_hard_negatives" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe,
+        |             label AS probe_label
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |     s AS (SELECT p.probe_id, e.vec_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], p.pe) AS sim
+        |           FROM embeddings e CROSS JOIN p
+        |           WHERE e.label <> p.probe_label)
+        |SELECT probe_id, vec_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 5
+        |ORDER BY probe_id, sim DESC, vec_id""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -82,4 +82,32 @@ object Similarity {
     topKPerProbe(scored, k)
       .orderBy($"probe_id", $"sim".desc, $"vec_id")
   }
+
+  /** Hard-negative mining — contrastive-training data prep: for each
+    * probe, the k most-similar vectors with a DIFFERENT label (the
+    * negatives a contrastive loss learns most from). Identical scan
+    * shape to [[cosineTopK]] with the label predicate applied BEFORE
+    * the heap, so the top-k never wastes slots on positives; cost is
+    * still one corpus scan with bounded-heap partials.
+    */
+  def hardNegatives(emb: DataFrame, probeIds: Seq[Long],
+      k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"),
+        $"label".as("probe_label"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter($"label" =!= $"probe_label")
+      .select($"probe_id", $"vec_id",
+        cosineSim($"embedding", $"probe_emb").as("sim"))
+    topKPerProbe(scored, k)
+  }
+
+  /** Q59 — top-5 hard negatives per default probe. */
+  def q59HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hardNegatives(Tables.load(spark, dir, "embeddings"),
+      defaultProbeIds, k = 5)
+      .orderBy($"probe_id", $"sim".desc, $"vec_id")
+  }
 }

@@ -153,6 +153,31 @@ class CurationExtrasSpec extends SparkSpec {
       stream.exceptAll(batch).isEmpty)
   }
 
+  test("hardNegatives: never same-label, equals filtered window top-k") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.hardNegatives(emb, Seq(0L, 1L, 2L), 5).cache()
+    // no negative shares its probe's label
+    val labels = emb.select($"vec_id", $"label")
+    val probeLabels = labels
+      .withColumnsRenamed(Map("vec_id" -> "probe_id", "label" -> "pl"))
+    assert(got.join(labels, "vec_id").join(probeLabels, "probe_id")
+      .filter($"label" === $"pl").isEmpty)
+    // equals the window formulation
+    val probes = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"),
+        $"label".as("pl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    val want = emb.crossJoin(broadcast(probes))
+      .filter($"label" =!= $"pl")
+      .select($"probe_id", $"vec_id",
+        Similarity.cosineSim($"embedding", $"pe").as("sim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"probe_id", $"vec_id", $"sim")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    got.unpersist(); ()
+  }
+
   test("lmScore: repeated bigrams weight the average by count") {
     // doc "a a a": bigram (a,a)×2; corpus adds "a b" so p(a|a) is
     // not degenerate. V=2; c(a·)=3; p(a|a)=(2+1)/(3+2)=.6
