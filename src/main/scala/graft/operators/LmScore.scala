@@ -86,4 +86,44 @@ object LmScore {
     import spark.implicits._
     lmScore(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
   }
+
+  /** LM artifact fit on a corpus: the (c12, c1, |V|) tables a serving
+    * tier persists and re-uses — scoring a live stream never re-reads
+    * the training corpus.
+    */
+  def fitLm(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import corpus.sparkSession.implicits._
+    val db = docBigramCounts(corpus)
+    val c12 = db.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val vocab = corpus
+      .select(explode(TextStats.tokens($"text")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    (c12, c1, vocab)
+  }
+
+  /** Score `docs` against a previously-fit LM — the stream-static
+    * shape: `docs` may be a micro-batch of a stream while the LM
+    * tables are static (AQE/broadcast join, no state). Smoothing for
+    * text unseen at fit time: an unseen (w1, w2) with seen w1 scores
+    * (0+1)/(c1+V); a bigram whose w1 is itself unseen scores 1/V —
+    * the add-one row for a zero-count context. Self-scoring the fit
+    * corpus reproduces [[lmScore]] exactly (every bigram seen).
+    */
+  def scoreAgainst(c12: DataFrame, c1: DataFrame, vocab: DataFrame,
+      docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val db = docBigramCounts(docs)
+    db.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"c",
+        round(log((coalesce($"c12", lit(0L)) + 1).cast("double")
+            / (coalesce($"c1", lit(0L)) + $"v")) * 1e6)
+          .cast("long").as("tick"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), sum($"c" * $"tick").as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round(-$"s".cast("double") / ($"n_bigrams" * 1e6), 6).as("nll"))
+  }
 }
