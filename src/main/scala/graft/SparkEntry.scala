@@ -79,6 +79,7 @@ object SparkEntry {
     "q57_per_lang_cap"   -> (Curation.q57PerLangCap _),
     "q58_sessions"       -> (Temporal.q58Sessions _),
     "q59_hard_negatives" -> (Similarity.q59HardNegatives _),
+    "q60_pq_codes"       -> (Quantize.q60PqCodes _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -668,6 +669,32 @@ object SparkEntry {
         |SELECT probe_id, vec_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) <= 5
         |ORDER BY probe_id, sim DESC, vec_id""".stripMargin,
+    // q60: hash-pivot codebooks (the q30 construction) make PQ fully
+    // deterministic; every float op runs in the same order in both
+    // engines, so codes and distances agree bit-for-bit. The squared
+    // diff is written as an explicit product — pow() is not
+    // guaranteed to equal x·x to the ulp.
+    "q60_pq_codes" ->
+      """WITH cb AS (SELECT * FROM (
+        |    SELECT row_number() OVER (
+        |        ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+        |          vec_id) - 1 AS pid,
+        |      embedding::DOUBLE[] AS pe
+        |    FROM embeddings) WHERE pid < 16),
+        | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        | sub AS (SELECT c.vec_id, sp.s, cb.pid,
+        |    list_aggregate(list_transform(range(1, 9),
+        |      d -> (c.e[sp.s*8+d] - cb.pe[sp.s*8+d])
+        |         * (c.e[sp.s*8+d] - cb.pe[sp.s*8+d])), 'sum') AS d2
+        |  FROM corpus c
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp
+        |  CROSS JOIN cb)
+        |SELECT vec_id, s::BIGINT AS s, pid::BIGINT AS code,
+        |  round(d2, 6) AS d2
+        |FROM sub
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |  ORDER BY d2, pid) = 1
+        |ORDER BY vec_id, s""".stripMargin,
     "q36_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -51,4 +51,69 @@ object Quantize {
         aggregate($"q", lit(0L), (acc, x) => acc + x).as("qsum"))
       .orderBy($"vec_id")
   }
+
+  /** Product quantization — the IVF-PQ compression stage of a 100 TB
+    * vector store: the dim-d space splits into `m` subspaces; each
+    * subvector is replaced by the id of its nearest codebook entry
+    * (min L2, smaller id on ties), shrinking d·4 bytes to m codes.
+    *
+    * Codebooks here are the pivot construction of
+    * [[IvfIndex.buildPivots]] — the first `ksub` vectors in portable-
+    * hash order donate their subvectors — rather than per-subspace
+    * k-means, making the whole encoding deterministic and therefore
+    * DuckDB-reproducible (q60's equality contract; a learned-codebook
+    * variant would be spec-checked instead, the q30 trade). Encoding
+    * is a typed per-partition loop over a broadcast codebook: one
+    * corpus scan, no shuffle, no driver collect beyond the ksub
+    * codebook rows.
+    *
+    * Every float op (cast, subtract, multiply, ordered sum, strict
+    * compare) runs in the same order in both engines, so codes AND
+    * distances are bit-identical; d2 is rounded to 6 as the stable
+    * float contract.
+    */
+  def pqCodes(emb: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame = {
+    import emb.sparkSession.implicits._
+    val h = (($"vec_id" % lit(2147483648L)) * lit(2654435761L)) %
+      lit(2147483648L)
+    val codebook: Array[Array[Double]] = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("h", h)
+      .orderBy($"h", $"vec_id").limit(ksub)
+      .select($"e").as[Array[Double]].collect()
+    emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, e) =>
+        require(e.length % m == 0, s"dim ${e.length} not divisible by $m")
+        val sub = e.length / m
+        (0 until m).iterator.map { s =>
+          var best = -1
+          var bestD = Double.MaxValue
+          var p = 0
+          while (p < codebook.length) {
+            var d2 = 0.0
+            var d = 0
+            while (d < sub) {
+              val diff = e(s * sub + d) - codebook(p)(s * sub + d)
+              d2 += diff * diff
+              d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = p } // ties keep min id
+            p += 1
+          }
+          (id, s.toLong, best.toLong, bestD)
+        }
+      })
+      .toDF("vec_id", "s", "code", "d2")
+      .select($"vec_id", $"s", $"code", round($"d2", 6).as("d2"))
+  }
+
+  /** Q60 — PQ codes (8 subspaces × 16 hash-pivot centroids) over
+    * `embeddings`, one row per (vector, subspace).
+    */
+  def q60PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqCodes(Tables.load(spark, dir, "embeddings"))
+      .orderBy($"vec_id", $"s")
+  }
 }

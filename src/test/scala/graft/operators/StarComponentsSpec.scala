@@ -88,6 +88,38 @@ class StarComponentsSpec extends SparkSpec {
     }
   }
 
+  test("pqCodes: 8 rows per vector, codes in range, codebook donors self-encode") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pq = Quantize.pqCodes(emb).cache()
+    val n = emb.count()
+    assert(pq.count() == n * 8)
+    assert(pq.filter($"code" < 0 || $"code" >= 16).isEmpty)
+    assert(pq.filter($"d2" < 0).isEmpty)
+    // the 16 hash-selected codebook donors reproduce themselves:
+    // their subvectors sit in the codebook, so min distance is 0
+    val h = (($"vec_id" % 2147483648L) * 2654435761L) % 2147483648L
+    val donors = emb.withColumn("h", h).orderBy($"h", $"vec_id")
+      .limit(16).select($"vec_id")
+    val bad = pq.join(donors, "vec_id").filter($"d2" =!= 0.0)
+    assert(bad.isEmpty)
+    pq.unpersist(); ()
+  }
+
+  test("pqCodes: hand case — nearest subvector centroid wins, min id on ties") {
+    // 4-dim, m=2 → 2-dim subspaces; 2 vectors double as the codebook
+    // (hash order of vec_ids 0,1 → h(0)=0 first)
+    val emb = Seq(
+      (0L, Array(0f, 0f, 4f, 4f), 0),
+      (1L, Array(2f, 2f, 4f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Quantize.pqCodes(emb, m = 2, ksub = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0L, 0L)) == ((0L, 0.0)))
+    assert(got((0L, 1L)) == ((0L, 0.0))) // tie (both codebooks 4,4) → id 0
+    assert(got((1L, 0L)) == ((1L, 0.0)))
+    assert(got((1L, 1L)) == ((0L, 0.0)))
+  }
+
   test("zero vector quantizes to zero codes and zero scale") {
     val df = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val r = Quantize.int8(df).head()
