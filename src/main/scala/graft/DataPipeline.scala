@@ -57,6 +57,15 @@ object DataPipeline {
       c
     }
 
+    timed("tokenizer fit (30 BPE merges)") {
+      val merges = Bpe.fit(clean.select($"doc_id")
+        .join(docs, "doc_id"), nMerges = 30)
+      val enc = Bpe.encode(docs.join(clean.select($"doc_id"), "doc_id"), merges)
+      val r = enc.agg(sum($"n_pieces"), sum($"n_tokens")).head()
+      println(s"[pipeline]   ${merges.size} merges; " +
+        s"${r.getLong(0)} pieces over ${r.getLong(1)} words")
+    }
+
     val chunks = timed("chunk (20/15 windows)") {
       val ch = TextStats.chunk(docs.join(clean.select($"doc_id"), "doc_id"))
         .cache()

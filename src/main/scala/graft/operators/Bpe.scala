@@ -1,0 +1,135 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** BPE vocabulary induction + encoding — the tokenizer-training leg
+  * of a data pipeline (byte-pair encoding per Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units").
+  *
+  * Scale shape, honestly split: the ONLY corpus-scale pass is the
+  * word count (one explode + partial/final agg — same cost as q31);
+  * merge learning then runs driver-side over the counted vocabulary,
+  * which is |distinct words| — millions of rows at 100 TB corpus
+  * scale, i.e. trivially driver-sized, and inherently sequential
+  * (merge i+1 depends on merge i). This is how production tokenizer
+  * trainers are structured; distributing the merge loop would
+  * shuffle per round to save work that fits in one process. Encoding
+  * is embarrassingly parallel again (typed loop, per-partition memo
+  * of distinct words).
+  *
+  * Not DuckDB-expressible (sequential merge dependency), so spec-
+  * checked: hand-verified merge sequences, encode/decode round-trip,
+  * and count conservation.
+  */
+object Bpe {
+
+  /** Distributed word counts — the corpus-scale pass. */
+  def wordCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(TextStats.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+  }
+
+  /** Learn `n` merges from a counted vocabulary. Symbols start as
+    * single characters; each round merges the adjacent pair with the
+    * highest corpus count (lexicographically smallest pair on ties —
+    * deterministic). Stops early when no pair occurs twice.
+    */
+  def learnMerges(vocab: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    var words: Seq[(Vector[String], Long)] =
+      vocab.filter(_._1.nonEmpty)
+        .map { case (w, c) => w.map(_.toString).toVector -> c }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < n && !done) {
+      val pairCounts = mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      val candidates = pairCounts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        val best = candidates.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 &&
+                syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += (syms(i) + syms(i + 1)); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> c
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Fit on a corpus: one distributed count, then the driver loop. */
+  def fit(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    import docs.sparkSession.implicits._
+    learnMerges(
+      wordCounts(docs).as[(String, Long)].collect().toSeq.sortBy(_._1),
+      nMerges)
+  }
+
+  /** Encode one word with ranked merges — greedy lowest-rank-first,
+    * the standard BPE inference order.
+    */
+  def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var changed = true
+    while (changed && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) changed = false
+      else syms = (syms.take(bestAt) :+
+        (syms(bestAt) + syms(bestAt + 1))) ++ syms.drop(bestAt + 2)
+    }
+    syms
+  }
+
+  /** Distributed encode: (doc_id, n_tokens, n_pieces, pieces_csv).
+    * Typed per-partition loop with a distinct-word memo — each
+    * partition encodes a word once no matter how often it repeats.
+    */
+  def encode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    graft.core.Parallel.fan(docs)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = mutable.Map.empty[String, Vector[String]]
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val pieces = toks.toSeq.flatMap(w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+          (id, toks.length.toLong, pieces.length.toLong,
+            pieces.mkString(","))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_pieces", "pieces_csv")
+  }
+}
