@@ -80,6 +80,7 @@ object SparkEntry {
     "q58_sessions"       -> (Temporal.q58Sessions _),
     "q59_hard_negatives" -> (Similarity.q59HardNegatives _),
     "q60_pq_codes"       -> (Quantize.q60PqCodes _),
+    "q61_dup_chunks"     -> (TextStats.q61DupChunks _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -398,6 +399,19 @@ object SparkEntry {
         |  len(string_split(array_to_string(list_slice(toks, st + 1, st + 20), ' '),
         |      ' '))::BIGINT AS chunk_tokens
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // q61: the q43 chunker + exact-text grouping; counts are ints.
+    "q61_dup_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |         unnest(range(0, len(toks), 15)) AS st FROM t),
+        | ch AS (SELECT doc_id,
+        |   array_to_string(list_slice(toks, st + 1, st + 20), ' ') AS chunk_text
+        |  FROM s)
+        |SELECT chunk_text, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM ch GROUP BY chunk_text HAVING count(*) > 1
+        |ORDER BY chunk_text""".stripMargin,
     // q44: the composed curation policy — language allowlist, quality
     // threshold (rounded before comparing so both engines gate on the
     // same number), and near-dup keeper via the q41 closure.

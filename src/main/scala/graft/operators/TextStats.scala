@@ -224,6 +224,31 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document chunk-level dedup — the boilerplate detector: a
+    * sub-document span repeated across documents (navigation text,
+    * license headers, templated passages) shows up as a chunk whose
+    * exact text recurs. Composes [[chunk]] with exact dedup; the
+    * group key at scale is `sha2(chunk_text)` — 32 bytes per chunk
+    * on the shuffle regardless of chunk length (the q15 contract).
+    * Oracle-checkable because both sides group on the exact text.
+    */
+  def duplicatedChunks(docs: DataFrame, size: Int = 20,
+      stride: Int = 15): DataFrame = {
+    import docs.sparkSession.implicits._
+    chunk(docs, size, stride)
+      .groupBy($"chunk_text")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter($"n_occurrences" > 1)
+  }
+
+  /** Q61 — repeated 20-token chunks across `documents`. */
+  def q61DupChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    duplicatedChunks(Tables.load(spark, dir, "documents"))
+      .orderBy($"chunk_text")
+  }
+
   /** Q17 — per-document token/length/stopword stats. */
   def q17TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -120,6 +120,19 @@ class CurationExtrasSpec extends SparkSpec {
     capped.unpersist(); ()
   }
 
+  test("duplicatedChunks: planted cross-doc boilerplate found, unique chunks not") {
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15"),
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15"),
+      (3L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val got = TextStats.duplicatedChunks(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both 35-token docs chunk at strides 0/15/30; only the stride-0
+    // chunk (the 20 boilerplate tokens) is shared
+    assert(got == Map(boiler -> ((2L, 2L))))
+  }
+
   test("sessionize: gap splits, boundary-exact, per-user independence") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
