@@ -146,6 +146,51 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sessionize == plain-Scala fold, random times incl. exact-gap ties") {
+    val rnd = new Random(37)
+    // µs-resolution steps drawn to hit <, ==, and > the 1800 s gap
+    val rows = (0 until 200).map { i =>
+      val user = (i % 5).toLong
+      (i.toLong, user, rnd.nextInt(4) match {
+        case 0 => rnd.nextLong(1800L * 1000000L)          // within
+        case 1 => 1800L * 1000000L                        // exactly gap
+        case 2 => 1800L * 1000000L + 1L                   // just beyond
+        case _ => 1800L * 1000000L + rnd.nextLong(1000000000L)
+      })
+    }
+    // cumulative per-user times
+    val byUser = rows.groupBy(_._2).view.mapValues { rs =>
+      rs.scanLeft((0L, 0L)) { case ((_, t), (id, _, step)) =>
+        (id, t + step)
+      }.drop(1)
+    }.toMap
+    def usTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val ev = byUser.toSeq.flatMap { case (u, rs) =>
+      rs.map { case (id, us) => (id, usTs(us), u, 1.0) }
+    }
+    val got = Temporal.sessionize(
+        ev.toDF("event_id", "ts", "user_id", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference fold: session counter bumps when gap > 1800 s
+    val want = byUser.flatMap { case (u, rs) =>
+      var session = 0L
+      var prev = Long.MinValue
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      rs.sortBy(r => (r._2, r._1)).foreach { case (_, us) =>
+        if (prev == Long.MinValue || us - prev > 1800L * 1000000L)
+          session += 1
+        prev = us
+        counts((u, session)) = counts.getOrElse((u, session), 0L) + 1L
+      }
+      counts
+    }
+    assert(got == want.toMap)
+  }
+
   test("property: lmScore == plain-Scala add-one bigram NLL, random corpus") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
