@@ -93,6 +93,42 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "byte_offset", "features")
   }
 
+  /** STUB RESIZE — the dimension-normalization shape (image resize /
+    * audio resample): bucket-mean a feature vector down to a fixed
+    * output width, ragged buckets handled like any resampler
+    * (bucket i covers [⌊i·in/out⌋, ⌊(i+1)·in/out⌋)). A real
+    * deployment swaps this for interpolated pixel/sample resize; the
+    * distributed contract — pure per-row transform, no shuffle, no
+    * driver — is identical.
+    */
+  def resize(features: Array[Float], outDim: Int): Array[Float] = {
+    val in = features.length
+    val out = new Array[Float](outDim)
+    if (in > 0) {
+      var i = 0
+      while (i < outDim) {
+        val s = i * in / outDim
+        val e = math.max(((i + 1) * in) / outDim, s + 1)
+        var sum = 0f
+        var j = s
+        while (j < e && j < in) { sum += features(j); j += 1 }
+        out(i) = if (j > s) sum / (j - s) else 0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize every row's feature vector — composes after
+    * [[extractFeatures]] / [[sampleFrames]].
+    */
+  def resizeFeatures(feats: DataFrame, outDim: Int = 4): DataFrame = {
+    import feats.sparkSession.implicits._
+    feats.select($"media_id", $"features").as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, f) => (id, resize(f, outDim)) })
+      .toDF("media_id", "features")
+  }
+
   /** Q23 — metadata-only path, oracle-checked: byte length + content
     * hash per media item. `.explain` shows ReadSchema without the
     * payload column when run over a stored media table.

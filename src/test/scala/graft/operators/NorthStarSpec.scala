@@ -110,6 +110,24 @@ class NorthStarSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") && !scan.contains("payload"))
   }
 
+
+  test("multimodal resize: bucket means, ragged division, row preservation") {
+    assert(Multimodal.resize(Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f), 4)
+      .toSeq == Seq(1.5f, 3.5f, 5.5f, 7.5f))
+    // 5 -> 2: buckets [0,2) and [2,5)
+    assert(Multimodal.resize(Array(1f, 2f, 3f, 4f, 5f), 2)
+      .toSeq == Seq(1.5f, 4f))
+    // upsample-ish: 2 -> 4 repeats bucket sources, never divides by 0
+    assert(Multimodal.resize(Array(2f, 6f), 4).toSeq == Seq(2f, 2f, 6f, 6f))
+    assert(Multimodal.resize(Array.empty[Float], 3).toSeq == Seq(0f, 0f, 0f))
+    val media = Multimodal.mediaFromDocuments(
+      graft.core.Tables.load(spark, sf, "documents"))
+    val feats = Multimodal.extractFeatures(media)
+    val resized = Multimodal.resizeFeatures(feats, 4)
+    assert(resized.count() == feats.count())
+    assert(resized.head().getSeq[Float](1).length == 4)
+  }
+
   test("stratified sample: deterministic, roughly honors per-stratum fractions") {
     val e = graft.core.Tables.load(spark, sf, "events")
     val fr = Map("click" -> 0.5, "view" -> 0.1, "error" -> 0.0,
