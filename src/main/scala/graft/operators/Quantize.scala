@@ -72,29 +72,92 @@ object Quantize {
     * distances are bit-identical; d2 is rounded to 6 as the stable
     * float contract.
     */
-  def pqCodes(emb: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame = {
+  def pqCodes(emb: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame =
+    pqCodesWith(emb, hashPivotCodebooks(emb, m, ksub), m)
+
+  /** Codebooks from the deterministic hash-pivot construction:
+    * cb(s)(p) = subvector s of the p-th hash-ordered vector.
+    */
+  def hashPivotCodebooks(emb: DataFrame, m: Int,
+      ksub: Int): Array[Array[Array[Double]]] = {
     import emb.sparkSession.implicits._
     val h = (($"vec_id" % lit(2147483648L)) * lit(2654435761L)) %
       lit(2147483648L)
-    val codebook: Array[Array[Double]] = emb
+    val pivots: Array[Array[Double]] = emb
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .withColumn("h", h)
       .orderBy($"h", $"vec_id").limit(ksub)
       .select($"e").as[Array[Double]].collect()
+    val dim = pivots.head.length
+    val sub = dim / m
+    Array.tabulate(m, pivots.length, sub)((s, p, d) =>
+      pivots(p)(s * sub + d))
+  }
+
+  /** Learned codebooks: one Spark ML k-means per subspace over the
+    * projected subvectors — the quality path [[pqCodes]]'s Scaladoc
+    * documents (k-means minimizes exactly the quantization MSE the
+    * encoder pays). Deterministic for a fixed seed but not
+    * engine-reproducible, so learned-codebook encodings are
+    * spec-checked, not oracle-checked (the q30 trade).
+    */
+  def learnedCodebooks(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb.select($"embedding".cast("array<double>").as("e"))
+      .localCheckpoint(true)
+    val dim = e.head().getSeq[Double](0).length
+    val sub = dim / m
+    (0 until m).map { s =>
+      val slice = e.select(array_to_vector(
+        org.apache.spark.sql.functions.slice($"e", s * sub + 1, sub))
+        .as("features"))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(seed + s).setMaxIter(10)
+      km.fit(slice).clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
+  /** Per-probe ADC lookup table rows (probe_id, s, code, L2 part) —
+    * m·ksub doubles per probe, built driver-side.
+    */
+  private[operators] def adcLut(probes: Array[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      m: Int): Seq[(Long, Long, Long, Double)] =
+    probes.toSeq.flatMap { case (pid, q) =>
+      val sub = q.length / m
+      for (s <- 0 until m; p <- codebooks(s).indices) yield {
+        var d2 = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = q(s * sub + d) - codebooks(s)(p)(d)
+          d2 += diff * diff
+          d += 1
+        }
+        (pid, s.toLong, p.toLong, d2)
+      }
+    }
+
+  /** Encode against explicit per-subspace codebooks. */
+  def pqCodesWith(emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]], m: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .as[(Long, Array[Double])]
       .mapPartitions(_.flatMap { case (id, e) =>
         require(e.length % m == 0, s"dim ${e.length} not divisible by $m")
         val sub = e.length / m
         (0 until m).iterator.map { s =>
+          val cb = codebooks(s)
           var best = -1
           var bestD = Double.MaxValue
           var p = 0
-          while (p < codebook.length) {
+          while (p < cb.length) {
             var d2 = 0.0
             var d = 0
             while (d < sub) {
-              val diff = e(s * sub + d) - codebook(p)(s * sub + d)
+              val diff = e(s * sub + d) - cb(p)(d)
               d2 += diff * diff
               d += 1
             }
@@ -138,32 +201,15 @@ object Quantize {
     * are identical either way.
     */
   def pqAdcTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16,
+      codebooksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     import emb.sparkSession.implicits._
-    val h = (($"vec_id" % lit(2147483648L)) * lit(2654435761L)) %
-      lit(2147483648L)
-    val codebook: Array[Array[Double]] = emb
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("h", h)
-      .orderBy($"h", $"vec_id").limit(ksub)
-      .select($"e").as[Array[Double]].collect()
+    val codebooks = codebooksOpt.getOrElse(hashPivotCodebooks(emb, m, ksub))
     val probes = emb.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .as[(Long, Array[Double])].collect()
-    val lut = probes.flatMap { case (pid, q) =>
-      val sub = q.length / m
-      for (s <- 0 until m; p <- codebook.indices) yield {
-        var d2 = 0.0
-        var d = 0
-        while (d < sub) {
-          val diff = q(s * sub + d) - codebook(p)(s * sub + d)
-          d2 += diff * diff
-          d += 1
-        }
-        (pid, s.toLong, p.toLong, d2)
-      }
-    }.toSeq.toDF("probe_id", "s", "code", "part")
-    val scored = pqCodes(emb, m, ksub)
+    val lut = adcLut(probes, codebooks, m).toDF("probe_id", "s", "code", "part")
+    val scored = pqCodesWith(emb, codebooks, m)
       .select($"vec_id", $"s", $"code")
       .join(broadcast(lut), Seq("s", "code"))
       .groupBy($"probe_id", $"vec_id")

@@ -120,6 +120,18 @@ class StarComponentsSpec extends SparkSpec {
     assert(got((1L, 1L)) == ((0L, 0.0)))
   }
 
+  test("learned k-means codebooks cut PQ reconstruction error vs hash pivots") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def meanErr(cb: Array[Array[Array[Double]]]): Double =
+      Quantize.pqCodesWith(emb, cb, 8)
+        .agg(avg($"d2")).head().getDouble(0)
+    val hash = meanErr(Quantize.hashPivotCodebooks(emb, 8, 16))
+    val learned = meanErr(Quantize.learnedCodebooks(emb))
+    // k-means optimizes exactly this objective; on this corpus the
+    // gap is large (arbitrary pivots vs fitted centers)
+    assert(learned < hash * 0.9, s"learned=$learned hash=$hash")
+  }
+
   test("pqAdcTopK: beats random recall by an order of magnitude; finds the probe itself") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val probeIds = Seq(0L, 1L, 2L)
@@ -149,6 +161,44 @@ class StarComponentsSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.15, s"recalls=$recalls")
     // a probe's own reconstruction error is far below real distances
     probeIds.foreach(p => assert(adc(p).contains(p), s"probe $p lost itself"))
+  }
+
+  test("IvfPq: recall floor, cell-pruned scan fraction, exact rerank scores") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val probeIds = Seq(0L, 1L, 2L)
+    val k = 10
+    val got = IvfPq.topK(emb, probeIds, k).cache()
+    val gotSets = got.select($"probe_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Similarity
+      .cosineTopK(spark, "/root/testdata/sf0.01", probeIds, k)
+      .select($"probe_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // measured 0.53 mean on this corpus; floor leaves ~2× margin
+    val recalls = probeIds.map(p =>
+      gotSets(p).intersect(exact(p)).size.toDouble / k)
+    assert(recalls.sum / recalls.size >= 0.3, s"recalls=$recalls")
+    // cell pruning touches ≤ nProbe/nLists of corpus×probes (+ skew)
+    val (indexed, model) = IvfIndex.buildPivots(emb)
+    val probeCells = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .as[(Long, Array[Double])].collect()
+      .flatMap { case (id, v) =>
+        model.nearestCells(v, 4).map(c => (id, c)) }.toSeq
+      .toDF("probe_id", "cell")
+    val scanned = indexed.select($"vec_id", $"cell")
+      .join(probeCells, "cell").count()
+    assert(scanned < emb.count() * probeIds.size / 2,
+      s"scanned $scanned of ${emb.count() * probeIds.size}")
+    // returned sims are exact cosines of the raw embeddings
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val bad = got.join(emb, "vec_id").join(probes, "probe_id")
+      .filter(abs(Similarity.cosineSim($"embedding", $"pe") - $"sim") > 1e-12)
+    assert(bad.isEmpty)
+    got.unpersist(); ()
   }
 
   test("zero vector quantizes to zero codes and zero scale") {
