@@ -96,6 +96,11 @@ object DataPipeline {
       println(s"[pipeline]   ${hits.count()} ANN results for 3 probes")
     }
 
+    timed("IVF-PQ stack (prune + ADC + rerank)") {
+      val hits = IvfPq.topK(emb, Seq(0L, 1L, 2L), k = 10)
+      println(s"[pipeline]   ${hits.count()} IVF-PQ results for 3 probes")
+    }
+
     spark.stop()
   }
 }
