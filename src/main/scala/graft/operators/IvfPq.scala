@@ -34,20 +34,18 @@ object IvfPq {
     val probeCells = probeRows.flatMap { case (id, v) =>
       model.nearestCells(v, nProbe).map(c => (id, c))
     }.toSeq.toDF("probe_id", "cell")
-    val lut = Quantize.adcLut(probeRows, codebooks, m)
-      .toDF("probe_id", "s", "code", "part")
+    val lutRows = Quantize.adcLutRows(emb, probeRows, codebooks, m, ksub)
 
-    // candidates = corpus ∩ probe cells; ADC-rank them by code lookups
+    // candidates = corpus ∩ probe cells; ADC-rank them with the
+    // per-row packed-code fold (no per-subspace shuffle)
     val candidates = indexed.select($"vec_id", $"cell")
       .join(broadcast(probeCells), "cell")
-    val codes = Quantize.pqCodesWith(emb, codebooks, m)
-      .select($"vec_id", $"s", $"code")
+    val packed = Quantize.pqCodesPacked(emb, codebooks, m)
     val shortlist = Similarity.topKPerProbe(
-      candidates.join(codes, "vec_id")
-        .join(broadcast(lut), Seq("probe_id", "s", "code"))
-        .groupBy($"probe_id", $"vec_id")
-        .agg(sum($"part").as("adc"))
-        .select($"probe_id", $"vec_id", (-$"adc").as("sim")),
+      candidates.join(packed, "vec_id")
+        .join(broadcast(lutRows), "probe_id")
+        .select($"probe_id", $"vec_id",
+          Quantize.adcFold(m, ksub).as("sim")),
       rerank)
 
     // exact rerank of the shortlist only

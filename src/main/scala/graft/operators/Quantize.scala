@@ -139,6 +139,45 @@ object Quantize {
       }
     }
 
+  /** Packed encode: ONE row per vector, codes as an m-length array —
+    * the layout ADC actually wants (q60 keeps the per-(vec, s) rows
+    * because the oracle contract hashes them; both come from the
+    * same loop).
+    */
+  def pqCodesPacked(emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]], m: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, e) =>
+        require(e.length % m == 0, s"dim ${e.length} not divisible by $m")
+        val sub = e.length / m
+        val codes = new Array[Long](m)
+        var s = 0
+        while (s < m) {
+          val cb = codebooks(s)
+          var best = -1
+          var bestD = Double.MaxValue
+          var p = 0
+          while (p < cb.length) {
+            var d2 = 0.0
+            var d = 0
+            while (d < sub) {
+              val diff = e(s * sub + d) - cb(p)(d)
+              d2 += diff * diff
+              d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = p }
+            p += 1
+          }
+          codes(s) = best.toLong
+          s += 1
+        }
+        (id, codes)
+      })
+      .toDF("vec_id", "codes")
+  }
+
   /** Encode against explicit per-subspace codebooks. */
   def pqCodesWith(emb: DataFrame,
       codebooks: Array[Array[Array[Double]]], m: Int): DataFrame = {
@@ -208,14 +247,53 @@ object Quantize {
     val probes = emb.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .as[(Long, Array[Double])].collect()
-    val lut = adcLut(probes, codebooks, m).toDF("probe_id", "s", "code", "part")
-    val scored = pqCodesWith(emb, codebooks, m)
-      .select($"vec_id", $"s", $"code")
-      .join(broadcast(lut), Seq("s", "code"))
-      .groupBy($"probe_id", $"vec_id")
-      .agg(sum($"part").as("adc"))
-      .select($"probe_id", $"vec_id", (-$"adc").as("sim"))
-    Similarity.topKPerProbe(scored, k)
+    Similarity.topKPerProbe(
+      adcScores(pqCodesPacked(emb, codebooks, m), probes, codebooks,
+        m, ksub), k)
       .select($"probe_id", $"vec_id", (-$"sim").as("adc"))
   }
+
+  /** ADC scoring over PACKED codes: each probe's LUT ships as a
+    * flattened broadcast literal and the approximate distance is m
+    * `element_at` lookups folded per ROW — no per-(vec, subspace)
+    * join, no aggregation shuffle; the only exchange left in an ADC
+    * query is the bounded-heap top-k merge. (The first formulation
+    * shuffled m rows per corpus vector through a join + groupBy —
+    * m× corpus rows of needless exchange at 100 TB.)
+    * Returns (probe_id, vec_id, sim = −distance).
+    */
+  private[operators] def adcScores(packed: DataFrame,
+      probes: Array[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], m: Int,
+      ksub: Int): DataFrame = {
+    import packed.sparkSession.implicits._
+    packed.crossJoin(broadcast(adcLutRows(packed, probes, codebooks, m, ksub)))
+      .select($"probe_id", $"vec_id", adcFold(m, ksub).as("sim"))
+  }
+
+  /** One row per probe: (probe_id, lut) with the flattened m·ksub
+    * lookup table.
+    */
+  private[operators] def adcLutRows(session: DataFrame,
+      probes: Array[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], m: Int,
+      ksub: Int): DataFrame = {
+    import session.sparkSession.implicits._
+    probes.toSeq.map { case (pid, q) =>
+      val flat = new Array[Double](m * ksub)
+      adcLut(Array((pid, q)), codebooks, m).foreach {
+        case (_, s, code, part) => flat(s.toInt * ksub + code.toInt) = part
+      }
+      (pid, flat.toSeq)
+    }.toDF("probe_id", "lut")
+  }
+
+  /** The per-row ADC fold: m `element_at` lookups over `lut` indexed
+    * by `codes`, negated so bigger = closer (top-k heap order).
+    */
+  private[operators] def adcFold(m: Int, ksub: Int): Column =
+    -aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("lut"), (s * ksub + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
 }

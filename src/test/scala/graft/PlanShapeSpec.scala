@@ -133,4 +133,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Quantize.int8(Tables.load(spark, sf, "embeddings")))
     assert(!p.contains("Exchange"), s"quantization must be per-row only:\n$p")
   }
+
+  test("ADC scoring is per-row: packed codes, broadcast LUTs, no code-key shuffle") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = Quantize.pqAdcTopK(emb, Seq(0L, 1L, 2L), 10)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MapPartitions"), "packed typed encode expected")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "probe LUTs must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join on (s, code) rows:\n$p")
+  }
 }
