@@ -45,6 +45,25 @@ object FeatureEngineering {
     spark.read.option("header", "true").schema(rawSchema).csv(path)
       .withColumn("purchase_timestamp", to_timestamp(col("purchase_timestamp")))
 
+  /** JSON-lines ingest with the same declared schema + ts
+    * normalization — ingest formats differ per producer, the engine
+    * contract doesn't. Declared schema means no inference pass (one
+    * read, predictable types at 100 TB).
+    */
+  def readRawJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(rawSchema).json(path)
+      .withColumn("purchase_timestamp", to_timestamp(col("purchase_timestamp")))
+
+  /** ORC ingest — same contract; ORC files carry typed timestamps so
+    * only the string-typed case needs normalizing.
+    */
+  def readRawOrc(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.orc(path)
+    if (df.schema("purchase_timestamp").dataType == StringType)
+      df.withColumn("purchase_timestamp", to_timestamp(col("purchase_timestamp")))
+    else df
+  }
+
   /** The A1 group-by: max ts, latest-by-ts value/score, running means.
     * Input must have TimestampType `purchase_timestamp`.
     */

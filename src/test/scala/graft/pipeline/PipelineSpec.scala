@@ -36,6 +36,28 @@ class PipelineSpec extends SparkSpec {
     assert(f.getDouble(5) == 6.0)    // latest_loyalty_score
   }
 
+  test("csv / json / orc ingest agree on the same rows (S1 source formats)") {
+    import graft.pipeline.FeatureEngineering
+    val dir = java.nio.file.Files.createTempDirectory("fmt-test").toString
+    val rows = Seq(
+      (1L, "2024-01-01T10:00:00.123456Z", 100.0, 5.0),
+      (2L, "2024-01-02T09:30:00.000001Z", 50.0, 6.5))
+      .toDF("customer_id", "purchase_timestamp", "purchase_value",
+        "loyalty_score")
+    rows.coalesce(1).write.option("header", "true").csv(s"$dir/csv")
+    rows.coalesce(1).write.json(s"$dir/json")
+    rows.coalesce(1).write.orc(s"$dir/orc")
+    val c = FeatureEngineering.readRawCsv(spark, s"$dir/csv")
+    val j = FeatureEngineering.readRawJson(spark, s"$dir/json")
+    val o = FeatureEngineering.readRawOrc(spark, s"$dir/orc")
+    Seq(j, o).foreach { d =>
+      assert(d.exceptAll(c).isEmpty && c.exceptAll(d).isEmpty,
+        "format readers disagree")
+    }
+    assert(c.schema("purchase_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("toWire formats microsecond ISO-8601 strings (utils.py:226-228)") {
     val w = FeatureEngineering.toWire(
       FeatureEngineering.engineerFeatures(raw)).head()
