@@ -118,6 +118,24 @@ def gen_percentile_query(rnd):
             f"FROM {t} GROUP BY {k} ORDER BY {k} NULLS LAST")
 
 
+def gen_text_query(rnd):
+    # documents-table string functions from the dialect-shared core
+    exprs = [
+        "length(text)",
+        "length(upper(text))",
+        "length(substr(text, 1, %d))" % rnd.randint(1, 40),
+        "length(replace(text, 'a', ''))",
+        "length(trim(text))",
+    ]
+    e = rnd.choice(exprs)
+    if rnd.random() < 0.5:
+        return (f"SELECT lang, sum({e}) AS v, count(*) AS n "
+                f"FROM documents GROUP BY lang ORDER BY lang")
+    lo = rnd.randint(50, 400)
+    return (f"SELECT doc_id, {e} AS v FROM documents "
+            f"WHERE n_chars >= {lo} ORDER BY doc_id")
+
+
 def gen_query(rnd):
     r = rnd.random()
     # keep join coverage at ~15% — inserting the subquery branch must
@@ -134,6 +152,8 @@ def gen_query(rnd):
         return gen_setop_query(rnd)
     if r < 0.60:
         return gen_percentile_query(rnd)
+    if r < 0.66:
+        return gen_text_query(rnd)
     t = rnd.choice(list(TABLES))
     cols = TABLES[t]
     preds = []
@@ -199,7 +219,7 @@ def main():
          f"runMain graft.SqlRunner {SF} /tmp/fuzz_queries.json {OUT}"],
         cwd="/root/repo", check=True, capture_output=True)
     con = duckdb.connect()
-    for t in list(TABLES) + ["customer", "nation"]:
+    for t in list(TABLES) + ["customer", "nation", "documents"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     n_pass = n_fail = 0
     for name, sql in sorted(queries.items()):
