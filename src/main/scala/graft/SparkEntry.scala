@@ -81,6 +81,7 @@ object SparkEntry {
     "q59_hard_negatives" -> (Similarity.q59HardNegatives _),
     "q60_pq_codes"       -> (Quantize.q60PqCodes _),
     "q61_dup_chunks"     -> (TextStats.q61DupChunks _),
+    "q62_skew_hotkeys"   -> (Profiling.q62SkewHotkeys _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -412,6 +413,15 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_occurrences
         |FROM ch GROUP BY chunk_text HAVING count(*) > 1
         |ORDER BY chunk_text""".stripMargin,
+    // q62: counts are exact ints; share is one division, rounded 6.
+    "q62_skew_hotkeys" ->
+      """WITH c AS (SELECT event_type AS key, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        | t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+        |SELECT key, cnt, round(cnt::DOUBLE / total, 6) AS share
+        |FROM c CROSS JOIN t
+        |QUALIFY row_number() OVER (ORDER BY cnt DESC, key) <= 5
+        |ORDER BY cnt DESC, key""".stripMargin,
     // q44: the composed curation policy — language allowlist, quality
     // threshold (rounded before comparing so both engines gate on the
     // same number), and near-dup keeper via the q41 closure.

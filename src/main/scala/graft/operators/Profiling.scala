@@ -54,6 +54,29 @@ object Profiling {
       .orderBy($"source")
   }
 
+  /** Key-skew diagnostics — the report that decides the
+    * [[Layout]] salting knob before a big join/agg: per-key counts
+    * for the hottest keys plus their share of the table. One
+    * partial+final agg then a global top-k (`TakeOrderedAndProject` —
+    * k rows to the driver, never a sort); share is one division of
+    * exact integers.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    import df.sparkSession.implicits._
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select($"key", $"cnt",
+        round($"cnt".cast("double") / $"total", 6).as("share"))
+      .orderBy($"cnt".desc, $"key")
+      .limit(topK)
+  }
+
+  /** Q62 — hottest event types with their table share. */
+  def q62SkewHotkeys(spark: SparkSession, dir: String): DataFrame =
+    skewReport(Tables.load(spark, dir, "events"), "event_type")
+
   /** Deterministic stratified sample: per-stratum fractions with a
     * fixed seed (`sampleBy` = per-row Bernoulli keyed on the stratum —
     * no shuffle, exact-fraction in expectation). Training pipelines

@@ -134,6 +134,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must be per-row only:\n$p")
   }
 
+  test("q62: global hot-key top-k plans as TakeOrdered, never a full sort") {
+    val p = plan(Profiling.q62SkewHotkeys(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(p.contains("partial_count"), "key counts must partial-agg")
+  }
+
   test("ADC scoring is per-row: packed codes, broadcast LUTs, no code-key shuffle") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = Quantize.pqAdcTopK(emb, Seq(0L, 1L, 2L), 10)

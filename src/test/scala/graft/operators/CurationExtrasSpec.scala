@@ -60,6 +60,14 @@ class CurationExtrasSpec extends SparkSpec {
     assert(cut == Map(2L -> 1L))
   }
 
+  test("skewReport: hand counts, shares, top-k order") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val got = Profiling.skewReport(df, "k", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+  }
+
   test("repetitionStats: hand-computed counts and ratios") {
     val docs = Seq(
       (1L, "a a a b"),        // top token a×3, top bigram (a,a)×2
