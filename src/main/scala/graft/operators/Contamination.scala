@@ -62,6 +62,30 @@ object Contamination {
         countDistinct($"bench_id").as("n_bench_docs"))
   }
 
+  /** Serving shape: check arriving docs against a FIXED benchmark
+    * shingle index — the stream-static form (fit the index once from
+    * the eval sets, gate every ingest batch; no state, no corpus
+    * re-read). `benchIndex` is `indexOf(benchDocs)`, persisted by a
+    * real deployment like any artifact.
+    */
+  def indexOf(bench: DataFrame, n: Int = 8): DataFrame = {
+    import bench.sparkSession.implicits._
+    NearDup.shingleHashSets(bench, n)
+      .select($"doc_id".as("bench_id"), explode($"shs").as("sh"))
+  }
+
+  /** Contamination of `batch` docs against a prebuilt bench index. */
+  def contaminatedAgainst(benchIndex: DataFrame, batch: DataFrame,
+      n: Int = 8): DataFrame = {
+    import batch.sparkSession.implicits._
+    NearDup.shingleHashSets(batch, n)
+      .select($"doc_id", explode($"shs").as("sh"))
+      .join(benchIndex, "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+  }
+
   /** Q51 — 8-gram contamination of `documents` against the held-out
     * tenth (doc_id % 10 = 0) as the stand-in benchmark set.
     */

@@ -42,6 +42,29 @@ class StreamLmScoreSpec extends SparkSpec {
     assert(got(11L) == nll(1.0 / 3))
   }
 
+  test("stream-static decontamination gate equals the batch split form") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Contamination
+    val docs = Tables.load(spark, sf, "documents")
+    val benchIdx = Contamination
+      .indexOf(docs.filter($"doc_id" % 10 === 0)).localCheckpoint(true)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val collected = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Contamination.contaminatedAgainst(benchIdx, b)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    corpus.grouped(20).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val want = Contamination.q51Contamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collected.toSet == want)
+  }
+
   test("streamed micro-batches score identically to the batch path") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, sf, "documents")
