@@ -462,8 +462,10 @@ object SparkEntry {
     // double avg's last ulp depends on shuffle order).
     "q45_label_centroids" ->
       """WITH d AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
-        | idx AS (SELECT unnest(range(0, 64)) AS dim),
-        | x AS (SELECT label, dim, e[dim + 1] AS v FROM d CROSS JOIN idx)
+        | -- parallel unnests zip: dim range derives from each row's
+        | -- actual embedding length, never a hardcoded dimensionality
+        | x AS (SELECT label, unnest(range(0, len(e))) AS dim,
+        |          unnest(e) AS v FROM d)
         |SELECT label, dim, sum(CAST(round(v * 1000000) AS BIGINT))::DOUBLE
         |    / (count(*) * 1000000.0) AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,

@@ -68,7 +68,12 @@ object Layout {
       keyCol: String, orderCols: Seq[String], nBuckets: Int): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // pin the stamped batch once: the emptiness probe, the
+    // touched-bucket collect, and the final write otherwise each
+    // re-execute the batch plan — three full offline scans when the
+    // bootstrap batch is itself a windowed history dedup
     val b = batch.withColumn("kb", keyBucket(keyCol, nBuckets))
+      .localCheckpoint(true)
     if (b.isEmpty) return // no touched buckets — a write would leave
                           // an empty (schema-less) partition root
     val all =

@@ -44,26 +44,58 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
 
   /** Next ingest sequence number (single writer — the reference
     * ingests with `max_workers=1`, `feature_store_manager.py:119`).
-    * Read from storage once, then counted in memory: a full history
-    * scan per micro-batch would dominate streaming upsert cost.
+    * Recovered once per store object, then counted in memory: a full
+    * history scan per micro-batch would dominate streaming upsert
+    * cost.
+    *
+    * The counter is persisted to a tiny `_seq` sidecar BEFORE the
+    * allocated number is used in any data write, so recovery never
+    * depends on surviving rows: a serving-only store whose batch was
+    * entirely superseded by newer event times leaves no `_seq` trace
+    * in the table, and scanning survivors there would reuse a number
+    * and make a later exact event-time tie resolve nondeterministically.
+    * The row scan remains the fallback for stores written before the
+    * sidecar existed (or a sidecar lost mid-swap).
     */
   private var seqCounter: Long = -1L
   private def nextSeq(): Long = {
     if (seqCounter < 0L)
-      // recover from WHICHEVER store carries sequence state: a store
-      // used only via mergeServing has no offline dir, and restarting
-      // the counter at 0 there would invert the (ts, _seq) newest-wins
-      // tie-break against surviving serving rows
-      seqCounter =
+      seqCounter = readSeqSidecar().getOrElse {
         if (exists)
           offline().agg(max(col(seqCol))).head().getLong(0) + 1L
         else if (servingInitialized)
           spark.read.parquet(servingDir)
             .agg(max(col(seqCol))).head().getLong(0) + 1L
         else 0L
+      }
     val s = seqCounter
     seqCounter += 1L
+    writeSeqSidecar(seqCounter)
     s
+  }
+
+  private def seqSidecarPath = new Path(s"${conf.path}/_seq")
+
+  private def readSeqSidecar(): Option[Long] = {
+    if (!fs.exists(seqSidecarPath)) None
+    else {
+      val in = fs.open(seqSidecarPath)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  /** Temp-write + rename; a crash between delete and rename leaves no
+    * sidecar, which recovery treats as "fall back to the row scan" —
+    * never a stale number, because the sidecar is written before its
+    * value's first data write.
+    */
+  private def writeSeqSidecar(next: Long): Unit = {
+    val tmp = new Path(s"${conf.path}/_seq.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(seqSidecarPath)) fs.delete(seqSidecarPath, false)
+    fs.rename(tmp, seqSidecarPath): Unit
   }
 
   /** All storage probes and the online-table commit go through the

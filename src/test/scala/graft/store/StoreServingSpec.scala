@@ -146,6 +146,29 @@ class StoreServingSpec extends SparkSpec {
     assert(s2.serving().head().getDouble(2) == 3.0)
   }
 
+  test("seq never reuses a number after restart, even when the " +
+      "highest-seq batch left no surviving rows") {
+    val dir = Files.createTempDirectory("fs-serving").toString
+    val s1 = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    s1.mergeServing(Seq((1L, ts("2024-06-01 00:00:00"), 1.0)) // seq 0
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    // seq 1 — older event time, every row superseded: no _seq 1 trace
+    // survives in the table, only the sidecar remembers it
+    s1.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val s2 = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    s2.mergeServing(Seq((2L, ts("2024-01-01 00:00:00"), 3.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    // a survivors-only recovery would stamp 1 (reusing the dead
+    // batch's number); the sidecar continues at 2
+    val stamped = spark.read.parquet(s"$dir/serving")
+      .filter($"customer_id" === 2L)
+      .select($"_seq").as[Long].head()
+    assert(stamped == 2L)
+  }
+
   test("point lookup with an Int literal against a Long key still hits") {
     val s = freshStore()
     s.mergeServing(Seq((42L, ts("2024-01-01 00:00:00"), 4.2))
