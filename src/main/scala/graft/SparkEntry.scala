@@ -82,6 +82,12 @@ object SparkEntry {
     "q60_pq_codes"       -> (Quantize.q60PqCodes _),
     "q61_dup_chunks"     -> (TextStats.q61DupChunks _),
     "q62_skew_hotkeys"   -> (Profiling.q62SkewHotkeys _),
+    "q63_mixture_sample" -> (Curation.q63MixtureSample _),
+    "q64_token_histogram" -> (Profiling.q64TokenHistogram _),
+    "q65_quality_deciles" -> (Profiling.q65QualityDeciles _),
+    "q66_shuffle_shards" -> (Curation.q66ShuffleShards _),
+    "q67_semdedup"       -> (SemDedup.q67SemDedup _),
+    "q68_importance_weights" -> (LmScore.q68ImportanceWeights _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -414,6 +420,129 @@ object SparkEntry {
         |FROM ch GROUP BY chunk_text HAVING count(*) > 1
         |ORDER BY chunk_text""".stripMargin,
     // q62: counts are exact ints; share is one division, rounded 6.
+    // q63: the masked-Knuth keep-frontier — both engines compute the
+    // identical BIGINT hash, so the sample (not just its size) agrees.
+    "q63_mixture_sample" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    (10 + (CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) * 7)
+        |      % 80)::BIGINT AS rate_pct
+        |  FROM documents),
+        | k AS (SELECT source, count(*)::BIGINT AS n_kept FROM s
+        |   WHERE (((doc_id % 2147483648) * 2654435761) % 2147483648) % 100
+        |     < rate_pct
+        |   GROUP BY source)
+        |SELECT s.source, s.rate_pct, count(*)::BIGINT AS n_total,
+        |  coalesce(any_value(k.n_kept), 0)::BIGINT AS n_kept
+        |FROM s LEFT JOIN k ON s.source = k.source
+        |GROUP BY s.source, s.rate_pct
+        |ORDER BY s.source""".stripMargin,
+    "q64_token_histogram" ->
+      """WITH b AS (SELECT (len(string_split(text, ' ')) // 16) * 16 AS bucket
+        |  FROM documents),
+        | c AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket),
+        | t AS (SELECT sum(n)::BIGINT AS total FROM c)
+        |SELECT bucket::BIGINT AS bucket, n, round(n::DOUBLE / total, 6) AS share
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // q65: the score is quantized to 1e-6 BIGINT ticks (a rounded
+    // DOUBLE can tie at the 7th digit where the engines' rounding
+    // modes diverge); decile cuts are exact interpolated percentiles
+    // over the integer ticks (quantile_cont ≡ Spark percentile, the
+    // q53 contract) and the bin test is integer-vs-double
+    // strictly-greater — unambiguous on both sides.
+    "q65_quality_deciles" ->
+      """WITH q AS (SELECT doc_id, round((
+        |  least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.4 +
+        |  (1.0 - len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','an','and','of','to','in','is','on','for')))::DOUBLE
+        |       / len(string_split(text, ' '))) * 0.3 +
+        |  least(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |       / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3) * 1e6
+        |  )::BIGINT AS quality_ticks
+        |FROM documents),
+        | c AS (SELECT
+        |    round(quantile_cont(quality_ticks, 0.1), 6) AS c1,
+        |    round(quantile_cont(quality_ticks, 0.2), 6) AS c2,
+        |    round(quantile_cont(quality_ticks, 0.3), 6) AS c3,
+        |    round(quantile_cont(quality_ticks, 0.4), 6) AS c4,
+        |    round(quantile_cont(quality_ticks, 0.5), 6) AS c5,
+        |    round(quantile_cont(quality_ticks, 0.6), 6) AS c6,
+        |    round(quantile_cont(quality_ticks, 0.7), 6) AS c7,
+        |    round(quantile_cont(quality_ticks, 0.8), 6) AS c8,
+        |    round(quantile_cont(quality_ticks, 0.9), 6) AS c9
+        |  FROM q)
+        |SELECT doc_id, quality_ticks,
+        |  (1 + (quality_ticks > c1)::INT + (quality_ticks > c2)::INT
+        |     + (quality_ticks > c3)::INT + (quality_ticks > c4)::INT
+        |     + (quality_ticks > c5)::INT + (quality_ticks > c6)::INT
+        |     + (quality_ticks > c7)::INT + (quality_ticks > c8)::INT
+        |     + (quality_ticks > c9)::INT) AS decile
+        |FROM q CROSS JOIN c ORDER BY doc_id""".stripMargin,
+    // q66: shard from the Knuth hash, in-shard order from an
+    // independent second multiplier (xxhash's 2246822519 — also < 2^32
+    // so the 31-bit-masked product stays under 2^63).
+    "q66_shuffle_shards" ->
+      """WITH s AS (SELECT doc_id,
+        |    (((((doc_id % 2147483648) * 2654435761) % 2147483648) % 16))::INT
+        |      AS shard,
+        |    ((doc_id % 2147483648) * 2246822519) % 2147483648 AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT
+        |    AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // q67: the full SemDeDup pipeline recomputed — hash-pivot cells
+    // (the q30 quantizer), within-cell cosine pairs, min-id closure
+    // (the q41 reach CTE), survivors.
+    "q67_semdedup" ->
+      """WITH RECURSIVE pv AS (SELECT * FROM (
+        |    SELECT row_number() OVER (
+        |        ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+        |          vec_id) - 1 AS pid,
+        |      embedding::DOUBLE[] AS pe
+        |    FROM embeddings) WHERE pid < 16),
+        | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        | asg AS (SELECT vec_id, e, pid AS cell FROM (
+        |    SELECT c.vec_id, c.e, pv.pid, row_number() OVER (
+        |        PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.e, pv.pe) DESC, pv.pid) AS rn
+        |    FROM corpus c CROSS JOIN pv) WHERE rn = 1),
+        | np AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |   FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |   WHERE list_cosine_similarity(a.e, b.e) >= 0.4),
+        | e AS (SELECT doc_a AS s, doc_b AS d FROM np
+        |       UNION ALL SELECT doc_b, doc_a FROM np),
+        | reach AS (
+        |   SELECT s AS id, s AS r FROM e
+        |   UNION
+        |   SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+        | cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT a.vec_id, a.cell::INT AS cell,
+        |  coalesce(cl.id = cl.cluster_id, FALSE) AS is_dup_survivor
+        |FROM asg a LEFT JOIN cl ON a.vec_id = cl.id
+        |WHERE cl.id IS NULL OR cl.id = cl.cluster_id
+        |ORDER BY a.vec_id""".stripMargin,
+    // q68: one log-ratio tick per distinct vocab token (the q54
+    // contract), exact-integer per-doc accumulation.
+    "q68_importance_weights" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |   FROM documents),
+        | dt AS (SELECT doc_id, w, count(*)::BIGINT AS c
+        |   FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        | cc AS (SELECT w, sum(c)::BIGINT AS cc FROM dt GROUP BY w),
+        | tc AS (SELECT w, sum(c)::BIGINT AS ct
+        |   FROM dt JOIN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |     USING (doc_id)
+        |   GROUP BY w),
+        | tot AS (SELECT sum(cc)::BIGINT AS nc, count(*)::BIGINT AS v FROM cc),
+        | tt AS (SELECT sum(ct)::BIGINT AS nt FROM tc),
+        | wt AS (SELECT cc.w,
+        |     round((ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + v))
+        |          - ln((cc + 1)::DOUBLE / (nc + v))) * 1e6)::BIGINT AS tick
+        |   FROM cc LEFT JOIN tc ON cc.w = tc.w CROSS JOIN tot CROSS JOIN tt)
+        |SELECT doc_id, sum(c)::BIGINT AS n_toks,
+        |  round((sum(c * tick)::DOUBLE) / (sum(c) * 1e6), 6) AS weight
+        |FROM dt JOIN wt USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q62_skew_hotkeys" ->
       """WITH c AS (SELECT event_type AS key, count(*) AS cnt
         |  FROM events GROUP BY 1),

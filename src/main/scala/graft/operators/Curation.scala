@@ -135,6 +135,91 @@ object Curation {
       .orderBy($"lang", $"doc_id")
   }
 
+  /** The portable masked-Knuth hash both engines compute in plain
+    * BIGINT arithmetic (31-bit mask before the multiply keeps the
+    * product < 2^63 at any key).
+    */
+  private[operators] def knuthHash(keyCol: org.apache.spark.sql.Column) =
+    ((keyCol % lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)
+
+  /** Deterministic data-mixture sampling — downsample each source to
+    * its target rate (the domain-reweighting step of every pretraining
+    * recipe: keep 80% of wiki, 15% of crawl, …). A doc is kept iff
+    * its key hash lands under the source's rate frontier, so the
+    * sample is reproducible, engine-independent, shuffle-free (one
+    * per-row predicate on the scan), and stable under corpus growth —
+    * a doc's fate never changes as other docs arrive, unlike
+    * `sample()` whose outcome depends on partition layout.
+    *
+    * `ratePct` maps each source to its keep-rate in percent; unlisted
+    * sources keep everything.
+    */
+  def mixtureSample(docs: DataFrame, sourceCol: String, keyCol: String,
+      ratePct: Map[String, Int]): DataFrame = {
+    val rate = ratePct.foldLeft(lit(100)) { case (e, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(e)
+    }
+    docs.filter(knuthHash(col(keyCol)) % 100L < rate)
+  }
+
+  /** Q63 — per-source mixture summary at a rate schedule derived from
+    * the source id (`srcN` keeps 10 + 7·N mod 80 percent): total vs
+    * kept counts per source. The kept-side agg is partial+final over
+    * the filtered scan; the totals agg likewise; one broadcast join
+    * of two 20-row summaries.
+    */
+  def q63MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val srcNum = regexp_extract($"source", "src(\\d+)", 1).cast("long")
+    val stamped = docs.withColumn("rate_pct",
+      (lit(10L) + (srcNum * 7L) % 80L))
+    val kept = stamped
+      .filter(knuthHash($"doc_id") % 100L < $"rate_pct")
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    stamped.groupBy($"source", $"rate_pct")
+      .agg(count(lit(1)).as("n_total"))
+      .join(broadcast(kept), Seq("source"), "left")
+      .select($"source", $"rate_pct", $"n_total",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  /** Deterministic training-order shuffle — assign every doc a shard
+    * and a position inside it, so the training loader streams shards
+    * in order and gets a reproducible global permutation without a
+    * global sort. Shard = key hash mod nShards; in-shard order = a
+    * SECOND independent hash (different odd multiplier), so shard
+    * membership and in-shard order are uncorrelated.
+    *
+    * Scale contract: production picks `nShards ∝ corpus / target
+    * shard size` (thousands of shards at 100 TB), so rows-per-shard
+    * is BOUNDED by construction and the per-shard ranking window is
+    * safe — unlike a window over a data-proportional group (the
+    * q16-r1 single-reducer shape). The physical write is
+    * `repartition(shard).sortWithinPartitions(ord)` — one shuffle,
+    * no global ordering step.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val ord = ((col(keyCol) % lit(2147483648L)) * lit(2246822519L)) %
+      lit(2147483648L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"_ord", col(keyCol))
+    df.withColumn("shard", (knuthHash(col(keyCol)) % nShards).cast("int"))
+      .withColumn("_ord", ord)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_ord")
+  }
+
+  /** Q66 — 16-shard deterministic shuffle order over `documents`. */
+  def q66ShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shuffleShards(Tables.load(spark, dir, "documents"), "doc_id", 16)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   /** Q49 — top-3 quality docs per language via the bounded-heap
     * grouped top-k ([[Similarity.topKPerProbe]] — partial agg before
     * the shuffle). Docs-per-language is corpus-proportional, so a

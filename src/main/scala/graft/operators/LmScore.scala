@@ -87,6 +87,72 @@ object LmScore {
     lmScore(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
   }
 
+  /** Per-document token counts (doc_id, w, c) — pre-aggregated so the
+    * downstream shuffle carries distinct (doc, token) rows, not token
+    * occurrences (map-side partial agg collapses the explode before
+    * anything moves).
+    */
+  def docTokenCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(TextStats.tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+  }
+
+  /** Data-selection importance weights (DSIR, Xie et al. 2023, arXiv
+    * 2302.03169, reduced to unigram features): score every document
+    * by its mean per-token log-likelihood RATIO between a target
+    * distribution (the data you want more of) and the overall corpus —
+    * positive means target-like, negative means background-like; the
+    * selection policy keeps the top-weighted docs. Both unigram LMs
+    * are add-one smoothed over the SAME corpus vocabulary so the
+    * ratio is defined for every token.
+    *
+    * Determinism: one log-ratio per DISTINCT vocabulary token,
+    * quantized to 1e-6 ticks (the [[lmScore]] contract); per-doc
+    * accumulation is exact integer arithmetic, identical under any
+    * aggregation order or engine.
+    *
+    * Scale shape: token counts pre-aggregate map-side; the two LMs
+    * are |V|-row aggs joined once (target LEFT so vocabulary absent
+    * from the target still scores via smoothing); scoring is one
+    * equi-join of doc-token counts against the |V|-row weight table —
+    * AQE broadcasts it while vocab is bounded. No driver collect.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    val dt = docTokenCounts(docs).localCheckpoint(true)
+    val corpusCounts = dt.groupBy($"w").agg(sum($"c").as("cc"))
+    val targetCounts = docTokenCounts(docs.filter(isTarget))
+      .groupBy($"w").agg(sum($"c").as("ct"))
+    val totals = corpusCounts.agg(
+      sum($"cc").as("nc"), count(lit(1)).as("v"))
+    val targetTotal = targetCounts.agg(sum($"ct").as("nt"))
+    val weights = corpusCounts
+      .join(targetCounts, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(targetTotal))
+      .select($"w",
+        round((log((coalesce($"ct", lit(0L)) + 1).cast("double")
+            / ($"nt" + $"v"))
+          - log(($"cc" + 1).cast("double") / ($"nc" + $"v"))) * 1e6)
+          .cast("long").as("tick"))
+    dt.join(weights, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_toks"), sum($"c" * $"tick").as("s"))
+      .select($"doc_id", $"n_toks",
+        round($"s".cast("double") / ($"n_toks" * 1e6), 6).as("weight"))
+  }
+
+  /** Q68 — importance weights over `documents` with English docs as
+    * the target distribution.
+    */
+  def q68ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    importanceWeights(docs, col("lang") === "en").orderBy($"doc_id")
+  }
+
   /** LM artifact fit on a corpus: the (c12, c1, |V|) tables a serving
     * tier persists and re-uses — scoring a live stream never re-reads
     * the training corpus.

@@ -77,6 +77,73 @@ object Profiling {
   def q62SkewHotkeys(spark: SparkSession, dir: String): DataFrame =
     skewReport(Tables.load(spark, dir, "events"), "event_type")
 
+  /** Token-count histogram — the length-distribution profile that
+    * sets truncation budgets and packing bin sizes. Fixed-width
+    * buckets via integer division: one partial+final agg, share is a
+    * division of exact integers against a broadcast 1-row total.
+    */
+  def tokenHistogram(docs: DataFrame, width: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    val binned = docs
+      .select(((size(TextStats.tokens($"text")) / width).cast("long")
+        * width).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    val total = binned.agg(sum($"n").as("total"))
+    binned.crossJoin(broadcast(total))
+      .select($"bucket", $"n",
+        round($"n".cast("double") / $"total", 6).as("share"))
+  }
+
+  /** Q64 — document token-count histogram, 16-token buckets. */
+  def q64TokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenHistogram(Tables.load(spark, dir, "documents"))
+      .orderBy($"bucket")
+  }
+
+  /** Exact decile binning by a score WITHOUT a global `ntile` — an
+    * ntile window over the whole corpus funnels every row through one
+    * reducer (the q16-r1 shape, but global). Instead: one agg pass
+    * computes the 9 exact interpolated cut points (same (n−1)·q
+    * definition in Spark `percentile` and DuckDB `quantile_cont`,
+    * proven by q53); binning is then a per-row comparison against the
+    * broadcast 1-row cuts — two scans, zero shuffles of the corpus,
+    * and the same two-pass shape works at 100 TB (where the exact
+    * percentile swaps for the mergeable `approx_percentile` sketch).
+    * Bin k = 1 + #cuts strictly below the score; ties sit in the
+    * lower bin in both engines because both compare the identical
+    * rounded doubles.
+    */
+  def decileBins(scored: DataFrame, scoreCol: String): DataFrame = {
+    import scored.sparkSession.implicits._
+    val cutCols = (1 to 9).map(d =>
+      round(percentile(col(scoreCol), lit(d / 10.0)), 6).as(s"c$d"))
+    val cuts = scored.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).foldLeft(lit(1)) { (e, d) =>
+      e + when(col(scoreCol) > col(s"c$d"), 1).otherwise(0)
+    }
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile)
+      .drop((1 to 9).map(d => s"c$d"): _*)
+  }
+
+  /** Q65 — quality-decile assignment over `documents` (the curriculum
+    * / quality-binning step: train on top deciles first, or weight
+    * bins differently). The score is quantized to 1e-6 BIGINT ticks
+    * BEFORE the cuts: a rounded-double score can tie at the 7th digit
+    * where Spark's decimal-string HALF_UP and DuckDB's binary
+    * half-away disagree; integer ticks never tie against the
+    * interpolated cut doubles ambiguously (the q53/q45 contract).
+    */
+  def q65QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        round(TextAnalysis.qualityScore($"text") * 1e6).cast("long")
+          .as("quality_ticks"))
+    decileBins(scored, "quality_ticks").orderBy($"doc_id")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions with a
     * fixed seed (`sampleBy` = per-row Bernoulli keyed on the stratum —
     * no shuffle, exact-fraction in expectation). Training pipelines
