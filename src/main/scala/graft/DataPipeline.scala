@@ -57,6 +57,34 @@ object DataPipeline {
       c
     }
 
+    timed("PII audit (email/phone/ip regex, per-row)") {
+      val hits = Redact.scan(clean.join(docs.select($"doc_id", $"text"),
+          "doc_id"))
+        .agg(sum($"n_emails" + $"n_phones" + $"n_ipv4")).head().getLong(0)
+      println(s"[pipeline]   $hits PII hits (clean corpus ⇒ 0)")
+    }
+
+    val selected = timed("importance weights + mixture + splits") {
+      val w = LmScore.importanceWeights(
+        docs.join(clean.select($"doc_id"), "doc_id"), col("lang") === "en")
+      val targetLike = w.filter($"weight" > 0).count()
+      val mixed = Curation.mixtureSample(
+        docs.join(clean.select($"doc_id"), "doc_id"),
+        "source", "doc_id", Map("src0" -> 50, "src1" -> 50))
+      val split = Curation.assignSplits(mixed, "doc_id").cache()
+      val byBucket = split.groupBy($"split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[pipeline]   $targetLike target-like docs; splits $byBucket")
+      split
+    }
+
+    timed("shuffle shards (deterministic training order)") {
+      val sh = Curation.shuffleShards(
+        selected.filter($"split" === "train"), "doc_id", 16)
+      val n = sh.groupBy($"shard").count().count()
+      println(s"[pipeline]   train docs across $n shards")
+    }
+
     timed("tokenizer fit (30 BPE merges)") {
       val merges = Bpe.fit(clean.select($"doc_id")
         .join(docs, "doc_id"), nMerges = 30)
@@ -81,6 +109,11 @@ object DataPipeline {
     }
 
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    timed("semantic dedup (cell-restricted, SemDeDup)") {
+      val kept = SemDedup.semDedup(emb, tau = 0.4).count()
+      println(s"[pipeline]   ${emb.count()} vectors -> $kept after SemDeDup")
+    }
+
     timed("label centroids") {
       println(s"[pipeline]   ${Curation.labelCentroids(emb).count()} (label, dim) rows")
     }

@@ -88,6 +88,8 @@ object SparkEntry {
     "q66_shuffle_shards" -> (Curation.q66ShuffleShards _),
     "q67_semdedup"       -> (SemDedup.q67SemDedup _),
     "q68_importance_weights" -> (LmScore.q68ImportanceWeights _),
+    "q69_pii_scan"       -> (Redact.q69PiiScan _),
+    "q70_outlier_mad"    -> (Profiling.q70OutlierMad _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -521,6 +523,36 @@ object SparkEntry {
         |FROM asg a LEFT JOIN cl ON a.vec_id = cl.id
         |WHERE cl.id IS NULL OR cl.id = cl.cluster_id
         |ORDER BY a.vec_id""".stripMargin,
+    // q69: clean corpus ⇒ all-zero counts; the oracle's value is the
+    // cross-engine regex-dialect agreement on every real document
+    // (detection itself is proven by the planted-fixture spec).
+    "q69_pii_scan" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT
+        |    AS emails,
+        |  sum(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')))::BIGINT AS phones,
+        |  sum(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::BIGINT AS ips
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q70: medians/MADs are interpolated percentiles over identical
+    // doubles (the q53 contract); emitted as 1e-6 ticks, outlier test
+    // compares the same doubles in both engines.
+    "q70_outlier_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |   FROM events GROUP BY 1),
+        | d AS (SELECT e.event_type, e.value, m.med,
+        |     abs(e.value - m.med) AS adev
+        |   FROM events e JOIN m USING (event_type)),
+        | md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |   FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  coalesce(sum((adev > 3 * mad)::INT), 0)::BIGINT AS n_outliers,
+        |  round(max(med) * 1e6)::BIGINT AS med_ticks,
+        |  round(max(mad) * 1e6)::BIGINT AS mad_ticks
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // q68: one log-ratio tick per distinct vocab token (the q54
     // contract), exact-integer per-doc accumulation.
     "q68_importance_weights" ->

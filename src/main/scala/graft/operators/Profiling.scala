@@ -144,6 +144,41 @@ object Profiling {
     decileBins(scored, "quality_ticks").orderBy($"doc_id")
   }
 
+  /** Robust per-group outlier report via median absolute deviation —
+    * the gate that survives the heavy-tailed value distributions a
+    * mean/stddev z-score drowns in. Two agg passes (median, then MAD
+    * of deviations) with the tiny per-group medians broadcast back;
+    * a row is an outlier when |v − med| > k·MAD. Exact `percentile`
+    * here; at 100 TB per-group cardinality the same shape runs on
+    * `approx_percentile` (mergeable t-digest).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    import df.sparkSession.implicits._
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val med = df.groupBy(g.as("g"))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), g === $"g").drop("g")
+      .withColumn("adev", abs(v - $"med"))
+    val mad = dev.groupBy(g.as("g"))
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), g === $"g").drop("g")
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        sum(when($"adev" > lit(k) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max($"med") * 1e6).cast("long").as("med_ticks"),
+        round(max($"mad") * 1e6).cast("long").as("mad_ticks"))
+  }
+
+  /** Q70 — MAD outlier audit of `events.value` per event type. */
+  def q70OutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    madOutliers(Tables.load(spark, dir, "events"), "event_type", "value")
+      .orderBy($"event_type")
+  }
+
   /** Deterministic stratified sample: per-stratum fractions with a
     * fixed seed (`sampleBy` = per-row Bernoulli keyed on the stratum —
     * no shuffle, exact-fraction in expectation). Training pipelines

@@ -125,6 +125,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(survivors == all -- nonKeepers)
   }
 
+  test("redact: planted PII is counted and masked, clean text untouched") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 555-123-4567 now"),
+      (2L, "server at 192.168.1.100 and 10.0.0.1 responded"),
+      (3L, "plain clean text with no identifiers at all"),
+      (4L, "dotted phone 555.123.4567 stays a phone not an ip"),
+    ).toDF("doc_id", "text")
+    val got = Redact.scan(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ipv4"), r.getAs[String]("redacted"))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(1L)._4 == "contact [EMAIL] or [PHONE] now")
+    assert(got(2L)._3 == 2 && got(2L)._4.contains("[IP] and [IP]"))
+    assert(got(3L) == (0L, 0L, 0L, "plain clean text with no identifiers at all"))
+    assert(got(4L)._4.contains("[PHONE]") && !got(4L)._4.contains("[IP]"))
+  }
+
+  test("redact: pure per-row pass — no exchange in the plan") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val p = Redact.scan(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"))
+  }
+
+  test("mixtureSample: shuffle-free predicate on the scan") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val p = Curation.mixtureSample(docs, "source", "doc_id", Map("src0" -> 50))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"))
+  }
+
+  test("madOutliers: hand-computed median, MAD, and outlier count") {
+    val df = ((1L to 9L).map(v => ("a", v.toDouble)) :+ ("a", 100.0))
+      .toDF("grp", "v")
+    val r = Profiling.madOutliers(df, "grp", "v").head()
+    // sorted values 1..9,100 → med 5.5; |v−5.5| sorted → MAD 2.5;
+    // only 100 (adev 94.5) clears 3·MAD = 7.5
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Long]("n_outliers") == 1)
+    assert(r.getAs[Long]("med_ticks") == 5500000L)
+    assert(r.getAs[Long]("mad_ticks") == 2500000L)
+  }
+
+  test("madOutliers: constant group has MAD 0 and no outliers") {
+    val df = (1 to 8).map(_ => ("c", 7.0)).toDF("grp", "v")
+    val r = Profiling.madOutliers(df, "grp", "v").head()
+    assert(r.getAs[Long]("mad_ticks") == 0L && r.getAs[Long]("n_outliers") == 0)
+  }
+
   test("importanceWeights: self-target weights are exactly zero") {
     val docs = graft.core.Tables.load(spark, sf, "documents").limit(50)
     val w = LmScore.importanceWeights(docs, lit(true))
