@@ -125,6 +125,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(survivors == all -- nonKeepers)
   }
 
+  test("mixtureSample: raising a rate only ADDS docs (hash-frontier nesting)") {
+    val docs = (1L to 500L).map((_, "s")).toDF("doc_id", "source")
+    val kept = (10 to 90 by 20).map { r =>
+      Curation.mixtureSample(docs, "source", "doc_id", Map("s" -> r))
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    kept.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi)) // nested frontiers: no doc churn on re-rate
+    }
+  }
+
+  test("decileBins: binning is monotone in the score") {
+    val scored = (1L to 97L).map(i => (i, i * 31 % 97)).toDF("id", "score")
+    val rows = Profiling.decileBins(scored, "score")
+      .select($"score", $"decile").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    rows.sliding(2).foreach { case Array((_, d1), (_, d2)) =>
+      assert(d1 <= d2)
+    }
+  }
+
   test("redact: planted PII is counted and masked, clean text untouched") {
     val docs = Seq(
       (1L, "contact alice.smith+x@example.co.uk or 555-123-4567 now"),
