@@ -90,6 +90,14 @@ object SparkEntry {
     "q68_importance_weights" -> (LmScore.q68ImportanceWeights _),
     "q69_pii_scan"       -> (Redact.q69PiiScan _),
     "q70_outlier_mad"    -> (Profiling.q70OutlierMad _),
+    "q71_pmi"            -> (TextStats.q71Pmi _),
+    "q72_outer_reconcile" -> (Relational.q72OuterReconcile _),
+    "q73_edit_distance"  -> (NearDup.q73EditDistance _),
+    "q74_cohort_retention" -> (Temporal.q74CohortRetention _),
+    "q75_funnel"         -> (Temporal.q75Funnel _),
+    "q76_peak_concurrency" -> (Temporal.q76PeakConcurrency _),
+    "q77_winsor_scale"   -> (Profiling.q77WinsorScale _),
+    "q78_bloom_prune"    -> (BloomPrune.q78BloomPrune _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -900,6 +908,128 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY user_id) AS n
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q71: PMI from exact integer bigram counts (the q50 CTE plus
+    // first-/second-slot marginals); the float is one division + ln,
+    // rounded to 6 dp, never used for ordering.
+    "q71_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        | b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |     i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        |   FROM t WHERE len(toks) >= 2),
+        | c12 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c12
+        |   FROM b GROUP BY 1, 2),
+        | c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        | c2 AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM c12 GROUP BY 1),
+        | tot AS (SELECT sum(c12)::BIGINT AS tcnt FROM c12)
+        |SELECT w1, w2, c12, c1, c2,
+        |  round(ln((c12 * tcnt)::DOUBLE / (c1 * c2)), 6) AS pmi
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+        |WHERE c12 >= 5
+        |ORDER BY c12 DESC, w1, w2 LIMIT 100""".stripMargin,
+    // q72: full-outer reconciliation; sums rounded to 6 dp (per-key
+    // double accumulation order is not a portable contract).
+    "q72_outer_reconcile" ->
+      """WITH early AS (SELECT user_id, count(*) AS n_purchase,
+        |    round(sum(value), 6) AS purchase_total
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND ts < TIMESTAMP '2024-01-05 00:00:00' GROUP BY user_id),
+        | late AS (SELECT user_id, count(*) AS n_click,
+        |    round(sum(value), 6) AS click_total
+        |  FROM events WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY user_id)
+        |SELECT coalesce(e.user_id, l.user_id) AS user_id,
+        |  coalesce(n_purchase, 0)::BIGINT AS n_purchase,
+        |  coalesce(purchase_total, 0.0) AS purchase_total,
+        |  coalesce(n_click, 0)::BIGINT AS n_click,
+        |  coalesce(click_total, 0.0) AS click_total,
+        |  CASE WHEN n_purchase IS NOT NULL AND n_click IS NOT NULL THEN 'both'
+        |       WHEN n_purchase IS NOT NULL THEN 'purchase_only'
+        |       ELSE 'click_only' END AS coverage
+        |FROM early e FULL OUTER JOIN late l ON e.user_id = l.user_id
+        |ORDER BY user_id""".stripMargin,
+    // q73: the oracle needs no length-bucket blocking — the length
+    // filter alone makes the candidate set identical (ED ≥ |Δlen|),
+    // and the engine's bucketing provably visits every such pair once.
+    "q73_edit_distance" ->
+      """SELECT least(d1.doc_id, d2.doc_id) AS doc_a,
+        |  greatest(d1.doc_id, d2.doc_id) AS doc_b,
+        |  levenshtein(d1.text, d2.text)::BIGINT AS dist
+        |FROM documents d1 JOIN documents d2
+        |  ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        |  AND abs(d1.n_chars - d2.n_chars) <= 20
+        |WHERE levenshtein(d1.text, d2.text) <= 50
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q74: week index is integer day-diff division — no engine
+    // week-start convention in the contract.
+    "q74_cohort_retention" ->
+      """WITH wk AS (SELECT user_id,
+        |    (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)::BIGINT AS wk
+        |  FROM events),
+        | cohort AS (SELECT user_id, min(wk) AS cohort_week
+        |   FROM wk GROUP BY user_id),
+        | act AS (SELECT DISTINCT user_id, wk FROM wk)
+        |SELECT cohort_week, (wk - cohort_week)::BIGINT AS week_offset,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q75: strict-progression funnel; timestamps are exact µs values.
+    "q75_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'signup' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |   JOIN s1 ON e.user_id = s1.user_id
+        |   WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |   JOIN s2 ON e.user_id = s2.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  (CASE WHEN t3 IS NOT NULL THEN 3
+        |        WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::BIGINT AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    // q76: sweep-line peak concurrency; starts sort before ends at
+    // equal instants (inclusive ends), prefix-sum maxima are
+    // tie-permutation-invariant.
+    "q76_peak_concurrency" ->
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM m),
+        | sess AS (SELECT user_id, session, min(ts) AS start_ts,
+        |    max(ts) AS end_ts FROM s GROUP BY 1, 2),
+        | d AS (SELECT start_ts AS ts, 1 AS delta FROM sess
+        |   UNION ALL SELECT end_ts, -1 FROM sess),
+        | r AS (SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC
+        |    ROWS UNBOUNDED PRECEDING) AS conc FROM d)
+        |SELECT ts::DATE AS day, max(conc)::BIGINT AS peak
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q77: percentile cuts rounded to 6 dp BEFORE the clamp/scale so
+    // both engines compare and divide identical operands.
+    "q77_winsor_scale" ->
+      """WITH s AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS plo,
+        |    round(quantile_cont(value, 0.95), 6) AS phi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  round(least(greatest(value, plo), phi), 6) AS winsorized,
+        |  CASE WHEN phi > plo THEN
+        |    round((least(greatest(value, plo), phi) - plo) / (phi - plo), 6)
+        |  ELSE 0.0 END AS scaled
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    // q78: the Bloom pass has no false negatives and the final semi
+    // join removes false positives, so the contract is exactly the
+    // semi join.
+    "q78_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

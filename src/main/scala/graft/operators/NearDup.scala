@@ -221,4 +221,56 @@ object NearDup {
     embeddingNearDupPairs(Tables.load(spark, dir, "embeddings"), 0.4)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** Edit-distance near-dup: pairs (doc_a < doc_b) of same-language
+    * documents with Levenshtein distance ≤ maxDist — the
+    * character-level dedup complement to token-set Jaccard (catches
+    * small in-place edits that shift every shingle).
+    *
+    * Blocking: ED ≥ |len(a) − len(b)|, so only pairs with length
+    * difference ≤ maxLenDiff can match. Docs are bucketed by
+    * ⌊n_chars / w⌋ with w > maxLenDiff; a candidate pair's buckets
+    * then differ by at most 1, so the left side probes (blk, blk+1)
+    * and the right side is keyed by blk — every candidate pair meets
+    * exactly once (same-bucket ties ordered by doc_id), and the join
+    * is a plain equi-join on (lang, bucket): no |docs|² blowup, and
+    * the shuffle key is portable. The distance itself uses the
+    * banded O(len·maxDist) kernel (`levenshtein(l, r, threshold)`),
+    * not the full O(len²) matrix.
+    *
+    * At 100 TB: bucket occupancy is corpus/|lang·buckets| — if a
+    * (lang, length) stratum is hot, sub-block the bucket with a
+    * cheap content key (e.g. first-token hash) the same way; the
+    * length bound keeps candidate growth linear in occupancy, not
+    * quadratic in the corpus.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 50,
+      maxLenDiff: Int = 20, bucketWidth: Int = 25): DataFrame = {
+    require(bucketWidth > maxLenDiff, "need bucketWidth > maxLenDiff")
+    import docs.sparkSession.implicits._
+    val d = docs.select($"doc_id", $"text", $"lang", $"n_chars",
+      ($"n_chars" / bucketWidth).cast("long").as("blk"))
+    val left = d
+      .withColumn("jb", explode(array($"blk", $"blk" + 1L)))
+      .select($"lang", $"jb", $"doc_id".as("ida"), $"text".as("ta"),
+        $"n_chars".as("la"), $"blk".as("blka"))
+    val right = d.select($"lang", $"blk".as("jb"), $"doc_id".as("idb"),
+      $"text".as("tb"), $"n_chars".as("lb"))
+    left.join(right, Seq("lang", "jb"))
+      // same-bucket pairs once (id order); cross-bucket pairs appear
+      // only with the lower-bucket doc on the left
+      .filter(($"blka" === $"jb" && $"ida" < $"idb") || $"blka" < $"jb")
+      .filter(abs($"la" - $"lb") <= maxLenDiff)
+      .withColumn("dist", levenshtein($"ta", $"tb", maxDist))
+      .filter($"dist" >= 0)
+      .select(least($"ida", $"idb").as("doc_a"),
+        greatest($"ida", $"idb").as("doc_b"), $"dist".cast("long").as("dist"))
+  }
+
+  /** Q73 — same-language pairs within edit distance 50. */
+  def q73EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    editDistancePairs(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -188,4 +188,43 @@ object Profiling {
   def stratifiedSample(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Winsorize + robust min-max scale per group — the standard
+    * outlier-safe feature normalization: clamp to the [lo, hi]
+    * per-group percentiles, then scale the clamped value to [0, 1]
+    * over that band. Group percentile cuts are one exact-percentile
+    * agg broadcast back (the q65 decile shape — no global sort, no
+    * per-group reducer over raw rows); everything after is per-row.
+    *
+    * Portability contract: the cuts are rounded to 6 dp BEFORE use,
+    * so both clamp comparisons and the scale division see identical
+    * operands in any engine; outputs are rounded to 6 dp. At 100 TB
+    * the exact percentile swaps for `approx_percentile` (mergeable
+    * t-digest) behind the same interface.
+    */
+  def winsorScale(df: DataFrame, groupCol: String, valCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    import df.sparkSession.implicits._
+    val g = col(groupCol)
+    val v = col(valCol)
+    val cuts = df.groupBy(g.as("g"))
+      .agg(round(percentile(v, lit(lo)), 6).as("plo"),
+        round(percentile(v, lit(hi)), 6).as("phi"))
+    df.join(broadcast(cuts), g === $"g").drop("g")
+      .withColumn("w", least(greatest(v, $"plo"), $"phi"))
+      .withColumn("winsorized", round($"w", 6))
+      .withColumn("scaled",
+        when($"phi" > $"plo",
+          round(($"w" - $"plo") / ($"phi" - $"plo"), 6))
+          .otherwise(lit(0.0)))
+      .drop("w", "plo", "phi")
+  }
+
+  /** Q77 — winsorized + robust-scaled `events.value` per event type. */
+  def q77WinsorScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winsorScale(Tables.load(spark, dir, "events"), "event_type", "value")
+      .select($"event_id", $"event_type", $"value", $"winsorized", $"scaled")
+      .orderBy($"event_id")
+  }
 }

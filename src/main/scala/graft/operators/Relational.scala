@@ -366,4 +366,50 @@ object Relational {
       .na.fill(0L)
       .orderBy($"user_id")
   }
+
+  /** Full-outer reconciliation — the missing-join-side audit every
+    * pipeline needs when merging two independently produced per-key
+    * aggregates (e.g. yesterday's features vs today's): FULL OUTER
+    * join, coalesce defaults, and a side flag saying which input(s)
+    * covered the key. Both inputs here are sliced so each has keys
+    * the other lacks (early-window purchases vs late-window clicks).
+    *
+    * Sums are rounded to 6 dp — per-key double accumulation order is
+    * not a portable contract (the q10 lesson); the row counts are
+    * exact integers. One shuffle per side on the join key; at scale
+    * both sides are pre-aggregated (|keys| rows), so the outer join
+    * is keys-sized, never event-sized.
+    */
+  def outerReconcile(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    import a.sparkSession.implicits._
+    a.join(b, Seq(key), "full_outer")
+  }
+
+  /** Q72 — reconcile early-January purchase totals with late-January
+    * click totals per user; flag which side covers each user.
+    */
+  def q72OuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "events")
+    val early = e.filter($"event_type" === "purchase" &&
+        $"ts" < to_timestamp(lit("2024-01-05 00:00:00")))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchase"),
+        round(sum($"value"), 6).as("purchase_total"))
+    val late = e.filter($"event_type" === "click" &&
+        $"ts" >= to_timestamp(lit("2024-01-25 00:00:00")))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_click"),
+        round(sum($"value"), 6).as("click_total"))
+    outerReconcile(early, late, "user_id")
+      .select($"user_id",
+        coalesce($"n_purchase", lit(0L)).as("n_purchase"),
+        coalesce($"purchase_total", lit(0.0)).as("purchase_total"),
+        coalesce($"n_click", lit(0L)).as("n_click"),
+        coalesce($"click_total", lit(0.0)).as("click_total"),
+        when($"n_purchase".isNotNull && $"n_click".isNotNull, "both")
+          .when($"n_purchase".isNotNull, "purchase_only")
+          .otherwise("click_only").as("coverage"))
+      .orderBy($"user_id")
+  }
 }

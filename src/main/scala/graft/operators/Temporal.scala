@@ -123,4 +123,106 @@ object Temporal {
     sessionize(Tables.load(spark, dir, "events"))
       .orderBy($"user_id", $"session")
   }
+
+  /** Portable week index: whole weeks since the epoch anchor — plain
+    * integer day arithmetic, no engine week-start convention.
+    */
+  private def weekIdx(ts: org.apache.spark.sql.Column) =
+    floor(datediff(ts.cast("date"), to_date(lit("2024-01-01"))) / 7)
+      .cast("long")
+
+  /** Weekly cohort retention — the activity-triangle every growth /
+    * engagement pipeline computes: users grouped by first-seen week,
+    * counted distinct in each later week, as (cohort_week, offset,
+    * n_users). Two aggregations (first-seen per user; distinct
+    * user-weeks) joined on user_id — both shuffles are user-keyed and
+    * combine map-side; the triangle itself is |cohorts|·|weeks| rows.
+    * Week boundaries are integer day-diff division (no engine
+    * week-start convention).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val wk = events.select($"user_id", weekIdx($"ts").as("wk"))
+    val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    wk.distinct()
+      .join(cohort, "user_id")
+      .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  /** Q74 — weekly retention triangle over `events`. */
+  def q74CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cohortRetention(Tables.load(spark, dir, "events"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** Ordered funnel — strict-progression stage timestamps per user:
+    * t1 = first `stage1`, t2 = first `stage2` AFTER t1, t3 = first
+    * `stage3` after t2. The per-stage pass is filter → per-user min →
+    * join back (user-keyed shuffles of |users| rows, never
+    * event-sized intermediates); strict `>` makes reordering
+    * impossible (a view logged before the signup doesn't count).
+    * Timestamps are exact µs values — no float anywhere.
+    */
+  def funnel(events: DataFrame, stage1: String, stage2: String,
+      stage3: String): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events.select($"user_id", $"event_type", $"ts")
+    val s1 = e.filter($"event_type" === stage1)
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .filter($"event_type" === stage2 && $"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .filter($"event_type" === stage3 && $"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .select($"user_id", $"t1", $"t2", $"t3",
+        when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L)
+          .otherwise(1L).as("stage"))
+  }
+
+  /** Q75 — signup → view → purchase funnel per user. */
+  def q75Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnel(Tables.load(spark, dir, "events"), "signup", "view", "purchase")
+      .orderBy($"user_id")
+  }
+
+  /** Peak concurrent sessions per day — the sweep-line over session
+    * intervals: +1 at each session start, −1 at each (INCLUSIVE) end,
+    * running sum in (ts, delta DESC) order (starts sort before ends
+    * at the same instant, so boundary-touching sessions — and
+    * single-event sessions, whose start equals their end — count as
+    * concurrent), max per calendar day. Within an equal-(ts, delta)
+    * tie group the prefix sums are monotonic, so no permutation of
+    * ties can change any prefix-sum maximum — deterministic.
+    *
+    * The sweep runs over 2·|sessions| CHANGE POINTS (already two
+    * aggregations smaller than raw events), totally ordered — here a
+    * single window; at 100 TB the standard two-pass prefix-sum applies
+    * (range-partition by ts, per-partition sums, broadcast partition
+    * offsets) — same contract, documented switch.
+    */
+  def peakConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    import events.sparkSession.implicits._
+    val sess = sessionize(events, gapSec)
+    val deltas = sess.select($"start_ts".as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select($"end_ts".as("ts"), lit(-1L).as("delta")))
+    val w = Window.orderBy($"ts", $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum($"delta").over(w))
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(max($"conc").as("peak"))
+  }
+
+  /** Q76 — daily peak concurrent 30-minute sessions. */
+  def q76PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    peakConcurrency(Tables.load(spark, dir, "events"))
+      .orderBy($"day")
+  }
 }

@@ -125,15 +125,17 @@ object TextStats {
     * and the probability is one double division on identical
     * integers — deterministic in any engine.
     */
-  def bigramStats(docs: DataFrame, topK: Int = 50): DataFrame = {
+  /** Per-partition pre-aggregated bigram counts (w1, w2, cnt) — one
+    * hash map of (w1,w2)→count per partition, so the shuffle carries
+    * |distinct bigrams per partition| rows, not |tokens| rows. (An
+    * interpreted transform-into-struct HOF was ~30× slower per token
+    * and shuffled every occurrence.) Fan-out keeps a small
+    * single-file scan off one core. Shared by [[bigramStats]] and
+    * [[pmiCollocations]].
+    */
+  private def bigramPartials(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // Typed per-partition loop with local pre-aggregation: one hash
-    // map of (w1,w2)→count per partition, so the shuffle carries
-    // |distinct bigrams per partition| rows, not |tokens| rows. (The
-    // former interpreted transform-into-struct HOF was ~30× slower
-    // per token and shuffled every occurrence.) Fan-out keeps a
-    // small single-file scan off one core.
-    val partial = graft.core.Parallel.fan(docs)
+    graft.core.Parallel.fan(docs)
       .select($"text").as[String]
       .mapPartitions { it =>
         val counts =
@@ -155,7 +157,12 @@ object TextStats {
           .map(e => (e.getKey._1, e.getKey._2, e.getValue()(0)))
       }
       .toDF("w1", "w2", "cnt")
-    val c12 = partial.groupBy($"w1", $"w2").agg(sum($"cnt").as("c12"))
+  }
+
+  def bigramStats(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import docs.sparkSession.implicits._
+    val c12 = bigramPartials(docs).groupBy($"w1", $"w2")
+      .agg(sum($"cnt").as("c12"))
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     c12.join(c1, "w1")
       .select($"w1", $"w2", $"c12", $"c1",
@@ -167,6 +174,45 @@ object TextStats {
   /** Q50 — top-50 bigrams with conditional probabilities. */
   def q50BigramStats(spark: SparkSession, dir: String): DataFrame =
     bigramStats(Tables.load(spark, dir, "documents"))
+
+  /** Pointwise mutual information collocations — the statistical
+    * phrase detector (word2vec-style phrase mining, collocation
+    * extraction for vocabulary induction): PMI(w1,w2) =
+    * ln( c12·T / (c1·c2) ) where c1/c2 are the first-/second-slot
+    * marginals and T the total bigram count. All four counts are
+    * exact integers from one shared pre-aggregated pass; the PMI
+    * value is a single double division + ln, rounded to 6 dp (the
+    * q42 tfidf contract — ordering never touches the float, only
+    * the exact-integer keys).
+    *
+    * Shape at scale: one bigram shuffle (pre-aggregated per
+    * partition), marginals are two small re-aggs of the distinct-
+    * bigram table broadcast back — never a re-scan of the corpus.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      topK: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    // distinct-bigram counts: |vocab²|-bounded, far smaller than the
+    // corpus — localCheckpoint so the three derived aggs (marginals,
+    // total) don't each re-run the corpus pass
+    val c12 = bigramPartials(docs).groupBy($"w1", $"w2")
+      .agg(sum($"cnt").as("c12")).localCheckpoint(true)
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val c2 = c12.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val t = c12.agg(sum($"c12").as("t"))
+    c12.join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .crossJoin(broadcast(t))
+      .filter($"c12" >= minCount)
+      .select($"w1", $"w2", $"c12", $"c1", $"c2",
+        round(log(($"c12" * $"t").cast("double") / ($"c1" * $"c2")), 6)
+          .as("pmi"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(topK)
+  }
+
+  /** Q71 — top-100 collocations by count with PMI scores. */
+  def q71Pmi(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.load(spark, dir, "documents"))
 
   /** Per-document repetition diagnostics — the Gopher-rules family of
     * repetitiveness filters from public LM data-curation reports:
