@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 in-JVM executor threads + pinned localCheckpoint blocks need
+  // headroom; 8g thrashed the block manager over a 78-query bench run
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 78 queries × whole-stage codegen classes overflow the default
+  // 240 MB code cache mid-run; once full the JIT disables itself and
+  // the typed per-partition loops (minhash, LM counts, levenshtein)
+  // drop to interpreted speed — 20-40× per-query regressions that
+  // look like data skew but aren't
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -98,6 +98,10 @@ object SparkEntry {
     "q76_peak_concurrency" -> (Temporal.q76PeakConcurrency _),
     "q77_winsor_scale"   -> (Profiling.q77WinsorScale _),
     "q78_bloom_prune"    -> (BloomPrune.q78BloomPrune _),
+    "q79_rolling_active" -> (Temporal.q79RollingActive _),
+    "q80_type_sets"      -> (Relational.q80TypeSets _),
+    "q81_interarrival"   -> (Temporal.q81InterArrival _),
+    "q82_attribution"    -> (Temporal.q82Attribution _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1030,6 +1034,51 @@ object SparkEntry {
         |FROM orders o WHERE EXISTS (SELECT 1 FROM customer c
         |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+    // q79: distinct user-days fan out to the ≤7 report days they
+    // contribute to — COUNT(DISTINCT) over a range frame is
+    // unsupported in every engine, so both sides use the same
+    // contribute-to-window reduction.
+    "q79_rolling_active" ->
+      """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        | mx AS (SELECT max(day) AS max_day FROM days),
+        | fan AS (SELECT user_id, day + i::INT AS report_day
+        |   FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
+        |SELECT report_day, count(DISTINCT user_id)::BIGINT AS n_active_7d
+        |FROM fan CROSS JOIN mx WHERE report_day <= max_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q80: set-valued aggregate serialized sorted — deterministic in
+    // both engines.
+    "q80_type_sets" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',')
+        |    AS types_csv,
+        |  count(DISTINCT event_type)::BIGINT AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q81: gaps are exact integer µs; percentile interpolation is the
+    // shared (n−1)·q contract (q53 precedent).
+    "q81_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap, max(gap_us) AS max_gap,
+        |  round(quantile_cont(gap_us, 0.5), 6) AS median_gap,
+        |  round(quantile_cont(gap_us, 0.9), 6) AS p90_gap
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q82: latest strictly-preceding click within 7 days; equal-ts
+    // click ties resolve to the largest event_id on both sides.
+    "q82_attribution" ->
+      """SELECT p.event_id, p.user_id, p.ts AS conv_ts, c.ts AS touch_ts,
+        |  c.ts IS NOT NULL AS attributed
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT ts FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

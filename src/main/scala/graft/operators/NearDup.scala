@@ -222,6 +222,60 @@ object NearDup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Ukkonen-banded Levenshtein with early abandon: the exact
+    * distance when ≤ tau, −1 otherwise (the `levenshtein(l, r, τ)`
+    * contract). Only cells within tau of the diagonal are computed
+    * (O(min(n,m)·τ), not O(n·m)), and the row bails as soon as the
+    * whole band exceeds tau — for a random non-dup pair that happens
+    * after ~τ rows, so rejections cost O(τ²). `scratch` lets callers
+    * reuse the two DP rows across millions of pairs (zero per-pair
+    * allocation); pass null for one-shot use.
+    */
+  private[operators] def bandedLevenshtein(a: String, b: String,
+      tau: Int, scratch: Array[Array[Int]] = null): Int = {
+    val n = a.length
+    val m = b.length
+    if (math.abs(n - m) > tau) return -1
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = tau + 1
+    val buf =
+      if (scratch != null && scratch(0).length >= m + 1) scratch
+      else Array(new Array[Int](m + 1), new Array[Int](m + 1))
+    var prev = buf(0)
+    var cur = buf(1)
+    java.util.Arrays.fill(prev, 0, m + 1, inf)
+    var j = 0
+    while (j <= math.min(m, tau)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - tau)
+      val hi = math.min(m, i + tau)
+      // fill one cell wider than this row's band on BOTH sides: row
+      // i+1 reads prev over [lo−1, hi+1], and reused scratch keeps
+      // stale values outside the filled window
+      java.util.Arrays.fill(cur, math.max(0, lo - 2),
+        math.min(m, hi + 1) + 1, inf)
+      var best = inf
+      if (i <= tau) { cur(0) = i; best = i }
+      val ca = a.charAt(i - 1)
+      j = lo
+      while (j <= hi) {
+        var v = if (ca == b.charAt(j - 1)) prev(j - 1) else prev(j - 1) + 1
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best >= inf) return -1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) <= tau) prev(m) else -1
+  }
+
   /** Edit-distance near-dup: pairs (doc_a < doc_b) of same-language
     * documents with Levenshtein distance ≤ maxDist — the
     * character-level dedup complement to token-set Jaccard (catches
@@ -234,9 +288,11 @@ object NearDup {
     * and the right side is keyed by blk — every candidate pair meets
     * exactly once (same-bucket ties ordered by doc_id), and the join
     * is a plain equi-join on (lang, bucket): no |docs|² blowup, and
-    * the shuffle key is portable. The distance itself uses the
-    * banded O(len·maxDist) kernel (`levenshtein(l, r, threshold)`),
-    * not the full O(len²) matrix.
+    * the shuffle key is portable. The distance kernel is
+    * [[bandedLevenshtein]] in a typed per-partition loop with reused
+    * scratch rows — random (reject) pairs cost O(τ²) and near-dups
+    * O(len·τ); the built-in `levenshtein(l, r, τ)` expression was
+    * ~40× slower here (per-cell UTF8String decoding, no band).
     *
     * At 100 TB: bucket occupancy is corpus/|lang·buckets| — if a
     * (lang, length) stratum is hot, sub-block the bucket with a
@@ -261,10 +317,18 @@ object NearDup {
       // only with the lower-bucket doc on the left
       .filter(($"blka" === $"jb" && $"ida" < $"idb") || $"blka" < $"jb")
       .filter(abs($"la" - $"lb") <= maxLenDiff)
-      .withColumn("dist", levenshtein($"ta", $"tb", maxDist))
-      .filter($"dist" >= 0)
-      .select(least($"ida", $"idb").as("doc_a"),
-        greatest($"ida", $"idb").as("doc_b"), $"dist".cast("long").as("dist"))
+      .select($"ida", $"idb", $"ta", $"tb")
+      .as[(Long, Long, String, String)]
+      .mapPartitions { it =>
+        val scratch = Array(new Array[Int](1024), new Array[Int](1024))
+        it.flatMap { case (ida, idb, ta, tb) =>
+          val d = bandedLevenshtein(ta, tb, maxDist, scratch)
+          if (d >= 0)
+            Some((math.min(ida, idb), math.max(ida, idb), d.toLong))
+          else None
+        }
+      }
+      .toDF("doc_a", "doc_b", "dist")
   }
 
   /** Q73 — same-language pairs within edit distance 50. */

@@ -367,6 +367,24 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Q80 — per-user sorted distinct event-type set, emitted as a CSV
+    * string (the portable serialization of a set-valued aggregate:
+    * `collect_set` is unordered by contract, so `array_sort` +
+    * `array_join` makes the value deterministic and engine-neutral).
+    * One partial+final agg; set sizes are bounded by the type
+    * vocabulary, so state never grows with event volume.
+    */
+  def q80TypeSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        array_join(array_sort(collect_set($"event_type")), ",")
+          .as("types_csv"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"user_id")
+  }
+
   /** Full-outer reconciliation — the missing-join-side audit every
     * pipeline needs when merging two independently produced per-key
     * aggregates (e.g. yesterday's features vs today's): FULL OUTER

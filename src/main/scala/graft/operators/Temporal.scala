@@ -225,4 +225,106 @@ object Temporal {
     peakConcurrency(Tables.load(spark, dir, "events"))
       .orderBy($"day")
   }
+
+  /** Rolling 7-day distinct active users — the windowed-distinct
+    * metric that resists window frames (COUNT(DISTINCT) over a range
+    * frame is unsupported everywhere): reduce to distinct
+    * (user, day) FIRST, then fan each activity day out to the ≤ 7
+    * report days it contributes to and count distinct per report
+    * day. The fan-out multiplies the already-reduced user-day table
+    * (≪ events), never the raw stream; the shape is the standard
+    * contribute-to-window trick and scales as |user-days|·window.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    import events.sparkSession.implicits._
+    val days = events.select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    val mx = days.agg(max($"day").as("max_day"))
+    days
+      .withColumn("report_day",
+        explode(transform(sequence(lit(0), lit(windowDays - 1)),
+          i => date_add($"day", i))))
+      .crossJoin(broadcast(mx))
+      .filter($"report_day" <= $"max_day")
+      .groupBy($"report_day")
+      .agg(countDistinct($"user_id").as("n_active_7d"))
+  }
+
+  /** Q79 — trailing-7-day distinct active users per day. */
+  def q79RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rollingActive(Tables.load(spark, dir, "events"))
+      .orderBy($"report_day")
+  }
+
+  /** Per-user inter-arrival statistics — the burstiness profile
+    * (bot/abuse signal, session-gap tuning input): exact integer-µs
+    * gaps from one per-user lag, then grouped count/min/max/median/
+    * p90. Gaps are integers, so the percentile interpolation is the
+    * portable (n−1)·q contract (the q53 precedent); per-user windows
+    * are bounded groups.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1)
+        .over(byUser))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap_us").as("min_gap"),
+        max($"gap_us").as("max_gap"),
+        round(percentile($"gap_us", lit(0.5)), 6).as("median_gap"),
+        round(percentile($"gap_us", lit(0.9)), 6).as("p90_gap"))
+  }
+
+  /** Q81 — inter-arrival gap profile per user. */
+  def q81InterArrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    interArrival(Tables.load(spark, dir, "events"))
+      .orderBy($"user_id")
+  }
+
+  /** Last-touch attribution — each conversion joined to the latest
+    * preceding touch event within `horizonDays`, via the q20 union
+    * trick: tag touches and conversions, sort each user's timeline
+    * once, carry the last touch forward, then age-filter. One
+    * user-keyed shuffle; no per-conversion probe, no range
+    * explosion. Strictly-before semantics from the sort key
+    * (ts, tag): at an equal timestamp the conversion (tag 0)
+    * precedes the touch (tag 1), so a touch never attributes a
+    * conversion at its own instant; ties among equal-ts touches
+    * resolve to the largest event_id (deterministic).
+    */
+  def lastTouchAttribution(events: DataFrame, touch: String,
+      conversion: String, horizonDays: Int = 7): DataFrame = {
+    import events.sparkSession.implicits._
+    val touches = events.filter($"event_type" === touch)
+      .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts",
+        lit(1).as("tag"), $"ts".as("t_ts"), $"event_id".as("t_id"))
+    val convs = events.filter($"event_type" === conversion)
+      .select($"event_id", $"user_id", $"ts",
+        lit(0).as("tag"), lit(null).cast("timestamp").as("t_ts"),
+        lit(null).cast("long").as("t_id"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"t_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    convs.unionByName(touches)
+      .withColumn("touch_ts", last($"t_ts", ignoreNulls = true).over(w))
+      .filter($"tag" === 0)
+      .withColumn("touch_ts",
+        when($"touch_ts" >= $"ts" - expr(s"INTERVAL $horizonDays DAYS"),
+          $"touch_ts"))
+      .select($"event_id", $"user_id", $"ts".as("conv_ts"), $"touch_ts",
+        $"touch_ts".isNotNull.as("attributed"))
+  }
+
+  /** Q82 — purchases attributed to the latest click within 7 days. */
+  def q82Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lastTouchAttribution(Tables.load(spark, dir, "events"),
+        touch = "click", conversion = "purchase")
+      .orderBy($"event_id")
+  }
 }

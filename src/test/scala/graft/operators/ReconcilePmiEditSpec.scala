@@ -89,6 +89,20 @@ class ReconcilePmiEditSpec extends SparkSpec {
     dp(b.length)
   }
 
+  test("bandedLevenshtein matches the full DP under the threshold contract") {
+    val rnd = new scala.util.Random(7)
+    val scratch = Array(new Array[Int](64), new Array[Int](64))
+    for (_ <- 1 to 1000) {
+      val a = Seq.fill(rnd.nextInt(30))(('a' + rnd.nextInt(3)).toChar).mkString
+      val b = Seq.fill(rnd.nextInt(30))(('a' + rnd.nextInt(3)).toChar).mkString
+      val tau = rnd.nextInt(10)
+      val full = lev(a, b)
+      val want = if (full <= tau) full else -1
+      assert(NearDup.bandedLevenshtein(a, b, tau, scratch) == want,
+        s"""a="$a" b="$b" tau=$tau full=$full""")
+    }
+  }
+
   test("editDistancePairs equals brute force on the corpus") {
     val docs = Tables.load(spark, sf, "documents").cache()
     val got = NearDup.editDistancePairs(docs)
