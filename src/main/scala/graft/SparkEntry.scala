@@ -102,6 +102,9 @@ object SparkEntry {
     "q80_type_sets"      -> (Relational.q80TypeSets _),
     "q81_interarrival"   -> (Temporal.q81InterArrival _),
     "q82_attribution"    -> (Temporal.q82Attribution _),
+    "q83_behavior_ngrams" -> (Temporal.q83BehaviorNgrams _),
+    "q84_scd_intervals"  -> (Temporal.q84ScdIntervals _),
+    "q85_weighted_sample" -> (Curation.q85WeightedSample _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1079,6 +1082,48 @@ object SparkEntry {
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    // q83: per-user ordered type-initial strings, then sliding
+    // 3-grams — both sides order by (ts, event_id).
+    "q83_behavior_ngrams" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(event_type[1], '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        | g AS (SELECT unnest(list_transform(range(1, length(seq) - 1),
+        |     i -> substr(seq, i, 3))) AS gram
+        |   FROM s WHERE length(seq) >= 3)
+        |SELECT gram, count(*)::BIGINT AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // q84: change-flag lag → run ids → run aggregation → lead for the
+    // exclusive upper bound; run counter cast (DuckDB sums INTEGER to
+    // HUGEINT).
+    "q84_scd_intervals" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | r AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS run
+        |  FROM m),
+        | runs AS (SELECT user_id, run, min(event_type) AS attr,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run, attr, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS valid_to,
+        |  n_events
+        |FROM runs ORDER BY user_id, run""".stripMargin,
+    // q85: Efraimidis–Spirakis weighted sample on the portable hash;
+    // u is exact (power-of-two divisor), the key is rounded to 9 dp
+    // before ranking, ties break on doc_id.
+    "q85_weighted_sample" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    round(ln((((doc_id % 2147483648) * 2654435761) % 2147483648
+        |        + 1)::DOUBLE / 2147483648) / n_chars, 9) AS es_key
+        |  FROM documents)
+        |SELECT lang, doc_id, es_key FROM s
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY es_key DESC, doc_id) <= 10
+        |ORDER BY lang, doc_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

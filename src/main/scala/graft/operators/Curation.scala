@@ -238,4 +238,38 @@ object Curation {
         $"sim".as("quality"))
       .orderBy($"lang", $"quality".desc, $"doc_id")
   }
+
+  /** Deterministic WEIGHTED sampling without replacement per group —
+    * Efraimidis–Spirakis (2006): rank by u^(1/w), equivalently by
+    * ln(u)/w, where u ∈ (0,1] is the item's portable key hash mapped
+    * to the unit interval. Heavier items win proportionally more
+    * often; the hash makes every engine and rerun draw the SAME
+    * sample (the weighted counterpart of [[perGroupCap]]).
+    *
+    * Portability: u = (knuthHash+1) / 2³¹ is exact in both engines
+    * (the divisor is a power of two); the E-S key is rounded to 9 dp
+    * before ranking and ties break on the key column, so a final-ulp
+    * `ln` difference cannot reorder the sample. Per-group top-k is
+    * the bounded-heap aggregate — group sizes are corpus-
+    * proportional, so no per-group window reducer.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val u = (knuthHash(col(keyCol)) + 1L).cast("double") / 2147483648.0
+    val esKey = round(log(u) / col(weightCol), 9)
+    val scored = df.select(col(groupCol).as("probe_id"),
+      col(keyCol).as("vec_id"), esKey.as("sim"))
+    Similarity.topKPerProbe(scored, k)
+      .select($"probe_id".as(groupCol), $"vec_id".as(keyCol),
+        $"sim".as("es_key"))
+  }
+
+  /** Q85 — 10 docs per language, weighted by document length. */
+  def q85WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    weightedSample(Tables.load(spark, dir, "documents"),
+        "lang", "doc_id", "n_chars", 10)
+      .orderBy($"lang", $"doc_id")
+  }
 }

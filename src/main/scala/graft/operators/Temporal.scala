@@ -327,4 +327,72 @@ object Temporal {
         touch = "click", conversion = "purchase")
       .orderBy($"event_id")
   }
+
+  /** Behavioral n-grams — sequence mining lite: each user's event
+    * types, ordered by time, become a string of type initials; the
+    * sliding character n-grams of those strings are the behavioral
+    * patterns, counted corpus-wide. One grouped sort-array per user
+    * (bounded by per-user activity), then the n-gram fan-out runs on
+    * |users| short strings, not on raw events.
+    */
+  def behaviorNgrams(events: DataFrame, n: Int = 3,
+      topK: Int = 20): DataFrame = {
+    import events.sparkSession.implicits._
+    val seqs = events
+      .select($"user_id",
+        struct($"ts", $"event_id", substring($"event_type", 1, 1).as("c"))
+          .as("s"))
+      .groupBy($"user_id")
+      .agg(concat_ws("", transform(sort_array(collect_list($"s")),
+        x => x.getField("c"))).as("seq"))
+    seqs.filter(length($"seq") >= n)
+      .select(explode(transform(
+        sequence(lit(1), length($"seq") - (n - 1)),
+        i => $"seq".substr(i, lit(n)))).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"gram")
+      .limit(topK)
+  }
+
+  /** Q83 — top-20 behavioral type trigrams across users. */
+  def q83BehaviorNgrams(spark: SparkSession, dir: String): DataFrame =
+    behaviorNgrams(Tables.load(spark, dir, "events"))
+
+  /** SCD-2 interval compaction — collapse each user's consecutive
+    * runs of an attribute (event_type here) into validity intervals
+    * [valid_from, valid_to): the slowly-changing-dimension history
+    * table a feature store serves point-in-time lookups from. One
+    * change-flag lag, one running sum (run ids), one group-by, one
+    * lead for the exclusive upper bound — all per-user bounded
+    * windows, the q58 gaps-and-islands machinery applied to change
+    * detection.
+    */
+  def scdIntervals(events: DataFrame, attrCol: String): DataFrame = {
+    import events.sparkSession.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = events
+      .withColumn("chg",
+        when(lag(col(attrCol), 1).over(byUser).isNull ||
+          lag(col(attrCol), 1).over(byUser) =!= col(attrCol), 1L)
+          .otherwise(0L))
+      .withColumn("run",
+        sum($"chg").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"run")
+      .agg(min(col(attrCol)).as("attr"), min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to",
+        lead($"valid_from", 1).over(
+          Window.partitionBy($"user_id").orderBy($"run")))
+      .select($"user_id", $"run", $"attr", $"valid_from", $"valid_to",
+        $"n_events")
+  }
+
+  /** Q84 — event-type validity intervals per user. */
+  def q84ScdIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scdIntervals(Tables.load(spark, dir, "events"), "event_type")
+      .orderBy($"user_id", $"run")
+  }
 }
