@@ -105,6 +105,7 @@ object SparkEntry {
     "q83_behavior_ngrams" -> (Temporal.q83BehaviorNgrams _),
     "q84_scd_intervals"  -> (Temporal.q84ScdIntervals _),
     "q85_weighted_sample" -> (Curation.q85WeightedSample _),
+    "q86_dup_degrees"    -> (DupClusters.q86DupDegrees _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1124,6 +1125,25 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY es_key DESC, doc_id) <= 10
         |ORDER BY lang, doc_id""".stripMargin,
+    // q86: degree profile over the exact q18 pair set.
+    "q86_dup_degrees" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | jacs AS (SELECT doc_a, doc_b, co::DOUBLE / (ca.n + cb.n - co) AS jac
+        |   FROM prs JOIN counts ca ON ca.doc_id = doc_a
+        |            JOIN counts cb ON cb.doc_id = doc_b
+        |   WHERE co::DOUBLE / (ca.n + cb.n - co) >= 0.5),
+        | ends AS (SELECT doc_a AS doc_id, jac FROM jacs
+        |   UNION ALL SELECT doc_b, jac FROM jacs)
+        |SELECT doc_id, count(*)::BIGINT AS degree,
+        |  round(max(jac), 6) AS max_jac
+        |FROM ends GROUP BY 1 ORDER BY 1""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

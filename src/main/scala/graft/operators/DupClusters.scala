@@ -178,4 +178,29 @@ object DupClusters {
         ($"id" === $"cluster_id").as("is_keeper"))
       .orderBy($"doc_id")
   }
+
+  /** Near-dup graph degree profile — the hub report that decides
+    * which documents are template/boilerplate sources (high degree =
+    * one text near-duplicated across many others): per-endpoint
+    * degree and strongest similarity over the τ-thresholded pair
+    * set. Pairs are pinned once (they feed both endpoint
+    * projections); degrees are one union + one agg over |pairs|·2
+    * rows — graph-sized, never corpus-sized.
+    */
+  def degreeProfile(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val p = pairs.localCheckpoint(true)
+    val ends = p.select($"doc_a".as("doc_id"), $"jac")
+      .unionByName(p.select($"doc_b".as("doc_id"), $"jac"))
+    ends.groupBy($"doc_id")
+      .agg(count(lit(1)).as("degree"), round(max($"jac"), 6).as("max_jac"))
+  }
+
+  /** Q86 — degree profile of the τ=0.5 near-dup graph. */
+  def q86DupDegrees(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    degreeProfile(
+        NearDup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.5))
+      .orderBy($"doc_id")
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.sum
+
 import graft.SparkSpec
 
 class DupClustersSpec extends SparkSpec {
@@ -50,5 +52,18 @@ class DupClustersSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet == inPairs)
     q.unpersist(); ()
+  }
+
+  test("q86 degree profile: handshake sum and endpoint coverage") {
+    val pairs = NearDup.jaccardPairs(
+      graft.core.Tables.load(spark, sf, "documents"), 0.5).cache()
+    val deg = DupClusters.degreeProfile(pairs).cache()
+    // handshake lemma: Σ degree = 2·|pairs|
+    assert(deg.agg(sum($"degree")).head().getLong(0) == 2 * pairs.count())
+    // every endpoint appears, with degree ≥ 1 and max_jac ≥ τ
+    assert(deg.filter($"degree" < 1L || $"max_jac" < 0.5).isEmpty)
+    val endpoints = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b")).distinct().count()
+    assert(deg.count() == endpoints)
   }
 }
