@@ -106,6 +106,7 @@ object SparkEntry {
     "q84_scd_intervals"  -> (Temporal.q84ScdIntervals _),
     "q85_weighted_sample" -> (Curation.q85WeightedSample _),
     "q86_dup_degrees"    -> (DupClusters.q86DupDegrees _),
+    "q87_nearest_asof"   -> (Temporal.q87NearestAsOf _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1144,6 +1145,27 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS degree,
         |  round(max(jac), 6) AS max_jac
         |FROM ends GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q87: nearest snapshot within ±6h; the lateral orders by
+    // (distance, snap_ts) so an equidistant past/future tie resolves
+    // to the past side on both engines.
+    "q87_nearest_asof" ->
+      """WITH snaps AS (
+        |  SELECT user_id, value AS snap_value, ts AS snap_ts
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, date_trunc('day', ts)
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.snap_value,
+        |  CASE WHEN s.snap_ts IS NULL THEN NULL
+        |       WHEN s.snap_ts <= e.ts THEN 'past' ELSE 'future'
+        |  END AS direction
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT snap_ts, snap_value FROM snaps s
+        |  WHERE s.user_id = e.user_id
+        |    AND abs(epoch_us(s.snap_ts) - epoch_us(e.ts)) <= 21600000000
+        |  ORDER BY abs(epoch_us(s.snap_ts) - epoch_us(e.ts)), s.snap_ts
+        |  LIMIT 1) s ON true
+        |ORDER BY e.event_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

@@ -395,4 +395,68 @@ object Temporal {
     scdIntervals(Tables.load(spark, dir, "events"), "event_type")
       .orderBy($"user_id", $"run")
   }
+
+  /** Bidirectional nearest as-of join — each event matched to the
+    * NEAREST per-user daily snapshot within ± `tolUs` microseconds
+    * (sensor alignment / feature backfill, where a slightly-later
+    * snapshot is acceptable and nearer beats earlier). Two carry
+    * passes over the same tagged per-user timeline — backward (last
+    * snapshot ≤ t) and forward (first snapshot ≥ t) — then a per-row
+    * arbiter picks the closer side, past winning ties. Same
+    * one-shuffle sort-merge shape as the backward-only q20; never a
+    * per-event probe or range explosion. A snapshot AT the event
+    * instant matches at distance 0 (≤/≥ semantics, unlike q20's
+    * strict <).
+    */
+  def nearestAsOfJoin(events: DataFrame, tolUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    val wSnap = Window.partitionBy($"user_id", date_trunc("day", $"ts"))
+      .orderBy($"ts".desc, $"event_id".desc)
+    val snaps = events.withColumn("rn", row_number().over(wSnap))
+      .filter($"rn" === 1)
+      .select($"user_id", $"value".as("snap_value"), $"ts".as("snap_ts"))
+
+    val evs = events.select($"event_id", $"user_id", $"ts",
+      lit(0).as("is_snap"), lit(null).cast("double").as("s_value"),
+      lit(null).cast("timestamp").as("s_ts"))
+    val tagged = snaps.select(lit(null).cast("long").as("event_id"),
+      $"user_id", $"snap_ts".as("ts"), lit(1).as("is_snap"),
+      $"snap_value".as("s_value"), $"snap_ts".as("s_ts"))
+    val tl = evs.unionByName(tagged)
+
+    // backward: snapshot sorts BEFORE the event at an equal instant
+    // (is_snap DESC) so "≤" includes the exact-time snapshot
+    val wBack = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"is_snap".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: the reversed timeline, same inclusion rule
+    val wFwd = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"is_snap".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = tl
+      .withColumn("p_ts", last($"s_ts", ignoreNulls = true).over(wBack))
+      .withColumn("p_value", last($"s_value", ignoreNulls = true).over(wBack))
+      .withColumn("f_ts", last($"s_ts", ignoreNulls = true).over(wFwd))
+      .withColumn("f_value", last($"s_value", ignoreNulls = true).over(wFwd))
+      .filter($"is_snap" === 0)
+    val dPast = unix_micros($"ts") - unix_micros($"p_ts")
+    val dFut = unix_micros($"f_ts") - unix_micros($"ts")
+    val pastOk = $"p_ts".isNotNull && dPast <= tolUs
+    val futOk = $"f_ts".isNotNull && dFut <= tolUs
+    carried.select($"event_id", $"user_id", $"ts",
+      when(pastOk && (!futOk || dPast <= dFut), $"p_ts")
+        .when(futOk, $"f_ts").as("snap_ts"),
+      when(pastOk && (!futOk || dPast <= dFut), $"p_value")
+        .when(futOk, $"f_value").as("snap_value"),
+      when(pastOk && (!futOk || dPast <= dFut), lit("past"))
+        .when(futOk, lit("future")).as("direction"))
+  }
+
+  /** Q87 — nearest snapshot within ±6 hours, past wins ties. */
+  def q87NearestAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    nearestAsOfJoin(Tables.load(spark, dir, "events"), 6L * 3600 * 1000000)
+      .orderBy($"event_id")
+  }
 }
