@@ -51,7 +51,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // host-noise calibration: a fixed single-thread integer workload
+    // (~0.5 s on an idle core). The shared VM intermittently stalls
+    // 5-10×; cal_sec lets a reader separate "engine got slower" from
+    // "host was busy" when comparing rounds.
+    val calT0 = System.nanoTime()
+    var calAcc = 0L
+    var calI = 0L
+    while (calI < 2000000000L) { calAcc += calI & 7L; calI += 1 }
+    val cal = (System.nanoTime() - calT0) / 1e9
+    if (calAcc == Long.MinValue) println("") // defeat dead-code elim
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cal_sec":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
