@@ -201,12 +201,81 @@ object Temporal {
     * ties can change any prefix-sum maximum — deterministic.
     *
     * The sweep runs over 2·|sessions| CHANGE POINTS (already two
-    * aggregations smaller than raw events), totally ordered — here a
-    * single window; at 100 TB the standard two-pass prefix-sum applies
-    * (range-partition by ts, per-partition sums, broadcast partition
-    * offsets) — same contract, documented switch.
+    * aggregations smaller than raw events), totally ordered. A naive
+    * `Window.orderBy(ts)` funnels every change point through ONE
+    * reducer — the classic global-window scale killer — so this is
+    * the standard distributed two-pass prefix sum instead:
+    *
+    *  1. bucket change points by deterministic ts ranges (cut points
+    *     from an approx-quantile sketch; the bucket rule compares the
+    *     integer-µs timestamp only, so ALL rows with equal ts land in
+    *     the same bucket and the (ts, delta DESC) tie order is never
+    *     split across buckets);
+    *  2. per-bucket delta totals → driver (≤ numBuckets rows) →
+    *     cumulative offsets broadcast back as a literal map;
+    *  3. per-bucket local prefix sums (a PARTITIONED window — runs in
+    *     parallel across buckets) + the bucket's offset = the global
+    *     running sum.
+    *
+    * Buckets are ordered by ts range, so local-prefix + offset equals
+    * the single-reducer sum exactly (spec-checked ≡ the global-window
+    * form in CohortFunnelSpec). Change points are persisted across the
+    * three passes; bucketing is deterministic from driver-side cut
+    * values, so recomputation after cache eviction is consistent.
     */
-  def peakConcurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+  def peakConcurrency(events: DataFrame, gapSec: Long = 1800L,
+      numBuckets: Int = 0): DataFrame = {
+    import events.sparkSession.implicits._
+    val spark = events.sparkSession
+    val sess = sessionize(events, gapSec)
+    val deltas = sess.select($"start_ts".as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select($"end_ts".as("ts"), lit(-1L).as("delta")))
+      .withColumn("us", unix_micros($"ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    // pass 1: deterministic range cuts (driver-side values; ε=1e-3 on
+    // a quantile SKETCH — bucket balance is approximate, correctness
+    // is not: any cut assignment is correct as long as it is a pure
+    // function of ts).
+    val cuts: Array[Long] =
+      if (n <= 1) Array.empty
+      else deltas.stat
+        .approxQuantile("us", (1 until n).map(_.toDouble / n).toArray, 1e-3)
+        .filter(d => !d.isNaN).map(_.toLong).distinct.sorted
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when($"us" > lit(c), 1).otherwise(0)
+    }
+    val stamped = deltas.withColumn("pid", bucket)
+    // pass 2: per-bucket totals → cumulative offsets (≤ n rows on the
+    // driver — bounded by the bucket count, never by data size).
+    val totals = stamped.groupBy($"pid").agg(sum($"delta").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offExpr =
+      if (offsets.isEmpty || offsets.values.forall(_ == 0L)) lit(0L)
+      else coalesce(element_at(
+        map(offsets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        $"pid"), lit(0L))
+    // pass 3: local prefix sums per bucket, shifted by the offsets.
+    val wLocal = Window.partitionBy($"pid").orderBy($"ts", $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stamped
+      .withColumn("conc", sum($"delta").over(wLocal) + offExpr)
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(max($"conc").as("peak"))
+  }
+
+  /** Single-global-window reference form of [[peakConcurrency]] — the
+    * one-reducer shape the distributed form replaces; kept as the spec
+    * oracle for the ≡ check (CohortFunnelSpec) and for corpora small
+    * enough that one reducer is fine.
+    */
+  private[graft] def peakConcurrencyGlobalWindow(events: DataFrame,
+      gapSec: Long = 1800L): DataFrame = {
     import events.sparkSession.implicits._
     val sess = sessionize(events, gapSec)
     val deltas = sess.select($"start_ts".as("ts"), lit(1L).as("delta"))

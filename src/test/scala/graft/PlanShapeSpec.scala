@@ -140,6 +140,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "key counts must partial-agg")
   }
 
+  test("q76: sweep-line prefix sum never funnels through one reducer") {
+    // the two-pass form partitions the running-sum window by the ts
+    // bucket; the degenerate shape it replaces planned as
+    // `Exchange SinglePartition` + unpartitioned Window
+    val p = plan(Temporal.q76PeakConcurrency(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-reducer window crept back:\n$p")
+    assert(p.contains("Window"), "prefix sum should still be a window")
+  }
+
   test("ADC scoring is per-row: packed codes, broadcast LUTs, no code-key shuffle") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = Quantize.pqAdcTopK(emb, Seq(0L, 1L, 2L), 10)

@@ -121,6 +121,32 @@ class CohortFunnelSpec extends SparkSpec {
     assert(r.filter($"peak" > users).isEmpty)
   }
 
+  test("peakConcurrency: distributed two-pass ≡ single-global-window form") {
+    // corpus check at several bucket counts — including numBuckets=1
+    // (degenerate single bucket), 4, and the session default — plus a
+    // fixture whose ties straddle would-be cut points
+    val e = Tables.load(spark, sf, "events")
+    val oracle = Temporal.peakConcurrencyGlobalWindow(e)
+      .as[(java.sql.Date, Long)].collect().toMap
+    for (n <- Seq(1, 4, 32)) {
+      val got = Temporal.peakConcurrency(e, numBuckets = n)
+        .as[(java.sql.Date, Long)].collect().toMap
+      assert(got == oracle, s"two-pass sweep diverged at numBuckets=$n")
+    }
+    // tie-heavy fixture: many sessions starting/ending at the same
+    // instants, so cut points land inside tie groups
+    val tied = ev((1L to 40L).flatMap { u =>
+      Seq((u, "view", "2024-01-01 10:00:00"),
+        (u, "view", "2024-01-01 10:20:00"),
+        (u, "view", "2024-01-02 10:00:00"))
+    }: _*)
+    val o2 = Temporal.peakConcurrencyGlobalWindow(tied)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val g2 = Temporal.peakConcurrency(tied, numBuckets = 8)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(g2 == o2)
+  }
+
   // ---- q77 winsorize + robust scale ---------------------------------
 
   test("winsorScale: clamps to the cut band and scales into [0,1]") {
