@@ -39,16 +39,24 @@ object DupClusters {
     // iterative DataFrame algorithm otherwise accretes each round's
     // joins into one exponentially-growing logical plan — lineage
     // must be CUT, not just cached.
+    // LAZY checkpoints throughout the loop: `localCheckpoint(false)`
+    // still cuts lineage (the returned frame is plan-rooted at the
+    // checkpointed RDD) but defers materialization to the first
+    // action — which we make the convergence probe, so each round is
+    // ONE Spark job (materialize + sum) instead of two (eager
+    // checkpoint, then a separate agg). Tiny dedup graphs are
+    // fixed-overhead-bound, so job count is the cost driver; at
+    // corpus scale the fused job also saves one full pass per round.
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // seed labels with the 1-hop closed-neighborhood min — exactly
     // what round 1 of propagation would compute from identity labels,
     // for the price of the agg alone (no join): one round saved
     var labels = sym.groupBy($"src")
       .agg(min(least($"dst", $"src")).as("label"))
       .withColumnRenamed("src", "id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence probe: labels only ever DECREASE under min-label
     // propagation, so sum(label) is strictly monotone until fixpoint —
     // one agg per round instead of a join-and-compare
@@ -57,6 +65,7 @@ object DupClusters {
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       df.agg(sum($"label".cast("decimal(38,0)"))).head()
         .getDecimal(0)
+    // one job: materializes sym + the seed checkpoint AND probes
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -68,7 +77,7 @@ object DupClusters {
             .withColumnRenamed("src", "id"),
           Seq("id"), "left")
         .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
