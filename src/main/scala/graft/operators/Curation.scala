@@ -28,14 +28,24 @@ object Curation {
     * non-keeper of a near-dup cluster). Quality is rounded to 6
     * decimals BEFORE thresholding so the gate compares the same
     * number in any engine.
+    *
+    * `precomputedPairs`: the (doc_a, doc_b) near-dup pair set, when
+    * the pipeline already built it (e.g. a session that also runs the
+    * degree profile or cluster report) — `jaccardPairs` is the
+    * expensive leg of the composition, so pay for it once. Defaults
+    * to computing pairs from `docs` at `dupTau`; spec-checked that
+    * curate(precomputed) ≡ curate() (CurationSpec).
     */
   def curate(docs: DataFrame, langs: Seq[String] = defaultLangs,
       minQuality: Double = defaultMinQuality,
-      dupTau: Double = 0.5): DataFrame = {
+      dupTau: Double = 0.5,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
+    val pairs = precomputedPairs
+      .map(_.select(col("doc_a"), col("doc_b")))
+      .getOrElse(NearDup.jaccardPairs(docs, dupTau).select($"doc_a", $"doc_b"))
     val nonKeepers = DupClusters
-      .connectedComponents(
-        NearDup.jaccardPairs(docs, dupTau).select($"doc_a", $"doc_b"))
+      .connectedComponents(pairs)
       .filter($"id" =!= $"cluster_id")
       .select($"id".as("doc_id"))
     docs

@@ -26,6 +26,21 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("curate: precomputed pair set ≡ computing pairs internally") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val pairs = NearDup.jaccardPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    val internal = Curation.curate(docs).orderBy($"doc_id").collect().toSeq
+    val injected = Curation.curate(docs, precomputedPairs = Some(pairs))
+      .orderBy($"doc_id").collect().toSeq
+    assert(injected == internal)
+    // extra columns on the injected frame must not leak through
+    val wide = pairs.withColumn("jac_extra", lit(0.9))
+    val injected2 = Curation.curate(docs, precomputedPairs = Some(wide))
+      .orderBy($"doc_id").collect().toSeq
+    assert(injected2 == internal)
+  }
+
   test("labelCentroids: hand-computed means") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f), 0),
