@@ -956,9 +956,11 @@ object SparkEntry {
         |       ELSE 'click_only' END AS coverage
         |FROM early e FULL OUTER JOIN late l ON e.user_id = l.user_id
         |ORDER BY user_id""".stripMargin,
-    // q73: the oracle needs no length-bucket blocking — the length
-    // filter alone makes the candidate set identical (ED ≥ |Δlen|),
-    // and the engine's bucketing provably visits every such pair once.
+    // q73: the oracle applies the same Δlen ≤ 20 gate the engine
+    // does — a QUERY-CONTRACT bound, deliberately stricter than the
+    // metric's ED ≥ |Δlen| (which would only exclude Δlen > 50) —
+    // so both sides see the same candidate set; the engine's
+    // bucketing provably visits every such pair once.
     "q73_edit_distance" ->
       """SELECT least(d1.doc_id, d2.doc_id) AS doc_a,
         |  greatest(d1.doc_id, d2.doc_id) AS doc_b,

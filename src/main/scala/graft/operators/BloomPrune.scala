@@ -35,17 +35,30 @@ object BloomPrune {
   def semiJoinPruned(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // validate the key type BEFORE any work: probing is typed on the
+    // key's JVM type — mightContainLong for EVERY integral key (the
+    // filter build side `stat.bloomFilter` hashes integrals as
+    // longs), mightContainString for strings (both O(k) hash probes
+    // per row). Any other key type is rejected loudly: a mistyped
+    // probe against a long-built filter returns false for every
+    // row — a silent empty result, not an error.
+    import org.apache.spark.sql.types._
+    val integral = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"semiJoinPruned: unsupported join-key type $other for " +
+            s"'$factKey' — Bloom probing is defined for integral and " +
+            "string keys only (matching Spark's bloomFilter build side)")
+    }
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    // typed on the key's JVM type: mightContainLong for integral keys,
-    // mightContainString otherwise (both O(k) hash probes per row)
-    val probe = fact.schema(factKey).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType =>
+    val probe =
+      if (integral)
         udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-      case _ =>
+      else
         udf((k: String) => k != null && bc.value.mightContainString(k))
-    }
     fact.filter(probe(col(factKey)))
       .join(dim.select(col(dimKey).as(factKey)).distinct(),
         Seq(factKey), "left_semi")

@@ -230,6 +230,14 @@ object NearDup {
     * after ~τ rows, so rejections cost O(τ²). `scratch` lets callers
     * reuse the two DP rows across millions of pairs (zero per-pair
     * allocation); pass null for one-shot use.
+    *
+    * Unit of distance: UTF-16 CODE UNITS (`charAt`/`length`), which
+    * equals codepoints — and DuckDB's character-counting
+    * `levenshtein` — for BMP text, including all of this corpus
+    * (ASCII). Texts with surrogate pairs (emoji, rare CJK) would
+    * count each as two edits; for codepoint-exact semantics convert
+    * both strings to codepoint arrays before the DP. Documented here
+    * as part of the oracle-portability contract.
     */
   private[operators] def bandedLevenshtein(a: String, b: String,
       tau: Int, scratch: Array[Array[Int]] = null): Int = {
@@ -281,8 +289,12 @@ object NearDup {
     * character-level dedup complement to token-set Jaccard (catches
     * small in-place edits that shift every shingle).
     *
-    * Blocking: ED ≥ |len(a) − len(b)|, so only pairs with length
-    * difference ≤ maxLenDiff can match. Docs are bucketed by
+    * The Δlen ≤ maxLenDiff gate is part of the QUERY CONTRACT, not a
+    * consequence of the metric: ED ≥ |len(a) − len(b)| only bounds
+    * Δlen by maxDist (50), and maxLenDiff (20) is deliberately
+    * stricter — "near-dup" here means small in-place edits, not a
+    * 50-char insertion. Pairs with 20 < Δlen ≤ 50 are excluded by
+    * definition (the oracle applies the same gate). Docs are bucketed by
     * ⌊n_chars / w⌋ with w > maxLenDiff; a candidate pair's buckets
     * then differ by at most 1, so the left side probes (blk, blk+1)
     * and the right side is keyed by blk — every candidate pair meets

@@ -36,6 +36,33 @@ class BloomPruneSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("semiJoinPruned covers narrow integrals and rejects unsupported key types") {
+    // int/short/byte keys probe the long-built filter (upcast), never
+    // the string branch — a silent-empty-result bug if mismatched
+    val fact = Seq(1, 2, 3, 4, 5).toDF("k")
+      .select($"k".cast("int").as("k"))
+    val dim = Seq(2, 4).toDF("k").select($"k".cast("short").as("k"))
+    val got = BloomPrune.semiJoinPruned(
+        fact.select($"k".cast("short").as("k")), "k", dim, "k", 10L)
+      .as[Short].collect().toSet
+    assert(got == Set(2.toShort, 4.toShort))
+    val gotByte = BloomPrune.semiJoinPruned(
+        fact.select($"k".cast("byte").as("k")), "k",
+        dim.select($"k".cast("byte").as("k")), "k", 10L)
+      .as[Byte].collect().toSet
+    assert(gotByte == Set(2.toByte, 4.toByte))
+    val gotInt = BloomPrune.semiJoinPruned(fact, "k",
+        dim.select($"k".cast("int").as("k")), "k", 10L)
+      .as[Int].collect().toSet
+    assert(gotInt == Set(2, 4))
+    // unsupported key type fails loudly, not silently empty
+    val ts = Seq("2024-01-01").toDF("s").select(to_date($"s").as("k"))
+    val ex = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoinPruned(ts, "k", ts, "k", 10L)
+    }
+    assert(ex.getMessage.contains("unsupported join-key type"))
+  }
+
   test("bloom pass prunes most non-matching rows before the shuffle") {
     val orders = Tables.load(spark, sf, "orders").cache()
     val dim = Tables.load(spark, sf, "customer")
