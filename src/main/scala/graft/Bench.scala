@@ -34,7 +34,7 @@ object Bench {
       // the cleaner current
       System.gc()
     }
-    val results = ordered.map { case (name, fn) =>
+    val reps = ordered.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => }
@@ -42,15 +42,32 @@ object Bench {
         dropPinnedBlocks()
         dt
       }
-      // min of two reps: the host is a shared VM with transient
-      // multi-second stalls that land on arbitrary queries during a
-      // long run; the min is the undisturbed cost (verified: every
-      // "slow" full-run query is fast when re-timed in isolation)
-      name -> math.min(once(), once())
+      // two reps, both recorded; the headline number is the min: the
+      // host is a shared VM with transient multi-second stalls that
+      // land on arbitrary queries during a long run, and the min is
+      // the undisturbed cost (verified: every "slow" full-run query
+      // is fast when re-timed in isolation). Raw reps go to the
+      // sidecar so the noise-rejection claim is auditable per query.
+      name -> Seq(once(), once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = reps.map { case (name, rs) => name -> rs.min }
+    // stdout line stays compact (ms precision): the driver captures a
+    // bounded tail of this stream, and a full-precision 93-query JSON
+    // line overflowed it in round 4 (artifact truncated mid-object)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // sidecar: full-precision raw reps for noise auditing
+    val repsJson = reps.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_REPS.json"),
+        (repsJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // sidecar is best-effort
     // host-noise calibration: a fixed single-thread integer workload
     // (~0.5 s on an idle core). The shared VM intermittently stalls
     // 5-10×; cal_sec lets a reader separate "engine got slower" from
@@ -61,7 +78,7 @@ object Bench {
     while (calI < 2000000000L) { calAcc += calI & 7L; calI += 1 }
     val cal = (System.nanoTime() - calT0) / 1e9
     if (calAcc == Long.MinValue) println("") // defeat dead-code elim
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cal_sec":$cal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal_sec":${r3(cal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
