@@ -39,6 +39,16 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   private val onlineDir  = s"${conf.path}/online"
   private val seqCol     = "_seq"
 
+  /** The offline history is a [[VersionedTable]] — manifest-listed
+    * parquet commits with snapshot isolation, time travel
+    * ([[offlineAt]]), manifest-level date pruning ([[offlineRange]])
+    * and idempotent replay (the `txnId` on [[ingest]]); the managed
+    * offline-store semantics the reference delegates to its platform
+    * (`feature_store_manager.py:96-100`), self-contained.
+    */
+  private val offlineTable =
+    new VersionedTable(spark, offlineDir, statsCol = Some("event_date"))
+
   private def key = col(conf.keyCol)
   private def ts  = col(conf.eventTimeCol)
 
@@ -105,21 +115,26 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   private def fs =
     new Path(conf.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(new Path(offlineDir))
+  def exists: Boolean = offlineTable.currentVersion.nonEmpty
 
-  /** S5 — batch ingest: append the frame to the offline history and
-    * merge it into the online compaction. One parquet append, no
-    * per-row calls (vs the reference's row-at-a-time `PutRecord`
-    * loop). The online merge is incremental — window-dedup of
-    * (current online ∪ new batch), O(#keys + batch) — NOT a recompact
-    * of the full history, which would make upsert cost grow with
-    * history size (the thing that kills streaming at 100 TB).
+  /** S5 — batch ingest: append the frame to the offline history (one
+    * snapshot commit) and merge it into the online compaction. One
+    * parquet write, no per-row calls (vs the reference's row-at-a-time
+    * `PutRecord` loop). The online merge is incremental — window-dedup
+    * of (current online ∪ new batch), O(#keys + batch) — NOT a
+    * recompact of the full history, which would make upsert cost grow
+    * with history size (the thing that kills streaming at 100 TB).
+    *
+    * `txnId`: optional idempotency token. Replaying a batch whose id
+    * is already committed is a complete no-op (no history commit, no
+    * seq burn, no online merge) — the at-least-once contract for
+    * retrying ingest pipelines.
     */
-  def ingest(df: DataFrame): Unit = {
+  def ingest(df: DataFrame, txnId: Option[String] = None): Unit = {
+    if (txnId.exists(offlineTable.txnCommitted)) return
     val seq = nextSeq()
     val stamped = df.withColumn(seqCol, lit(seq))
-    stamped.withColumn("event_date", to_date(ts))
-      .write.mode("append").partitionBy("event_date").parquet(offlineDir)
+    offlineTable.commit(stamped.withColumn("event_date", to_date(ts)), txnId)
     mergeOnline(stamped)
   }
 
@@ -129,10 +144,28 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * `(event_time, _seq)` record per key wins, whether it updated an
     * existing key or introduced a new one.
     */
-  def putRecords(df: DataFrame): Unit = ingest(df)
+  def putRecords(df: DataFrame, txnId: Option[String] = None): Unit =
+    ingest(df, txnId)
 
-  /** S3 — full append-only history (offline store scan). */
-  def offline(): DataFrame = spark.read.parquet(offlineDir)
+  /** S3 — full append-only history (offline store scan): a snapshot
+    * read of the current version, immune to concurrent appends.
+    */
+  def offline(): DataFrame = offlineTable.read()
+
+  /** Time-travel scan of the history as of `version` (0-based commit
+    * number; each ingest/upsert is one commit).
+    */
+  def offlineAt(version: Long): DataFrame = offlineTable.readAt(version)
+
+  /** Committed history versions, ascending. */
+  def offlineVersions: Seq[Long] = offlineTable.versions
+
+  /** Date-bounded history scan with manifest-level commit pruning
+    * (plus parquet footer pruning within surviving files) — the
+    * 100 TB "read one day of a year of history" path.
+    */
+  def offlineRange(lo: String, hi: String): DataFrame =
+    offlineTable.readRange(lo, hi)
 
   /** Window-dedup to the newest `(event_time, _seq)` record per key.
     * Input must carry the `_seq` column.
@@ -282,11 +315,11 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * online side is the O(batch) partitioned merge instead of the
     * full-table rewrite.
     */
-  def ingestServing(df: DataFrame): Unit = {
+  def ingestServing(df: DataFrame, txnId: Option[String] = None): Unit = {
+    if (txnId.exists(offlineTable.txnCommitted)) return
     val seq = nextSeq()
     val stamped = df.withColumn(seqCol, lit(seq))
-    stamped.withColumn("event_date", to_date(ts))
-      .write.mode("append").partitionBy("event_date").parquet(offlineDir)
+    offlineTable.commit(stamped.withColumn("event_date", to_date(ts)), txnId)
     // first merge BOOTSTRAPS the layout from the full history (one
     // full compaction, like compactOnline) — otherwise keys ingested
     // before serving mode began would look like cold starts

@@ -104,12 +104,82 @@ class FeatureStoreSpec extends SparkSpec {
     assert(versions.length == 2, s"expected 2 retained versions: ${versions.toSeq}")
   }
 
-  test("offline store partitioned by event_date (partition pruning path)") {
+  test("offline date scan: predicate reaches the parquet footers") {
     val fs = freshStore()
     fs.ingest(batch1)
     val pruned = fs.offline().filter($"event_date" === "2024-01-01")
     assert(pruned.count() == 1)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("PushedFilters") && plan.contains("event_date"),
+      s"event_date filter must push into the scan:\n$plan")
+  }
+
+  test("offlineRange prunes whole commits at the manifest level") {
+    val fs = freshStore()
+    fs.ingest(Seq((1L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("customer_id", "purchase_timestamp", "avg_purchase_value"))
+    fs.ingest(Seq((2L, ts("2024-02-01 10:00:00"), 2.0))
+      .toDF("customer_id", "purchase_timestamp", "avg_purchase_value"))
+    val jan = fs.offlineRange("2024-01-01", "2024-01-31")
+    assert(jan.count() == 1)
+    // manifest pruning drops the February COMMIT before any file
+    // planning: no February file may appear in the scan's input set
+    val allFiles = fs.offline().inputFiles.toSet
+    assert(allFiles.size >= 2)
+    assert(jan.inputFiles.toSet.subsetOf(allFiles))
+    assert(jan.inputFiles.length < allFiles.size,
+      "February's commit directory should not be planned at all")
+  }
+
+  test("time travel: version N-1 readable and unchanged after an upsert") {
+    val fs = freshStore()
+    fs.ingest(batch1)                       // version 0
+    val v0 = fs.offlineVersions.max
+    fs.putRecords(Seq((1L, ts("2024-01-05 08:00:00"), 75.0))
+      .toDF("customer_id", "purchase_timestamp", "avg_purchase_value"))
+    assert(fs.offlineVersions.size == 2)
+    assert(fs.offlineAt(v0).count() == 3)   // pre-upsert history intact
+    assert(fs.offline().count() == 4)
+    // the old snapshot never contains the upserted row
+    assert(fs.offlineAt(v0)
+      .filter($"avg_purchase_value" === 75.0).isEmpty)
+  }
+
+  test("concurrent append isolation: a pinned snapshot is immune to later ingests") {
+    val fs = freshStore()
+    fs.ingest(batch1)
+    val pinned = fs.offline() // snapshot of version 0, resolved now
+    assert(pinned.count() == 3)
+    fs.ingest(Seq((9L, ts("2024-03-01 10:00:00"), 9.0))
+      .toDF("customer_id", "purchase_timestamp", "avg_purchase_value"))
+    // re-executing the pinned frame replans from version 0's manifest
+    assert(pinned.count() == 3)
+    assert(fs.offline().count() == 4)
+  }
+
+  test("idempotent replay: re-ingesting a committed txnId is a no-op") {
+    val fs = freshStore()
+    fs.ingest(batch1, txnId = Some("batch-2024-01-05"))
+    val versions = fs.offlineVersions
+    val latest = fs.latestView().collect().toSet
+    fs.ingest(batch1, txnId = Some("batch-2024-01-05")) // replay
+    assert(fs.offline().count() == 3)
+    assert(fs.offlineVersions == versions)
+    assert(fs.latestView().collect().toSet == latest)
+    // a NEW txn still commits
+    fs.ingest(batch1, txnId = Some("batch-2024-01-06"))
+    assert(fs.offline().count() == 6)
+  }
+
+  test("writer claim protocol: a dangling claim wastes its number, nothing else") {
+    val fs = freshStore()
+    fs.ingest(batch1) // v0
+    // simulate a crashed writer: claim v1 but never publish it
+    val dir = new java.io.File(
+      fs.conf.path + "/offline/_manifests")
+    assert(new java.io.File(dir, "v_1.claim").createNewFile())
+    fs.ingest(batch1) // must skip to v2
+    assert(fs.offlineVersions == Seq(0L, 2L))
+    assert(fs.offline().count() == 6)
   }
 }
