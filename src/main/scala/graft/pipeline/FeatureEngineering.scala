@@ -64,6 +64,18 @@ object FeatureEngineering {
     else df
   }
 
+  /** Avro ingest — the Kafka-wire production format
+    * (`Scaling and monitoring strategies.md:5-21` makes a stream the
+    * production source, and Avro container files are its batch
+    * landing shape). Same declared-schema contract; the reader is
+    * [[graft.sources.AvroSource]] (this distribution bundles Avro's
+    * Java core but not the spark-avro DataSource, so the engine
+    * carries its own input-format-based reader).
+    */
+  def readRawAvro(spark: SparkSession, path: String): DataFrame =
+    graft.sources.AvroSource.read(spark, path, rawSchema)
+      .withColumn("purchase_timestamp", to_timestamp(col("purchase_timestamp")))
+
   /** The A1 group-by: max ts, latest-by-ts value/score, running means.
     * Input must have TimestampType `purchase_timestamp`.
     */

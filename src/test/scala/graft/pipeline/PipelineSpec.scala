@@ -47,15 +47,69 @@ class PipelineSpec extends SparkSpec {
     rows.coalesce(1).write.option("header", "true").csv(s"$dir/csv")
     rows.coalesce(1).write.json(s"$dir/json")
     rows.coalesce(1).write.orc(s"$dir/orc")
+    // avro fixture via the bundled Java library (container file with
+    // a [null, T]-unioned field to exercise the nullable path)
+    writeAvroFixture(s"$dir/avro/part-0.avro", Seq(
+      (1L, "2024-01-01T10:00:00.123456Z", 100.0, 5.0),
+      (2L, "2024-01-02T09:30:00.000001Z", 50.0, 6.5)))
     val c = FeatureEngineering.readRawCsv(spark, s"$dir/csv")
     val j = FeatureEngineering.readRawJson(spark, s"$dir/json")
     val o = FeatureEngineering.readRawOrc(spark, s"$dir/orc")
-    Seq(j, o).foreach { d =>
+    val a = FeatureEngineering.readRawAvro(spark, s"$dir/avro")
+    Seq(j, o, a).foreach { d =>
       assert(d.exceptAll(c).isEmpty && c.exceptAll(d).isEmpty,
         "format readers disagree")
     }
     assert(c.schema("purchase_timestamp").dataType ==
       org.apache.spark.sql.types.TimestampType)
+  }
+
+  private def writeAvroFixture(path: String,
+      rows: Seq[(Long, String, Double, Double)]): Unit = {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder, GenericRecord}
+    val schema = SchemaBuilder.record("Purchase").fields()
+      .requiredLong("customer_id")
+      .requiredString("purchase_timestamp")
+      .requiredDouble("purchase_value")
+      .optionalDouble("loyalty_score") // [null, double] union branch
+      .endRecord()
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    try rows.foreach { case (id, ts, v, s) =>
+      w.append(new GenericRecordBuilder(schema)
+        .set("customer_id", id)
+        .set("purchase_timestamp", ts)
+        .set("purchase_value", v)
+        .set("loyalty_score", s)
+        .build())
+    } finally w.close()
+  }
+
+  test("avro reader: missing nullable field reads as null; type mismatch fails loudly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("avro-evo").toString
+    writeAvroFixture(s"$dir/part-0.avro",
+      Seq((7L, "2024-02-01T00:00:00.000000Z", 1.5, 2.5)))
+    // declared schema with an extra nullable column unknown to the
+    // writer: schema evolution's add-a-column case
+    val evolved = StructType(FeatureEngineering.rawSchema.fields :+
+      StructField("channel", StringType, nullable = true))
+    val got = graft.sources.AvroSource.read(spark, dir, evolved)
+    assert(got.count() == 1)
+    assert(got.select($"channel").head().isNullAt(0))
+    // declared LONG for a string-typed writer field must throw, not
+    // coerce garbage
+    val bad = StructType(Seq(
+      StructField("purchase_timestamp", LongType, nullable = true)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.AvroSource.read(spark, dir, bad).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("toWire formats microsecond ISO-8601 strings (utils.py:226-228)") {
