@@ -8,10 +8,13 @@ import graft.core.Tables
 
 /** Multimodal-column plumbing (north star): image/audio/video as
   * opaque `binary` payloads plus typed metadata, with batched
-  * per-partition feature extraction. The container has no media
-  * libraries, so the DECODE step is a deterministic stub
-  * ([[stubDecode]]); everything around it — schema, partition-batch
-  * shape, metadata extraction, storage layout — is real and tested.
+  * per-partition feature extraction. Decode dispatches on
+  * `media_type`: PNG/JPEG payloads decode FOR REAL via the JDK's
+  * `javax.imageio` ([[decodeImage]] — pixel-stat feature vector);
+  * formats needing native libs absent from this container (audio,
+  * video) fall back to the deterministic stub ([[stubDecode]]), so
+  * the pipeline shape is identical for every modality and a real
+  * deployment swaps only the per-format kernel.
   *
   * At 100 TB: payloads dominate storage, so (1) metadata-only queries
   * must never read the payload column (parquet column pruning — the
@@ -58,17 +61,76 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode (JDK `javax.imageio`, no native deps): PNG or
+    * JPEG bytes → an 8-wide pixel-stat feature vector
+    * `[width, height, meanR, meanG, meanB, lumaMean, lumaStd,
+    * alphaFrac]` with channel means in [0,1]. Returns null for
+    * undecodable payloads (corrupt file, unsupported format) — the
+    * caller keeps or routes them; a 100 TB media crawl ALWAYS
+    * contains undecodable blobs and a throwing decoder would kill
+    * the stage.
+    */
+  def decodeImage(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sl = 0.0; var sl2 = 0.0; var nAlpha = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        val a = (argb >>> 24) & 0xff
+        val r = (argb >>> 16) & 0xff
+        val g = (argb >>> 8) & 0xff
+        val b = argb & 0xff
+        if (a < 255) nAlpha += 1
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += luma; sl2 += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val lm = sl / n
+    val lvar = math.max(0.0, sl2 / n - lm * lm)
+    Array(w.toFloat, h.toFloat,
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat,
+      (lm / 255.0).toFloat, (math.sqrt(lvar) / 255.0).toFloat,
+      (nAlpha / n).toFloat)
+  }
+
+  /** Per-media-type kernel dispatch: real image decode for PNG/JPEG,
+    * deterministic stub for everything else (formats whose codecs
+    * aren't in this container). One place to widen as codecs land.
+    */
+  def decodeFor(mediaType: String, payload: Array[Byte]): Array[Float] =
+    mediaType match {
+      case "image/png" | "image/jpeg" => decodeImage(payload)
+      case _                          => stubDecode(payload)
+    }
+
   /** Batched per-partition feature extraction: one task per input
-    * split, payload bytes stream through the decoder, output is
-    * (media_id, feature array). The Spark-side shape — mapPartitions
-    * over an Iterator, no materialized partition buffer — is what a
-    * Pandas-UDF `mapInPandas` would compile to on a JVM-only stack.
+    * split, payload bytes stream through the media-type-dispatched
+    * decoder, output is (media_id, feature array). The Spark-side
+    * shape — mapPartitions over an Iterator, no materialized
+    * partition buffer — is what a Pandas-UDF `mapInPandas` would
+    * compile to on a JVM-only stack.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
-    media.select($"media_id", $"payload")
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, stubDecode(bytes)) })
+    media.select($"media_id", $"payload", $"media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, mt) =>
+        (id, decodeFor(mt, bytes))
+      })
       .toDF("media_id", "features")
   }
 

@@ -99,6 +99,52 @@ class NorthStarSpec extends SparkSpec {
     })
   }
 
+  /** A real PNG, generated in-memory with known pixel values. */
+  private def pngBytes(w: Int, h: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL PNG bytes decode to exact pixel-stat features") {
+    // 4x2: left half pure red, right half pure blue
+    val bytes = pngBytes(4, 2,
+      (x, _) => if (x < 2) 0xff0000 else 0x0000ff)
+    val media = Seq((1L, bytes, "image/png", bytes.length.toLong, "sha"))
+      .toDF("media_id", "payload", "media_type", "n_bytes", "content_sha")
+    val f = Multimodal.extractFeatures(media)
+      .head().getSeq[Float](1)
+    assert(f(0) == 4f && f(1) == 2f)                  // dimensions
+    assert(math.abs(f(2) - 0.5f) < 1e-6)              // mean R: half red
+    assert(f(3) == 0f)                                // no green anywhere
+    assert(math.abs(f(4) - 0.5f) < 1e-6)              // mean B: half blue
+    // luma: red 0.299*255, blue 0.114*255 → mean (0.299+0.114)/2
+    assert(math.abs(f(5) - (0.299f + 0.114f) / 2) < 1e-3)
+    assert(f(6) > 0f)                                 // two-tone → nonzero std
+    assert(f(7) == 0f)                                // fully opaque
+    // a non-image media_type with the same bytes takes the stub path
+    val stub = Multimodal.extractFeatures(
+        media.withColumn("media_type", lit("video/mp4")))
+      .head().getSeq[Float](1)
+    assert(stub.toArray.toSeq == Multimodal.stubDecode(bytes).toSeq)
+  }
+
+  test("multimodal: corrupt image payload yields null features, not a crash") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val media = Seq(
+      (1L, junk, "image/png", 64L, "sha"),
+      (2L, pngBytes(2, 2, (_, _) => 0xffffff), "image/png", 0L, "sha2"))
+      .toDF("media_id", "payload", "media_type", "n_bytes", "content_sha")
+    val rows = Multimodal.extractFeatures(media)
+      .orderBy($"media_id").collect()
+    assert(rows(0).isNullAt(1), "corrupt payload must decode to null")
+    assert(rows(1).getSeq[Float](1)(2) == 1f, "white image meanR = 1")
+  }
+
   test("multimodal: metadata-only query prunes the payload column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media-test").toString
     Multimodal.mediaFromDocuments(
