@@ -128,14 +128,19 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * `txnId`: optional idempotency token. Replaying a batch whose id
     * is already committed is a complete no-op (no history commit, no
     * seq burn, no online merge) — the at-least-once contract for
-    * retrying ingest pipelines.
+    * retrying ingest pipelines. The online merge runs BEFORE the
+    * history commit so the commit is the transaction fence: the merge
+    * is value-idempotent (newest-wins dedup), so a crash between
+    * merge and commit is repaired by the replay redoing both, and a
+    * crash after the commit means the replay can skip both — there is
+    * no window where the skip loses the merge.
     */
   def ingest(df: DataFrame, txnId: Option[String] = None): Unit = {
     if (txnId.exists(offlineTable.txnCommitted)) return
     val seq = nextSeq()
     val stamped = df.withColumn(seqCol, lit(seq))
-    offlineTable.commit(stamped.withColumn("event_date", to_date(ts)), txnId)
     mergeOnline(stamped)
+    offlineTable.commit(stamped.withColumn("event_date", to_date(ts)), txnId)
   }
 
   /** S6 — upsert semantics are identical to ingest at the storage
@@ -159,6 +164,22 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
 
   /** Committed history versions, ascending. */
   def offlineVersions: Seq[Long] = offlineTable.versions
+
+  /** Rewrite the full history into ONE commit (file compaction):
+    * appends accumulate a data directory per ingest, and at streaming
+    * cadence that is the small-files problem — this folds them. Same
+    * rows, new version; older versions stay readable until
+    * [[vacuumOffline]] reclaims their now-unreferenced directories.
+    */
+  def compactOffline(): Unit = { offlineTable.replace(offline()): Unit }
+
+  /** Reclaim history storage, keeping the `retain` newest versions
+    * (see [[VersionedTable.vacuum]] for the retention/replay-fence
+    * contract). Returns deleted data-directory count. Pure appends
+    * free no directories (every manifest references its ancestors'
+    * data); run [[compactOffline]] first to strand them.
+    */
+  def vacuumOffline(retain: Int = 8): Int = offlineTable.vacuum(retain)
 
   /** Date-bounded history scan with manifest-level commit pruning
     * (plus parquet footer pruning within surviving files) — the
@@ -319,16 +340,22 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     if (txnId.exists(offlineTable.txnCommitted)) return
     val seq = nextSeq()
     val stamped = df.withColumn(seqCol, lit(seq))
-    offlineTable.commit(stamped.withColumn("event_date", to_date(ts)), txnId)
-    // first merge BOOTSTRAPS the layout from the full history (one
-    // full compaction, like compactOnline) — otherwise keys ingested
-    // before serving mode began would look like cold starts
+    // first merge BOOTSTRAPS the layout from the full history plus
+    // this batch (one full compaction, like compactOnline) —
+    // otherwise keys ingested before serving mode began would look
+    // like cold starts. The merge precedes the history commit for the
+    // same fence reasoning as [[ingest]]: the bucket merge is
+    // value-idempotent (a replay repairs a partially-merged crash),
+    // and once the commit lands the replay skips everything.
     val batch =
       if (servingInitialized) stamped
-      else dedupLatest(offline()).drop("event_date")
+      else if (exists)
+        dedupLatest(offline().drop("event_date").unionByName(stamped))
+      else dedupLatest(stamped)
     graft.operators.Layout.mergeBucketPartitioned(
       servingDir, batch, conf.keyCol,
       Seq(conf.eventTimeCol, seqCol), servingBuckets)
+    offlineTable.commit(stamped.withColumn("event_date", to_date(ts)), txnId)
   }
 
   /** Full scan of the serving table (all buckets); falls back to the

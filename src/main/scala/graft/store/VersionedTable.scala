@@ -248,8 +248,8 @@ class VersionedTable(spark: SparkSession, root: String,
   /** Replace the whole snapshot with `df` (compaction / rewrite): the
     * new manifest lists ONLY the new commit, but earlier versions
     * remain readable — time travel spans compactions. Old data dirs
-    * are never deleted here; a production table format vacuums dirs
-    * unreferenced by any retained manifest.
+    * are never deleted here; [[vacuum]] reclaims dirs unreferenced by
+    * any retained manifest.
     */
   def replace(df: DataFrame, txnId: Option[String] = None): Long = {
     txnId.filter(txnCommitted) match {
@@ -257,6 +257,42 @@ class VersionedTable(spark: SparkSession, root: String,
       case None =>
         val entry = writeData(df)
         publish(_ => Seq(entry), txnId)
+    }
+  }
+
+  /** Reclaim storage: keep the `retain` most recent versions, delete
+    * every older manifest (and its claim marker) and every data
+    * directory no retained manifest references. Returns the number of
+    * data directories deleted.
+    *
+    * This SHRINKS the time-travel window to `retain` versions and
+    * forgets dropped versions' txn ids (replay fences should outlive
+    * retention by keeping `retain` ≥ the replay horizon). Run it from
+    * the (single) writer only: an in-flight commit's data dir is
+    * unreferenced until its manifest publishes and would be swept by
+    * a concurrent vacuum. Readers pinned at a dropped version fail on
+    * next execution — the same contract every table format's vacuum
+    * documents.
+    */
+  def vacuum(retain: Int = 2): Int = {
+    require(retain >= 1, "vacuum must retain at least the current version")
+    val vs = versions
+    val dropped = vs.dropRight(retain)
+    val referenced = vs.takeRight(retain)
+      .flatMap(readManifest(_)._2.map(_.dir)).toSet
+    // drop old manifests first: once they're gone no reader can
+    // resolve a version whose data is about to disappear
+    dropped.foreach { n =>
+      fs.delete(new Path(manifestsDir, s"v_$n.manifest"), false)
+      fs.delete(new Path(manifestsDir, s"v_$n.claim"), false): Unit
+    }
+    val dataRoot = new Path(s"$root/data")
+    if (!fs.exists(dataRoot)) 0
+    else {
+      val sweep = fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
+        .filterNot(st => referenced.contains(s"data/${st.getPath.getName}"))
+      sweep.foreach(st => fs.delete(st.getPath, true))
+      sweep.size
     }
   }
 }

@@ -41,7 +41,8 @@ object InferencePipeline {
       batch: DataFrame,
       store: FeatureStore,
       model: LinearRegressionModel,
-      useServing: Boolean = false): (DataFrame, DataFrame) = {
+      useServing: Boolean = false,
+      txnId: Option[String] = None): (DataFrame, DataFrame) = {
     import batch.sparkSession.implicits._
     val valid = batch.filter(
       isValid($"customer_id", $"purchase_timestamp", $"purchase_value"))
@@ -77,13 +78,24 @@ object InferencePipeline {
       when($"known_customer", ($"avg_loyalty_score" + $"predicted_loyalty_score") / 2)
         .otherwise($"predicted_loyalty_score").as("avg_loyalty_score"),
       $"predicted_loyalty_score".as("latest_loyalty_score"))
-    if (useServing) store.ingestServing(upserts) else store.putRecords(upserts)
+    if (useServing) store.ingestServing(upserts, txnId)
+    else store.putRecords(upserts, txnId)
     (scored, dead)
   }
 
   /** Launch the streaming query over an event stream with the given
     * sinks. `events` must be a streaming DataFrame with columns
     * (customer_id, purchase_timestamp, purchase_value).
+    *
+    * The store upsert inside each micro-batch carries the transaction
+    * id `<txnPrefix>-<batchId>`: `foreachBatch` is at-least-once (a
+    * crash after the store write but before the checkpoint advances
+    * re-delivers the batch with the SAME id), and the store's
+    * idempotent-replay fence turns that into exactly-once history
+    * commits. `txnPrefix` must be unique per logical stream writing
+    * into the store (the store is single-writer anyway); batch ids
+    * alone restart from the checkpoint, so the pair is stable across
+    * recovery.
     */
   def run(
       events: DataFrame,
@@ -92,13 +104,15 @@ object InferencePipeline {
       scoredSink: String,
       dlqSink: String,
       checkpoint: String,
-      useServing: Boolean = false): StreamingQuery =
+      useServing: Boolean = false,
+      txnPrefix: String = "inference"): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (scored, dead) = processBatch(batch, store, model, useServing)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (scored, dead) = processBatch(batch, store, model, useServing,
+          txnId = Some(s"$txnPrefix-$batchId"))
         scored.write.mode("append").parquet(scoredSink)
         if (!dead.isEmpty) dead.write.mode("append").parquet(dlqSink)
         scored.unpersist(): Unit

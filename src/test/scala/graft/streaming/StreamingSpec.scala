@@ -110,4 +110,62 @@ class StreamingSpec extends SparkSpec {
     // offline history is append-only: 2 seed rows + 2 scored rows
     assert(store.offline().count() == 4)
   }
+
+  test("micro-batch replay with the same txn id is exactly-once at the store") {
+    val dir = Files.createTempDirectory("replay-test").toString
+    val store = FeatureStore(spark, s"$dir/store", "customer_id",
+      "purchase_timestamp")
+    val hist = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, 5.0),
+      (1L, ts("2024-01-03 09:30:00"), 50.0, 6.0),
+      (2L, ts("2024-01-02 12:00:00"), 200.0, 9.0),
+    ).toDF("customer_id", "purchase_timestamp", "purchase_value",
+      "loyalty_score")
+    val feats = FeatureEngineering.engineerFeatures(hist)
+    store.ingest(feats, txnId = Some("seed"))
+    val model = LoyaltyModel.train(feats.unionByName(feats.withColumn(
+      "latest_loyalty_score", $"latest_loyalty_score" + 0.1)))
+    val batch = Seq((1L, ts("2024-02-01 00:00:00"), 80.0))
+      .toDF("customer_id", "purchase_timestamp", "purchase_value")
+    // first delivery
+    InferencePipeline.processBatch(batch, store, model,
+      txnId = Some("stream-0"))._1.unpersist()
+    val versions = store.offlineVersions
+    val online = store.online().collect().toSet
+    // foreachBatch re-delivery after a crash-before-checkpoint: same
+    // batch, same id — must change NOTHING
+    InferencePipeline.processBatch(batch, store, model,
+      txnId = Some("stream-0"))._1.unpersist()
+    assert(store.offlineVersions == versions)
+    assert(store.offline().count() == 3)
+    assert(store.online().collect().toSet == online)
+    // the A3 transition applied exactly once: avg = (75 + 80) / 2
+    assert(store.getRecord(1L).get
+      .getAs[Double]("avg_purchase_value") == (75.0 + 80.0) / 2)
+  }
+
+  test("compaction + vacuum: history folds to one commit, stranded dirs reclaimed") {
+    val dir = Files.createTempDirectory("vacuum-test").toString
+    val store = FeatureStore(spark, s"$dir/store", "customer_id",
+      "purchase_timestamp")
+    def batch(id: Long, v: Double) =
+      Seq((id, ts("2024-01-01 10:00:00"), v))
+        .toDF("customer_id", "purchase_timestamp", "avg_purchase_value")
+    store.ingest(batch(1L, 1.0)) // v0
+    store.ingest(batch(2L, 2.0)) // v1
+    store.ingest(batch(3L, 3.0)) // v2
+    // pure appends: every data dir is still referenced by the newest
+    // manifest, so vacuum reclaims nothing (only old manifests drop)
+    assert(store.vacuumOffline(retain = 1) == 0)
+    assert(store.offlineVersions == Seq(2L))
+    assert(store.offline().count() == 3)
+    // compaction rewrites the snapshot into one commit (v3); the
+    // three append dirs are now unreferenced by the retained version
+    store.compactOffline()
+    assert(store.offline().count() == 3)
+    assert(store.vacuumOffline(retain = 1) == 3)
+    assert(store.offlineVersions.size == 1)
+    assert(store.offline().count() == 3)
+    assert(store.latestView().count() == 3)
+  }
 }
