@@ -316,14 +316,26 @@ object NearDup {
       maxLenDiff: Int = 20, bucketWidth: Int = 25): DataFrame = {
     require(bucketWidth > maxLenDiff, "need bucketWidth > maxLenDiff")
     import docs.sparkSession.implicits._
+    // EXPLICIT join-input partitioning: AQE sizes the join stage from
+    // the map-side input stats, and this join is multiplicative
+    // (candidate pairs ≫ docs) — left to itself the coalescer funnels
+    // the join AND the fused DP kernel into ONE task (observed: 257k
+    // pairs on 1 partition at sf0.1; wall-time = the single-thread
+    // sum). Explicitly repartitioning both inputs on the join keys is
+    // exempt from AQE coalescing, satisfies the join's distribution
+    // requirement directly, and keeps the kernel fused in the join
+    // stage — full parallelism with no extra candidate-text shuffle.
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val d = docs.select($"doc_id", $"text", $"lang", $"n_chars",
       ($"n_chars" / bucketWidth).cast("long").as("blk"))
     val left = d
       .withColumn("jb", explode(array($"blk", $"blk" + 1L)))
       .select($"lang", $"jb", $"doc_id".as("ida"), $"text".as("ta"),
         $"n_chars".as("la"), $"blk".as("blka"))
+      .repartition(nParts, $"lang", $"jb")
     val right = d.select($"lang", $"blk".as("jb"), $"doc_id".as("idb"),
       $"text".as("tb"), $"n_chars".as("lb"))
+      .repartition(nParts, $"lang", $"jb")
     left.join(right, Seq("lang", "jb"))
       // same-bucket pairs once (id order); cross-bucket pairs appear
       // only with the lower-bucket doc on the left
