@@ -107,6 +107,7 @@ object SparkEntry {
     "q85_weighted_sample" -> (Curation.q85WeightedSample _),
     "q86_dup_degrees"    -> (DupClusters.q86DupDegrees _),
     "q87_nearest_asof"   -> (Temporal.q87NearestAsOf _),
+    "q88_duplicated_ngrams" -> (Contamination.q88DuplicatedNgrams _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1168,6 +1169,23 @@ object SparkEntry {
         |  ORDER BY abs(epoch_us(s.snap_ts) - epoch_us(e.ts)), s.snap_ts
         |  LIMIT 1) s ON true
         |ORDER BY e.event_id""".stripMargin,
+    // q88: within-corpus duplicated 8-grams — counts are exact
+    // integers over distinct per-doc 8-gram sets (Spark joins the
+    // 64-bit shingle hash, DuckDB the string — the q18/q51 collision
+    // contract); dup_frac is one rounded division of those integers.
+    "q88_duplicated_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |     range(1, len(toks) - 6),
+        |     i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |   FROM t WHERE len(toks) >= 8),
+        | df AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS dup_frac
+        |FROM sh JOIN df USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

@@ -94,4 +94,42 @@ object Contamination {
     contaminated(Tables.load(spark, dir, "documents"))
       .orderBy($"doc_id")
   }
+
+  /** WITHIN-corpus duplicated n-gram profile — the cross-document
+    * repetition diagnostic public LM data reports filter on (the
+    * "fraction of a document's n-grams duplicated elsewhere" family;
+    * q52 measures repetition INSIDE a doc, this measures it ACROSS
+    * docs): per document, its distinct n-gram count, how many of
+    * those n-grams also occur in ≥ 1 OTHER document, and the
+    * duplicated fraction. High-dup_frac docs are boilerplate/template
+    * copies that survive exact and even near dedup when padded.
+    *
+    * Scale shape: the inverted-index pattern end to end — distinct
+    * 8-byte shingle hashes per doc (typed loop), explode to postings,
+    * document frequency by one partial-agg'd shuffle on the hash, a
+    * colocated postings⋈df equi-join (same key as the agg — the
+    * exchange is reused), and a per-doc final agg. Nothing is
+    * all-pairs and the corpus is scanned once; hot-shingle skew only
+    * inflates one df row per shingle, not a pair explosion.
+    */
+  def duplicatedNgrams(docs: DataFrame, n: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val postings = NearDup.shingleHashSets(docs, n)
+      .select($"doc_id", explode($"shs").as("sh"))
+    val df = postings.groupBy($"sh")
+      .agg(count(lit(1)).as("df")) // sets are distinct per doc → df
+    postings.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        round($"n_dup".cast("double") / $"n_grams", 6).as("dup_frac"))
+  }
+
+  /** Q88 — duplicated 8-gram rate per document over `documents`. */
+  def q88DuplicatedNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    duplicatedNgrams(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+  }
 }

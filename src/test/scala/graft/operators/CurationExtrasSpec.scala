@@ -26,6 +26,36 @@ class CurationExtrasSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1L)))
   }
 
+  test("duplicatedNgrams: planted cross-doc copy, hand-counted fractions") {
+    // docs 1 and 2 share one exact 8-token run; doc 3 is disjoint;
+    // doc 4 is too short to shingle (absent from the result)
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$run t1 t2"),               // 10 toks → 3 8-grams, 1 shared
+      (2L, s"lead $run"),                // 9 toks → 2 8-grams, 1 shared
+      (3L, "a b c d e f g h i"),         // 9 toks → 2 8-grams, 0 shared
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Contamination.duplicatedNgrams(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("duplicatedNgrams: identical docs are 100% duplicated, corpus-wide sanity") {
+    val docs = Tables.load(spark, sf, "documents")
+    val twin = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val got = Contamination.duplicatedNgrams(docs.unionByName(twin)).cache()
+    assert(got.filter($"doc_id" === 999999L).head().getDouble(3) == 1.0)
+    // invariants: 0 ≤ n_dup ≤ n_grams; dup_frac consistent
+    assert(got.filter($"n_dup" > $"n_grams" || $"n_dup" < 0L).isEmpty)
+    assert(got.filter(abs($"dup_frac" -
+      round($"n_dup".cast("double") / $"n_grams", 6)) > 1e-12).isEmpty)
+  }
+
   test("contaminated: multi-gram, multi-bench counts") {
     // doc 1 shares a 9-token run with bench 10 (→ two distinct
     // 8-grams) and an 8-token run with bench 20 (→ one more)
