@@ -108,6 +108,7 @@ object SparkEntry {
     "q86_dup_degrees"    -> (DupClusters.q86DupDegrees _),
     "q87_nearest_asof"   -> (Temporal.q87NearestAsOf _),
     "q88_duplicated_ngrams" -> (Contamination.q88DuplicatedNgrams _),
+    "q89_knn_graph"      -> (Similarity.q89KnnGraph _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1186,6 +1187,17 @@ object SparkEntry {
         |    / count(*), 6) AS dup_frac
         |FROM sh JOIN df USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q89: all-rows 5-NN graph — the q16 cosine contract (DuckDB
+    // list_cosine_similarity over DOUBLE[] ≡ Spark's fused double
+    // cosine, bit-exact on this corpus), rank ties broken by nbr_id.
+    "q89_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |     s AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+        |             list_cosine_similarity(a.e, b.e) AS sim
+        |           FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, nbr_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) <= 5
+        |ORDER BY vec_id, sim DESC, nbr_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

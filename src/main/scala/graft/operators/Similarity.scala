@@ -110,4 +110,68 @@ object Similarity {
       defaultProbeIds, k = 5)
       .orderBy($"probe_id", $"sim".desc, $"vec_id")
   }
+
+  /** k-NN GRAPH — top-k cosine neighbors for EVERY corpus row, not a
+    * probe set: the all-rows sibling of [[cosineTopK]] and the
+    * substrate for kNN-graph pipelines (SemDeDup cluster seeding,
+    * graph-based outlier pruning, label propagation over neighbors).
+    *
+    * [[cosineTopK]]'s broadcast-the-probes shape cannot scale to
+    * probes = corpus, so this reuses the q24 triangle tile self-join
+    * ([[NearDup.embeddingNearDupPairs]]): each unordered pair meets in
+    * exactly one tile (O(N·B) shuffle for O(N²) pair work), the fused
+    * codegen'd cosine is computed ONCE per pair, and the pair row then
+    * fans into its two directed rows (a→b, b→a) in the same stage —
+    * no self-union, which would re-execute the join subtree. The
+    * per-source top-k is the bounded-heap [[graft.functions.TopKAgg]]:
+    * partial heaps reduce every tile partition to ≤ k rows per source
+    * BEFORE the exchange, so the shuffle carries O(N·k·B), never the
+    * N² scored pairs.
+    *
+    * Both tile-join inputs are explicitly repartitioned on the tile
+    * key: the join is multiplicative (pairs ≫ rows), so stats-driven
+    * AQE coalescing would funnel the join + cosine kernel into a
+    * handful of tasks (the q73 one-straggler shape).
+    *
+    * 100 TB: exact kNN is inherently N²·d — this operator is the
+    * exactness baseline and the within-cell kernel; at corpus scale,
+    * compose with a coarse quantizer ([[graft.operators.IvfIndex]])
+    * and run it per cell (probe-adjacent cells for boundary rows), or
+    * accept LSH-bucketed recall ([[graft.operators.AnnIndex]]).
+    */
+  def knnGraph(emb: DataFrame, k: Int = 5, nBlocks: Int = 8): DataFrame = {
+    import emb.sparkSession.implicits._
+    val nParts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val v = emb.select($"vec_id",
+      $"embedding".cast("array<double>").as("e"),
+      pmod(xxhash64($"vec_id"), lit(nBlocks.toLong)).cast("int").as("blk"))
+    val left = v
+      .withColumn("tj", explode(sequence($"blk", lit(nBlocks - 1))))
+      .select($"vec_id".as("ida"), $"e".as("ea"), $"blk".as("ti"), $"tj")
+      .repartition(nParts, $"ti", $"tj")
+    val right = v
+      .withColumn("ti", explode(sequence(lit(0), $"blk")))
+      .select($"vec_id".as("idb"), $"e".as("eb"), $"ti", $"blk".as("tj"))
+      .repartition(nParts, $"ti", $"tj")
+    val directed = left.join(right, Seq("ti", "tj"))
+      .filter($"ti" < $"tj" || $"ida" < $"idb")
+      .withColumn("sim", cosineSim($"ea", $"eb")) // bound once, used twice
+      .select(explode(array(
+        struct($"ida".as("src"), $"idb".as("dst"), $"sim"),
+        struct($"idb".as("src"), $"ida".as("dst"), $"sim"))).as("p"))
+      .select($"p.src".as("src"), $"p.dst".as("dst"), $"p.sim".as("sim"))
+    val tk = udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    directed.groupBy($"src")
+      .agg(tk($"dst", $"sim").as("topk"))
+      .select($"src".as("vec_id"), explode($"topk").as("t"))
+      .select($"vec_id", $"t.vec_id".as("nbr_id"), $"t.sim".as("sim"))
+  }
+
+  /** Q89 — 5-NN graph over the full `embeddings` table. */
+  def q89KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    knnGraph(Tables.load(spark, dir, "embeddings"))
+      .orderBy($"vec_id", $"sim".desc, $"nbr_id")
+  }
 }
