@@ -109,6 +109,7 @@ object SparkEntry {
     "q87_nearest_asof"   -> (Temporal.q87NearestAsOf _),
     "q88_duplicated_ngrams" -> (Contamination.q88DuplicatedNgrams _),
     "q89_knn_graph"      -> (Similarity.q89KnnGraph _),
+    "q90_kmeans_clusters" -> (KMeansTick.q90Clusters _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1198,6 +1199,54 @@ object SparkEntry {
         |SELECT vec_id, nbr_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) <= 5
         |ORDER BY vec_id, sim DESC, nbr_id""".stripMargin,
+    // q90: deterministic tick k-means — the oracle re-runs the exact
+    // algorithm: floor-tick quantization, Knuth-hash pivot init (the
+    // q30 rule), two unrolled Lloyd iterations (integer argmin, ties
+    // to lower cluster; exact integer sums; centroids re-ticked via
+    // floor(S/n + 0.5)), then the final assignment. Every reduction
+    // sums integer-valued terms < 2^53, so nothing is float-order-
+    // dependent and equality holds in any IEEE engine.
+    "q90_kmeans_clusters" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x*1000)) AS qv
+        |  FROM embeddings),
+        | piv AS (SELECT qv,
+        |    ((vec_id % 2147483648) * 2654435761) % 2147483648 AS h, vec_id
+        |  FROM q ORDER BY h, vec_id LIMIT 8),
+        | c0 AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cl,
+        |    qv AS c FROM piv),
+        | dims AS (SELECT unnest(range(1, 65)) AS i),
+        | a1 AS (SELECT vec_id, qv, cl FROM (
+        |    SELECT v.vec_id, v.qv, c.cl,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS d
+        |    FROM q v CROSS JOIN c0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1),
+        | u1 AS (SELECT cl, i, sum(qv[i]) AS s, count(*) AS n
+        |  FROM a1 CROSS JOIN dims GROUP BY cl, i),
+        | c1 AS (SELECT cl, list(floor(s / n + 0.5) ORDER BY i) AS c
+        |  FROM u1 GROUP BY cl
+        |  UNION ALL
+        |  SELECT cl, c FROM c0 WHERE cl NOT IN (SELECT cl FROM u1)),
+        | a2 AS (SELECT vec_id, qv, cl FROM (
+        |    SELECT v.vec_id, v.qv, c.cl,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS d
+        |    FROM q v CROSS JOIN c1 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1),
+        | u2 AS (SELECT cl, i, sum(qv[i]) AS s, count(*) AS n
+        |  FROM a2 CROSS JOIN dims GROUP BY cl, i),
+        | c2 AS (SELECT cl, list(floor(s / n + 0.5) ORDER BY i) AS c
+        |  FROM u2 GROUP BY cl
+        |  UNION ALL
+        |  SELECT cl, c FROM c1 WHERE cl NOT IN (SELECT cl FROM u2))
+        |SELECT vec_id, cl AS cluster FROM (
+        |    SELECT v.vec_id, c.cl,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS d
+        |    FROM q v CROSS JOIN c2 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+        |ORDER BY vec_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.
