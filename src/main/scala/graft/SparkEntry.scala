@@ -110,6 +110,7 @@ object SparkEntry {
     "q88_duplicated_ngrams" -> (Contamination.q88DuplicatedNgrams _),
     "q89_knn_graph"      -> (Similarity.q89KnnGraph _),
     "q90_kmeans_clusters" -> (KMeansTick.q90Clusters _),
+    "q91_incremental_near_dup" -> (NearDup.q91IncrementalNearDup _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1199,6 +1200,26 @@ object SparkEntry {
         |SELECT vec_id, nbr_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) <= 5
         |ORDER BY vec_id, sim DESC, nbr_id""".stripMargin,
+    // q91: incremental near-dup — the q18 shingle/Jaccard contract,
+    // restricted to (upper-half batch) × (lower-half corpus) pairs;
+    // the split cut is (max(doc_id)+1)/2, integer division in both.
+    "q91_incremental_near_dup" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+        | sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT b.doc_id AS doc_id, a.doc_id AS dup_of, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle, cut
+        |   WHERE a.doc_id < cut.c AND b.doc_id >= cut.c
+        |   GROUP BY 1, 2)
+        |SELECT pairs.doc_id AS doc_id, dup_of,
+        |  co::DOUBLE / (cb.n + ca.n - co) AS jac
+        |FROM pairs JOIN counts cb ON cb.doc_id = pairs.doc_id
+        |           JOIN counts ca ON ca.doc_id = dup_of
+        |WHERE co::DOUBLE / (cb.n + ca.n - co) >= 0.5
+        |ORDER BY doc_id, dup_of""".stripMargin,
     // q90: deterministic tick k-means — the oracle re-runs the exact
     // algorithm: floor-tick quantization, Knuth-hash pivot init (the
     // q30 rule), two unrolled Lloyd iterations (integer argmin, ties

@@ -179,6 +179,55 @@ object NearDup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** INCREMENTAL near-dup ingest gate — the near-dup sibling of
+    * [[Dedup.incrementalNew]] (q55): cross pairs (batch doc, corpus
+    * doc) with shingle Jaccard ≥ τ, so an arriving batch is vetted
+    * against the already-ingested corpus WITHOUT recomputing any
+    * corpus×corpus pair. Cost is O(batch postings ⋈ matching corpus
+    * postings): only corpus docs sharing ≥ 1 shingle with the batch
+    * are touched.
+    *
+    * Scale shape: at 100 TB the corpus side is a PERSISTED inverted
+    * index (postings bucketed by shingle hash, the [[Layout]]
+    * serving-merge contract) — each ingest shuffles only the batch's
+    * own postings to the index's partitioning; here it is derived
+    * on the fly and pinned once. Batch-side per-doc counts are
+    * broadcast (batch-sized by definition); corpus-side counts join
+    * hash-to-hash — only count rows for docs that actually co-occur
+    * reach the join, and AQE broadcasts when small.
+    */
+  def jaccardPairsAgainst(batch: DataFrame, corpus: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import batch.sparkSession.implicits._
+    val bs = shingleHashSets(batch).localCheckpoint(true)
+    val cs = shingleHashSets(corpus).localCheckpoint(true)
+    val bPost = bs.select($"doc_id", explode($"shs").as("sh"))
+    val cPost = cs.select($"doc_id".as("dup_of"), explode($"shs").as("sh"))
+    val co = bPost.join(cPost, "sh")
+      .groupBy($"doc_id", $"dup_of")
+      .agg(count(lit(1)).as("co"))
+    co.join(broadcast(bs.select($"doc_id", size($"shs").cast("long").as("na"))),
+        "doc_id")
+      .join(cs.select($"doc_id".as("dup_of"), size($"shs").cast("long").as("nb")),
+        "dup_of")
+      .withColumn("jac", $"co".cast("double") / ($"na" + $"nb" - $"co"))
+      .filter($"jac" >= minJaccard)
+      .select($"doc_id", $"dup_of", $"jac")
+  }
+
+  /** Q91 — incremental near-dup: lower doc_id half as the existing
+    * corpus, upper half as the arriving batch (the q55 convention),
+    * τ = 0.5.
+    */
+  def q91IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    jaccardPairsAgainst(
+      docs.filter($"doc_id" >= cut), docs.filter($"doc_id" < cut), 0.5)
+      .orderBy($"doc_id", $"dup_of")
+  }
+
   /** Embedding near-dup: exact all-pairs cosine ≥ τ as a distributed
     * tile×tile self-join — no driver collect, no whole-corpus
     * broadcast (the r1 shape died at scale: O(corpus) driver memory).

@@ -51,6 +51,30 @@ class ShinglingSpec extends SparkSpec {
     docs.unpersist(); ()
   }
 
+  test("jaccardPairsAgainst: planted batch copy found, disjoint doc admitted") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"), // 4-gram shingles differ at tail
+      (11L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+    val got = NearDup.jaccardPairsAgainst(batch, corpus, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1: shingles {abc,bcd,cde,dez}; doc 10: {abc,bcd,cde,deη}
+    // co=3, na=nb=4 → jac = 3/5 = 0.6
+    assert(got.toSeq == Seq((10L, 1L, 0.6)))
+  }
+
+  test("jaccardPairsAgainst ≡ full jaccardPairs restricted to cross pairs") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val full = NearDup.jaccardPairs(docs, 0.5)
+      .filter($"doc_a" < cut && $"doc_b" >= cut)
+      .select($"doc_b".as("doc_id"), $"doc_a".as("dup_of"), $"jac")
+    val inc = NearDup.q91IncrementalNearDup(spark, sf)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   test("sortedIntersectSize: hand cases incl. empty/disjoint/dup-free subsets") {
     val df = Seq(
       (Array(1L, 3L, 5L), Array(1L, 3L, 5L), 3),
