@@ -19,6 +19,9 @@ object Parallel {
     * fires; never reduces partitioning.
     */
   def fan(df: DataFrame): DataFrame = {
+    // A streaming plan has no static partitioning to inspect (`.rdd`
+    // would throw); micro-batch inputs arrive pre-split by the source.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -49,40 +49,70 @@ object MinHashDedup {
       seed: Long): DataFrame =
     bandKeysOf(shingleHashes(docs), numBands, rowsPerBand, seed)
 
+  /** Seeded permutation parameters (a odd ⇒ bijective over 2^64). */
+  private def permParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new Random(seed)
+    (Array.fill(numHashes)(rnd.nextLong() | 1L),
+      Array.fill(numHashes)(rnd.nextLong()))
+  }
+
+  /** All band keys of one shingle set — the per-doc primitive loop
+    * shared by the batch and streaming paths.
+    */
+  private def docBands(shs: Array[Long], as: Array[Long], cs: Array[Long],
+      numBands: Int, rowsPerBand: Int): Array[Long] = {
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rowsPerBand) {
+        val h = b * rowsPerBand + r
+        val a = as(h); val c = cs(h)
+        var m = Long.MaxValue
+        var i = 0
+        while (i < shs.length) {
+          // sign-bit flip = unsigned comparison order
+          val p = (a * shs(i) + c) ^ Long.MinValue
+          if (p < m) m = p
+          i += 1
+        }
+        key = (key ^ m) * 1099511628211L
+        r += 1
+      }
+      bands(b) = key
+      b += 1
+    }
+    bands
+  }
+
   private def bandKeysOf(sets: DataFrame, numBands: Int,
       rowsPerBand: Int, seed: Long): DataFrame = {
     import sets.sparkSession.implicits._
-    val numHashes = numBands * rowsPerBand
-    val rnd = new Random(seed)
-    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
-    val cs = Array.fill(numHashes)(rnd.nextLong())
+    val (as, cs) = permParams(numBands * rowsPerBand, seed)
     sets.as[(Long, Array[Long])]
       .mapPartitions(_.map { case (id, shs) =>
-        val bands = new Array[Long](numBands)
-        var b = 0
-        while (b < numBands) {
-          var key = 0xcbf29ce484222325L
-          var r = 0
-          while (r < rowsPerBand) {
-            val h = b * rowsPerBand + r
-            val a = as(h); val c = cs(h)
-            var m = Long.MaxValue
-            var i = 0
-            while (i < shs.length) {
-              // sign-bit flip = unsigned comparison order
-              val p = (a * shs(i) + c) ^ Long.MinValue
-              if (p < m) m = p
-              i += 1
-            }
-            key = (key ^ m) * 1099511628211L
-            r += 1
-          }
-          bands(b) = key
-          b += 1
-        }
-        (id, bands)
+        (id, docBands(shs, as, cs, numBands, rowsPerBand))
       })
       .toDF("doc_id", "bands")
+  }
+
+  /** (doc_id, shs, bands): shingle-hash sets annotated with their LSH
+    * band keys in the same typed pass — the form the STREAMING
+    * near-dup gate needs (each arriving doc must carry both its exact
+    * set, for verification, and its full band vector, for
+    * lowest-colliding-band pair dedup). Streaming-safe: a pure
+    * mapPartitions over whatever sets frame is passed in.
+    */
+  def setsWithBands(sets: DataFrame, numBands: Int,
+      rowsPerBand: Int, seed: Long): DataFrame = {
+    import sets.sparkSession.implicits._
+    val (as, cs) = permParams(numBands * rowsPerBand, seed)
+    sets.as[(Long, Array[Long])]
+      .mapPartitions(_.map { case (id, shs) =>
+        (id, shs, docBands(shs, as, cs, numBands, rowsPerBand))
+      })
+      .toDF("doc_id", "shs", "bands")
   }
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing ≥ 1 band key.
