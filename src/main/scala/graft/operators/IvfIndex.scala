@@ -123,6 +123,55 @@ object IvfIndex {
        |  ORDER BY sim DESC, vec_id) <= $k
        |ORDER BY probe_id, sim DESC, vec_id""".stripMargin
 
+  /** Cell-restricted ALL-ROWS k-NN graph — the 100 TB path the exact
+    * [[Similarity.knnGraph]] docstring promises: instead of the
+    * triangle tile self-join's full N²·d pair work, every row probes
+    * only its `nProbe` nearest coarse cells and is compared against
+    * those cells' residents. Work drops to ≈ N²·d·(nProbe/nLists);
+    * recall follows IVF's usual trade (rows near a cell boundary may
+    * miss neighbors assigned elsewhere — raise nProbe to buy it
+    * back) and is spec-checked against the exact graph.
+    *
+    * Shapes: probe-cell choice is a shuffle-free expression (sorted
+    * struct-array over the nLists centroid literals — no driver
+    * lookup per row); both join inputs repartition on `cell`
+    * explicitly (multiplicative join, the AQE-coalescing trap); the
+    * per-source top-k is the bounded-heap aggregate, partial BEFORE
+    * the exchange. At warehouse scale the corpus side is persisted
+    * partitioned-by-cell, so each row's probe touches nProbe
+    * partitions — the same pruning contract as [[topK]].
+    */
+  def knnGraphInCells(emb: DataFrame, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    val (indexed, model) = buildPivots(emb, nLists)
+    val nParts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // (−sim, pid) structs sort ascending = similarity descending with
+    // pid tie-break — identical ordering to Model.nearestCells
+    val cellStructs = model.centroids.map { case (cid, c) =>
+      struct((-Similarity.cosineSim($"embedding", typedLit(c.toSeq)))
+        .as("negsim"), lit(cid).as("pid"))
+    }
+    val probeSide = emb
+      .withColumn("cells",
+        slice(array_sort(array(cellStructs.toIndexedSeq: _*)), 1, nProbe))
+      .select($"vec_id".as("src"), $"embedding".as("pe"),
+        explode($"cells.pid").as("cell"))
+      .repartition(nParts, $"cell")
+    val corpusSide = indexed
+      .select($"cell", $"vec_id".as("dst"), $"embedding".as("ce"))
+      .repartition(nParts, $"cell")
+    val scored = probeSide.join(corpusSide, "cell")
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst", Similarity.cosineSim($"pe", $"ce").as("sim"))
+    val tk = udaf(new graft.functions.TopKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    scored.groupBy($"src").agg(tk($"dst", $"sim").as("topk"))
+      .select($"src".as("vec_id"), explode($"topk").as("t"))
+      .select($"vec_id", $"t.vec_id".as("nbr_id"), $"t.sim".as("sim"))
+  }
+
   /** Top-k per probe over the nProbe nearest cells only. Probe cell
     * assignment happens driver-side against the tiny centroid table;
     * the corpus is filtered by cell (partition pruning at scale) and

@@ -36,9 +36,9 @@ object Profiling {
     * exact BIGINT inputs, so the doubles agree; rounded to 6 as the
     * stable float contract. One partial+final agg pass; exact
     * quantiles hold sorted per-group state, so at 100 TB per-group
-    * cardinality this switches to `approx_percentile` (t-digest,
-    * mergeable fixed-size sketch) — same call shape, documented
-    * trade.
+    * cardinality this switches to [[approxQuantiles]] (mergeable
+    * fixed-size sketch, same call shape) — implemented below and
+    * spec-bounded against the exact values.
     */
   def q53Quantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -52,6 +52,29 @@ object Profiling {
         round(percentile($"n_chars", lit(0.75)), 6).as("p75"),
         round(percentile($"n_chars", lit(0.9)), 6).as("p90"))
       .orderBy($"source")
+  }
+
+  /** The IMPLEMENTED 100 TB switch [[q53Quantiles]] documents: the
+    * same per-source summary via `approx_percentile` — a mergeable
+    * fixed-size sketch, so per-group state is O(accuracy) regardless
+    * of group cardinality (exact `percentile` buffers the whole
+    * group sorted). Guarantee: each returned value is an actual data
+    * point whose rank is within n/accuracy of the target — the spec
+    * checks that empirical-CDF bound against the exact quantiles.
+    * Values are data points, not interpolations, so this is NOT the
+    * q53 oracle contract — it is the scale form, spec-bounded.
+    */
+  def approxQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+      accuracy: Int = 10000): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col(valCol),
+          typedLit(qs), lit(accuracy)).as("qv"))
+      .select((Seq(col(groupCol), $"n") ++
+        qs.indices.map(i => $"qv".getItem(i).as(s"q${(qs(i) * 100).round}"))): _*)
   }
 
   /** Key-skew diagnostics — the report that decides the

@@ -128,6 +128,32 @@ class CurationExtrasSpec extends SparkSpec {
     assert(r.getDouble(1) == 17.5 && r.getDouble(2) == 25.0)
   }
 
+  test("approxQuantiles: rank-error bound vs exact per-source quantiles") {
+    val docs = Tables.load(spark, sf, "documents").cache()
+    val acc = 100
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val approx = Profiling.approxQuantiles(docs, "source", "n_chars",
+      qs, acc).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        qs.indices.map(i => r.getLong(2 + i)))).toMap
+    val data = docs.select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).sorted }
+    approx.foreach { case (src, (n, vals)) =>
+      val xs = data(src)
+      assert(n == xs.length)
+      qs.zip(vals).foreach { case (q, v) =>
+        // sketch guarantee: v is a data point whose rank is within
+        // n/accuracy of target (+1 row slack for rank convention)
+        assert(xs.contains(v), s"$src q$q: $v not a data point")
+        val rank = xs.count(_ <= v)
+        val target = q * xs.length
+        assert(math.abs(rank - target) <= xs.length.toDouble / acc + 1.0,
+          s"$src q$q: rank $rank vs target $target")
+      }
+    }
+  }
+
   test("lmScore: hand-computed add-one bigram NLL") {
     // corpus: "a b" ×2 and "a c". V = 3 (a, b, c).
     // c(a·)=3: p(b|a) = (2+1)/(3+3) = .5 ; p(c|a) = (1+1)/6 = 1/3
