@@ -111,6 +111,7 @@ object SparkEntry {
     "q89_knn_graph"      -> (Similarity.q89KnnGraph _),
     "q90_kmeans_clusters" -> (KMeansTick.q90Clusters _),
     "q91_incremental_near_dup" -> (NearDup.q91IncrementalNearDup _),
+    "q92_prefix_dup_groups" -> (TextNorm.q92PrefixDupGroups _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1200,6 +1201,18 @@ object SparkEntry {
         |SELECT vec_id, nbr_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) <= 5
         |ORDER BY vec_id, sim DESC, nbr_id""".stripMargin,
+    // q92: canonical (prefix-20-token fingerprint) dup groups — the
+    // fingerprint is a pure string slice, equal in both engines.
+    "q92_prefix_dup_groups" ->
+      """WITH k AS (SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ') AS canon
+        |  FROM documents),
+        | g AS (SELECT canon, min(doc_id) AS canon_id,
+        |    count(*)::BIGINT AS group_size
+        |  FROM k GROUP BY canon HAVING count(*) > 1)
+        |SELECT doc_id, canon_id, group_size
+        |FROM k JOIN g USING (canon)
+        |ORDER BY doc_id""".stripMargin,
     // q91: incremental near-dup — the q18 shingle/Jaccard contract,
     // restricted to (upper-half batch) × (lower-half corpus) pairs;
     // the split cut is (max(doc_id)+1)/2, integer division in both.
