@@ -162,6 +162,46 @@ class VersionedTable(spark: SparkSession, root: String,
     else readEntries(kept).filter(col(c) >= lo && col(c) <= hi)
   }
 
+  /** CDC between two committed versions, rows tagged `change_type`
+    * (`insert` / `delete`). Fast path: when the target's manifest
+    * carries every source entry forward (the append-only chain —
+    * the common case), the changes are EXACTLY the added commit
+    * directories, so the diff reads O(delta) files and compares no
+    * rows at all — the manifest IS the change log. After a `replace`
+    * (compaction/rewrite) breaks the chain, falls back to
+    * [[rowDiff]]'s multiset row comparison. Downstream incremental
+    * consumers (online-view refresh, index maintenance, replication)
+    * poll this instead of rescanning the table.
+    */
+  def changesSince(fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"$root: no committed version"))
+    require(fromVersion <= to, s"changesSince($fromVersion > $to)")
+    val fromDirs = readManifest(fromVersion)._2.map(_.dir).toSet
+    val toEntries = readManifest(to)._2
+    if (fromDirs.subsetOf(toEntries.map(_.dir).toSet)) {
+      val added = toEntries.filterNot(e => fromDirs.contains(e.dir))
+      if (added.isEmpty)
+        readEntries(toEntries.take(1)).filter(lit(false))
+          .withColumn("change_type", lit("insert"))
+      else readEntries(added).withColumn("change_type", lit("insert"))
+    } else rowDiff(fromVersion, to)
+  }
+
+  /** Multiset row diff between two snapshots: rows only in `to` tag
+    * `insert`, rows only in `from` tag `delete` (an update appears as
+    * its delete/insert pair — key-level pairing is the consumer's
+    * join). Two `exceptAll` hash aggregations over the two snapshots —
+    * the O(table) fallback the manifest fast path avoids.
+    */
+  def rowDiff(fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readAt(fromVersion)
+    val to = readAt(toVersion)
+    to.exceptAll(from).withColumn("change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("change_type", lit("delete")))
+  }
+
   // ---- writes -------------------------------------------------------
 
   private def statsOf(dir: String): (Option[String], Option[String]) =

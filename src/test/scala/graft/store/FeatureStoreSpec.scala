@@ -171,6 +171,42 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.offline().count() == 6)
   }
 
+  test("CDC changesSince: append chain reads only the added commits") {
+    val vt = new VersionedTable(spark,
+      Files.createTempDirectory("vt-cdc").toString)
+    val v0 = vt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = vt.commit(Seq((3L, "c")).toDF("id", "v"))
+    vt.commit(Seq((4L, "d")).toDF("id", "v"))
+    // v0 → current: exactly the two appended rows, tagged insert
+    val d = vt.changesSince(v0)
+    assert(d.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).toSet == Set((3L, "c", "insert"), (4L, "d", "insert")))
+    // fast path: only the added commit dirs are planned — the v0
+    // snapshot's files never enter the scan
+    val v0Files = vt.readAt(v0).inputFiles.toSet
+    assert(d.inputFiles.toSet.intersect(v0Files).isEmpty)
+    // v1 → v1: empty diff, schema preserved
+    val none = vt.changesSince(v1, Some(v1))
+    assert(none.isEmpty && none.columns.toSeq == Seq("id", "v", "change_type"))
+  }
+
+  test("CDC after replace: row-level fallback emits delete/insert pairs") {
+    val vt = new VersionedTable(spark,
+      Files.createTempDirectory("vt-cdc2").toString)
+    val v0 = vt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // compaction rewrites the snapshot: row 2 dropped, row 3 added,
+    // row 1 carried over unchanged
+    val v1 = vt.replace(Seq((1L, "a"), (3L, "c")).toDF("id", "v"))
+    val d = vt.changesSince(v0, Some(v1)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d == Set((3L, "c", "insert"), (2L, "b", "delete")))
+    // multiset semantics: a duplicated row diffs by count
+    val v2 = vt.commit(Seq((1L, "a")).toDF("id", "v")) // second copy of (1,a)
+    val d2 = vt.rowDiff(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(d2 == Seq((1L, "a", "insert")))
+  }
+
   test("writer claim protocol: a dangling claim wastes its number, nothing else") {
     val fs = freshStore()
     fs.ingest(batch1) // v0
