@@ -77,6 +77,25 @@ object Profiling {
         qs.indices.map(i => $"qv".getItem(i).as(s"q${(qs(i) * 100).round}"))): _*)
   }
 
+  /** [[skewReport]]'s bounded-state 100 TB form: Misra–Gries
+    * heavy-hitter counters ([[graft.functions.HeavyHittersAgg]])
+    * instead of an exact per-key groupBy. The exact report shuffles
+    * one row per DISTINCT key; the sketch's exchange carries ≤
+    * k·partitions counters whatever the key cardinality, and still
+    * guarantees every key with share > 1/(k+1) is present with its
+    * count underestimated by at most n/(k+1) — exactly the keys the
+    * salting decision needs. Returns (key, est) sorted hot-first.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    val hh = udaf(new graft.functions.HeavyHittersAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(col(keyCol).cast("string").as("key"))
+      .agg(hh($"key").as("hits"))
+      .select(explode($"hits").as("h"))
+      .select($"h.item".as("key"), $"h.est".as("est"))
+  }
+
   /** Key-skew diagnostics — the report that decides the
     * [[Layout]] salting knob before a big join/agg: per-key counts
     * for the hottest keys plus their share of the table. One

@@ -154,6 +154,42 @@ class CurationExtrasSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: Misra-Gries guarantees under real eviction pressure") {
+    // planted skew: one key at 40% share among many cold keys, with
+    // k far below the distinct-key count so decrements actually fire
+    val rows = (Seq.fill(400)("hot") ++ (0 until 600).map(i => s"cold$i"))
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "key")
+    val k = 5
+    val got = Profiling.heavyHitters(df, "key", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.length
+    val thresh = n.toDouble / (k + 1) // ≈ 167 < 400 → "hot" must survive
+    assert(got.contains("hot"), "hot key evicted")
+    assert(got("hot") <= 400L && 400L - got("hot") <= thresh,
+      s"hot est ${got("hot")}")
+    assert(got.size <= k)
+    // undercount property holds for every reported key
+    val exact = rows.groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    got.foreach { case (key, est) => assert(est <= exact(key)) }
+    // corpus pressure: exploded doc tokens (vocab ≫ k); sketch keys
+    // are a subset of the vocabulary with undercounted estimates
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+    val exactTok = toks.groupBy($"tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactTok.size > 8, "need vocab > k for eviction")
+    val gotTok = Profiling.heavyHitters(toks, "tok", 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(gotTok.nonEmpty && gotTok.length <= 8)
+    gotTok.foreach { case (t, est) => assert(est <= exactTok(t)) }
+    val nTok = exactTok.values.sum
+    exactTok.foreach { case (t, c) =>
+      if (c > nTok / 9.0)
+        assert(gotTok.map(_._1).contains(t), s"hot token $t missing")
+    }
+  }
+
   test("lmScore: hand-computed add-one bigram NLL") {
     // corpus: "a b" ×2 and "a c". V = 3 (a, b, c).
     // c(a·)=3: p(b|a) = (2+1)/(3+3) = .5 ; p(c|a) = (1+1)/6 = 1/3
