@@ -112,6 +112,7 @@ object SparkEntry {
     "q90_kmeans_clusters" -> (KMeansTick.q90Clusters _),
     "q91_incremental_near_dup" -> (NearDup.q91IncrementalNearDup _),
     "q92_prefix_dup_groups" -> (TextNorm.q92PrefixDupGroups _),
+    "q93_cluster_prototypes" -> (KMeansTick.q93Prototypes _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1281,6 +1282,52 @@ object SparkEntry {
         |    FROM q v CROSS JOIN c2 c)
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
         |ORDER BY vec_id""".stripMargin,
+    // q93: per-cluster prototypes — the q90 pipeline (same CTE chain)
+    // plus the winning distance, then the 10 most-central members per
+    // cluster; tick distances are exact integers, ties by vec_id.
+    "q93_cluster_prototypes" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x*1000)) AS qv
+        |  FROM embeddings),
+        | piv AS (SELECT qv,
+        |    ((vec_id % 2147483648) * 2654435761) % 2147483648 AS h, vec_id
+        |  FROM q ORDER BY h, vec_id LIMIT 8),
+        | c0 AS (SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cl,
+        |    qv AS c FROM piv),
+        | dims AS (SELECT unnest(range(1, 65)) AS i),
+        | a1 AS (SELECT vec_id, qv, cl FROM (
+        |    SELECT v.vec_id, v.qv, c.cl,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS d
+        |    FROM q v CROSS JOIN c0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1),
+        | u1 AS (SELECT cl, i, sum(qv[i]) AS s, count(*) AS n
+        |  FROM a1 CROSS JOIN dims GROUP BY cl, i),
+        | c1 AS (SELECT cl, list(floor(s / n + 0.5) ORDER BY i) AS c
+        |  FROM u1 GROUP BY cl
+        |  UNION ALL
+        |  SELECT cl, c FROM c0 WHERE cl NOT IN (SELECT cl FROM u1)),
+        | a2 AS (SELECT vec_id, qv, cl FROM (
+        |    SELECT v.vec_id, v.qv, c.cl,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS d
+        |    FROM q v CROSS JOIN c1 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1),
+        | u2 AS (SELECT cl, i, sum(qv[i]) AS s, count(*) AS n
+        |  FROM a2 CROSS JOIN dims GROUP BY cl, i),
+        | c2 AS (SELECT cl, list(floor(s / n + 0.5) ORDER BY i) AS c
+        |  FROM u2 GROUP BY cl
+        |  UNION ALL
+        |  SELECT cl, c FROM c1 WHERE cl NOT IN (SELECT cl FROM u2)),
+        | a3 AS (SELECT vec_id, cl, d FROM (
+        |    SELECT v.vec_id, c.cl,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS d
+        |    FROM q v CROSS JOIN c2 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1)
+        |SELECT cl AS cluster, vec_id, d::BIGINT AS dist FROM a3
+        |QUALIFY row_number() OVER (PARTITION BY cl ORDER BY d, vec_id) <= 10
+        |ORDER BY cluster, dist, vec_id""".stripMargin,
     // q27/q30: the oracle recomputes the (deterministic, seeded) index
     // itself — hyperplanes/masks and pivot hashing are inlined by the
     // generators, so the approximate result is equality-checked.

@@ -110,4 +110,45 @@ object KMeansTick {
     val (assigned, _) = fit(Tables.load(spark, dir, "embeddings"))
     assigned.orderBy($"vec_id")
   }
+
+  /** Per-cluster PROTOTYPES — the m most-central members of each
+    * cluster by tick distance: cluster-balanced data selection
+    * (keep representative cores, drop redundant tails — the
+    * prototype-selection half of SemDeDup-style pruning, and the
+    * per-topic quota a balanced training mixture draws from).
+    * Deterministic end to end: distances are exact integers and ties
+    * break by vec_id, so the oracle recomputes it all in SQL.
+    *
+    * Shape: one more corpus projection (the same argmin struct, kept
+    * once via a bound column) feeding a bounded-heap per-cluster
+    * top-m — partial heaps before the exchange, k·m rows out.
+    */
+  def prototypes(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      m: Int = 10, tick: Int = 1000): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    val (_, cents) = fit(emb, k, iters, tick)
+    val q = quantize(emb, tick)
+    val best = array_min(array(cents.map { case (j, c) =>
+      struct(sqDist($"qv", c).as("d"), lit(j).as("cl"))
+    }: _*))
+    val scored = q.withColumn("s", best)
+      .select($"vec_id", $"s.cl".as("cluster"), $"s.d".as("d"))
+    val tk = udaf(new graft.functions.TopKAgg(m),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    // TopKAgg keeps (sim DESC, id ASC); feeding sim = −d gives
+    // (d ASC, vec_id ASC) — closest members, deterministic ties
+    scored.groupBy($"cluster")
+      .agg(tk($"vec_id", -$"d".cast("double")).as("t"))
+      .select($"cluster", explode($"t").as("p"))
+      .select($"cluster", $"p.vec_id".as("vec_id"),
+        (-$"p.sim").cast("long").as("dist"))
+  }
+
+  /** Q93 — 10 prototypes per cluster of the q90 clustering. */
+  def q93Prototypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    prototypes(Tables.load(spark, dir, "embeddings"))
+      .orderBy($"cluster", $"dist", $"vec_id")
+  }
 }

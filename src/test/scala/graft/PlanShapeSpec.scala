@@ -150,6 +150,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "prefix sum should still be a window")
   }
 
+  test("q89: tile join inputs keep their explicit partitioning; top-k is partial-agg'd") {
+    val df = operators.Similarity.q89KnnGraph(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // both sides shuffle on the tile key by EXPLICIT repartition —
+    // the multiplicative join must not be stats-coalesced to one task
+    assert(p.contains("REPARTITION_BY_COL") || p.contains("hashpartitioning(ti"),
+      s"explicit tile partitioning missing:\n$p")
+    // bounded-heap top-k: partial ObjectHashAggregate BEFORE the
+    // exchange, so the shuffle never carries the N^2 scored pairs
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      "bounded-heap partial aggregation expected")
+  }
+
+  test("q90: cluster assignment is a shuffle-free projection") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (assigned, _) = operators.KMeansTick.fit(emb, k = 8, iters = 1)
+    val p = plan(assigned)
+    assert(!p.contains("Exchange"),
+      s"assignment must not shuffle — argmin over centroid literals:\n$p")
+  }
+
+  test("q92: canonical dup groups annotate back via broadcast, agg is partial") {
+    val df = operators.TextNorm.q92PrefixDupGroups(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "dup-group table must broadcast, never shuffle the corpus")
+    assert(p.contains("partial_"), "group agg must combine map-side")
+  }
+
   test("ADC scoring is per-row: packed codes, broadcast LUTs, no code-key shuffle") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = Quantize.pqAdcTopK(emb, Seq(0L, 1L, 2L), 10)

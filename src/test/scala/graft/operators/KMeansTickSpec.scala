@@ -36,6 +36,35 @@ class KMeansTickSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length >= 2)
   }
 
+  test("prototypes: most-central members, consistent with the fit assignment") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val protos = KMeansTick.prototypes(emb, k = 8, iters = 2, m = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(protos.groupBy(_._1).values.forall(_.length <= 10))
+    // prototypes carry the SAME cluster the fit assigns them
+    val assign = KMeansTick.fit(emb, k = 8, iters = 2)._1.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    protos.foreach { case (cl, id, _) => assert(assign(id) == cl) }
+    // each cluster's prototypes are its m smallest distances: no
+    // non-prototype member of the cluster may beat a prototype
+    val q = KMeansTick.quantize(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val cents = KMeansTick.fit(emb, k = 8, iters = 2)._2.toMap
+    def d(id: Long, cl: Int): Long =
+      q(id).zip(cents(cl)).map { case (x, y) => (x - y) * (x - y) }.sum
+    protos.foreach { case (cl, id, dist) => assert(d(id, cl) == dist) }
+    val byCl = protos.groupBy(_._1)
+    byCl.foreach { case (cl, ps) =>
+      val worst = ps.map(p => (p._3, p._2)).max
+      assign.filter(_._2 == cl).keys
+        .filterNot(id => ps.exists(_._2 == id))
+        .foreach { id =>
+          assert(Ordering[(Long, Long)].gt((d(id, cl), id), worst),
+            s"member $id beats a prototype")
+        }
+    }
+  }
+
   test("fit: iterations do not increase within-cluster tick cost") {
     // Lloyd's monotonicity, evaluated on the quantized corpus: the
     // assignment cost under (assignments_t, centroids_t) is
