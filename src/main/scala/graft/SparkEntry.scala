@@ -113,6 +113,8 @@ object SparkEntry {
     "q91_incremental_near_dup" -> (NearDup.q91IncrementalNearDup _),
     "q92_prefix_dup_groups" -> (TextNorm.q92PrefixDupGroups _),
     "q93_cluster_prototypes" -> (KMeansTick.q93Prototypes _),
+    "q94_vocab_head"     -> (TextStats.q94VocabHead _),
+    "q95_source_overlap" -> (Contamination.q95SourceOverlap _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1202,6 +1204,37 @@ object SparkEntry {
         |SELECT vec_id, nbr_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) <= 5
         |ORDER BY vec_id, sim DESC, nbr_id""".stripMargin,
+    // q94: vocabulary head — integer rank keys (freq DESC, term ASC),
+    // cum_share one division of exact integer partial sums.
+    "q94_vocab_head" ->
+      """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        | c AS (SELECT term, count(*)::BIGINT AS freq FROM tf GROUP BY term),
+        | t AS (SELECT sum(freq) AS total FROM c),
+        | head AS (SELECT term, freq FROM c
+        |   ORDER BY freq DESC, term LIMIT 50)
+        |SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank,
+        |  term, freq,
+        |  round((sum(freq) OVER (ORDER BY freq DESC, term
+        |    ROWS UNBOUNDED PRECEDING))::DOUBLE / total, 6) AS cum_share
+        |FROM head, t
+        |ORDER BY rank""".stripMargin,
+    // q95: cross-source shared distinct 8-grams — string shingles vs
+    // the 64-bit hash (the q18/q51/q88 collision contract); DISTINCT
+    // per (shingle, source) caps per-shingle fan-out at source pairs.
+    "q95_source_overlap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        | sh AS (SELECT DISTINCT source, s FROM (
+        |   SELECT source, unnest(list_distinct(list_transform(
+        |       range(1, len(toks) - 6),
+        |       i -> array_to_string(toks[i:i+7], ' ')))) AS s
+        |     FROM t WHERE len(toks) >= 8))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*)::BIGINT AS shared
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin,
     // q92: canonical (prefix-20-token fingerprint) dup groups — the
     // fingerprint is a pure string slice, equal in both engines.
     "q92_prefix_dup_groups" ->

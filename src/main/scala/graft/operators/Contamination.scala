@@ -132,4 +132,40 @@ object Contamination {
     duplicatedNgrams(Tables.load(spark, dir, "documents"))
       .orderBy($"doc_id")
   }
+
+  /** CROSS-SOURCE overlap matrix — the provenance diagnostic behind
+    * "source B is mostly a re-crawl of source A": for every source
+    * pair, how many distinct n-grams they share. Feeds source-level
+    * dedup priority and mixture double-counting corrections (two
+    * sources covering the same underlying text should not both get
+    * full mixture weight).
+    *
+    * Scale shape: postings annotated with their doc's source (one
+    * equi-join on doc_id — co-partitioned at scale), reduced to
+    * DISTINCT (shingle, source) — so a shingle contributes one
+    * posting per source no matter how many of that source's docs
+    * repeat it — then a per-shingle source-pair self-join whose
+    * fan-out is bounded by (|sources| choose 2) per shingle, NEVER
+    * doc-pair-shaped: with s sources the worst shingle emits s²/2
+    * rows, and |sources| is a catalog-sized constant.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val srcPost = NearDup.shingleHashSets(docs, n)
+      .select($"doc_id", explode($"shs").as("sh"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"sh", $"source").distinct()
+    srcPost.select($"sh", $"source".as("src_a"))
+      .join(srcPost.select($"sh", $"source".as("src_b")), "sh")
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Q95 — shared distinct 8-grams for every source pair. */
+  def q95SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sourceOverlap(Tables.load(spark, dir, "documents"))
+      .orderBy($"src_a", $"src_b")
+  }
 }

@@ -133,6 +133,42 @@ object TextStats {
     * single-file scan off one core. Shared by [[bigramStats]] and
     * [[pmiCollocations]].
     */
+  /** Vocabulary head profile — the Zipf rank/frequency table a
+    * tokenizer-vocabulary decision reads: top-k terms by corpus
+    * frequency with rank and cumulative corpus share ("the head h
+    * terms cover p% of tokens"). Ordering is (freq DESC, term ASC) —
+    * integer-keyed, engine-independent; cum_share is one division of
+    * exact integer partial sums, rounded as the stable float
+    * contract.
+    *
+    * Shape: one partial-agg'd (term) count, then `TakeOrdered` to
+    * the k head rows — the window that ranks and cumulates runs over
+    * those k rows only (bounded, never vocabulary-sized); the corpus
+    * token total broadcasts as a 1-row cross join.
+    */
+  def vocabHead(docs: DataFrame, k: Int = 50): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum($"freq").as("total"))
+    val w = Window.orderBy($"freq".desc, $"term")
+    tf.orderBy($"freq".desc, $"term").limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum($"freq").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select($"rank", $"term", $"freq",
+        round($"cum".cast("double") / $"total", 6).as("cum_share"))
+  }
+
+  /** Q94 — top-50 vocabulary head over `documents`. */
+  def q94VocabHead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    vocabHead(Tables.load(spark, dir, "documents"))
+      .orderBy($"rank")
+  }
+
   private def bigramPartials(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     graft.core.Parallel.fan(docs)

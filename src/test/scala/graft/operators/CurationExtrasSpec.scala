@@ -26,6 +26,40 @@ class CurationExtrasSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1L)))
   }
 
+  test("vocabHead: hand-counted ranks, ties by term, cum_share sums to head share") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b")).toDF("doc_id", "text")
+    // freqs: a=3, b=3, c=2, total 8; ties a/b break alphabetically
+    val got = TextStats.vocabHead(docs, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, "a", 3L, 0.375), (2, "b", 3L, 0.75)))
+  }
+
+  test("vocabHead: corpus invariants — monotone freq, increasing share") {
+    val got = TextStats.q94VocabHead(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    val vocab = Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .select($"t").distinct().count()
+    assert(got.length == math.min(50L, vocab))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 < b._3 && a._1 + 1 == b._1)
+    }
+    assert(got.last._3 <= 1.0)
+  }
+
+  test("sourceOverlap: planted shared run counted once per source pair") {
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$run x", "sA"), (2L, s"$run y", "sA"), // two sA docs share the run
+      (3L, s"z $run", "sB"),
+      (4L, "q r s t u v w x y", "sC")).toDF("doc_id", "text", "source")
+    val got = Contamination.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // sA and sB share exactly the one 8-gram run (distinct per source,
+    // so sA's two copies count once); sC is disjoint
+    assert(got == Set(("sA", "sB", 1L)))
+  }
+
   test("duplicatedNgrams: planted cross-doc copy, hand-counted fractions") {
     // docs 1 and 2 share one exact 8-token run; doc 3 is disjoint;
     // doc 4 is too short to shingle (absent from the result)
