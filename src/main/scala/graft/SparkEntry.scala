@@ -115,6 +115,8 @@ object SparkEntry {
     "q93_cluster_prototypes" -> (KMeansTick.q93Prototypes _),
     "q94_vocab_head"     -> (TextStats.q94VocabHead _),
     "q95_source_overlap" -> (Contamination.q95SourceOverlap _),
+    "q96_token_drift"    -> (Profiling.q96TokenDrift _),
+    "q97_length_stop_corr" -> (Profiling.q97LengthStopCorr _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1235,6 +1237,50 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
         |GROUP BY 1, 2
         |ORDER BY src_a, src_b""".stripMargin,
+    // q96: token drift — chi-square contributions are a fixed dag of
+    // double ops on exact integer counts (no double ACCUMULATION), so
+    // both engines compute identical bits and the ranking is stable.
+    "q96_token_drift" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |   FROM documents),
+        | r AS (SELECT token, count(*)::BIGINT AS cnt_ref FROM tok, cut
+        |   WHERE doc_id < cut.c GROUP BY token),
+        | w AS (SELECT token, count(*)::BIGINT AS cnt_new FROM tok, cut
+        |   WHERE doc_id >= cut.c GROUP BY token),
+        | m AS (SELECT coalesce(r.token, w.token) AS token,
+        |    coalesce(cnt_ref, 0) AS cnt_ref, coalesce(cnt_new, 0) AS cnt_new
+        |   FROM r FULL OUTER JOIN w ON r.token = w.token),
+        | t AS (SELECT sum(cnt_ref)::BIGINT AS n_ref,
+        |    sum(cnt_new)::BIGINT AS n_new FROM m),
+        | e AS (SELECT token, cnt_ref, cnt_new,
+        |    (cnt_ref + cnt_new)::DOUBLE * n_ref / (n_ref + n_new) AS e_ref,
+        |    (cnt_ref + cnt_new)::DOUBLE * n_new / (n_ref + n_new) AS e_new
+        |   FROM m, t)
+        |SELECT token, cnt_ref, cnt_new,
+        |  round((cnt_ref - e_ref) * (cnt_ref - e_ref) / e_ref
+        |      + (cnt_new - e_new) * (cnt_new - e_new) / e_new, 6) AS contrib
+        |FROM e
+        |ORDER BY (cnt_ref - e_ref) * (cnt_ref - e_ref) / e_ref
+        |      + (cnt_new - e_new) * (cnt_new - e_new) / e_new DESC, token
+        |LIMIT 20""".stripMargin,
+    // q97: exact-moment Pearson — five integer moments, one double
+    // closed form; DuckDB's HUGEINT sums convert to the same doubles.
+    "q97_length_stop_corr" ->
+      """WITH d AS (SELECT source, n_chars::BIGINT AS x,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','an','and','of','to','in','is','on','for')
+        |    ))::BIGINT AS y
+        |  FROM documents),
+        | m AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+        |    sum(y*y)::BIGINT AS syy
+        |  FROM d GROUP BY source)
+        |SELECT source, n, round((n*sxy - sx*sy)::DOUBLE /
+        |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
+        |  6) AS corr_xy
+        |FROM m ORDER BY source""".stripMargin,
     // q92: canonical (prefix-20-token fingerprint) dup groups — the
     // fingerprint is a pure string slice, equal in both engines.
     "q92_prefix_dup_groups" ->

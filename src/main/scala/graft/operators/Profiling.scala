@@ -96,6 +96,97 @@ object Profiling {
       .select($"h.item".as("key"), $"h.est".as("est"))
   }
 
+  /** Token-distribution DRIFT between a reference corpus and an
+    * arriving batch — the ingest-monitoring gate that catches a
+    * source changing under the pipeline (new crawler, new template,
+    * language shift) before it pollutes training data. Per token,
+    * the chi-square contribution of its (ref, new) count split
+    * against the homogeneity expectation; the report is the top
+    * contributors plus their counts.
+    *
+    * Determinism: inputs are exact integer counts; expectations and
+    * contributions are a fixed dag of IEEE double ops on those
+    * integers, so any engine computes identical bits and the
+    * contribution ranking is engine-stable (the q90 argument, not
+    * the float-sum trap: nothing here ACCUMULATES doubles).
+    *
+    * Shape: two partial-agg'd token counts, a full-outer merge on
+    * token (a vanished or newborn token is exactly the signal),
+    * 1-row totals broadcast, TakeOrdered for the report head.
+    */
+  def tokenDrift(ref: DataFrame, cur: DataFrame, topK: Int = 20): DataFrame = {
+    import ref.sparkSession.implicits._
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as(as))
+    val merged = counts(ref, "cnt_ref")
+      .join(counts(cur, "cnt_new"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cnt_ref", "cnt_new"))
+    val totals = merged.agg(sum($"cnt_ref").as("n_ref"),
+      sum($"cnt_new").as("n_new"))
+    val withE = merged.crossJoin(broadcast(totals))
+      .withColumn("rowt", $"cnt_ref" + $"cnt_new")
+      .withColumn("e_ref",
+        $"rowt".cast("double") * $"n_ref" / ($"n_ref" + $"n_new"))
+      .withColumn("e_new",
+        $"rowt".cast("double") * $"n_new" / ($"n_ref" + $"n_new"))
+      .withColumn("contrib",
+        ($"cnt_ref" - $"e_ref") * ($"cnt_ref" - $"e_ref") / $"e_ref" +
+        ($"cnt_new" - $"e_new") * ($"cnt_new" - $"e_new") / $"e_new")
+    withE.orderBy($"contrib".desc, $"token").limit(topK)
+      .select($"token", $"cnt_ref", $"cnt_new",
+        round($"contrib", 6).as("contrib"))
+  }
+
+  /** Q96 — drift report between the lower-half (reference) and
+    * upper-half (arriving) documents, the q55/q91 split convention.
+    */
+  def q96TokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    tokenDrift(docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
+      .orderBy($"contrib".desc, $"token")
+  }
+
+  /** Pearson correlation from EXACT integer moments — the
+    * deterministic form of `corr()` for integer-valued columns:
+    * the five sufficient moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    * Long sums (order-independent), and the closed form is one fixed
+    * dag of double ops on them — engine-identical bits, unlike the
+    * built-in's streaming co-moment updates, whose result depends on
+    * accumulation order. Emitted rounded as the stable float
+    * contract.
+    */
+  def pearsonExact(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .withColumn("corr_xy", round(
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6))
+      .select(col(groupCol), $"n", $"corr_xy")
+  }
+
+  /** Q97 — per-source correlation between document length and
+    * stopword count (the length/quality confound diagnostic).
+    */
+  def q97LengthStopCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is",
+      "on", "for")
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_stop", size(filter(split($"text", " ", -1),
+        t => t.isInCollection(stops))))
+    pearsonExact(docs, "source", "n_chars", "n_stop")
+      .orderBy($"source")
+  }
+
   /** Key-skew diagnostics — the report that decides the
     * [[Layout]] salting knob before a big join/agg: per-key counts
     * for the hottest keys plus their share of the table. One

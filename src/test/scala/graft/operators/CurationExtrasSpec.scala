@@ -188,6 +188,38 @@ class CurationExtrasSpec extends SparkSpec {
     }
   }
 
+  test("tokenDrift: planted vanished/newborn tokens dominate the report") {
+    val ref = Seq((1L, "old old old common common"),
+      (2L, "old common stable")).toDF("doc_id", "text")
+    val cur = Seq((3L, "new new new common common"),
+      (4L, "new common stable")).toDF("doc_id", "text")
+    val got = Profiling.tokenDrift(ref, cur, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 'old' (4,0) and 'new' (0,4) are the extreme drifts; 'common'
+    // and 'stable' split evenly → zero contribution
+    assert(got.take(2).map(_._1).toSet == Set("new", "old"))
+    assert(got.find(_._1 == "old").get._2 == 4L)
+    assert(got.find(_._1 == "old").get._3 == 0L)
+    assert(got.find(_._1 == "new").get._4 == got.find(_._1 == "old").get._4)
+    assert(got.drop(2).forall(_._4 < got.head._4))
+    val even = got.find(t => t._1 == "common" || t._1 == "stable")
+    even.foreach(t => assert(t._4 == 0.0))
+  }
+
+  test("pearsonExact: perfect, anti, and hand-computed correlations") {
+    val df = Seq(
+      ("p", 1L, 2L), ("p", 2L, 4L), ("p", 3L, 6L),   // y = 2x → +1
+      ("a", 1L, 6L), ("a", 2L, 4L), ("a", 3L, 2L),   // y = 8−2x → −1
+      ("h", 1L, 1L), ("h", 2L, 3L), ("h", 3L, 2L)
+    ).toDF("g", "x", "y")
+    val got = Profiling.pearsonExact(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("p") == 1.0 && got("a") == -1.0)
+    // h: moments n=3 sx=6 sy=6 sxy=13 sxx=14 syy=14 →
+    // (39−36)/(sqrt(42−36)·sqrt(42−36)) = 3/6 = 0.5
+    assert(got("h") == 0.5)
+  }
+
   test("heavyHitters: Misra-Gries guarantees under real eviction pressure") {
     // planted skew: one key at 40% share among many cold keys, with
     // k far below the distinct-key count so decrements actually fire
