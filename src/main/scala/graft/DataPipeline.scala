@@ -35,6 +35,29 @@ object DataPipeline {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val total = docs.count()
 
+    timed("canonical pre-dedup (prefix fingerprint)") {
+      val flagged = TextNorm.canonicalDupGroups(docs,
+        TextNorm.prefixFingerprint($"text", 20))
+      val nonCanon = flagged.filter($"doc_id" =!= $"canon_id").count()
+      println(s"[pipeline]   ${flagged.count()} docs in canonical groups, " +
+        s"$nonCanon non-canonical variants droppable")
+    }
+
+    timed("corpus diagnostics (vocab head, drift, source overlap)") {
+      val head = TextStats.vocabHead(docs, 5).collect()
+      println(f"[pipeline]   top-5 terms cover ${head.last.getDouble(3) * 100}%.1f%% of tokens")
+      val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+      val drift = Profiling.tokenDrift(
+        docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut), 1)
+        .head()
+      println(s"[pipeline]   max drift token '${drift.getString(0)}' " +
+        s"chi2 ${drift.getDouble(3)}")
+      val hot = Contamination.sourceOverlap(docs)
+        .orderBy($"shared".desc).limit(1).head()
+      println(s"[pipeline]   hottest source pair ${hot.getString(0)}/" +
+        s"${hot.getString(1)} shares ${hot.getLong(2)} 8-grams")
+    }
+
     val curated = timed("curate (lang+quality+dedup)") {
       val c = Curation.curate(docs).cache()
       println(s"[pipeline]   docs $total -> ${c.count()} curated")
@@ -132,6 +155,17 @@ object DataPipeline {
     timed("IVF-PQ stack (prune + ADC + rerank)") {
       val hits = IvfPq.topK(emb, Seq(0L, 1L, 2L), k = 10)
       println(s"[pipeline]   ${hits.count()} IVF-PQ results for 3 probes")
+    }
+
+    timed("k-NN graph (cell-restricted)") {
+      val edges = IvfIndex.knnGraphInCells(emb, k = 5, nProbe = 4).count()
+      println(s"[pipeline]   $edges directed 5-NN edges")
+    }
+
+    timed("cluster prototypes (balanced selection)") {
+      val protos = KMeansTick.prototypes(emb)
+      val perCl = protos.groupBy($"cluster").count().count()
+      println(s"[pipeline]   ${protos.count()} prototypes across $perCl clusters")
     }
 
     spark.stop()
