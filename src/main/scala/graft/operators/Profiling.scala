@@ -119,11 +119,15 @@ object Profiling {
     def counts(df: DataFrame, as: String) =
       df.select(explode(split(col("text"), " ", -1)).as("token"))
         .groupBy($"token").agg(count(lit(1)).as(as))
-    val merged = counts(ref, "cnt_ref")
-      .join(counts(cur, "cnt_new"), Seq("token"), "full_outer")
+    val cr = counts(ref, "cnt_ref")
+    val cn = counts(cur, "cnt_new")
+    val merged = cr.join(cn, Seq("token"), "full_outer")
       .na.fill(0L, Seq("cnt_ref", "cnt_new"))
-    val totals = merged.agg(sum($"cnt_ref").as("n_ref"),
-      sum($"cnt_new").as("n_new"))
+    // totals read the per-side count frames (their exchanges are
+    // plan-reused), NOT the merged frame — summing over the
+    // full-outer join would execute the vocab merge a second time
+    val totals = cr.agg(sum($"cnt_ref").as("n_ref"))
+      .crossJoin(cn.agg(sum($"cnt_new").as("n_new")))
     val withE = merged.crossJoin(broadcast(totals))
       .withColumn("rowt", $"cnt_ref" + $"cnt_new")
       .withColumn("e_ref",
