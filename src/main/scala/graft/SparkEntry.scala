@@ -117,6 +117,7 @@ object SparkEntry {
     "q95_source_overlap" -> (Contamination.q95SourceOverlap _),
     "q96_token_drift"    -> (Profiling.q96TokenDrift _),
     "q97_length_stop_corr" -> (Profiling.q97LengthStopCorr _),
+    "q98_leakage_safe_splits" -> (Curation.q98LeakageSafeSplits _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1281,6 +1282,40 @@ object SparkEntry {
         |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
         |  6) AS corr_xy
         |FROM m ORDER BY source""".stripMargin,
+    // q98: leakage-safe splits — q41's recursive-CTE components give
+    // the cluster key; the split hash is the q48 contract on
+    // coalesce(cluster_id, doc_id).
+    "q98_leakage_safe_splits" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+        |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | np AS (SELECT doc_a, doc_b FROM prs
+        |   JOIN counts ca ON ca.doc_id = doc_a
+        |   JOIN counts cb ON cb.doc_id = doc_b
+        |   WHERE co::DOUBLE / (ca.n + cb.n - co) >= 0.5),
+        | e AS (SELECT doc_a AS s, doc_b AS d FROM np
+        |       UNION ALL SELECT doc_b, doc_a FROM np),
+        | reach AS (
+        |   SELECT s AS id, s AS r FROM e
+        |   UNION
+        |   SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+        | comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |   FROM reach GROUP BY id),
+        | keyed AS (SELECT d.doc_id,
+        |    coalesce(comp.cluster_id, d.doc_id) AS split_key
+        |   FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN ((split_key % 2147483648) * 2654435761)
+        |         % 2147483648 % 100 < 80 THEN 'train'
+        |       WHEN ((split_key % 2147483648) * 2654435761)
+        |         % 2147483648 % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     // q92: canonical (prefix-20-token fingerprint) dup groups — the
     // fingerprint is a pure string slice, equal in both engines.
     "q92_prefix_dup_groups" ->

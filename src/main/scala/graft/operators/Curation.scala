@@ -114,6 +114,40 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** LEAKAGE-SAFE split assignment — near-dup clusters are ATOMIC:
+    * every member of a near-dup cluster keys its split by the cluster
+    * representative (min member id), so paraphrase/boilerplate twins
+    * can never straddle train and test — the dup-leakage hole a
+    * per-doc hash split ([[assignSplits]]) leaves open, and a known
+    * eval-inflation source in LLM training corpora. Docs outside any
+    * cluster keep their own id as key (identical to q48 for them —
+    * growth-stable, engine-independent frontier).
+    *
+    * Shape: the q18 pair graph → min-label components (both
+    * corpus-bucketed, never all-pairs), one left join to annotate
+    * members (cluster tables are dup-sized ≪ corpus), then the
+    * stateless hash projection.
+    */
+  def leakageSafeSplits(docs: DataFrame, minJaccard: Double = 0.5,
+      cuts: (Int, Int) = (80, 90)): DataFrame = {
+    import docs.sparkSession.implicits._
+    val comps = DupClusters.connectedComponents(
+        NearDup.jaccardPairs(docs, minJaccard).select($"doc_a", $"doc_b"))
+      .select($"id".as("doc_id"), $"cluster_id")
+    val keyed = docs.select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce($"cluster_id", $"doc_id"))
+    assignSplits(keyed, "split_key")
+      .select($"doc_id", $"split_key", $"split")
+  }
+
+  /** Q98 — leakage-safe splits over `documents` at τ = 0.5. */
+  def q98LeakageSafeSplits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    leakageSafeSplits(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic per-group cap sampling — the "at most K docs per
     * domain/language" budget every data-mixture recipe applies.
     * Selection ranks by the same portable masked-Knuth hash as

@@ -41,6 +41,44 @@ class CurationSpec extends SparkSpec {
     assert(injected2 == internal)
   }
 
+  test("leakageSafeSplits: near-dup twins straddling the hash frontier co-locate") {
+    def h(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 2147483648L % 100L
+    // pick a doc id whose own hash falls in 'test' and a twin in 'train'
+    val testId = (0L until 2000L).find(h(_) >= 90).get
+    val trainId = (0L until 2000L).find(h(_) < 80).get
+    val twin = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq(
+      (trainId, twin), (testId, twin), // exact twins: jaccard 1
+      (1999999L, "lone wolf doc with own words here")
+    ).toDF("doc_id", "text")
+    val got = Curation.leakageSafeSplits(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // both twins key by the min id → identical split, and the lone
+    // doc keeps its own q48 assignment
+    assert(got(trainId) == got(testId))
+    assert(got(trainId)._1 == math.min(trainId, testId))
+    val lone = got(1999999L)
+    assert(lone._1 == 1999999L)
+  }
+
+  test("leakageSafeSplits: no q18 pair straddles splits on the corpus") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val splits = Curation.leakageSafeSplits(docs)
+      .select($"doc_id", $"split")
+    val pairs = NearDup.jaccardPairs(docs, 0.5)
+    val straddle = pairs
+      .join(splits.withColumnsRenamed(Map("doc_id" -> "doc_a", "split" -> "sa")), "doc_a")
+      .join(splits.withColumnsRenamed(Map("doc_id" -> "doc_b", "split" -> "sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    assert(straddle.isEmpty)
+    // non-clustered docs keep the plain q48 assignment
+    val clustered = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val free = splits.join(clustered, Seq("doc_id"), "left_anti")
+    val q48 = Curation.q48SplitAssign(spark, sf)
+    assert(free.exceptAll(q48.join(free.select($"doc_id"), "doc_id")).isEmpty)
+  }
+
   test("labelCentroids: hand-computed means") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f), 0),
