@@ -119,6 +119,20 @@ object Workflow {
     val n3 = spark.read.parquet(s"$workDir/scored_serving").count()
     println(f"[workflow] serving path: $n3 events in $secs3%.1f s " +
       f"(${n3 / secs3}%.0f events/s); serving keys=${store2.serving().count()}")
+
+    // CDC leg: the streaming replay committed one offline version per
+    // micro-batch; an incremental consumer reads ONLY the delta since
+    // the version it last saw (manifest fast path — O(delta) files)
+    val vs = store.offlineVersions
+    val vMid = vs(vs.length / 2)
+    val delta = store.offlineChangesSince(vMid)
+    val nDelta = delta.count()
+    val reconstructed = store.offlineAt(vMid).count() + nDelta
+    val full = store.offline().count()
+    require(reconstructed == full,
+      s"CDC reconstruction $reconstructed != full history $full")
+    println(s"[workflow] CDC: ${vs.length} versions; replaying from " +
+      s"v$vMid yields $nDelta delta rows; snapshot+delta == $full rows ✓")
     spark.stop()
   }
 }

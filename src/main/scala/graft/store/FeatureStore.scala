@@ -165,6 +165,15 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   /** Committed history versions, ascending. */
   def offlineVersions: Seq[Long] = offlineTable.versions
 
+  /** CDC over the history: rows committed after `fromVersion`, tagged
+    * `change_type` — O(delta) file reads on the append-only chain
+    * ([[VersionedTable.changesSince]]). Incremental consumers (online
+    * refresh, replication, index maintenance) poll this instead of
+    * rescanning the history.
+    */
+  def offlineChangesSince(fromVersion: Long): DataFrame =
+    offlineTable.changesSince(fromVersion)
+
   /** Rewrite the full history into ONE commit (file compaction):
     * appends accumulate a data directory per ingest, and at streaming
     * cadence that is the small-files problem — this folds them. Same

@@ -65,6 +65,38 @@ class StreamLmScoreSpec extends SparkSpec {
     assert(collected.toSet == want)
   }
 
+  test("per-micro-batch drift gate vs static reference, ≡ batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Profiling
+    val docs = Tables.load(spark, sf, "documents")
+    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val ref = docs.filter($"doc_id" < cut).localCheckpoint(true)
+    val arriving = docs.filter($"doc_id" >= cut)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // the gate runs on each ingest batch against the static reference
+    // (the q51 foreachBatch shape); the LAST batch's report over the
+    // accumulated arrivals equals the batch q96 report
+    val acc = mutable.ArrayBuffer.empty[(Long, String)]
+    var last: Set[(String, Long, Long, Double)] = Set.empty
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= b.select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val cur = acc.toSeq.toDF("doc_id", "text")
+        last = Profiling.tokenDrift(ref, cur).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        ()
+      }.start()
+    arriving.grouped(80).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val want = Profiling.q96TokenDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(last == want)
+  }
+
   test("streamed micro-batches score identically to the batch path") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, sf, "documents")
