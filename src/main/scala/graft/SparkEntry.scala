@@ -118,6 +118,7 @@ object SparkEntry {
     "q96_token_drift"    -> (Profiling.q96TokenDrift _),
     "q97_length_stop_corr" -> (Profiling.q97LengthStopCorr _),
     "q98_leakage_safe_splits" -> (Curation.q98LeakageSafeSplits _),
+    "q99_quality_gate"   -> (TextAnalysis.q99QualityGate _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1282,6 +1283,36 @@ object SparkEntry {
         |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
         |  6) AS corr_xy
         |FROM m ORDER BY source""".stripMargin,
+    // q99: composite gate — every rule an integer comparison (ratios
+    // cross-multiplied), no float contract anywhere.
+    "q99_quality_gate" ->
+      """WITH base AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','an','and','of','to','in','is','on','for')
+        |    ))::BIGINT AS n_stop
+        |  FROM documents),
+        | mt AS (SELECT doc_id, max(c)::BIGINT AS max_tok FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) GROUP BY doc_id, tok) GROUP BY doc_id),
+        | k AS (SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ') AS canon
+        |  FROM documents),
+        | g AS (SELECT canon, min(doc_id) AS canon_id FROM k
+        |  GROUP BY canon HAVING count(*) > 1),
+        | dp AS (SELECT k.doc_id FROM k JOIN g USING (canon)
+        |  WHERE k.doc_id <> g.canon_id)
+        |SELECT b.doc_id,
+        |  b.n_tok < 30 AS too_short,
+        |  b.n_stop * 20 < b.n_tok AS low_stopword,
+        |  mt.max_tok * 5 > b.n_tok AS repetitive_tok,
+        |  dp.doc_id IS NOT NULL AS dup_prefix,
+        |  NOT (b.n_tok < 30 OR b.n_stop * 20 < b.n_tok
+        |    OR mt.max_tok * 5 > b.n_tok OR dp.doc_id IS NOT NULL) AS kept
+        |FROM base b JOIN mt USING (doc_id)
+        |  LEFT JOIN dp ON dp.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // q98: leakage-safe splits — q41's recursive-CTE components give
     // the cluster key; the split hash is the q48 contract on
     // coalesce(cluster_id, doc_id).

@@ -71,6 +71,56 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** COMPOSITE quality gate with per-rule ATTRIBUTION — not just a
+    * keep/drop bit but WHICH rule fired, the report a curation
+    * pipeline needs to audit its own filtering (rule-level drop rates
+    * are the first thing to check when a source's survival rate
+    * shifts). Every rule is an INTEGER comparison (threshold ratios
+    * cross-multiplied), so the report is engine-exact with no float
+    * contract at all:
+    *  - too_short: fewer than 30 tokens;
+    *  - low_stopword: stopword share < 5% (n_stop·20 < n_tok) — the
+    *    Gopher-style "not natural prose" signal;
+    *  - repetitive_tok: one token exceeds 20% of the doc
+    *    (max_tok·5 > n_tok) — degenerate repetition;
+    *  - dup_prefix: non-canonical member of a prefix-fingerprint
+    *    group ([[TextNorm]]) — a truncated/extended variant.
+    *
+    * Shape: one projection for the counts, one partial-agg'd
+    * (doc, token) → (doc) max for the repetition rule, and a
+    * broadcast of the (dup-sized) canonical groups.
+    */
+  def qualityGateReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stops = profiles.head._2
+    val base = docs.select($"doc_id",
+      size(toks($"text")).cast("long").as("n_tok"),
+      profileHits($"text", stops).cast("long").as("n_stop"))
+    val maxTok = docs.select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_tok"))
+    val dupPre = TextNorm.canonicalDupGroups(docs,
+        TextNorm.prefixFingerprint($"text", 20))
+      .filter($"doc_id" =!= $"canon_id")
+      .select($"doc_id", lit(true).as("dup0"))
+    base.join(maxTok, "doc_id")
+      .join(broadcast(dupPre), Seq("doc_id"), "left")
+      .select($"doc_id",
+        ($"n_tok" < 30L).as("too_short"),
+        ($"n_stop" * 20L < $"n_tok").as("low_stopword"),
+        ($"max_tok" * 5L > $"n_tok").as("repetitive_tok"),
+        coalesce($"dup0", lit(false)).as("dup_prefix"))
+      .withColumn("kept", !$"too_short" && !$"low_stopword" &&
+        !$"repetitive_tok" && !$"dup_prefix")
+  }
+
+  /** Q99 — per-rule gate report over `documents`. */
+  def q99QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityGateReport(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+
   /** Q26 — content fingerprint: rolling polynomial hash over the
     * character stream, mod 1e9+7 (engine-independent arithmetic — the
     * same fold runs in any engine, unlike builtin hash functions).
