@@ -119,6 +119,7 @@ object SparkEntry {
     "q97_length_stop_corr" -> (Profiling.q97LengthStopCorr _),
     "q98_leakage_safe_splits" -> (Curation.q98LeakageSafeSplits _),
     "q99_quality_gate"   -> (TextAnalysis.q99QualityGate _),
+    "q100_temperature_sample" -> (Curation.q100TemperatureSample _),
     // approximate operators — still oracle-checked: q27/q30 are
     // deterministic given their seeds and the oracle SQL recomputes
     // the index itself; q28's LSH candidates are exact-verified so
@@ -1283,6 +1284,26 @@ object SparkEntry {
         |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
         |  6) AS corr_xy
         |FROM m ORDER BY source""".stripMargin,
+    // q100: temperature mixture — sqrt is correctly-rounded IEEE, the
+    // normalizer folds per-group terms in group order on both sides
+    // (list_sum over an ORDER BY list ≡ the driver's sorted fold),
+    // selection is the q57 hash-frontier rank (largest hash first).
+    "q100_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY source),
+        | s AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY source)) AS norm
+        |  FROM c),
+        | q AS (SELECT source,
+        |    floor(100 * sqrt(n::DOUBLE) / norm + 0.5)::BIGINT AS quota
+        |  FROM c, s),
+        | r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648 DESC,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source AS source, q.quota, r.doc_id
+        |FROM r JOIN q USING (source) WHERE rk <= quota
+        |ORDER BY source, doc_id""".stripMargin,
     // q99: composite gate — every rule an integer comparison (ratios
     // cross-multiplied), no float contract anywhere.
     "q99_quality_gate" ->

@@ -172,6 +172,60 @@ object Curation {
         $"sim".cast("long").as("h"))
   }
 
+  /** TEMPERATURE-scaled mixture sampling (the mT5/XLM-R multilingual
+    * balancing move): per-group quotas ∝ n_g^α for α < 1, so small
+    * groups are upweighted relative to their raw share and no group
+    * is starved — then each group fills its quota from the portable
+    * hash frontier (the [[perGroupCap]] selection, so the draw is
+    * reproducible and growth-stable).
+    *
+    * Determinism at α = 0.5 (the oracle-checked configuration):
+    * sqrt is a correctly-rounded IEEE op, per-group counts are exact
+    * integers, and the normalizer folds the per-group terms in
+    * groupCol order — a defined summation order both engines
+    * reproduce (`list_sum(list(... ORDER BY grp))` in SQL). Other α
+    * use `math.pow` (not correctly rounded — spec-checked, not
+    * oracle-checked). Group catalog is collected driver-side:
+    * catalog-sized (sources/languages), the same contract as the IVF
+    * codebooks.
+    *
+    * Shape: one count agg; ranking is the bounded-heap top-maxQuota
+    * per group (partial before the exchange); quotas broadcast.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+      total: Int, alpha: Double = 0.5): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val norm = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    val quotas = counts.map { case (g, n) =>
+      (g, math.floor(total * w(n) / norm + 0.5).toLong)
+    }
+    val maxQ = quotas.map(_._2).max.toInt
+    val tk = udaf(new graft.functions.TopKAgg(maxQ),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(keyCol).as("id"),
+        knuthHash(col(keyCol)).cast("double").as("s"))
+      .groupBy($"grp").agg(tk($"id", $"s").as("t"))
+      .select($"grp", posexplode($"t").as(Seq("pos", "p")))
+      .select($"grp", ($"pos" + 1).cast("long").as("rk"), $"p.vec_id".as("id"))
+    ranked.join(broadcast(quotas.toSeq.toDF("grp", "quota")), "grp")
+      .filter($"rk" <= $"quota")
+      .select($"grp".as(groupCol), $"quota", col("id").as(keyCol))
+  }
+
+  /** Q100 — temperature-balanced 100-doc mixture over sources. */
+  def q100TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    temperatureSample(Tables.load(spark, dir, "documents"),
+      "source", "doc_id", total = 100)
+      .orderBy($"source", $"doc_id")
+  }
+
   /** Q57 — at most 40 docs per language, hash-frontier selection. */
   def q57PerLangCap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

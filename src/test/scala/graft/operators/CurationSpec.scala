@@ -79,6 +79,22 @@ class CurationSpec extends SparkSpec {
     assert(free.exceptAll(q48.join(free.select($"doc_id"), "doc_id")).isEmpty)
   }
 
+  test("temperatureSample: quotas ∝ sqrt(n), small groups upweighted, frontier exact") {
+    // A: 9 docs, B: 1 doc, total 8 → w = (3, 1), norm 4 →
+    // quota A = floor(6.5) = 6, quota B = floor(2.5) = 2 (vs 1 proportional)
+    val docs = ((0L until 9L).map(i => (i, "A")) :+ (100L, "B"))
+      .toDF("doc_id", "source")
+    val got = Curation.temperatureSample(docs, "source", "doc_id", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byG = got.groupBy(_._1)
+    assert(byG("A").head._2 == 6L && byG("A").length == 6)
+    assert(byG("B").head._2 == 2L && byG("B").length == 1) // only 1 doc exists
+    // selection = the quota LARGEST hashes of the group
+    def h(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    val expectA = (0L until 9L).sortBy(id => (-h(id), id)).take(6).toSet
+    assert(byG("A").map(_._3).toSet == expectA)
+  }
+
   test("labelCentroids: hand-computed means") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f), 0),
