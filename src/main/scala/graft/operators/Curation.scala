@@ -129,10 +129,17 @@ object Curation {
     * stateless hash projection.
     */
   def leakageSafeSplits(docs: DataFrame, minJaccard: Double = 0.5,
-      cuts: (Int, Int) = (80, 90)): DataFrame = {
+      cuts: (Int, Int) = (80, 90),
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val comps = DupClusters.connectedComponents(
-        NearDup.jaccardPairs(docs, minJaccard).select($"doc_a", $"doc_b"))
+    // same reuse contract as [[curate]]: a pipeline that already
+    // built the near-dup pair graph passes it in and pays for
+    // jaccardPairs once across curation, clustering, and splitting
+    val pairs = precomputedPairs
+      .map(_.select(col("doc_a"), col("doc_b")))
+      .getOrElse(NearDup.jaccardPairs(docs, minJaccard)
+        .select($"doc_a", $"doc_b"))
+    val comps = DupClusters.connectedComponents(pairs)
       .select($"id".as("doc_id"), $"cluster_id")
     val keyed = docs.select($"doc_id")
       .join(comps, Seq("doc_id"), "left")

@@ -79,6 +79,17 @@ class CurationSpec extends SparkSpec {
     assert(free.exceptAll(q48.join(free.select($"doc_id"), "doc_id")).isEmpty)
   }
 
+  test("leakageSafeSplits: precomputed pair set ≡ computing pairs internally") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val pairs = NearDup.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
+    val a = Curation.leakageSafeSplits(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val b = Curation.leakageSafeSplits(docs,
+        precomputedPairs = Some(pairs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("temperatureSample: quotas ∝ sqrt(n), small groups upweighted, frontier exact") {
     // A: 9 docs, B: 1 doc, total 8 → w = (3, 1), norm 4 →
     // quota A = floor(6.5) = 6, quota B = floor(2.5) = 2 (vs 1 proportional)
