@@ -1268,17 +1268,19 @@ object SparkEntry {
         |      + (cnt_new - e_new) * (cnt_new - e_new) / e_new DESC, token
         |LIMIT 20""".stripMargin,
     // q97: exact-moment Pearson — five integer moments, one double
-    // closed form; DuckDB's HUGEINT sums convert to the same doubles.
+    // closed form. Moments and cross products run in 128-bit-class
+    // exact integers on BOTH sides (HUGEINT here, decimal(38,0) in
+    // Spark) so nothing can silently wrap before the double cast.
     "q97_length_stop_corr" ->
-      """WITH d AS (SELECT source, n_chars::BIGINT AS x,
+      """WITH d AS (SELECT source, n_chars::HUGEINT AS x,
         |    len(list_filter(string_split(text, ' '),
         |      t -> t IN ('the','a','an','and','of','to','in','is','on','for')
-        |    ))::BIGINT AS y
+        |    ))::HUGEINT AS y
         |  FROM documents),
         | m AS (SELECT source, count(*)::BIGINT AS n,
-        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-        |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
-        |    sum(y*y)::BIGINT AS syy
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx,
+        |    sum(y*y)::HUGEINT AS syy
         |  FROM d GROUP BY source)
         |SELECT source, n, round((n*sxy - sx*sy)::DOUBLE /
         |  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),

@@ -7,7 +7,13 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = graft.core.Sessions.local(appName = "graft-verify")
     Files.createDirectories(Paths.get(outDir)): Unit
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid (same contract as Bench): SPARK_GRAFT_ONLY=q96_…
+    // dumps a subset; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

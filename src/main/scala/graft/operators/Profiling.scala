@@ -113,6 +113,15 @@ object Profiling {
     * Shape: two partial-agg'd token counts, a full-outer merge on
     * token (a vanished or newborn token is exactly the signal),
     * 1-row totals broadcast, TakeOrdered for the report head.
+    *
+    * `contrib` is emitted UNROUNDED: rounding is the caller's
+    * presentation contract, and ordering the report by a rounded
+    * value can swap two tokens whose true contributions differ below
+    * the rounding grain (callers re-sorting the head must sort the
+    * unrounded value — q96 does). An empty side contributes expected
+    * counts of 0 for the tokens it lacks; those terms are defined as
+    * 0 (not 0/0) so a cold-start reference or an empty batch yields a
+    * pure newborn/vanished report instead of NaN rows.
     */
   def tokenDrift(ref: DataFrame, cur: DataFrame, topK: Int = 20): DataFrame = {
     import ref.sparkSession.implicits._
@@ -135,15 +144,22 @@ object Profiling {
       .withColumn("e_new",
         $"rowt".cast("double") * $"n_new" / ($"n_ref" + $"n_new"))
       .withColumn("contrib",
-        ($"cnt_ref" - $"e_ref") * ($"cnt_ref" - $"e_ref") / $"e_ref" +
-        ($"cnt_new" - $"e_new") * ($"cnt_new" - $"e_new") / $"e_new")
+        when($"e_ref" > 0,
+          ($"cnt_ref" - $"e_ref") * ($"cnt_ref" - $"e_ref") / $"e_ref")
+          .otherwise(lit(0.0)) +
+        when($"e_new" > 0,
+          ($"cnt_new" - $"e_new") * ($"cnt_new" - $"e_new") / $"e_new")
+          .otherwise(lit(0.0)))
     withE.orderBy($"contrib".desc, $"token").limit(topK)
-      .select($"token", $"cnt_ref", $"cnt_new",
-        round($"contrib", 6).as("contrib"))
+      .select($"token", $"cnt_ref", $"cnt_new", $"contrib")
   }
 
   /** Q96 — drift report between the lower-half (reference) and
     * upper-half (arriving) documents, the q55/q91 split convention.
+    * The final sort runs on the UNROUNDED contribution (the oracle
+    * orders by the unrounded expression too — sorting the rounded
+    * value could swap sub-grain neighbors); rounding is applied in
+    * the projection after the sort.
     */
   def q96TokenDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -151,21 +167,33 @@ object Profiling {
     val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
     tokenDrift(docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
       .orderBy($"contrib".desc, $"token")
+      .select($"token", $"cnt_ref", $"cnt_new",
+        round($"contrib", 6).as("contrib"))
   }
 
   /** Pearson correlation from EXACT integer moments — the
     * deterministic form of `corr()` for integer-valued columns:
     * the five sufficient moments (Σx, Σy, Σxy, Σx², Σy²) are exact
-    * Long sums (order-independent), and the closed form is one fixed
-    * dag of double ops on them — engine-identical bits, unlike the
-    * built-in's streaming co-moment updates, whose result depends on
-    * accumulation order. Emitted rounded as the stable float
-    * contract.
+    * decimal(38,0) sums (order-independent integer arithmetic — the
+    * Spark twin of DuckDB's HUGEINT accumulator, exact to 38 digits ≈
+    * 2¹²⁶), and the closed form is one fixed dag of double ops on
+    * them — engine-identical bits, unlike the built-in's streaming
+    * co-moment updates, whose result depends on accumulation order.
+    * Emitted rounded as the stable float contract.
+    *
+    * Magnitude contract: every moment AND the closed form's cross
+    * products (n·Σxy, Σx·Σy, …) stay exact while < 10³⁸ — a bound the
+    * per-group row count times max|x·y| has to clear twice over, vs
+    * the old Long form's 2⁶³ which silently WRAPPED (sqrt of a
+    * wrapped-negative variance → NaN). Past 38 digits Spark's
+    * non-ANSI decimal yields NULL (a visible failure, matching
+    * DuckDB's overflow error in loudness, not a wrong number).
     */
   def pearsonExact(df: DataFrame, groupCol: String,
       xCol: String, yCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),

@@ -222,9 +222,33 @@ object Temporal {
     * form in CohortFunnelSpec). Change points are persisted across the
     * three passes; bucketing is deterministic from driver-side cut
     * values, so recomputation after cache eviction is consistent.
+    *
+    * The public form MATERIALIZES the report and releases the
+    * change-point cache before returning: the output is one row per
+    * distinct calendar day — calendar-bounded (≤ ~36.5k rows for a
+    * century of data), the same bounded-driver-reduction class as the
+    * per-bucket totals — so collecting it is the cheapest way to make
+    * the three-pass cache's lifetime equal the call (a lazily-returned
+    * frame would either pin the change points forever or recompute
+    * the sessionize shuffle on every downstream action).
     */
   def peakConcurrency(events: DataFrame, gapSec: Long = 1800L,
       numBuckets: Int = 0): DataFrame = {
+    val spark = events.sparkSession
+    val (result, deltas) = peakConcurrencyStaged(events, gapSec, numBuckets)
+    val rows = result.collect()
+    deltas.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
+  /** The lazy three-pass plan plus its pinned change-point frame —
+    * callers own the unpersist (the public [[peakConcurrency]] runs
+    * collect-then-release; PlanShapeSpec asserts the distributed
+    * window shape on the un-collected plan).
+    */
+  private[graft] def peakConcurrencyStaged(events: DataFrame,
+      gapSec: Long = 1800L, numBuckets: Int = 0): (DataFrame, DataFrame) = {
     import events.sparkSession.implicits._
     val spark = events.sparkSession
     val sess = sessionize(events, gapSec)
@@ -263,10 +287,11 @@ object Temporal {
     // pass 3: local prefix sums per bucket, shifted by the offsets.
     val wLocal = Window.partitionBy($"pid").orderBy($"ts", $"delta".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stamped
+    val result = stamped
       .withColumn("conc", sum($"delta").over(wLocal) + offExpr)
       .groupBy($"ts".cast("date").as("day"))
       .agg(max($"conc").as("peak"))
+    (result, deltas)
   }
 
   /** Single-global-window reference form of [[peakConcurrency]] — the

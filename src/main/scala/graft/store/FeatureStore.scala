@@ -47,7 +47,7 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * (`feature_store_manager.py:96-100`), self-contained.
     */
   private val offlineTable =
-    new VersionedTable(spark, offlineDir, statsCol = Some("event_date"))
+    new VersionedTable(spark, offlineDir, statsCols = Seq("event_date"))
 
   private def key = col(conf.keyCol)
   private def ts  = col(conf.eventTimeCol)

@@ -3,8 +3,9 @@ package graft.store
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 
 /** Minimal ACID snapshot layer over parquet — the Delta/Iceberg-shaped
   * table format the offline store's approach commits to, self-contained
@@ -14,8 +15,9 @@ import org.apache.spark.sql.functions._
   *  - every commit writes its data files to a fresh, never-reused
   *    directory `data/c_<uuid>` (write once, no in-place mutation);
   *  - a version's manifest `_manifests/v_<n>.manifest` lists every
-  *    live commit directory, carrying forward the previous version's
-  *    entries (append) or starting over (replace/compaction);
+  *    live data FILE (with its commit directory and per-file column
+  *    stats), carrying forward the previous version's files (append)
+  *    or starting over (replace/compaction);
   *  - readers resolve the table to the HIGHEST fully-published
   *    manifest and plan their scan from its file list alone — an
   *    in-flight writer is invisible until its manifest publishes, so
@@ -27,29 +29,54 @@ import org.apache.spark.sql.functions._
   *    half-written manifest. A loser of the claim race rebases on the
   *    new current manifest and retries; a writer that crashes between
   *    claim and publish wastes one version number (the claim is never
-  *    reused) and nothing else.
+  *    reused) and nothing else. After publishing an APPEND, the
+  *    writer audits for the lost-append interleave (see below) and
+  *    heals or fails loudly instead of silently dropping a commit.
   *
-  * Scan planning: each manifest entry carries min/max bounds of an
-  * optional stats column (the store uses `event_date`), so a
-  * date-bounded read prunes whole commit directories BEFORE touching
-  * the filesystem — the Iceberg manifest-pruning idea at commit
-  * granularity. Within surviving files, the pushed-down predicate
-  * still prunes parquet row groups by footer min/max. At 100 TB the
-  * knobs are the same as any table format's: periodic `replace`
-  * compaction bounds manifest length and file counts; manifests
-  * themselves are O(commits) tiny text files read only on the driver.
+  * Schema evolution: each manifest records the snapshot's schema
+  * (merged across commits — add-column appends widen it; a type
+  * change fails loudly). Reads plan with the manifest schema, so
+  * files written before a column existed backfill it with NULL —
+  * the Delta/Iceberg add-column semantics — and `readAt` of a
+  * pre-evolution version sees that version's own (narrower) schema.
+  *
+  * Scan planning: the manifest carries per-FILE min/max stats for the
+  * configured `statsCols`, so a range read prunes individual files
+  * BEFORE touching the filesystem (the Iceberg manifest-pruning idea
+  * at file granularity — assert via `df.inputFiles`). Numeric stats
+  * compare numerically, others lexicographically. Within surviving
+  * files, the pushed-down predicate still prunes parquet row groups
+  * by footer min/max. At 100 TB the knobs are the same as any table
+  * format's: periodic `replace` compaction bounds manifest length and
+  * file counts; manifests themselves are O(files) tiny text lines
+  * read only on the driver.
   *
   * Idempotent replay: a commit may carry an application transaction
   * id; re-committing an id that any manifest already records is a
   * no-op returning the committed version — at-least-once ingest
   * pipelines (the store's streaming path) can replay a batch safely.
   *
+  * Lost-append audit: with base entries read after the claim, two
+  * ACCIDENTAL writers can interleave as claim(A,n) → claim(B,n+1) →
+  * baseRead(B: n−1) → publish(either order) — B's manifest omits A's
+  * commit, so A's append would silently vanish from the current
+  * snapshot (readable only via readAt(n)). Both writers therefore
+  * audit after publishing an append: a writer whose commit is missing
+  * from the now-current snapshot re-appends its files on top; a
+  * writer whose immediate predecessor's files it failed to carry
+  * forward re-appends the missing files. Either way the final
+  * current snapshot contains both appends (spec: lost-append heal).
+  * The audit bounds its repair rounds and fails loudly past them; a
+  * replace racing an append is outside the audit's scope (it cannot
+  * be healed without knowing intent) and stays on the documented
+  * single-writer contract.
+  *
   * Single-JVM caveat: exclusive-create is atomic on HDFS and
   * best-effort on local FS / object stores without conditional puts —
   * same caveat every manifest-pointer design documents.
   */
 class VersionedTable(spark: SparkSession, root: String,
-    statsCol: Option[String] = None) {
+    statsCols: Seq[String] = Nil) {
 
   private val manifestsDir = s"$root/_manifests"
   private val manifestRe = "v_(\\d+)\\.manifest".r
@@ -58,42 +85,141 @@ class VersionedTable(spark: SparkSession, root: String,
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** One live commit directory with optional stats-column bounds. */
-  final case class Entry(dir: String, minStat: Option[String],
-      maxStat: Option[String])
+  /** One live data file: root-relative path, its commit directory,
+    * and per-statsCol (min, max) string bounds (absent for a column
+    * that is all-NULL in the file or missing from its commit).
+    */
+  final case class FileEntry(path: String, commit: String,
+      stats: Map[String, (String, String)])
+
+  /** One parsed manifest. `op` is what produced the version;
+    * `schema` is the snapshot's reconciled read schema.
+    */
+  final case class Manifest(txn: Option[String], op: String,
+      schema: Option[StructType], files: Seq[FileEntry])
 
   // ---- manifest encoding (minimal JSON lines, no library) -----------
 
-  private def enc(e: Entry): String = {
-    def q(s: String) = "\"" + s + "\""
-    val stats = (e.minStat, e.maxStat) match {
-      case (Some(lo), Some(hi)) => s""","min":${q(lo)},"max":${q(hi)}"""
-      case _ => ""
+  /** JSON-string escape for the characters the line regexes and the
+    * quote delimiters care about — stats values and schema JSON are
+    * arbitrary strings (the unescaped v1 encoding corrupted the whole
+    * version on a quote/backslash/newline in a stats value).
+    */
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case c    => b.append(c)
     }
-    s"""{"dir":${q(e.dir)}$stats}"""
+    b.toString
   }
 
-  private val entryRe =
-    """\{"dir":"([^"]+)"(?:,"min":"([^"]*)","max":"([^"]*)")?\}""".r
-  private val headerRe =
-    """\{"version":(\d+),"txn":"([^"]*)"\}""".r
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b.append('"')
+          case '\\' => b.append('\\')
+          case 'n'  => b.append('\n')
+          case 'r'  => b.append('\r')
+          case o    => b.append('\\').append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
-  private def readManifest(n: Long): (Option[String], Seq[Entry]) = {
+  /** Component escape inside the stats blob: the blob's own
+    * separators (`;` between columns, `=` and `|` inside one) are
+    * %-encoded in values, so any string-typed stat round-trips.
+    */
+  private def encComp(s: String): String = s.flatMap {
+    case '%' => "%25"
+    case ';' => "%3B"
+    case '|' => "%7C"
+    case '=' => "%3D"
+    case c   => c.toString
+  }
+
+  private def decComp(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def encStats(stats: Map[String, (String, String)]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${encComp(c)}=${encComp(mn)}|${encComp(mx)}"
+    }.mkString(";")
+
+  private def decStats(blob: String): Map[String, (String, String)] =
+    if (blob.isEmpty) Map.empty
+    else blob.split(";", -1).iterator.map { part =>
+      val eq = part.indexOf('=')
+      val bar = part.indexOf('|', eq + 1)
+      decComp(part.substring(0, eq)) ->
+        (decComp(part.substring(eq + 1, bar)), decComp(part.substring(bar + 1)))
+    }.toMap
+
+  private def encFile(e: FileEntry): String = {
+    val stats =
+      if (e.stats.isEmpty) ""
+      else s""","stats":"${esc(encStats(e.stats))}""""
+    s"""{"file":"${esc(e.path)}","commit":"${esc(e.commit)}"$stats}"""
+  }
+
+  private val fileRe =
+    ("""\{"file":"((?:[^"\\]|\\.)*)","commit":"((?:[^"\\]|\\.)*)"""" +
+      """(?:,"stats":"((?:[^"\\]|\\.)*)")?\}""").r
+  private val headerRe =
+    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace)"""" +
+      """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
+
+  private def header(version: Long, txnId: Option[String], op: String,
+      schema: StructType): String = {
+    txnId.foreach { t =>
+      require(t.matches("[A-Za-z0-9._:-]+"),
+        s"txnId '$t' — use [A-Za-z0-9._:-]+ (kept unescaped in manifests)")
+    }
+    s"""{"version":$version,"txn":"${txnId.getOrElse("")}","op":"$op"""" +
+      s""","schema":"${esc(schema.json)}"}"""
+  }
+
+  private[store] def readManifest(n: Long): Manifest = {
     val in = fs.open(new Path(manifestsDir, s"v_$n.manifest"))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val txn = lines.headOption.collect {
-      case headerRe(_, t) if t.nonEmpty => t
+    val (txn, op, schema) = lines.headOption match {
+      case Some(headerRe(_, t, o, s)) =>
+        (Option(t).map(unesc).filter(_.nonEmpty), o,
+          Option(s).map(j => DataType.fromJson(unesc(j)).asInstanceOf[StructType]))
+      case other => throw new IllegalStateException(
+        s"$root v_$n.manifest: unparseable header '${other.getOrElse("")}'")
     }
-    val entries = lines.tail.map {
-      case entryRe(dir, lo, hi) =>
-        Entry(dir, Option(lo), Option(hi))
+    val files = lines.tail.map {
+      case fileRe(p, c, st) =>
+        FileEntry(unesc(p), unesc(c),
+          Option(st).map(b => decStats(unesc(b))).getOrElse(Map.empty))
       case bad =>
         throw new IllegalStateException(
           s"$root v_$n.manifest: unparseable entry '$bad'")
     }
-    (txn, entries)
+    Manifest(txn, op, schema, files)
   }
 
   private def listNumbers(re: scala.util.matching.Regex): Seq[Long] = {
@@ -118,74 +244,112 @@ class VersionedTable(spark: SparkSession, root: String,
     * keeps a txn index, a minimal one documents the scan.
     */
   def txnCommitted(txnId: String): Boolean =
-    versions.reverse.exists(n => readManifest(n)._1.contains(txnId))
+    versions.reverse.exists(n => readManifest(n).txn.contains(txnId))
 
   // ---- reads --------------------------------------------------------
 
-  private def readEntries(entries: Seq[Entry]): DataFrame = {
-    require(entries.nonEmpty, s"$root: empty snapshot has no schema")
-    spark.read.parquet(entries.map(e => s"$root/${e.dir}"): _*)
+  private def readFiles(schema: Option[StructType],
+      files: Seq[FileEntry]): DataFrame = {
+    if (files.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"$root: empty snapshot has no schema"))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), s)
+    }
+    val paths = files.map(f => s"$root/${f.path}")
+    schema match {
+      // the manifest schema is the reconciliation contract: files
+      // written before a column existed backfill it with NULL, and a
+      // column dropped from one commit's frame reads as NULL there
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
   }
 
-  /** Snapshot read of the given version — the file list is frozen in
-    * the manifest, so the frame is immune to later commits.
+  /** Snapshot read of the given version — the file list AND schema
+    * are frozen in the manifest, so the frame is immune to later
+    * commits and later schema evolution.
     */
-  def readAt(version: Long): DataFrame = readEntries(readManifest(version)._2)
+  def readAt(version: Long): DataFrame = {
+    val m = readManifest(version)
+    readFiles(m.schema, m.files)
+  }
 
   /** Snapshot read of the current version. */
   def read(): DataFrame = readAt(currentVersion.getOrElse(
     throw new IllegalStateException(s"$root: no committed version")))
 
-  /** Date-bounded snapshot read with manifest-level pruning: commits
-    * whose [min,max] stats band misses [lo,hi] are dropped from the
-    * scan BEFORE any filesystem touch (assert via `df.inputFiles`).
-    * Commits without stats are conservatively kept. The returned
-    * frame still carries the row-level filter, which also reaches the
-    * parquet footers of surviving files.
+  /** Type-aware stats overlap: numeric columns compare as numbers
+    * (their cast-to-string forms don't order lexicographically),
+    * everything else as strings (dates/timestamps in ISO form order
+    * correctly). Unparseable numerics fall back to keeping the file.
     */
-  def readRange(lo: String, hi: String): DataFrame = {
-    val c = statsCol.getOrElse(throw new IllegalStateException(
-      s"$root: readRange needs a statsCol-configured table"))
-    val entries = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"$root: no committed version")))._2
-    val kept = entries.filter { e =>
-      (e.minStat, e.maxStat) match {
-        case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
-        case _ => true
+  private def overlaps(dt: DataType, mn: String, mx: String,
+      lo: String, hi: String): Boolean = dt match {
+    case _: NumericType =>
+      try BigDecimal(mn) <= BigDecimal(hi) && BigDecimal(mx) >= BigDecimal(lo)
+      catch { case _: NumberFormatException => true }
+    case _ => mn <= hi && mx >= lo
+  }
+
+  /** Range read with FILE-level manifest pruning on `statsCol`: files
+    * whose [min,max] band misses [lo,hi] are dropped from the scan
+    * BEFORE any filesystem touch (assert via `df.inputFiles`). Files
+    * without stats for the column are conservatively kept. The
+    * returned frame still carries the row-level filter, which also
+    * reaches the parquet footers of surviving files.
+    */
+  def readRange(statsCol: String, lo: String, hi: String): DataFrame = {
+    require(statsCols.contains(statsCol),
+      s"$root: readRange($statsCol) needs the column in statsCols=$statsCols")
+    val m = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"$root: no committed version")))
+    val dt = m.schema.flatMap(s =>
+      s.fields.find(_.name == statsCol).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    val kept = m.files.filter { f =>
+      f.stats.get(statsCol) match {
+        case Some((mn, mx)) => overlaps(dt, mn, mx, lo, hi)
+        case None           => true
       }
     }
-    if (kept.isEmpty)
-      // all commits pruned: preserve the schema from an empty-filter
-      // read of one commit (never happens with a sane query range on
-      // a non-empty table, but the contract should not throw)
-      readEntries(entries.take(1)).filter(lit(false))
-    else readEntries(kept).filter(col(c) >= lo && col(c) <= hi)
+    val base =
+      if (kept.isEmpty) readFiles(m.schema, m.files).filter(lit(false))
+      else readFiles(m.schema, kept)
+    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** Single-stats-column convenience (the store's event_date path). */
+  def readRange(lo: String, hi: String): DataFrame = {
+    require(statsCols.nonEmpty, s"$root: readRange needs statsCols")
+    readRange(statsCols.head, lo, hi)
   }
 
   /** CDC between two committed versions, rows tagged `change_type`
     * (`insert` / `delete`). Fast path: when the target's manifest
-    * carries every source entry forward (the append-only chain —
+    * carries every source commit forward (the append-only chain —
     * the common case), the changes are EXACTLY the added commit
     * directories, so the diff reads O(delta) files and compares no
     * rows at all — the manifest IS the change log. After a `replace`
     * (compaction/rewrite) breaks the chain, falls back to
     * [[rowDiff]]'s multiset row comparison. Downstream incremental
     * consumers (online-view refresh, index maintenance, replication)
-    * poll this instead of rescanning the table.
+    * poll this instead of rescanning the table. Rows read with the
+    * TARGET version's schema (evolution-safe).
     */
   def changesSince(fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
     val to = toVersion.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"$root: no committed version"))
     require(fromVersion <= to, s"changesSince($fromVersion > $to)")
-    val fromDirs = readManifest(fromVersion)._2.map(_.dir).toSet
-    val toEntries = readManifest(to)._2
-    if (fromDirs.subsetOf(toEntries.map(_.dir).toSet)) {
-      val added = toEntries.filterNot(e => fromDirs.contains(e.dir))
+    val fromDirs = readManifest(fromVersion).files.map(_.commit).toSet
+    val toM = readManifest(to)
+    if (fromDirs.subsetOf(toM.files.map(_.commit).toSet)) {
+      val added = toM.files.filterNot(f => fromDirs.contains(f.commit))
       if (added.isEmpty)
-        readEntries(toEntries.take(1)).filter(lit(false))
+        readFiles(toM.schema, toM.files).filter(lit(false))
           .withColumn("change_type", lit("insert"))
-      else readEntries(added).withColumn("change_type", lit("insert"))
+      else readFiles(toM.schema, added).withColumn("change_type", lit("insert"))
     } else rowDiff(fromVersion, to)
   }
 
@@ -193,48 +357,92 @@ class VersionedTable(spark: SparkSession, root: String,
     * `insert`, rows only in `from` tag `delete` (an update appears as
     * its delete/insert pair — key-level pairing is the consumer's
     * join). Two `exceptAll` hash aggregations over the two snapshots —
-    * the O(table) fallback the manifest fast path avoids.
+    * the O(table) fallback the manifest fast path avoids. Both sides
+    * read with the LATER version's schema so an evolved column diffs
+    * as NULL→value instead of failing the union.
     */
   def rowDiff(fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = readAt(fromVersion)
-    val to = readAt(toVersion)
+    val later = readManifest(math.max(fromVersion, toVersion))
+    val from = readFiles(later.schema, readManifest(fromVersion).files)
+    val to = readFiles(later.schema, readManifest(toVersion).files)
     to.exceptAll(from).withColumn("change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("change_type", lit("delete")))
   }
 
   // ---- writes -------------------------------------------------------
 
-  private def statsOf(dir: String): (Option[String], Option[String]) =
-    statsCol match {
-      case None => (None, None)
-      case Some(c) =>
-        val r = spark.read.parquet(s"$root/$dir")
-          .agg(min(col(c)).cast("string"), max(col(c)).cast("string"))
-          .head()
-        (Option(r.getString(0)), Option(r.getString(1)))
-    }
+  private def absRootPath: String =
+    fs.makeQualified(new Path(root)).toUri.getPath
 
-  private def header(version: Long, txnId: Option[String]): String = {
-    txnId.foreach { t =>
-      require(t.matches("[A-Za-z0-9._:-]+"),
-        s"txnId '$t' — use [A-Za-z0-9._:-]+ (kept unescaped in manifests)")
+  /** Inventory + per-file stats of a freshly written commit dir: the
+    * file list comes from the filesystem (authoritative — zero-row
+    * part files still belong to the commit), the stats from ONE
+    * grouped scan keyed by `input_file_name()` (per-file min/max of
+    * every configured stats column present in the commit's schema).
+    */
+  private def filesOf(dir: String): Seq[FileEntry] = {
+    val absRoot = absRootPath
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(absRoot).stripPrefix("/")
+    val parts = fs.listStatus(new Path(s"$root/$dir")).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => rel(st.getPath))
+    if (parts.isEmpty) return Seq.empty
+    val df = spark.read.parquet(s"$root/$dir")
+    val present = statsCols.filter(df.columns.contains)
+    val statsByFile: Map[String, Map[String, (String, String)]] =
+      if (present.isEmpty) Map.empty
+      else {
+        val aggs = present.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        df.groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val file = rel(new Path(new java.net.URI(r.getString(0))))
+            val st = present.zipWithIndex.flatMap { case (c, i) =>
+              val mn = r.getString(1 + 2 * i)
+              val mx = r.getString(2 + 2 * i)
+              if (mn == null || mx == null) None else Some(c -> (mn, mx))
+            }.toMap
+            file -> st
+          }.toMap
+      }
+    parts.map(p => FileEntry(p, dir, statsByFile.getOrElse(p, Map.empty)))
+  }
+
+  /** Widen `prev` with `cur`'s new columns; a column present in both
+    * must keep its type (loud failure — silent type change is the
+    * corruption every table format refuses). All fields are stored
+    * nullable: a column absent from some commit reads as NULL there.
+    */
+  private def mergeSchemas(prev: StructType, cur: StructType): StructType = {
+    val prevNames = prev.fieldNames.toSet
+    prev.fields.foreach { f =>
+      cur.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"$root: schema evolution cannot change '${f.name}' from " +
+            s"${f.dataType.simpleString} to ${g.dataType.simpleString}")
+      }
     }
-    s"""{"version":$version,"txn":"${txnId.getOrElse("")}"}"""
+    StructType((prev.fields ++ cur.fields.filterNot(f =>
+      prevNames.contains(f.name))).map(_.copy(nullable = true)))
   }
 
   /** Claim-then-publish of version = max(any claim or manifest)+1;
-    * returns the published version number.
+    * returns the published version number. For `append`, the new
+    * manifest is the current files plus `addFiles` under the merged
+    * schema; for `replace`, exactly `addFiles` under `addSchema`.
     *
     * Writer concurrency contract: ONE writer at a time (the store's
     * own model — the reference ingests single-worker). The claim
-    * protocol exists so that ACCIDENTAL concurrent writers collide on
-    * the claim (and retry onto distinct versions) instead of
-    * corrupting each other's files — the same stance as manifest
-    * formats on stores without a CAS primitive, which also require
-    * external writer coordination for true multi-writer appends.
+    * protocol plus the post-publish lost-append audit (see class
+    * docs) make ACCIDENTAL concurrent appends converge to a snapshot
+    * containing both, instead of silently dropping one.
     */
-  private def publish(newEntries: Seq[Entry] => Seq[Entry],
-      txnId: Option[String]): Long = {
+  private def publishManifest(op: String, addFiles: Seq[FileEntry],
+      addSchema: StructType, txnId: Option[String]): Long = {
     fs.mkdirs(new Path(manifestsDir))
     var attempts = 0
     while (attempts < 50) {
@@ -248,9 +456,16 @@ class VersionedTable(spark: SparkSession, root: String,
       if (claimed) {
         // base entries are read AFTER the claim: the claim winner
         // observes every manifest published before its claim
-        val entries = newEntries(
-          currentVersion.map(readManifest(_)._2).getOrElse(Seq.empty))
-        val body = (header(next, txnId) +: entries.map(enc))
+        val base = currentVersion.map(readManifest)
+        val (files, schema) = op match {
+          case "append" =>
+            val prevSchema = base.flatMap(_.schema).getOrElse(addSchema)
+            (base.map(_.files).getOrElse(Seq.empty) ++ addFiles,
+              mergeSchemas(prevSchema, addSchema))
+          case _ => (addFiles, StructType(
+            addSchema.fields.map(_.copy(nullable = true))))
+        }
+        val body = (header(next, txnId, op, schema) +: files.map(encFile))
           .mkString("", "\n", "\n")
         val tmp = new Path(manifestsDir, s"v_$next.manifest.tmp")
         val out = fs.create(tmp, true)
@@ -265,23 +480,67 @@ class VersionedTable(spark: SparkSession, root: String,
       s"$root: could not claim a version in $attempts attempts")
   }
 
-  private def writeData(df: DataFrame): Entry = {
-    val dir = s"data/c_${UUID.randomUUID().toString.take(8)}"
-    df.write.mode("error").parquet(s"$root/$dir")
-    val (lo, hi) = statsOf(dir)
-    Entry(dir, lo, hi)
+  /** Post-publish lost-append audit (class docs): ensure the CURRENT
+    * snapshot contains (a) our own commit and (b) our immediate
+    * predecessor's commits if it was an append. Heals by re-appending
+    * the missing files; bounded rounds, loud failure past them.
+    * Returns the version whose snapshot passed the audit.
+    */
+  private[store] def auditAppend(published: Long, myFiles: Seq[FileEntry],
+      mySchema: StructType): Long = {
+    val myDirs = myFiles.map(_.commit).toSet
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val vs = versions
+      val top = vs.last
+      val topM = readManifest(top)
+      val topDirs = topM.files.map(_.commit).toSet
+      if (!myDirs.subsetOf(topDirs)) {
+        // a later writer published from a snapshot predating our
+        // commit — re-append our files on top of the current snapshot
+        publishManifest("append",
+          myFiles.filterNot(f => topDirs.contains(f.commit)), mySchema, None)
+      } else {
+        val below = vs.filter(_ < top).lastOption.map(readManifest)
+        val missing = below match {
+          case Some(b) if b.op == "append" =>
+            b.files.filterNot(f => topDirs.contains(f.commit))
+          case _ => Seq.empty // replace below us resets the chain by design
+        }
+        if (missing.isEmpty) return vs.last
+        // we published without carrying a just-published append
+        // forward — restore its files (schema: the dropped manifest's)
+        publishManifest("append", missing,
+          below.flatMap(_.schema).getOrElse(mySchema), None)
+      }
+    }
+    throw new IllegalStateException(
+      s"$root: lost-append audit did not converge after $round rounds " +
+        s"(concurrent writers exceeded the accidental-interleave contract)")
   }
 
-  /** Append `df` as a new commit; returns the new version. With
+  private def writeData(df: DataFrame): Seq[FileEntry] = {
+    val dir = s"data/c_${UUID.randomUUID().toString.take(8)}"
+    df.write.mode("error").parquet(s"$root/$dir")
+    filesOf(dir)
+  }
+
+  /** Append `df` as a new commit; returns the new version (after the
+    * lost-append audit — under an accidental concurrent append this
+    * may be a healed version above the first published one). With
     * `txnId`, replaying an already-committed id is a no-op returning
-    * the current version (idempotent at-least-once ingest).
+    * the current version (idempotent at-least-once ingest). A frame
+    * with NEW columns widens the table schema (add-column evolution);
+    * a changed column type fails loudly.
     */
   def commit(df: DataFrame, txnId: Option[String] = None): Long = {
     txnId.filter(txnCommitted) match {
       case Some(_) => currentVersion.get
       case None =>
-        val entry = writeData(df)
-        publish(prev => prev :+ entry, txnId)
+        val files = writeData(df)
+        val v = publishManifest("append", files, df.schema, txnId)
+        auditAppend(v, files, df.schema)
     }
   }
 
@@ -289,14 +548,12 @@ class VersionedTable(spark: SparkSession, root: String,
     * new manifest lists ONLY the new commit, but earlier versions
     * remain readable — time travel spans compactions. Old data dirs
     * are never deleted here; [[vacuum]] reclaims dirs unreferenced by
-    * any retained manifest.
+    * any retained manifest. The snapshot schema resets to `df`'s.
     */
   def replace(df: DataFrame, txnId: Option[String] = None): Long = {
     txnId.filter(txnCommitted) match {
       case Some(_) => currentVersion.get
-      case None =>
-        val entry = writeData(df)
-        publish(_ => Seq(entry), txnId)
+      case None => publishManifest("replace", writeData(df), df.schema, txnId)
     }
   }
 
@@ -319,7 +576,7 @@ class VersionedTable(spark: SparkSession, root: String,
     val vs = versions
     val dropped = vs.dropRight(retain)
     val referenced = vs.takeRight(retain)
-      .flatMap(readManifest(_)._2.map(_.dir)).toSet
+      .flatMap(readManifest(_).files.map(_.commit)).toSet
     // drop old manifests first: once they're gone no reader can
     // resolve a version whose data is about to disappear
     dropped.foreach { n =>

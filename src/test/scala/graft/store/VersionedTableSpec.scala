@@ -1,0 +1,171 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** VersionedTable v2 contracts: add-column schema evolution,
+  * file-level multi-column stats pruning, stats-string escaping, and
+  * the lost-append audit/heal.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(statsCols: Seq[String] = Nil) = new VersionedTable(
+    spark, Files.createTempDirectory("vt2").toString, statsCols)
+
+  test("schema evolution: add-column appends widen; old files backfill NULL") {
+    val vt = fresh()
+    val v0 = vt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = vt.commit(Seq((3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "v", "score"))
+    // current read: widened schema, pre-evolution rows NULL-backfilled
+    val cur = vt.read()
+    assert(cur.columns.toSeq == Seq("id", "v", "score"))
+    val byId = cur.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+    // time travel: the pre-evolution snapshot keeps its own schema
+    assert(vt.readAt(v0).columns.toSeq == Seq("id", "v"))
+    assert(vt.readAt(v1).columns.toSeq == Seq("id", "v", "score"))
+  }
+
+  test("schema evolution: a commit missing an existing column reads as NULL") {
+    val vt = fresh()
+    vt.commit(Seq((1L, "a", 10L)).toDF("id", "v", "score"))
+    vt.commit(Seq((2L, "b")).toDF("id", "v")) // narrower frame
+    val got = vt.read().collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(1L -> Some(10L), 2L -> None))
+  }
+
+  test("schema evolution: a type change fails loudly, never corrupts") {
+    val vt = fresh()
+    vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    val before = vt.versions
+    intercept[IllegalArgumentException] {
+      vt.commit(Seq((2L, 99L)).toDF("id", "v")) // v: string → bigint
+    }
+    assert(vt.versions == before, "failed commit must not publish")
+    assert(vt.read().count() == 1)
+  }
+
+  test("schema evolution composes with CDC: mixed-schema chain diffs cleanly") {
+    val vt = fresh()
+    val v0 = vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    vt.commit(Seq((2L, "b", 20L)).toDF("id", "v", "score"))
+    // fast path reads only the added commit, with the TARGET schema
+    val d = vt.changesSince(v0).collect()
+    assert(d.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(d.head.getLong(2) == 20L)
+    // row-level fallback unifies schemas instead of failing the union
+    val d2 = vt.rowDiff(v0, vt.currentVersion.get)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(d2 == Set(2L -> "insert"))
+  }
+
+  test("file-level stats prune individual files inside surviving commits") {
+    val vt = fresh(statsCols = Seq("day", "n"))
+    // each commit writes 4 files, each covering one distinct day
+    // range partitioning: contiguous day ranges, no empty partitions
+    // (a hash repartition can leave empty files, which carry no stats
+    // and are conservatively kept by every range read)
+    def batch(days: Seq[String]) = days.zipWithIndex
+      .flatMap { case (d, i) => Seq((d, i * 10L + 1), (d, i * 10L + 5)) }
+      .toDF("day", "n")
+      .repartitionByRange(days.size, $"day")
+    vt.commit(batch(Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")))
+    vt.commit(batch(Seq("2024-01-05", "2024-01-06", "2024-01-07", "2024-01-08")))
+    val all = vt.read().inputFiles.toSet
+    assert(all.size >= 4, s"expected multiple files, got ${all.size}")
+    val oneDay = vt.readRange("day", "2024-01-02", "2024-01-02")
+    assert(oneDay.count() == 2)
+    // pruning is FILE-level: fewer inputs than one whole commit's
+    // worth (commit-granular pruning could do no better than 4)
+    assert(oneDay.inputFiles.length <= 2,
+      s"${oneDay.inputFiles.length} of ${all.size} files survived pruning")
+  }
+
+  test("numeric stats compare numerically, not lexicographically") {
+    val vt = fresh(statsCols = Seq("n"))
+    // one file holds n ∈ {2, 3}, another n ∈ {10, 11}: the string
+    // compare '10' < '2' would prune the wrong file
+    vt.commit(Seq(2L, 3L).toDF("n").repartition(1))
+    vt.commit(Seq(10L, 11L).toDF("n").repartition(1))
+    val hi = vt.readRange("n", "10", "11")
+    assert(hi.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    assert(hi.inputFiles.length < vt.read().inputFiles.length,
+      "the {2,3} file must be pruned for the [10,11] range")
+    val lo = vt.readRange("n", "2", "3")
+    assert(lo.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("stats strings with quotes/backslashes/newlines round-trip the manifest") {
+    val vt = fresh(statsCols = Seq("k"))
+    val nasty = Seq("a\"quote", "b\\slash", "c\nnewline", "d;semi|bar=eq%pct")
+    vt.commit(nasty.toDF("k"))
+    // v1 rejected the whole version on parse; v2 must read it back
+    assert(vt.read().count() == 4)
+    val m = vt.readManifest(vt.currentVersion.get)
+    val (mn, mx) = m.files.flatMap(_.stats.get("k"))
+      .reduce((a, b) => (Seq(a._1, b._1).min, Seq(a._2, b._2).max))
+    assert(mn == nasty.min && mx == nasty.max)
+    assert(vt.readRange("k", "a", "e").count() == 4)
+  }
+
+  test("lost-append audit heals the claim/publish interleave from either side") {
+    val vt = fresh()
+    val v0 = vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = vt.commit(Seq((2L, "b")).toDF("id", "v")) // writer A's append
+    // forge writer B's flawed publish: based on v0's snapshot (claim
+    // taken before A published), so its manifest omits A's commit —
+    // the lost-append window the audit exists for
+    val root = vt.readAt(v0).inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/data/c_.*", "")
+    val mdir = java.nio.file.Paths.get(root, "_manifests")
+    val v0Body = new String(
+      Files.readAllBytes(mdir.resolve("v_0.manifest")), "UTF-8")
+    Files.writeString(mdir.resolve("v_2.claim"), "")
+    Files.writeString(mdir.resolve("v_2.manifest"),
+      v0Body.replaceFirst("\\{\"version\":0,", "{\"version\":2,"))
+    // current snapshot has silently lost A's rows
+    assert(vt.read().count() == 1)
+    // A-side audit: A's commit is missing from the current snapshot →
+    // re-append it on top
+    val aFiles = vt.readManifest(v1).files
+      .filterNot(f => vt.readManifest(v0).files.map(_.commit).contains(f.commit))
+    val healed = vt.auditAppend(v1, aFiles,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    assert(healed > 2)
+    assert(vt.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // B-side audit on the healed chain is a no-op (subset holds)
+    assert(vt.auditAppend(healed, Seq.empty,
+      vt.readManifest(healed).schema.get) == healed)
+  }
+
+  test("lost-append audit, B side: predecessor's append is carried forward") {
+    val vt = fresh()
+    val v0 = vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = vt.commit(Seq((2L, "b")).toDF("id", "v")) // A's append
+    val root = vt.readAt(v0).inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/data/c_.*", "")
+    val mdir = java.nio.file.Paths.get(root, "_manifests")
+    val v0Body = new String(
+      Files.readAllBytes(mdir.resolve("v_0.manifest")), "UTF-8")
+    Files.writeString(mdir.resolve("v_2.claim"), "")
+    Files.writeString(mdir.resolve("v_2.manifest"),
+      v0Body.replaceFirst("\\{\"version\":0,", "{\"version\":2,"))
+    // B audits its own publish (v2): the immediately-below manifest
+    // (A's v1 append) is not a subset → B restores A's files
+    val healed = vt.auditAppend(2L, vt.readManifest(v0).files,
+      vt.readManifest(v0).schema.get)
+    assert(healed > 2)
+    assert(vt.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+}

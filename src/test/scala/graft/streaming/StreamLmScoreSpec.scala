@@ -84,7 +84,12 @@ class StreamLmScoreSpec extends SparkSpec {
         acc ++= b.select(col("doc_id"), col("text"))
           .collect().map(r => (r.getLong(0), r.getString(1)))
         val cur = acc.toSeq.toDF("doc_id", "text")
-        last = Profiling.tokenDrift(ref, cur).collect()
+        // tokenDrift emits the unrounded contribution; round to the
+        // q96 presentation grain for the set compare
+        last = Profiling.tokenDrift(ref, cur)
+          .select(col("token"), col("cnt_ref"), col("cnt_new"),
+            round(col("contrib"), 6).as("contrib"))
+          .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
           .toSet
         ()
