@@ -48,7 +48,17 @@ object Bench {
       // the undisturbed cost (verified: every "slow" full-run query
       // is fast when re-timed in isolation). Raw reps go to the
       // sidecar so the noise-rejection claim is auditable per query.
-      name -> Seq(once(), once())
+      // NOISE GUARD: when the two reps disagree by >3× at least one
+      // was hit by a host stall — rerun (up to 3 extra) until two
+      // reps agree within 3× or the budget runs out, so no published
+      // per-query number rests on a single undisturbed sample.
+      val rs = scala.collection.mutable.ArrayBuffer(once(), once())
+      // "settled" = the two FASTEST reps agree within 3×: the min is
+      // then corroborated, not a lone sample between two stalls
+      def settled = { val s = rs.sorted; s(1) <= s(0) * 3.0 }
+      var extra = 0
+      while (!settled && extra < 3) { rs += once(); extra += 1 }
+      name -> rs.toSeq
     }
     val results = reps.map { case (name, rs) => name -> rs.min }
     // stdout line stays compact (ms precision): the driver captures a

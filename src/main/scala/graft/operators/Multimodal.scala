@@ -107,14 +107,17 @@ object Multimodal {
       (nAlpha / n).toFloat)
   }
 
-  /** Per-media-type kernel dispatch: real image decode for PNG/JPEG,
-    * deterministic stub for everything else (formats whose codecs
-    * aren't in this container). One place to widen as codecs land.
+  /** Per-media-type kernel dispatch: real image decode for every
+    * format the bundled JDK's ImageIO ships a reader for (PNG, JPEG,
+    * GIF, BMP — and WBMP, which shares the BMP family), deterministic
+    * stub for everything else (audio/video codecs aren't in this
+    * container). One place to widen as codecs land.
     */
   def decodeFor(mediaType: String, payload: Array[Byte]): Array[Float] =
     mediaType match {
-      case "image/png" | "image/jpeg" => decodeImage(payload)
-      case _                          => stubDecode(payload)
+      case "image/png" | "image/jpeg" | "image/gif" | "image/bmp"
+         | "image/vnd.wap.wbmp" => decodeImage(payload)
+      case _ => stubDecode(payload)
     }
 
   /** Batched per-partition feature extraction: one task per input

@@ -35,12 +35,23 @@ case class BandMember(docId: Long, bands: Array[Long], shs: Array[Long])
   *
   * State: per bucket, the (id, bands, shs) of its residents — the
   * same postings the batch index materializes, held in the state
-  * store instead of a shuffle. At production scale the horizon knob
-  * is event-time TTL on the state (the [[StreamRangeJoin]]
-  * watermark-bounded-state pattern): near-dup ingest gates dedup
-  * against a trailing window, and eviction bounds every bucket.
-  * Kept unbounded here to preserve the ≡-batch equality contract the
-  * spec checks.
+  * store instead of a shuffle.
+  *
+  * STATE GROWTH AND ITS TWO KNOBS (the 100 TB story): total state is
+  * numBands signatures per corpus doc — corpus-PROPORTIONAL by
+  * design, because batch-equal output means any future doc may match
+  * any past one. (a) CAPACITY: run the query on the RocksDB provider
+  * ([[graft.core.Sessions.RocksDbProvider]]) so that state lives on
+  * executor disk, not heap — spec-checked end-to-end. (b) BOUND:
+  * `maxPerBucket` caps every band bucket by evicting its OLDEST
+  * residents (newest-first retention), turning the gate into a
+  * trailing-horizon dedup — the standard production trade, since
+  * recent arrivals dominate near-dup mass at ingest. A bounded run
+  * flags a SUBSET of the unbounded pairs (never a false positive —
+  * candidates still verify by exact Jaccard) and state is ≤
+  * maxPerBucket·numBands·activeBuckets whatever the corpus;
+  * maxPerBucket = ∞ keeps the exact ≡-batch equality the spec
+  * checks.
   */
 object StreamNearDup {
 
@@ -52,7 +63,7 @@ object StreamNearDup {
     */
   def flagged(docs: DataFrame, maxDistance: Double = 0.5,
       numBands: Int = 24, rowsPerBand: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxPerBucket: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
     val tau = 1.0 - maxDistance
     MinHashDedup.setsWithBands(
@@ -65,11 +76,12 @@ object StreamNearDup {
       }
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(process(tau))
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        process(tau, maxPerBucket))
       .toDF("doc_id", "dup_of", "jaccard_dist")
   }
 
-  private def process(tau: Double)(
+  private def process(tau: Double, maxPerBucket: Int)(
       key: (Int, Long),
       rows: Iterator[(Int, Long, Long, Array[Long], Array[Long])],
       state: GroupState[List[BandMember]])
@@ -93,7 +105,11 @@ object StreamNearDup {
             if (jac >= tau) out += ((id, m.docId, 1.0 - jac))
           }
         }
-        members = BandMember(id, bands, shs) :: members
+        // newest-first: the bound evicts the oldest residents (the
+        // unbounded path stays O(1) prepend — no copy)
+        val added = BandMember(id, bands, shs) :: members
+        members =
+          if (maxPerBucket == Int.MaxValue) added else added.take(maxPerBucket)
       }
     }
     state.update(members)

@@ -52,6 +52,34 @@ class BpeSpec extends SparkSpec {
     enc.unpersist(); ()
   }
 
+  test("minCount bounds the driver collect without changing the merges") {
+    import spark.implicits._
+    // head vocabulary (count 10) + a long tail of singleton junk over
+    // a DISJOINT alphabet — the Zipf shape the cut exists for; the
+    // singletons share no pairs with the head, so every merge's
+    // selection margin exceeds the dropped mass
+    val head = Seq.tabulate(10)(i => (i.toLong, "banana band bandana"))
+    // every tail word is two GLOBALLY unique characters: each pair
+    // occurs once in the corpus, below the ≥2 merge-candidate floor
+    val tail = Seq.tabulate(20)(i => (100L + i,
+      "" + (0x400 + 2 * i).toChar + (0x401 + 2 * i).toChar))
+    val docs = (head ++ tail).toDF("doc_id", "text")
+    // the driver-memory bound: the cut shrinks the collected vocab…
+    val full = Bpe.wordCounts(docs).count()
+    val cut = Bpe.wordCounts(docs)
+      .filter(org.apache.spark.sql.functions.col("c") >= 2).count()
+    assert(cut == 3L && full == 23L, s"cut $cut of $full words collected")
+    // …and the merge table is unchanged
+    val merges = Bpe.fit(docs, 8)
+    assert(merges.nonEmpty)
+    assert(Bpe.fit(docs, 8, minCount = 2L) == merges)
+    // the same cut ALSO holds on the real corpus at its margins
+    val corpus = Tables.load(spark, sf, "documents")
+    assert(Bpe.fit(corpus, 30, minCount = 2L) == Bpe.fit(corpus, 30))
+    // degenerate: a cut above every count learns nothing, loudly-empty
+    assert(Bpe.fit(docs, 8, minCount = Long.MaxValue).isEmpty)
+  }
+
   test("piece concatenation ambiguity guard: csv split round-trips piece counts") {
     // pieces_csv is a faithful piece list (no empty-piece artifacts)
     val docs = Tables.load(spark, sf, "documents").limit(20)

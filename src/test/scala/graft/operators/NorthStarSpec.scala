@@ -99,16 +99,19 @@ class NorthStarSpec extends SparkSpec {
     })
   }
 
-  /** A real PNG, generated in-memory with known pixel values. */
-  private def pngBytes(w: Int, h: Int,
+  /** A real encoded image, generated in-memory with known pixels. */
+  private def imgBytes(fmt: String, w: Int, h: Int,
       rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
+
+  private def pngBytes(w: Int, h: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = imgBytes("png", w, h, rgb)
 
   test("multimodal: REAL PNG bytes decode to exact pixel-stat features") {
     // 4x2: left half pure red, right half pure blue
@@ -131,6 +134,53 @@ class NorthStarSpec extends SparkSpec {
         media.withColumn("media_type", lit("video/mp4")))
       .head().getSeq[Float](1)
     assert(stub.toArray.toSeq == Multimodal.stubDecode(bytes).toSeq)
+  }
+
+  test("multimodal: BMP bytes decode to exact pixel-stat features") {
+    // same half-red / half-blue frame as the PNG spec — BMP is
+    // 24-bit-exact, so the stats are identical
+    val bytes = imgBytes("bmp", 4, 2,
+      (x, _) => if (x < 2) 0xff0000 else 0x0000ff)
+    val media = Seq((1L, bytes, "image/bmp", bytes.length.toLong, "sha"))
+      .toDF("media_id", "payload", "media_type", "n_bytes", "content_sha")
+    val f = Multimodal.extractFeatures(media).head().getSeq[Float](1)
+    assert(f(0) == 4f && f(1) == 2f, "bmp dimensions")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, "bmp mean R")
+    assert(f(3) == 0f, "bmp green")
+    assert(math.abs(f(4) - 0.5f) < 1e-6, "bmp mean B")
+    assert(math.abs(f(5) - (0.299f + 0.114f) / 2) < 1e-3, "bmp luma")
+    assert(f(7) == 0f, "bmp alpha")
+    // and NOT the stub: the stub's histogram features are
+    // L1-normalized over 8 bins, so its f(0) is ≤ 1, never a width
+    assert(Multimodal.stubDecode(bytes)(0) != f(0), "bmp real path")
+  }
+
+  test("multimodal: GIF bytes decode to exact pixel-stat features") {
+    // HANDCRAFTED GIF89a fixture — ground truth independent of any
+    // encoder (this JDK's GIF *writer* corrupts the last row of small
+    // frames, so a write-then-read round trip would test the writer's
+    // bug, not our decode path): 2x2, 2-color palette {red, blue},
+    // pixel indices [0,1,0,1] via byte-aligned 8-bit LZW codes (the
+    // "uncompressed GIF" encoding: clear, px0..px3, end-of-info)
+    val bytes = Array[Int](
+      0x47, 0x49, 0x46, 0x38, 0x39, 0x61,             // "GIF89a"
+      0x02, 0x00, 0x02, 0x00, 0xF0, 0x00, 0x00,       // LSD 2x2 + GCT(2)
+      0xFF, 0x00, 0x00, 0x00, 0x00, 0xFF,             // palette red, blue
+      0x2C, 0, 0, 0, 0, 0x02, 0x00, 0x02, 0x00, 0x00, // image descriptor
+      0x07,                                           // LZW min code size
+      0x06, 0x80, 0x00, 0x01, 0x00, 0x01, 0x81,       // clear 0 1 0 1 EOI
+      0x00, 0x3B                                      // terminator+trailer
+    ).map(_.toByte)
+    val media = Seq((1L, bytes, "image/gif", bytes.length.toLong, "sha"))
+      .toDF("media_id", "payload", "media_type", "n_bytes", "content_sha")
+    val f = Multimodal.extractFeatures(media).head().getSeq[Float](1)
+    assert(f(0) == 2f && f(1) == 2f, "gif dimensions")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, "gif mean R: one red per row")
+    assert(f(3) == 0f, "gif green")
+    assert(math.abs(f(4) - 0.5f) < 1e-6, "gif mean B: one blue per row")
+    assert(math.abs(f(5) - (0.299f + 0.114f) / 2) < 1e-3, "gif luma")
+    assert(f(7) == 0f, "gif alpha")
+    assert(Multimodal.stubDecode(bytes)(0) != f(0), "gif real path")
   }
 
   test("multimodal: corrupt image payload yields null features, not a crash") {
