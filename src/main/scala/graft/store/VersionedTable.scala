@@ -153,7 +153,12 @@ class VersionedTable(spark: SparkSession, root: String,
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
+      if (c == '%') {
+        if (i + 2 >= s.length ||
+            Character.digit(s.charAt(i + 1), 16) < 0 ||
+            Character.digit(s.charAt(i + 2), 16) < 0)
+          throw new IllegalStateException(
+            s"corrupt %-escape in stats component '$s'")
         b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
         i += 3
       } else { b.append(c); i += 1 }
@@ -171,6 +176,9 @@ class VersionedTable(spark: SparkSession, root: String,
     else blob.split(";", -1).iterator.map { part =>
       val eq = part.indexOf('=')
       val bar = part.indexOf('|', eq + 1)
+      if (eq < 0 || bar < 0)
+        throw new IllegalStateException(
+          s"corrupt stats segment '$part' (missing '=' or '|')")
       decComp(part.substring(0, eq)) ->
         (decComp(part.substring(eq + 1, bar)), decComp(part.substring(bar + 1)))
     }.toMap
@@ -188,6 +196,11 @@ class VersionedTable(spark: SparkSession, root: String,
   private val headerRe =
     ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace)"""" +
       """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
+  // pre-v2 header (no op/schema fields): still readable — a persisted
+  // v1 table opens with op=append (the only op v1 wrote) and no
+  // manifest schema (reads fall back to parquet footer inference)
+  private val headerV1Re =
+    """\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)"\}""".r
 
   private def header(version: Long, txnId: Option[String], op: String,
       schema: StructType): String = {
@@ -208,13 +221,20 @@ class VersionedTable(spark: SparkSession, root: String,
       case Some(headerRe(_, t, o, s)) =>
         (Option(t).map(unesc).filter(_.nonEmpty), o,
           Option(s).map(j => DataType.fromJson(unesc(j)).asInstanceOf[StructType]))
+      case Some(headerV1Re(_, t)) =>
+        (Option(t).map(unesc).filter(_.nonEmpty), "append", None)
       case other => throw new IllegalStateException(
         s"$root v_$n.manifest: unparseable header '${other.getOrElse("")}'")
     }
     val files = lines.tail.map {
       case fileRe(p, c, st) =>
-        FileEntry(unesc(p), unesc(c),
-          Option(st).map(b => decStats(unesc(b))).getOrElse(Map.empty))
+        val stats =
+          try Option(st).map(b => decStats(unesc(b))).getOrElse(Map.empty)
+          catch { case e: IllegalStateException =>
+            throw new IllegalStateException(
+              s"$root v_$n.manifest: ${e.getMessage}")
+          }
+        FileEntry(unesc(p), unesc(c), stats)
       case bad =>
         throw new IllegalStateException(
           s"$root v_$n.manifest: unparseable entry '$bad'")
