@@ -5,6 +5,12 @@ package graft
   * name order after a warm-up pass of the first query, so JVM/codegen
   * warm-up doesn't land on an arbitrary (hash-ordered) victim and
   * per-query numbers are comparable across rounds.
+  *
+  * A query that THROWS publishes an `"err"` entry — never a duration.
+  * Round 7 proved why: six analysis-broken queries published as
+  * 0.06–0.16 s "speedups" because the old bench swallowed the throw and
+  * timed the exception path. `err_count` in the JSON head makes a
+  * partial run impossible to misread as a clean one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -15,7 +21,8 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // warm-up: JIT + codegen + parquet footer caches
+    // warm-up: JIT + codegen + parquet footer caches (a throw here is
+    // fine — the same query will report its err in the timed pass)
     ordered.headOption.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => }
     }
@@ -34,44 +41,71 @@ object Bench {
       // the cleaner current
       System.gc()
     }
-    val reps = ordered.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => }
-        val dt = (System.nanoTime() - t0) / 1e9
-        dropPinnedBlocks()
-        dt
-      }
-      // two reps, both recorded; the headline number is the min: the
-      // host is a shared VM with transient multi-second stalls that
-      // land on arbitrary queries during a long run, and the min is
-      // the undisturbed cost (verified: every "slow" full-run query
-      // is fast when re-timed in isolation). Raw reps go to the
-      // sidecar so the noise-rejection claim is auditable per query.
-      // NOISE GUARD: when the two reps disagree by >3× at least one
-      // was hit by a host stall — rerun (up to 3 extra) until two
-      // reps agree within 3× or the budget runs out, so no published
-      // per-query number rests on a single undisturbed sample.
-      val rs = scala.collection.mutable.ArrayBuffer(once(), once())
-      // "settled" = the two FASTEST reps agree within 3×: the min is
-      // then corroborated, not a lone sample between two stalls
-      def settled = { val s = rs.sorted; s(1) <= s(0) * 3.0 }
-      var extra = 0
-      while (!settled && extra < 3) { rs += once(); extra += 1 }
-      name -> rs.toSeq
+    def errString(t: Throwable): String = {
+      val msg = Option(t.getMessage).getOrElse("").linesIterator
+        .find(_.trim.nonEmpty).getOrElse("").take(160)
+      s"${t.getClass.getSimpleName}: $msg"
     }
-    val results = reps.map { case (name, rs) => name -> rs.min }
+    // Left(err) = the query threw (deterministic analysis/planning
+    // failures dominate; no retry — a throw on ANY rep marks the query
+    // failed, because a half-failing query has no honest duration).
+    val outcomes: Seq[(String, Either[String, Seq[Double]])] =
+      ordered.map { case (name, fn) =>
+        def once(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          val res =
+            try { fn(spark, sfDir).count(); Right(()) }
+            catch { case t: Throwable => Left(errString(t)) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropPinnedBlocks()
+          res.map(_ => dt)
+        }
+        // two reps, both recorded; the headline number is the min: the
+        // host is a shared VM with transient multi-second stalls that
+        // land on arbitrary queries during a long run, and the min is
+        // the undisturbed cost (verified: every "slow" full-run query
+        // is fast when re-timed in isolation). Raw reps go to the
+        // sidecar so the noise-rejection claim is auditable per query.
+        // NOISE GUARD: when the two reps disagree by >3× at least one
+        // was hit by a host stall — rerun (up to 3 extra) until two
+        // reps agree within 3× or the budget runs out, so no published
+        // per-query number rests on a single undisturbed sample.
+        val rs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var err: Option[String] = None
+        def run(): Unit = if (err.isEmpty) once() match {
+          case Left(e)  => err = Some(e)
+          case Right(d) => rs += d
+        }
+        run(); run()
+        // "settled" = the two FASTEST reps agree within 3×: the min is
+        // then corroborated, not a lone sample between two stalls
+        def settled = rs.size >= 2 && { val s = rs.sorted; s(1) <= s(0) * 3.0 }
+        var extra = 0
+        while (err.isEmpty && !settled && extra < 3) { run(); extra += 1 }
+        name -> err.toLeft(rs.toSeq)
+      }
+    val results = outcomes.collect { case (n, Right(rs)) => n -> rs.min }
+    val errors = outcomes.collect { case (n, Left(e)) => n -> e }
     // stdout line stays compact (ms precision): the driver captures a
     // bounded tail of this stream, and a full-precision 93-query JSON
     // line overflowed it in round 4 (artifact truncated mid-object)
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      } + "\""
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + r3(v) } ++
+      errors.map { case (k, e) => "\"" + k + "\":{\"err\":" + jstr(e) + "}" })
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sidecar: full-precision raw reps for noise auditing
-    val repsJson = reps.map { case (k, rs) =>
-      "\"" + k + "\":[" + rs.mkString(",") + "]"
+    val repsJson = outcomes.map {
+      case (k, Right(rs)) => "\"" + k + "\":[" + rs.mkString(",") + "]"
+      case (k, Left(e))   => "\"" + k + "\":{\"err\":" + jstr(e) + "}"
     }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
@@ -88,7 +122,9 @@ object Bench {
     while (calI < 2000000000L) { calAcc += calI & 7L; calI += 1 }
     val cal = (System.nanoTime() - calT0) / 1e9
     if (calAcc == Long.MinValue) println("") // defeat dead-code elim
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal_sec":${r3(cal)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","err_count":${errors.size},"queries":$qs,"cal_sec":${r3(cal)},"sf":"$sfDir"}""")
     spark.stop()
+    // a bench with failing queries must not hand the driver rc=0
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -109,12 +109,17 @@ object DataPipeline {
     }
 
     timed("tokenizer fit (30 BPE merges)") {
-      val merges = Bpe.fit(clean.select($"doc_id")
-        .join(docs, "doc_id"), nMerges = 30)
+      val corpus = clean.select($"doc_id").join(docs, "doc_id")
+      // demo the BOUNDED driver path (minCount cut before the collect):
+      // the production contract is driver vocab ≤ totalTokens/minCount,
+      // and the log shows how much the cut trimmed
+      val vocabAll = Bpe.wordCounts(corpus).count()
+      val vocabKept = Bpe.wordCounts(corpus).filter($"c" >= 2).count()
+      val merges = Bpe.fit(corpus, nMerges = 30, minCount = 2L)
       val enc = Bpe.encode(docs.join(clean.select($"doc_id"), "doc_id"), merges)
       val r = enc.agg(sum($"n_pieces"), sum($"n_tokens")).head()
-      println(s"[pipeline]   ${merges.size} merges; " +
-        s"${r.getLong(0)} pieces over ${r.getLong(1)} words")
+      println(s"[pipeline]   vocab $vocabAll rows, $vocabKept after minCount=2 cut; " +
+        s"${merges.size} merges; ${r.getLong(0)} pieces over ${r.getLong(1)} words")
     }
 
     val chunks = timed("chunk (20/15 windows)") {

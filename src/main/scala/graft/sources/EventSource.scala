@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.store.VersionedTable
+
+/** Message-bus streaming source seam (the reference's scaling plan
+  * rides a Kinesis stream + SQS buffer, `Scaling and monitoring
+  * strategies.md:5-21`; Spark's production equivalent is the Kafka
+  * connector). The container has no bus, so the seam pins the bus's
+  * WIRE CONTRACT instead: a streaming frame in the Kafka-connector
+  * column shape, and an exactly-once hand-off into the offline store.
+  *
+  *   partition int, offset long, ts timestamp, key string, value string
+  *
+  * Offsets are monotone and gapless-or-not PER PARTITION (Kafka
+  * guarantees per-partition order only — so does Kinesis per shard);
+  * nothing may assume cross-partition order. Swapping in the real
+  * `spark.readStream.format("kafka")` source is a column rename
+  * (`timestamp`→`ts`, cast binary key/value to string) — every
+  * downstream contract is already expressed against this shape.
+  */
+trait EventSource {
+  /** The streaming frame in wire shape. */
+  def stream(spark: SparkSession): DataFrame
+}
+
+object EventSource {
+  /** The wire schema (see trait docs). */
+  val wireSchema: StructType = StructType.fromDDL(
+    "partition int, offset bigint, ts timestamp, key string, value string")
+
+  /** File-backed impl: a drop directory of parquet files already in
+    * wire shape (the SQS-buffer-to-S3 landing pattern). New files are
+    * discovered per micro-batch; per-partition offset order inside the
+    * frame is the producer's responsibility, replay safety is the
+    * sink's (OffsetTrackedSink filters row-wise, so ordering only
+    * affects latency, not correctness).
+    */
+  final class FileEventSource(dir: String) extends EventSource {
+    def stream(spark: SparkSession): DataFrame =
+      spark.readStream.schema(wireSchema).parquet(dir)
+  }
+
+  /** Memory-backed impl for specs: the caller appends wire tuples
+    * (partition, offset, tsMicros, key, value) to the MemoryStream.
+    */
+  final class MemoryEventSource(
+      val input: MemoryStream[(Int, Long, Long, String, String)])
+      extends EventSource {
+    def stream(spark: SparkSession): DataFrame =
+      input.toDF().toDF("partition", "offset", "ts_us", "key", "value")
+        .select(col("partition"), col("offset"),
+          timestamp_micros(col("ts_us")).as("ts"), col("key"), col("value"))
+  }
+
+  /** Run the ingest loop: source → per-batch offset-fenced commit into
+    * `table`. AvailableNow drains what exists and stops (specs/batch
+    * backfill); pass `Trigger.ProcessingTime(..)` for a resident loop.
+    */
+  def runIngest(source: EventSource, spark: SparkSession,
+      sink: OffsetTrackedSink, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.stream(spark).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.commitBatch(batch): Unit
+      }
+      .start()
+}
+
+/** Exactly-once bus→table hand-off: per-partition high-water marks
+  * live INSIDE the transactional sink (encoded in `VersionedTable`
+  * txn ids), and every micro-batch first drops rows at-or-below the
+  * committed mark for their partition, then commits the remainder
+  * together with the advanced marks — one atomic manifest publish.
+  *
+  * This is the "store offsets with the results" recipe from the Spark
+  * Kafka integration guide, and it is strictly stronger than fencing
+  * on batch ids (InferencePipeline's `txnPrefix-batchId`): batch-id
+  * fencing only recognizes a replay of the SAME batch boundaries,
+  * while the row-wise offset filter absorbs any re-split — a restart
+  * that re-delivers offsets 0–9 as (0–6)(3–9) commits each offset
+  * exactly once. At 100 TB/day the extra cost is one broadcast-sized
+  * map lookup per row and an O(#partitions) groupBy per batch.
+  *
+  * Mark recovery scans manifest txn ids newest-first and ORs the
+  * per-partition maxima (a batch touching only p0 advances only p0's
+  * mark). Driver-side O(versions) text reads — vacuum retention must
+  * outlive the replay horizon, same contract as txn replay fences.
+  */
+final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
+  require(streamId.matches("[A-Za-z0-9._-]+"),
+    s"streamId '$streamId' — use [A-Za-z0-9._-]+ (encoded into txn ids)")
+
+  private val markRe = s"""${java.util.regex.Pattern.quote(streamId)}\\.offsets((?::\\d+-\\d+)+)""".r
+
+  private def encodeMarks(marks: Map[Int, Long]): String =
+    streamId + ".offsets" + marks.toSeq.sorted
+      .map { case (p, o) => s":$p-$o" }.mkString
+
+  /** Per-partition committed high-water marks (max over every manifest
+    * this stream has written).
+    */
+  def committedMarks(): Map[Int, Long] =
+    table.committedTxnIds.flatMap {
+      case markRe(pairs) =>
+        pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
+          val Array(p, o) = pair.split("-", 2)
+          p.toInt -> o.toLong
+        }
+      case _ => Nil
+    }.groupMapReduce(_._1)(_._2)(math.max(_, _))
+
+  /** Commit one micro-batch of wire-shaped rows. Returns the published
+    * version, or None when every row was already committed (a fully
+    * replayed batch — including the crash-between-commit-and-checkpoint
+    * window). Rows keep their wire columns; downstream consumers parse
+    * `value` from the table.
+    */
+  def commitBatch(batch: DataFrame): Option[Long] = {
+    val marks = committedMarks()
+    val live =
+      if (marks.isEmpty) batch
+      else {
+        // literal map lookup (codegen'd, no UDF): offset must exceed
+        // the committed mark for the row's partition
+        val markMap = map(marks.toSeq.flatMap { case (p, o) =>
+          Seq(lit(p), lit(o)) }: _*)
+        batch.filter(col("offset") >
+          coalesce(element_at(markMap, col("partition")), lit(-1L)))
+      }
+    // O(#partitions) rows to the driver — the batch's own frontier
+    val advanced = live.groupBy(col("partition"))
+      .agg(max(col("offset")).as("hi")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (advanced.isEmpty) None
+    else {
+      val merged = (marks.keySet ++ advanced.keySet).map { p =>
+        p -> math.max(marks.getOrElse(p, -1L), advanced.getOrElse(p, -1L))
+      }.toMap
+      Some(table.commit(live, txnId = Some(encodeMarks(merged))))
+    }
+  }
+}

@@ -196,9 +196,12 @@ class VersionedTable(spark: SparkSession, root: String,
   private val headerRe =
     ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace)"""" +
       """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
-  // pre-v2 header (no op/schema fields): still readable — a persisted
-  // v1 table opens with op=append (the only op v1 wrote) and no
-  // manifest schema (reads fall back to parquet footer inference)
+  // pre-v2 (op-less header) manifests are NOT readable: their entry
+  // lines ({"dir":...,"min":...,"max":...}) don't parse either, and
+  // guessing the op would poison auditAppend/changesSince (a v1
+  // `replace` misread as `append` re-appends compacted-away files).
+  // A v1 table requires explicit migration: re-commit its data
+  // through this class. The regex is kept only to name the failure.
   private val headerV1Re =
     """\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)"\}""".r
 
@@ -219,10 +222,19 @@ class VersionedTable(spark: SparkSession, root: String,
       finally in.close()
     val (txn, op, schema) = lines.headOption match {
       case Some(headerRe(_, t, o, s)) =>
-        (Option(t).map(unesc).filter(_.nonEmpty), o,
-          Option(s).map(j => DataType.fromJson(unesc(j)).asInstanceOf[StructType]))
-      case Some(headerV1Re(_, t)) =>
-        (Option(t).map(unesc).filter(_.nonEmpty), "append", None)
+        val parsed = Option(s).map { j =>
+          // rewrap like decStats errors below: all manifest corruption
+          // must identify the file it was found in
+          try DataType.fromJson(unesc(j)).asInstanceOf[StructType]
+          catch { case e: Exception => throw new IllegalStateException(
+            s"$root v_$n.manifest: corrupt schema JSON (${e.getMessage})")
+          }
+        }
+        (Option(t).map(unesc).filter(_.nonEmpty), o, parsed)
+      case Some(h @ headerV1Re(_, _)) => throw new IllegalStateException(
+        s"$root v_$n.manifest: pre-v2 manifest (op-less header '$h') — " +
+          "v1 tables require migration (re-commit their data); the v1 op " +
+          "cannot be inferred safely and v1 entry lines do not parse")
       case other => throw new IllegalStateException(
         s"$root v_$n.manifest: unparseable header '${other.getOrElse("")}'")
     }
@@ -265,6 +277,13 @@ class VersionedTable(spark: SparkSession, root: String,
     */
   def txnCommitted(txnId: String): Boolean =
     versions.reverse.exists(n => readManifest(n).txn.contains(txnId))
+
+  /** All committed txn ids, ascending version order. Consumers that
+    * encode durable state in their txn ids (the bus sink's offset
+    * high-water marks, `graft.sources.OffsetTrackedSink`) recover it
+    * from here; same O(versions) driver-side scan as [[txnCommitted]].
+    */
+  def committedTxnIds: Seq[String] = versions.flatMap(n => readManifest(n).txn)
 
   // ---- reads --------------------------------------------------------
 
@@ -336,7 +355,14 @@ class VersionedTable(spark: SparkSession, root: String,
     val base =
       if (kept.isEmpty) readFiles(m.schema, m.files).filter(lit(false))
       else readFiles(m.schema, kept)
-    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    // row filter with TYPED bounds: comparing a numeric column against
+    // a string literal coerces both to double, which loses exactness
+    // past 2^53 — while the manifest pruning above (BigDecimal) stays
+    // exact. Cast the bounds to the column's own type instead.
+    val rowDt = base.schema.fields.find(_.name == statsCol)
+      .map(_.dataType).getOrElse(org.apache.spark.sql.types.StringType)
+    base.filter(col(statsCol) >= lit(lo).cast(rowDt) &&
+      col(statsCol) <= lit(hi).cast(rowDt))
   }
 
   /** Single-stats-column convenience (the store's event_date path). */
@@ -461,7 +487,7 @@ class VersionedTable(spark: SparkSession, root: String,
     * docs) make ACCIDENTAL concurrent appends converge to a snapshot
     * containing both, instead of silently dropping one.
     */
-  private def publishManifest(op: String, addFiles: Seq[FileEntry],
+  private[store] def publishManifest(op: String, addFiles: Seq[FileEntry],
       addSchema: StructType, txnId: Option[String]): Long = {
     fs.mkdirs(new Path(manifestsDir))
     var attempts = 0
@@ -480,8 +506,15 @@ class VersionedTable(spark: SparkSession, root: String,
         val (files, schema) = op match {
           case "append" =>
             val prevSchema = base.flatMap(_.schema).getOrElse(addSchema)
-            (base.map(_.files).getOrElse(Seq.empty) ++ addFiles,
-              mergeSchemas(prevSchema, addSchema))
+            // de-dup by path: two concurrent lost-append healers each
+            // computed their re-append set against a snapshot read
+            // BEFORE this claim — whichever publishes second would
+            // otherwise re-append files the first already restored
+            // (duplicate rows). Base order wins; only genuinely-new
+            // paths append.
+            val merged = (base.map(_.files).getOrElse(Seq.empty) ++ addFiles)
+              .distinctBy(_.path)
+            (merged, mergeSchemas(prevSchema, addSchema))
           case _ => (addFiles, StructType(
             addSchema.fields.map(_.copy(nullable = true))))
         }

@@ -1,0 +1,47 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** The explicit fixture-boundary contract (VERDICT r7 task #3): every
+  * driver table loads to EXACTLY the canonical schema — names, order,
+  * and types — regardless of how the driver encoded the parquet this
+  * round. Round 7 broke because `events.ts` drifted to TIMESTAMP_NTZ
+  * and the old loader let it through; this spec pins the contract so
+  * the drift fails here with a named table instead of as a downstream
+  * analysis error.
+  */
+class TablesSchemaSpec extends SparkSpec {
+
+  private def loadedTypes(name: String): Seq[(String, DataType)] =
+    Tables.load(spark, sf, name).schema.fields.toSeq.map(f => (f.name, f.dataType))
+
+  for (name <- Tables.all) {
+    test(s"$name loads to its canonical declared schema") {
+      val want = Tables.canonicalSchemas(name).fields.toSeq.map(f => (f.name, f.dataType))
+      assert(loadedTypes(name) === want)
+    }
+  }
+
+  test("every timestamp column is session-zoned TimestampType, never NTZ") {
+    // the r7 failure mode, spelled out: NTZ reaching operators breaks
+    // every unix_micros call site at analysis time
+    for (name <- Tables.all; (c, t) <- loadedTypes(name)) {
+      assert(t !== TimestampNTZType, s"$name.$c must not surface as TIMESTAMP_NTZ")
+    }
+    assert(loadedTypes("events").contains(("ts", TimestampType)))
+    assert(loadedTypes("orders").contains(("o_orderdate", TimestampType)))
+    assert(loadedTypes("lineitem").contains(("l_shipdate", TimestampType)))
+  }
+
+  test("an unexpected fixture shape fails loudly at the loader") {
+    // a table whose canonical schema can't be reached by normalization
+    // must name the file in the error, not flow through
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    spark.range(3).selectExpr("id as r_regionkey", "cast(id as string) as r_name",
+      "id as extra_col").write.parquet(s"$dir/region.parquet")
+    val e = intercept[IllegalArgumentException](Tables.load(spark, dir, "region"))
+    assert(e.getMessage.contains("region.parquet"))
+    assert(e.getMessage.contains("drifted"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.store.VersionedTable
+
+/** The bus-source seam's exactly-once contract: per-partition offset
+  * high-water marks live in the sink's txn ids, and replayed offsets
+  * are dropped ROW-WISE — so idempotence holds across arbitrary
+  * micro-batch RE-SPLITS, not just same-boundary redelivery (the
+  * stronger contract batch-id fencing cannot give).
+  */
+class EventSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable = new VersionedTable(
+    spark, Files.createTempDirectory("bus").toString)
+
+  private def wire(rows: Seq[(Int, Long)]) =
+    rows.map { case (p, o) => (p, o, o * 1000000L, s"k$o", s"v$p-$o") }
+      .toDF("partition", "offset", "ts_us", "key", "value")
+      .selectExpr("partition", "offset", "timestamp_micros(ts_us) as ts",
+        "key", "value")
+
+  private def committed(t: VersionedTable): Set[(Int, Long)] =
+    t.read().select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  test("offset replay across RE-SPLIT micro-batches commits each offset exactly once") {
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "s1")
+    // first delivery: p0 offsets 0-6 in one batch
+    assert(sink.commitBatch(wire((0L to 6L).map(o => 0 -> o))).nonEmpty)
+    // checkpoint lost; redelivery re-splits 0-9 as (0-4)(3-9):
+    // overlapping, different boundaries
+    sink.commitBatch(wire((0L to 4L).map(o => 0 -> o)))
+    sink.commitBatch(wire((3L to 9L).map(o => 0 -> o)))
+    assert(committed(t) == (0L to 9L).map(o => (0, o)).toSet)
+    assert(t.read().count() == 10, "no duplicate rows from the overlap")
+  }
+
+  test("a fully-replayed batch is a no-op (crash between commit and checkpoint)") {
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "s1")
+    val v = sink.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L, 1 -> 0L)))
+    assert(v.nonEmpty)
+    assert(sink.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L, 1 -> 0L))).isEmpty)
+    assert(t.currentVersion.get == v.get, "replay must not publish a version")
+    assert(t.read().count() == 3)
+  }
+
+  test("marks advance independently per partition (Kafka's order contract)") {
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "s1")
+    sink.commitBatch(wire(Seq(0 -> 5L, 1 -> 2L)))
+    // p1-only batch advances p1's mark; p0's fence stays at 5
+    sink.commitBatch(wire(Seq(1 -> 3L)))
+    assert(sink.committedMarks() == Map(0 -> 5L, 1 -> 3L))
+    // a p0 replay at-or-below 5 drops; above 5 commits
+    sink.commitBatch(wire(Seq(0 -> 5L, 0 -> 6L)))
+    assert(committed(t) == Set(0 -> 5L, 1 -> 2L, 1 -> 3L, 0 -> 6L))
+  }
+
+  test("marks recover from the manifests alone (fresh sink instance)") {
+    val t = freshTable
+    new OffsetTrackedSink(t, "s1").commitBatch(wire(Seq(0 -> 7L, 1 -> 1L)))
+    // interleaved non-bus commit must not disturb mark recovery
+    t.commit(wire(Seq(9 -> 99L)), txnId = Some("other.writer"))
+    val recovered = new OffsetTrackedSink(t, "s1")
+    assert(recovered.committedMarks() == Map(0 -> 7L, 1 -> 1L))
+    assert(recovered.commitBatch(wire(Seq(0 -> 7L))).isEmpty)
+  }
+
+  test("end-to-end: MemoryEventSource through runIngest drains into the table") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "bus")
+    val src = new EventSource.MemoryEventSource(
+      MemoryStream[(Int, Long, Long, String, String)])
+    src.input.addData((0, 0L, 0L, "k0", "a"), (0, 1L, 1000000L, "k1", "b"),
+      (1, 0L, 0L, "k2", "c"))
+    val cp = Files.createTempDirectory("bus-cp").toString
+    EventSource.runIngest(src, spark, sink, cp, Trigger.AvailableNow())
+      .awaitTermination()
+    assert(committed(t) == Set(0 -> 0L, 0 -> 1L, 1 -> 0L))
+    assert(t.read().columns.toSeq ==
+      Seq("partition", "offset", "ts", "key", "value"))
+    // second run over the SAME drained stream from a fresh checkpoint:
+    // the bus redelivers everything, the sink fences every row
+    val cp2 = Files.createTempDirectory("bus-cp2").toString
+    EventSource.runIngest(src, spark, sink, cp2, Trigger.AvailableNow())
+      .awaitTermination()
+    assert(t.read().count() == 3)
+  }
+
+  test("FileEventSource reads a wire-shaped drop directory as a stream") {
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "files")
+    val dir = Files.createTempDirectory("bus-files").toString
+    wire(Seq(0 -> 0L, 0 -> 1L)).write.mode("append").parquet(dir)
+    val cp = Files.createTempDirectory("bus-files-cp").toString
+    EventSource.runIngest(new EventSource.FileEventSource(dir), spark, sink, cp)
+      .awaitTermination()
+    // a second drop file with one replayed + one new offset
+    wire(Seq(0 -> 1L, 0 -> 2L)).write.mode("append").parquet(dir)
+    EventSource.runIngest(new EventSource.FileEventSource(dir), spark, sink,
+      Files.createTempDirectory("bus-files-cp2").toString)
+      .awaitTermination()
+    assert(committed(t) == Set(0 -> 0L, 0 -> 1L, 0 -> 2L))
+  }
+}

@@ -149,6 +149,55 @@ class VersionedTableSpec extends SparkSpec {
       vt.readManifest(healed).schema.get) == healed)
   }
 
+  test("two interleaved healers re-appending the same files converge to each file exactly once") {
+    val vt = fresh()
+    vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = vt.commit(Seq((2L, "b")).toDF("id", "v"))
+    val v0Dirs = vt.readManifest(0L).files.map(_.commit).toSet
+    val aFiles = vt.readManifest(v1).files
+      .filterNot(f => v0Dirs.contains(f.commit))
+    val schema = vt.readManifest(v1).schema.get
+    // the healer race: both healers computed the SAME re-append set
+    // against a snapshot read before either published; each then
+    // publishes it. Without path-dedup in the append branch the second
+    // publish duplicates the first healer's files (duplicate rows).
+    vt.publishManifest("append", aFiles, schema, None)
+    vt.publishManifest("append", aFiles, schema, None)
+    val m = vt.readManifest(vt.currentVersion.get)
+    assert(m.files.map(_.path).distinct.size == m.files.size,
+      "manifest must list each file exactly once")
+    assert(vt.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("readRange row filter keeps int64 exactness past 2^53") {
+    val vt = fresh(statsCols = Seq("n"))
+    // 2^53 and 2^53+1 collapse to the same double: a string-literal
+    // bound (coerced via double) would wrongly admit 2^53
+    val p53 = 9007199254740992L
+    vt.commit(Seq(p53, p53 + 1).toDF("n").repartition(1))
+    val got = vt.readRange("n", (p53 + 1).toString, (p53 + 3).toString)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(p53 + 1), s"got $got — double-coerced bound admitted 2^53")
+  }
+
+  test("a pre-v2 (op-less header) manifest is rejected with a migration error") {
+    val vt = fresh()
+    vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    val root = vt.read().inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/data/c_.*", "")
+    val mdir = java.nio.file.Paths.get(root, "_manifests")
+    // v1 wrote {"version":N,"txn":"..."} with {"dir":...} entries; the
+    // op cannot be inferred (v1 replace wrote the identical header), so
+    // reading must fail loudly instead of guessing append
+    Files.writeString(mdir.resolve("v_1.claim"), "")
+    Files.writeString(mdir.resolve("v_1.manifest"),
+      "{\"version\":1,\"txn\":\"\"}\n{\"dir\":\"data/c_x\",\"min\":\"a\",\"max\":\"b\"}\n")
+    val e = intercept[IllegalStateException](vt.readManifest(1L))
+    assert(e.getMessage.contains("pre-v2"))
+    assert(e.getMessage.contains("v_1.manifest"))
+    assert(e.getMessage.contains("migration"))
+  }
+
   test("lost-append audit, B side: predecessor's append is carried forward") {
     val vt = fresh()
     val v0 = vt.commit(Seq((1L, "a")).toDF("id", "v"))
