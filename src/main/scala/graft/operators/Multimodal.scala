@@ -9,12 +9,15 @@ import graft.core.Tables
 /** Multimodal-column plumbing (north star): image/audio/video as
   * opaque `binary` payloads plus typed metadata, with batched
   * per-partition feature extraction. Decode dispatches on
-  * `media_type`: PNG/JPEG payloads decode FOR REAL via the JDK's
-  * `javax.imageio` ([[decodeImage]] — pixel-stat feature vector);
-  * formats needing native libs absent from this container (audio,
-  * video) fall back to the deterministic stub ([[stubDecode]]), so
-  * the pipeline shape is identical for every modality and a real
-  * deployment swaps only the per-format kernel.
+  * `media_type` and is REAL wherever a format needs no native codec:
+  * PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` ([[decodeImage]]),
+  * WAV/PCM audio via a direct RIFF parse ([[decodeWav]] — WAV is a
+  * container, not a codec), and MJPEG-in-AVI video via RIFF walk +
+  * per-frame JPEG decode ([[aviJpegFrames]]). Only formats that
+  * genuinely need codec libraries absent from this container (MP3/
+  * AAC audio, H.264+ video) fall back to the deterministic stub
+  * ([[stubDecode]]), so the pipeline shape is identical for every
+  * modality and a real deployment swaps only the per-format kernel.
   *
   * At 100 TB: payloads dominate storage, so (1) metadata-only queries
   * must never read the payload column (parquet column pruning — the
@@ -45,11 +48,11 @@ object Multimodal {
       sha2($"text".cast(BinaryType), 256).as("content_sha"))
   }
 
-  /** STUB DECODE — stands in for image decode / audio PCM / frame
-    * sampling, which need native libs absent from this container. A
-    * real deployment swaps ONLY this function (same signature: bytes →
-    * fixed-width feature vector). Deterministic: 8-bucket byte
-    * histogram, L1-normalized.
+  /** STUB DECODE — stands in for the codec formats this container
+    * cannot decode (MP3/AAC audio, H.264+ video; WAV and MJPEG-AVI
+    * decode for real, see below). A real deployment swaps ONLY this
+    * function (same signature: bytes → fixed-width feature vector).
+    * Deterministic: 8-bucket byte histogram, L1-normalized.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](8)
@@ -107,16 +110,173 @@ object Multimodal {
       (nAlpha / n).toFloat)
   }
 
-  /** Per-media-type kernel dispatch: real image decode for every
-    * format the bundled JDK's ImageIO ships a reader for (PNG, JPEG,
-    * GIF, BMP — and WBMP, which shares the BMP family), deterministic
-    * stub for everything else (audio/video codecs aren't in this
-    * container). One place to widen as codecs land.
+  // ---- WAV (RIFF/PCM) — REAL audio decode, no codec libraries ------
+
+  /** Parsed WAV payload: channel/rate metadata plus the channel-mean
+    * ("mono mixdown") sample stream normalized to [-1, 1].
+    */
+  private[operators] final case class Wav(nChannels: Int, sampleRate: Int,
+      bitsPerSample: Int, mono: Array[Float])
+
+  private def leU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def leI32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse RIFF/WAVE bytes: PCM (format 1, 8/16/24/32-bit int) and
+    * IEEE float32 (format 3), plus WAVE_FORMAT_EXTENSIBLE wrapping
+    * either. WAV is a pure container — this is byte arithmetic, not a
+    * codec, which is why the audio path can be REAL in a container
+    * with no media libraries. Returns null for anything unparseable
+    * (a 100 TB crawl always contains truncated/corrupt payloads; a
+    * throwing decoder would kill the stage).
+    */
+  private[operators] def parseWav(payload: Array[Byte]): Wav = {
+    if (payload == null || payload.length < 44) return null
+    if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "WAVE") return null
+    var fmtCode = -1; var nCh = 0; var rate = 0; var bits = 0
+    var blockAlign = 0; var dataOff = -1; var dataLen = 0
+    var pos = 12
+    while (pos + 8 <= payload.length) {
+      val id = fourCC(payload, pos)
+      val size = leI32(payload, pos + 4)
+      if (size < 0 || pos + 8 > payload.length) return null
+      val avail = math.min(size, payload.length - pos - 8)
+      id match {
+        case "fmt " if avail >= 16 =>
+          fmtCode = leU16(payload, pos + 8)
+          nCh = leU16(payload, pos + 10)
+          rate = leI32(payload, pos + 12)
+          blockAlign = leU16(payload, pos + 20)
+          bits = leU16(payload, pos + 22)
+          // WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+          // bytes of the SubFormat GUID at offset 24 of the extension
+          if (fmtCode == 0xFFFE && avail >= 40)
+            fmtCode = leU16(payload, pos + 8 + 24)
+        case "data" => dataOff = pos + 8; dataLen = avail
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (dataOff < 0 || nCh <= 0 || rate <= 0) return null
+    val bytesPer = bits / 8
+    if (blockAlign <= 0) blockAlign = nCh * bytesPer
+    val ok = (fmtCode == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+      (fmtCode == 3 && bits == 32)
+    if (!ok || blockAlign != nCh * bytesPer) return null
+    val nFrames = dataLen / blockAlign
+    val mono = new Array[Float](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      var acc = 0.0
+      var c = 0
+      while (c < nCh) {
+        val off = dataOff + i * blockAlign + c * bytesPer
+        acc += (if (fmtCode == 3)
+          java.lang.Float.intBitsToFloat(leI32(payload, off)).toDouble
+        else bits match {
+          case 8  => ((payload(off) & 0xff) - 128) / 128.0 // 8-bit is unsigned
+          case 16 => leU16(payload, off).toShort / 32768.0
+          case 24 =>
+            val v = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+              (payload(off + 2) << 16) // top byte keeps its sign
+            v / 8388608.0
+          case _  => leI32(payload, off) / 2147483648.0
+        })
+        c += 1
+      }
+      mono(i) = (acc / nCh).toFloat
+      i += 1
+    }
+    Wav(nCh, rate, bits, mono)
+  }
+
+  /** REAL WAV decode: bytes → an 8-wide audio-stat feature vector
+    * `[nChannels, sampleRate, durationSec, rms, zeroCrossRate,
+    * peakAbs, meanAbs, dcOffset]` over the mono mixdown. Null for
+    * undecodable payloads, mirroring [[decodeImage]].
+    */
+  def decodeWav(payload: Array[Byte]): Array[Float] = {
+    val w = parseWav(payload)
+    if (w == null) return null
+    Array(w.nChannels.toFloat, w.sampleRate.toFloat,
+      w.mono.length.toFloat / w.sampleRate) ++ windowStats(w.mono)
+  }
+
+  /** `[rms, zeroCrossRate, peakAbs, meanAbs, dcOffset]` of a sample
+    * window — the per-window kernel [[sampleAudioWindows]] shares
+    * with the whole-file [[decodeWav]].
+    */
+  private def windowStats(xs: Array[Float]): Array[Float] = {
+    var s = 0.0; var s2 = 0.0; var sa = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < xs.length) {
+      val x = xs(i)
+      s += x; s2 += x * x; sa += math.abs(x)
+      if (math.abs(x) > peak) peak = math.abs(x)
+      if (i > 0 && ((x >= 0) != (xs(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    val n = math.max(xs.length, 1)
+    Array(math.sqrt(s2 / n).toFloat,
+      if (xs.length > 1) zc.toFloat / (xs.length - 1) else 0f,
+      peak.toFloat, (sa / n).toFloat, (s / n).toFloat)
+  }
+
+  // ---- MJPEG-in-AVI — REAL video frame extraction -------------------
+
+  /** Extract the JPEG frame payloads from an MJPEG AVI: AVI is RIFF,
+    * frames live in the `movi` LIST as `##dc` chunks (possibly
+    * grouped inside nested `rec ` LISTs), and for the MJPEG fourcc
+    * each chunk body IS a JPEG — so ImageIO finishes the job with no
+    * video codec. Non-JPEG chunk bodies (uncompressed `##db` DIBs,
+    * other codecs) are skipped; an unparseable container yields an
+    * empty array, mirroring null-for-undecodable elsewhere.
+    */
+  private[operators] def aviJpegFrames(payload: Array[Byte]): Array[Array[Byte]] = {
+    if (payload == null || payload.length < 12) return Array.empty
+    if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ") return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val frameId = java.util.regex.Pattern.compile("[0-9]{2}d[bc]")
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fourCC(payload, pos)
+        val size = leI32(payload, pos + 4)
+        if (size < 0) return
+        val body = pos + 8
+        val end = math.min(body + size, to)
+        if (id == "LIST" && end - body >= 4) {
+          val sub = fourCC(payload, body)
+          walk(body + 4, end, inMovi || sub == "movi")
+        } else if (inMovi && frameId.matcher(id).matches() && end - body >= 2 &&
+            (payload(body) & 0xff) == 0xFF && (payload(body + 1) & 0xff) == 0xD8) {
+          out += java.util.Arrays.copyOfRange(payload, body, end)
+        }
+        pos = body + size + (size & 1)
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    out.toArray
+  }
+
+  /** Per-media-type kernel dispatch — REAL decode for every format
+    * this container can handle without native codecs: ImageIO images,
+    * RIFF-parsed WAV audio, first-frame stats of MJPEG AVI video.
+    * Deterministic stub for the rest. One place to widen as codecs
+    * land.
     */
   def decodeFor(mediaType: String, payload: Array[Byte]): Array[Float] =
     mediaType match {
       case "image/png" | "image/jpeg" | "image/gif" | "image/bmp"
          | "image/vnd.wap.wbmp" => decodeImage(payload)
+      case "audio/wav" | "audio/x-wav" | "audio/wave" => decodeWav(payload)
+      case "video/avi" | "video/x-msvideo" =>
+        aviJpegFrames(payload).iterator.map(decodeImage)
+          .find(_ != null).orNull
       case _ => stubDecode(payload)
     }
 
@@ -137,12 +297,59 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
-  /** STUB FRAME SAMPLER — the one-to-many extraction shape (video →
-    * frames, audio → windows): each payload yields ceil(n_bytes /
-    * frameBytes) pseudo-frames, each with its index and byte offset.
-    * A real deployment swaps the slicing for codec-aware frame
-    * decoding; the Spark shape — flatMap inside mapPartitions, output
-    * rows ≫ input rows, no driver involvement — is the real contract.
+  /** REAL audio window sampler: WAV payloads → overlapping analysis
+    * windows of the mono mixdown, each row carrying
+    * `[rms, zeroCrossRate, peakAbs, meanAbs, dcOffset]` — the
+    * one-to-many audio shape (what an MFCC/fbank front-end does)
+    * running on real samples. flatMap inside mapPartitions: output
+    * rows ≫ input rows, bounded memory, no driver involvement.
+    * Undecodable payloads yield no rows.
+    */
+  def sampleAudioWindows(media: DataFrame, windowSamples: Int = 1024,
+      hopSamples: Int = 512): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0, "window/hop must be positive")
+    import media.sparkSession.implicits._
+    media.select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val w = parseWav(bytes)
+        if (w == null || w.mono.isEmpty) Iterator.empty
+        else (0 until w.mono.length by hopSamples).iterator.map { off =>
+          val win = java.util.Arrays.copyOfRange(
+            w.mono, off, math.min(off + windowSamples, w.mono.length))
+          (id, off / hopSamples, off.toLong, windowStats(win))
+        }
+      })
+      .toDF("media_id", "frame_idx", "sample_offset", "features")
+  }
+
+  /** REAL video frame sampler for MJPEG AVI: every `every`-th frame
+    * of the container decodes through the image kernel, yielding the
+    * per-frame pixel-stat vector — video → frames with no native
+    * codec. Frames that fail JPEG decode yield null features (kept,
+    * so frame indexing stays truthful); undecodable containers yield
+    * no rows.
+    */
+  def sampleVideoFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every > 0, "frame stride must be positive")
+    import media.sparkSession.implicits._
+    media.select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aviJpegFrames(bytes).iterator.zipWithIndex
+          .filter(_._2 % every == 0)
+          .map { case (jpeg, i) => (id, i, decodeImage(jpeg)) }
+      })
+      .toDF("media_id", "frame_idx", "features")
+  }
+
+  /** STUB FRAME SAMPLER — the codec-less fallback of the one-to-many
+    * shape for formats whose codecs are absent (MP3 windows, H.264
+    * frames): each payload yields ceil(n_bytes / frameBytes)
+    * pseudo-frames, each with its index and byte offset. The REAL
+    * equivalents are [[sampleAudioWindows]] (WAV) and
+    * [[sampleVideoFrames]] (MJPEG AVI); a deployment with codecs
+    * swaps the slicing the same way.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256): DataFrame = {
     import media.sparkSession.implicits._
