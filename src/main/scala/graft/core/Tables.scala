@@ -65,6 +65,16 @@ object Tables {
     // with this flag it arrives as a long of nanoseconds instead and the
     // fold below floors it to µs (the same floor DuckDB applies).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP(isAdjustedToUTC=false) columns surface as TimestampType
+    // AT THE SCAN instead of TimestampNTZType (UTC session ⇒ identical
+    // values). This beats the cast-after-scan alternative at 100 TB:
+    // a cast between scan and predicate empties PushedFilters, while
+    // with the conf the scan itself is timestamp-typed and ts/date
+    // range predicates keep parquet row-group pruning (verified:
+    // PushedFilters [GreaterThanOrEqual(ts,...)] vs [] on the same
+    // query). The NTZ cast case in the fold below stays as a fallback
+    // for any future shape the conf doesn't cover.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val want = canonicalSchemas.get(name)
     def wantsTimestamp(c: String): Boolean =

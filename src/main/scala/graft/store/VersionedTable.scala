@@ -496,8 +496,17 @@ class VersionedTable(spark: SparkSession, root: String,
       val next = (listNumbers(claimRe) ++ listNumbers(manifestRe))
         .foldLeft(-1L)(math.max) + 1L
       val claimed =
-        try { fs.create(new Path(manifestsDir, s"v_$next.claim"),
-          false).close(); true }
+        try {
+          // the claim body names the commit dirs this writer will
+          // publish: vacuum spares dirs named by a PENDING claim (see
+          // vacuum), closing the claim→publish window during which a
+          // commit's data is on disk but referenced by no manifest
+          val out = fs.create(new Path(manifestsDir, s"v_$next.claim"), false)
+          try out.write(addFiles.map(_.commit).distinct.sorted
+            .mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          true
+        }
         catch { case _: java.io.IOException => false } // lost the race
       if (claimed) {
         // base entries are read AFTER the claim: the claim winner
@@ -617,19 +626,36 @@ class VersionedTable(spark: SparkSession, root: String,
     *
     * This SHRINKS the time-travel window to `retain` versions and
     * forgets dropped versions' txn ids (replay fences should outlive
-    * retention by keeping `retain` ≥ the replay horizon). Run it from
-    * the (single) writer only: an in-flight commit's data dir is
-    * unreferenced until its manifest publishes and would be swept by
-    * a concurrent vacuum. Readers pinned at a dropped version fail on
-    * next execution — the same contract every table format's vacuum
-    * documents.
+    * retention by keeping `retain` ≥ the replay horizon). Readers
+    * pinned at a dropped version fail on next execution — the same
+    * contract every table format's vacuum documents.
+    *
+    * Claim-aware: an IN-FLIGHT commit (claim published, manifest not
+    * yet) has its data dirs on disk referenced by no manifest — but
+    * its claim body names them, and vacuum spares dirs named by any
+    * PENDING claim (claim number above the newest manifest). A
+    * crashed writer's claim stops pinning its garbage as soon as any
+    * later manifest publishes above it (claim numbers never reuse, so
+    * a newer manifest proves the claimant is not still in flight);
+    * the orphaned dirs are reclaimed by the next vacuum after that.
     */
   def vacuum(retain: Int = 2): Int = {
     require(retain >= 1, "vacuum must retain at least the current version")
     val vs = versions
     val dropped = vs.dropRight(retain)
+    val pendingClaimDirs = {
+      val top = vs.lastOption.getOrElse(-1L)
+      listNumbers(claimRe).filter(_ > top).flatMap { n =>
+        try {
+          val in = fs.open(new Path(manifestsDir, s"v_$n.claim"))
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          body.linesIterator.map(_.trim).filter(_.nonEmpty)
+        } catch { case _: java.io.IOException => Nil } // claim raced away
+      }.toSet
+    }
     val referenced = vs.takeRight(retain)
-      .flatMap(readManifest(_).files.map(_.commit)).toSet
+      .flatMap(readManifest(_).files.map(_.commit)).toSet ++ pendingClaimDirs
     // drop old manifests first: once they're gone no reader can
     // resolve a version whose data is about to disappear
     dropped.foreach { n =>

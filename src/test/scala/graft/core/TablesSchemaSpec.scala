@@ -34,6 +34,22 @@ class TablesSchemaSpec extends SparkSpec {
     assert(loadedTypes("lineitem").contains(("l_shipdate", TimestampType)))
   }
 
+  test("ts range predicates push down into the parquet scan (100 TB contract)") {
+    // the loader must surface timestamps AT THE SCAN (inferTimestampNTZ
+    // off), not via a post-scan cast — a cast between scan and filter
+    // empties PushedFilters and forfeits row-group pruning
+    val plan = Tables.load(spark, sf, "events")
+      .filter("ts >= timestamp'2024-01-02 00:00:00'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"ts filter must reach PushedFilters; plan:\n${plan.take(800)}")
+    val plan2 = Tables.load(spark, sf, "lineitem")
+      .filter("l_shipdate < timestamp'1995-01-01 00:00:00'")
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("LessThan(l_shipdate,"),
+      s"l_shipdate filter must reach PushedFilters; plan:\n${plan2.take(800)}")
+  }
+
   test("an unexpected fixture shape fails loudly at the loader") {
     // a table whose canonical schema can't be reached by normalization
     // must name the file in the error, not flow through

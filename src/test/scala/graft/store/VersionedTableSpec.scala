@@ -180,6 +180,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Seq(p53 + 1), s"got $got — double-coerced bound admitted 2^53")
   }
 
+  test("vacuum spares an in-flight claim's data dirs, reclaims them once stale") {
+    val vt = fresh()
+    vt.commit(Seq((1L, "a")).toDF("id", "v"))            // v0
+    vt.replace(Seq((2L, "b")).toDF("id", "v"))           // v1: v0's dir orphaned
+    val root = vt.read().inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/data/c_.*", "")
+    // forge an in-flight writer: data written, claim v2 naming the dir,
+    // manifest not yet published — the claim→publish window
+    val inflight = java.nio.file.Paths.get(root, "data", "c_inflight")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-00000.parquet"), "pending")
+    Files.writeString(java.nio.file.Paths.get(root, "_manifests", "v_2.claim"),
+      "data/c_inflight\n")
+    assert(vt.vacuum(retain = 1) == 1, "v0's orphaned dir is swept")
+    assert(Files.exists(inflight), "in-flight commit's dir must survive")
+    // a later manifest above the claim proves the claimant dead; its
+    // garbage is then reclaimable
+    vt.replace(Seq((3L, "c")).toDF("id", "v"))           // v3 (> claim 2)
+    assert(vt.vacuum(retain = 1) >= 1)
+    assert(!Files.exists(inflight), "stale claim no longer pins its dir")
+  }
+
   test("a pre-v2 (op-less header) manifest is rejected with a migration error") {
     val vt = fresh()
     vt.commit(Seq((1L, "a")).toDF("id", "v"))
