@@ -380,6 +380,15 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
       fs.listStatus(root).exists(_.getPath.getName.startsWith("kb="))
   }
 
+  /** The cache tier in front of the serving layout (the reference's
+    * ElastiCache role): bounded bucket-level LRU with read-through
+    * signature invalidation — repeated lookups cost zero Spark jobs.
+    * See [[ServingCache]].
+    */
+  def servingCache(maxCachedBuckets: Int = 16): ServingCache =
+    new ServingCache(spark, servingDir, conf.keyCol, servingBuckets,
+      maxCachedBuckets, dropCols = Seq(seqCol))
+
   /** Partition-pruned point lookup against the serving table — the
     * scan lists exactly one `kb=` directory (asserted in
     * StoreServingSpec).
