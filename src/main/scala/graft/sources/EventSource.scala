@@ -105,18 +105,32 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
     streamId + ".offsets" + marks.toSeq.sorted
       .map { case (p, o) => s":$p-$o" }.mkString
 
+  // Marks cache: the manifest scan runs ONCE (recovery), then marks
+  // advance in-process with each commit. Sound because this sink is
+  // the single writer for its streamId (the store's writer contract) —
+  // no other writer can advance `<streamId>.offsets` txn ids. Without
+  // the cache every micro-batch re-reads every manifest: O(versions)
+  // per batch, quadratic over a long-running stream's life.
+  private var cachedMarks: Option[Map[Int, Long]] = None
+
   /** Per-partition committed high-water marks (max over every manifest
-    * this stream has written).
+    * this stream has written). First call scans the manifests; later
+    * calls serve the in-process cache maintained by [[commitBatch]].
     */
-  def committedMarks(): Map[Int, Long] =
-    table.committedTxnIds.flatMap {
-      case markRe(pairs) =>
-        pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
-          val Array(p, o) = pair.split("-", 2)
-          p.toInt -> o.toLong
-        }
-      case _ => Nil
-    }.groupMapReduce(_._1)(_._2)(math.max(_, _))
+  def committedMarks(): Map[Int, Long] = synchronized {
+    cachedMarks.getOrElse {
+      val scanned = table.committedTxnIds.flatMap {
+        case markRe(pairs) =>
+          pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
+            val Array(p, o) = pair.split("-", 2)
+            p.toInt -> o.toLong
+          }
+        case _ => Nil
+      }.groupMapReduce(_._1)(_._2)(math.max(_, _))
+      cachedMarks = Some(scanned)
+      scanned
+    }
+  }
 
   /** Commit one micro-batch of wire-shaped rows. Returns the published
     * version, or None when every row was already committed (a fully
@@ -145,7 +159,9 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       val merged = (marks.keySet ++ advanced.keySet).map { p =>
         p -> math.max(marks.getOrElse(p, -1L), advanced.getOrElse(p, -1L))
       }.toMap
-      Some(table.commit(live, txnId = Some(encodeMarks(merged))))
+      val v = table.commit(live, txnId = Some(encodeMarks(merged)))
+      synchronized { cachedMarks = Some(merged) } // commit landed: advance
+      Some(v)
     }
   }
 }
