@@ -135,10 +135,16 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   /** Commit one micro-batch of wire-shaped rows. Returns the published
     * version, or None when every row was already committed (a fully
     * replayed batch — including the crash-between-commit-and-checkpoint
-    * window). Rows keep their wire columns; downstream consumers parse
-    * `value` from the table.
+    * window).
+    *
+    * `transform` runs AFTER the offset fence and before the commit, so
+    * the table can hold parsed/projected rows (e.g. wire `value` JSON →
+    * typed purchase columns) while replay fencing still keys on the
+    * bus's own (partition, offset) — the fence never depends on what
+    * the parse keeps or drops. Default: store the wire rows as-is.
     */
-  def commitBatch(batch: DataFrame): Option[Long] = {
+  def commitBatch(batch: DataFrame,
+      transform: DataFrame => DataFrame = identity): Option[Long] = {
     val marks = committedMarks()
     val live =
       if (marks.isEmpty) batch
@@ -159,7 +165,7 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       val merged = (marks.keySet ++ advanced.keySet).map { p =>
         p -> math.max(marks.getOrElse(p, -1L), advanced.getOrElse(p, -1L))
       }.toMap
-      val v = table.commit(live, txnId = Some(encodeMarks(merged)))
+      val v = table.commit(transform(live), txnId = Some(encodeMarks(merged)))
       synchronized { cachedMarks = Some(merged) } // commit landed: advance
       Some(v)
     }

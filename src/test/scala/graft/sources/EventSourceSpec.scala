@@ -75,6 +75,24 @@ class EventSourceSpec extends SparkSpec {
     assert(recovered.commitBatch(wire(Seq(0 -> 7L))).isEmpty)
   }
 
+  test("transform commits parsed rows while the fence stays on wire offsets") {
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "s1")
+    // wire value is "v<p>-<o>"; the parse keeps typed columns only
+    def parseAmount(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("offset as purchase_id", "ts as purchase_timestamp",
+        "cast(regexp_extract(value, '([0-9]+)$', 1) as double) as amount")
+    assert(sink.commitBatch(wire((0L to 4L).map(o => 0 -> o)), parseAmount).nonEmpty)
+    // replay re-split with overlap: fence drops 0-4, commits 5-7 parsed
+    sink.commitBatch(wire((2L to 7L).map(o => 0 -> o)), parseAmount)
+    val got = t.read().collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.keySet == (0L to 7L).toSet, "each offset exactly once, parsed")
+    assert(got(7L) == 7.0, "parsed amount from wire value")
+    assert(t.read().columns.toSeq ==
+      Seq("purchase_id", "purchase_timestamp", "amount"))
+  }
+
   test("end-to-end: MemoryEventSource through runIngest drains into the table") {
     implicit val sqlCtx = spark.sqlContext
     val t = freshTable
