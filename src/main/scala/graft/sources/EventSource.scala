@@ -90,10 +90,11 @@ object EventSource {
   * exactly once. At 100 TB/day the extra cost is one broadcast-sized
   * map lookup per row and an O(#partitions) groupBy per batch.
   *
-  * Mark recovery scans manifest txn ids newest-first and ORs the
-  * per-partition maxima (a batch touching only p0 advances only p0's
-  * mark). Driver-side O(versions) text reads — vacuum retention must
-  * outlive the replay horizon, same contract as txn replay fences.
+  * Mark recovery folds every manifest's txn id into the per-partition
+  * maxima (a batch touching only p0 advances only p0's mark).
+  * Driver-side O(versions) text reads, once per sink instance —
+  * vacuum retention must outlive the replay horizon, same contract as
+  * txn replay fences.
   */
 final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   require(streamId.matches("[A-Za-z0-9._-]+"),
@@ -156,10 +157,19 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
         batch.filter(col("offset") >
           coalesce(element_at(markMap, col("partition")), lit(-1L)))
       }
-    // O(#partitions) rows to the driver — the batch's own frontier
+    // O(#partitions) rows to the driver — the batch's own frontier.
+    // Null or negative identifiers cannot round-trip the mark codec
+    // (and a null offset would be silently fenced as a replay); no
+    // real bus emits either — fail the batch loudly instead.
     val advanced = live.groupBy(col("partition"))
       .agg(max(col("offset")).as("hi")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "bus rows carry null partition/offset")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
+    require(advanced.forall { case (p, o) => p >= 0 && o >= 0 },
+      s"bus rows carry negative partition/offset: ${advanced.take(4)}")
     if (advanced.isEmpty) None
     else {
       val merged = (marks.keySet ++ advanced.keySet).map { p =>

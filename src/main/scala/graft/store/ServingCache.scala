@@ -91,6 +91,9 @@ final class ServingCache(spark: SparkSession, servingDir: String,
     * `FeatureStore.getServingRecord` plans), memoized for next time.
     */
   def get(id: Any): Option[Row] = synchronized {
+    // a layout no merge has written yet has no keys (and no schema to
+    // normalize against) — None, not a PATH_NOT_FOUND from the driver
+    if (!fs.exists(new Path(servingDir))) return None
     val b = bucketOf(id)
     val sig = signature(b)
     val cached = Option(lru.get(b)).filter(_.sig == sig)

@@ -93,6 +93,13 @@ class EventSourceSpec extends SparkSpec {
       Seq("purchase_id", "purchase_timestamp", "amount"))
   }
 
+  test("negative partition/offset fails the batch loudly (mark-codec guard)") {
+    val sink = new OffsetTrackedSink(freshTable, "s1")
+    val e = intercept[IllegalArgumentException](
+      sink.commitBatch(wire(Seq(0 -> -1L))))
+    assert(e.getMessage.contains("negative"))
+  }
+
   test("end-to-end: MemoryEventSource through runIngest drains into the table") {
     implicit val sqlCtx = spark.sqlContext
     val t = freshTable

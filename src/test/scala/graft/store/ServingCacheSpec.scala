@@ -83,6 +83,11 @@ class ServingCacheSpec extends SparkSpec {
       assert(cache.bucketOf(k) == want(k), s"bucket mismatch for key $k")
   }
 
+  test("a never-merged serving layout yields None, not PATH_NOT_FOUND") {
+    val s = freshStore()
+    assert(s.servingCache().get(1L).isEmpty)
+  }
+
   test("an empty (never-merged) bucket yields None, not an error") {
     val s = freshStore()
     s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
