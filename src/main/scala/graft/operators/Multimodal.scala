@@ -139,27 +139,33 @@ object Multimodal {
     if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "WAVE") return null
     var fmtCode = -1; var nCh = 0; var rate = 0; var bits = 0
     var blockAlign = 0; var dataOff = -1; var dataLen = 0
-    var pos = 12
+    // the cursor advances in Long: a crafted chunk size near
+    // Int.MaxValue would wrap an Int cursor negative, and the loop
+    // guard would then index out of bounds — violating the
+    // null-for-unparseable no-throw contract this parser runs under
+    // inside mapPartitions
+    var pos = 12L
     while (pos + 8 <= payload.length) {
-      val id = fourCC(payload, pos)
-      val size = leI32(payload, pos + 4)
-      if (size < 0 || pos + 8 > payload.length) return null
-      val avail = math.min(size, payload.length - pos - 8)
+      val p = pos.toInt
+      val id = fourCC(payload, p)
+      val size = leI32(payload, p + 4)
+      if (size < 0) return null
+      val avail = math.min(size.toLong, payload.length - pos - 8).toInt
       id match {
         case "fmt " if avail >= 16 =>
-          fmtCode = leU16(payload, pos + 8)
-          nCh = leU16(payload, pos + 10)
-          rate = leI32(payload, pos + 12)
-          blockAlign = leU16(payload, pos + 20)
-          bits = leU16(payload, pos + 22)
+          fmtCode = leU16(payload, p + 8)
+          nCh = leU16(payload, p + 10)
+          rate = leI32(payload, p + 12)
+          blockAlign = leU16(payload, p + 20)
+          bits = leU16(payload, p + 22)
           // WAVE_FORMAT_EXTENSIBLE: the real format is the first two
           // bytes of the SubFormat GUID at offset 24 of the extension
           if (fmtCode == 0xFFFE && avail >= 40)
-            fmtCode = leU16(payload, pos + 8 + 24)
-        case "data" => dataOff = pos + 8; dataLen = avail
+            fmtCode = leU16(payload, p + 8 + 24)
+        case "data" => dataOff = p + 8; dataLen = avail
         case _ => ()
       }
-      pos += 8 + size + (size & 1) // chunks are word-aligned
+      pos += 8L + size + (size & 1) // chunks are word-aligned
     }
     if (dataOff < 0 || nCh <= 0 || rate <= 0) return null
     val bytesPer = bits / 8
@@ -242,13 +248,18 @@ object Multimodal {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val frameId = java.util.regex.Pattern.compile("[0-9]{2}d[bc]")
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
-      var pos = from
+      // Long cursor + Long end arithmetic: a crafted chunk size near
+      // Int.MaxValue must neither wrap the cursor negative (index
+      // crash) nor wrap `body + size` (mis-sliced frame) — same
+      // no-throw contract as parseWav
+      var pos = from.toLong
       while (pos + 8 <= to) {
-        val id = fourCC(payload, pos)
-        val size = leI32(payload, pos + 4)
+        val p = pos.toInt
+        val id = fourCC(payload, p)
+        val size = leI32(payload, p + 4)
         if (size < 0) return
-        val body = pos + 8
-        val end = math.min(body + size, to)
+        val body = p + 8
+        val end = math.min(body.toLong + size, to.toLong).toInt
         if (id == "LIST" && end - body >= 4) {
           val sub = fourCC(payload, body)
           walk(body + 4, end, inMovi || sub == "movi")
@@ -256,7 +267,7 @@ object Multimodal {
             (payload(body) & 0xff) == 0xFF && (payload(body + 1) & 0xff) == 0xD8) {
           out += java.util.Arrays.copyOfRange(payload, body, end)
         }
-        pos = body + size + (size & 1)
+        pos = body.toLong + size + (size & 1)
       }
     }
     walk(12, payload.length, inMovi = false)

@@ -138,6 +138,46 @@ class MultimodalAvSpec extends SparkSpec {
     assert(rows(0).isNullAt(1))
   }
 
+  test("a chunk size near Int.MaxValue must not wrap the RIFF cursor") {
+    // crafted WAV: a chunk before `data` declares size 0x7ffffff8 — an
+    // Int cursor would wrap negative (8 + size overflows) and the next
+    // fourCC read would throw out of bounds; the contract is null
+    val b = new java.io.ByteArrayOutputStream()
+    cc(b, "RIFF"); le32(b, 100); cc(b, "WAVE")
+    cc(b, "JUNK"); le32(b, 0x7ffffff8)
+    b.write(new Array[Byte](32)) // a few body bytes, far short of size
+    assert(Multimodal.parseWav(b.toByteArray) == null)
+
+    // a VALID wav followed by a trailing huge-size chunk still decodes
+    // (the truncated trailer is skipped, not fatal)
+    val ok = wavBytes(1, 8000, 16, Seq(0.5, -0.5, 0.5, -0.5))
+    val t = new java.io.ByteArrayOutputStream()
+    t.write(ok, 0, ok.length)
+    cc(t, "JUNK"); le32(t, Int.MaxValue - 3); t.write(7)
+    val withTrailer = t.toByteArray
+    // patch the RIFF size up (not that the parser trusts it)
+    val f = Multimodal.parseWav(withTrailer)
+    assert(f != null && f.mono.length == 4)
+  }
+
+  test("an AVI frame chunk with a huge declared size must not crash the walk") {
+    val jpeg = jpgBytes(4, 4, 0xff0000)
+    val b = new java.io.ByteArrayOutputStream()
+    val movi = new java.io.ByteArrayOutputStream()
+    cc(movi, "movi")
+    cc(movi, "00dc"); le32(movi, 0x7ffffff0) // lies: only a JPEG follows
+    movi.write(jpeg, 0, jpeg.length)
+    val mb = movi.toByteArray
+    cc(b, "RIFF"); le32(b, 4 + 8 + mb.length); cc(b, "AVI ")
+    cc(b, "LIST"); le32(b, mb.length); b.write(mb, 0, mb.length)
+    // old Int arithmetic: body+size wraps, cursor goes negative, fourCC
+    // throws; the contract is clamp-and-continue (frame clipped to the
+    // available bytes — it still starts with the JPEG magic, so it is
+    // surfaced; decode of the truncated JPEG may fail, which is fine)
+    val frames = Multimodal.aviJpegFrames(b.toByteArray)
+    assert(frames.length == 1 && frames(0).length == jpeg.length)
+  }
+
   test("sampleAudioWindows: hop/window arithmetic and per-window stats") {
     // 10 samples: 4 loud then 6 silent; window 4, hop 4 → offsets 0,4,8
     val bytes = wavBytes(1, 8000, 16,
