@@ -60,21 +60,31 @@ object Tables {
     case other             => other
   }
 
+  /** The parquet-reader confs the canonical timestamp typing wants SET
+    * AT SESSION CONSTRUCTION (`Sessions.local` applies them; so does the
+    * spec session). They are deliberately NOT set here: a loader that
+    * flips session-global switches as a side effect silently changes
+    * timestamp typing for every unrelated read in the same session
+    * (round-8 advice). On a session without them the normalization fold
+    * below still yields the canonical schema — at the cost of the NTZ
+    * cast sitting between scan and predicate (pushdown loss), and
+    * nanos-encoded fixtures failing outright (the vectorized reader
+    * rejects TIMESTAMP(NANOS) without the legacy flag) — loudly, via
+    * the schema `require`.
+    *
+    *  - `nanosAsLong`: TIMESTAMP(NANOS) arrives as a long of nanos and
+    *    the fold floors it to µs (the same floor DuckDB applies).
+    *  - `inferTimestampNTZ=false`: TIMESTAMP(isAdjustedToUTC=false)
+    *    surfaces as TimestampType AT THE SCAN (UTC session ⇒ identical
+    *    values), so ts/date range predicates keep parquet row-group
+    *    pruning — verified PushedFilters [GreaterThanOrEqual(ts,...)]
+    *    vs [] for the cast-after-scan alternative.
+    */
+  val readerConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // TIMESTAMP(NANOS) is rejected outright by the vectorized reader;
-    // with this flag it arrives as a long of nanoseconds instead and the
-    // fold below floors it to µs (the same floor DuckDB applies).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // TIMESTAMP(isAdjustedToUTC=false) columns surface as TimestampType
-    // AT THE SCAN instead of TimestampNTZType (UTC session ⇒ identical
-    // values). This beats the cast-after-scan alternative at 100 TB:
-    // a cast between scan and predicate empties PushedFilters, while
-    // with the conf the scan itself is timestamp-typed and ts/date
-    // range predicates keep parquet row-group pruning (verified:
-    // PushedFilters [GreaterThanOrEqual(ts,...)] vs [] on the same
-    // query). The NTZ cast case in the fold below stays as a fallback
-    // for any future shape the conf doesn't cover.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val want = canonicalSchemas.get(name)
     def wantsTimestamp(c: String): Boolean =

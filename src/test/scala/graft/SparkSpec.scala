@@ -20,6 +20,9 @@ trait SparkSpec extends AnyFunSuite {
     // across test runs (in-memory catalog forgets, directories don't)
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    // mirror Sessions.local: fixture timestamp typing at the scan
+    // (Tables.load no longer sets these as a side effect)
+    .config(new org.apache.spark.SparkConf().setAll(graft.core.Tables.readerConfs))
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"

@@ -50,6 +50,39 @@ class TablesSchemaSpec extends SparkSpec {
       s"l_shipdate filter must reach PushedFilters; plan:\n${plan2.take(800)}")
   }
 
+  test("Tables.load leaves the session's SQL conf untouched") {
+    // round-8 advice: the loader used to flip reader confs as a side
+    // effect, silently changing timestamp typing for every unrelated
+    // read in the session. The confs now live in session construction.
+    val probes = Tables.readerConfs.keys.toSeq
+    val before = probes.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try {
+      Tables.load(spark, sf, "events")
+      assert(spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "true",
+        "load must not overwrite a caller's conf choice")
+      // and the fold fallback still yields the canonical schema even
+      // when the scan surfaces NTZ (the conf the caller chose)
+      assert(Tables.load(spark, sf, "events").schema("ts").dataType
+        === TimestampType)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("a session built with readerConfs reads NTZ fixtures as TimestampType at the scan") {
+    // the confs' new home must actually deliver scan-level typing: a
+    // RAW read (no Tables.load normalization) of the driver's
+    // NTZ-encoded fixture must surface TimestampType straight from the
+    // scan. (A Spark-written NTZ file is NOT a valid probe here: Spark
+    // embeds its own schema metadata, which overrides inference — the
+    // conf governs exactly the foreign-writer files the driver ships.)
+    assert(spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+      === TimestampType,
+      "a session built with Tables.readerConfs must type NTZ at the scan")
+  }
+
   test("an unexpected fixture shape fails loudly at the loader") {
     // a table whose canonical schema can't be reached by normalization
     // must name the file in the error, not flow through
