@@ -83,6 +83,94 @@ class ServingCacheSpec extends SparkSpec {
       assert(cache.bucketOf(k) == want(k), s"bucket mismatch for key $k")
   }
 
+  test("a cold bucket load never blocks hits on already-cached buckets") {
+    // round-8 verdict #1: the old get() held the global lock across the
+    // parquet collect, so one cold-bucket load stalled EVERY concurrent
+    // lookup. Gate one bucket's load on a latch and prove a hit on a
+    // different, already-cached bucket completes while the load hangs.
+    val s = freshStore()
+    s.mergeServing((1L to 200L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val kA = 1L
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val releaseSlow = new java.util.concurrent.CountDownLatch(1)
+    val cache = new ServingCache(spark, s"${s.conf.path}/serving",
+        "customer_id", 64, 16, dropCols = Seq("_seq")) {
+      private val bA = bucketOf(kA)
+      override protected def loadBucket(b: Int, sig: String) = {
+        if (b != bA) { // every OTHER bucket's load hangs until released
+          slowStarted.countDown()
+          assert(releaseSlow.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        }
+        super.loadBucket(b, sig)
+      }
+    }
+    assert(cache.get(kA).get.getAs[Double]("v") == 1.0) // bucket A cached
+    // a key in a DIFFERENT bucket: its load will hang on the latch
+    val kB = (2L to 200L).find(k => cache.bucketOf(k) != cache.bucketOf(kA)).get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val slow = pool.submit(new java.util.concurrent.Callable[Option[Double]] {
+        def call() = cache.get(kB).map(_.getAs[Double]("v"))
+      })
+      assert(slowStarted.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "the cold load must have started")
+      // while the cold load hangs: the cached-bucket hit must complete
+      val hit = pool.submit(new java.util.concurrent.Callable[Option[Double]] {
+        def call() = cache.get(kA).map(_.getAs[Double]("v"))
+      })
+      assert(hit.get(5, java.util.concurrent.TimeUnit.SECONDS) == Some(1.0),
+        "a hit on a cached bucket must not wait for another bucket's load")
+      assert(!slow.isDone, "the gated load must still be in flight")
+      releaseSlow.countDown()
+      assert(slow.get(30, java.util.concurrent.TimeUnit.SECONDS)
+        == Some(kB.toDouble))
+    } finally { releaseSlow.countDown(); pool.shutdownNow(): Unit }
+  }
+
+  test("concurrent misses on the SAME bucket coalesce into one load") {
+    val s = freshStore()
+    s.mergeServing((1L to 100L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cache = new ServingCache(spark, s"${s.conf.path}/serving",
+        "customer_id", 64, 16, dropCols = Seq("_seq")) {
+      override protected def loadBucket(b: Int, sig: String) = {
+        loads.incrementAndGet()
+        Thread.sleep(200) // widen the race window
+        super.loadBucket(b, sig)
+      }
+    }
+    // two keys in the SAME bucket, requested concurrently
+    val k1 = 1L
+    val k2 = (2L to 100L).find(k => cache.bucketOf(k) == cache.bucketOf(k1)).get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Option[Double]] {
+        def call() = cache.get(k1).map(_.getAs[Double]("v"))
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Option[Double]] {
+        def call() = cache.get(k2).map(_.getAs[Double]("v"))
+      })
+      assert(f1.get(30, java.util.concurrent.TimeUnit.SECONDS) == Some(1.0))
+      assert(f2.get(30, java.util.concurrent.TimeUnit.SECONDS) == Some(k2.toDouble))
+      assert(loads.get() == 1,
+        "the second miss must reuse the first's load (double-check)")
+    } finally pool.shutdownNow(): Unit
+  }
+
+  test("an unparseable id against a numeric key is None, not NumberFormatException") {
+    val s = freshStore()
+    s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    val cache = s.servingCache()
+    assert(cache.get("not-a-number").isEmpty)
+    assert(cache.get("").isEmpty)
+    assert(cache.get("1").nonEmpty, "a parseable string id still resolves")
+  }
+
   test("a never-merged serving layout yields None, not PATH_NOT_FOUND") {
     val s = freshStore()
     assert(s.servingCache().get(1L).isEmpty)
