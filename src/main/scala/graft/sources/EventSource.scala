@@ -61,16 +61,19 @@ object EventSource {
   /** Run the ingest loop: source → per-batch offset-fenced commit into
     * `table`. AvailableNow drains what exists and stops (specs/batch
     * backfill); pass `Trigger.ProcessingTime(..)` for a resident loop.
+    * `transform` is the sink's post-fence parse (wire rows → typed
+    * table rows); the offset fence stays on the wire columns.
     */
   def runIngest(source: EventSource, spark: SparkSession,
       sink: OffsetTrackedSink, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
     source.stream(spark).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink.commitBatch(batch): Unit
+        sink.commitBatch(batch, transform): Unit
       }
       .start()
 }
@@ -107,30 +110,59 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       .map { case (p, o) => s":$p-$o" }.mkString
 
   // Marks cache: the manifest scan runs ONCE (recovery), then marks
-  // advance in-process with each commit. Sound because this sink is
-  // the single writer for its streamId (the store's writer contract) —
-  // no other writer can advance `<streamId>.offsets` txn ids. Without
-  // the cache every micro-batch re-reads every manifest: O(versions)
-  // per batch, quadratic over a long-running stream's life.
+  // advance in-process with each commit. The single-writer assumption
+  // behind the cache is VERIFIED, not trusted (round-8 verdict #3):
+  // before every commit the sink probes the table's newest
+  // `<streamId>.offsets` txn (newest-first iterator — O(1) manifests
+  // in the steady state) and, if it is not the one this instance last
+  // wrote or recovered, another live sink advanced the stream — the
+  // cache is discarded and the marks re-scanned, so a crashed-driver
+  // restart race (two accidentally-live sinks on one streamId) cannot
+  // double-commit rows on a stale cache. Without the cache every
+  // micro-batch re-reads every manifest: O(versions) per batch,
+  // quadratic over a long-running stream's life.
   private var cachedMarks: Option[Map[Int, Long]] = None
+  // newest <streamId>.offsets txn id this instance believes the table
+  // holds (None = no mark committed yet) — the dual-writer fence
+  // compares the table's actual newest against it
+  private var lastMarkTxn: Option[String] = None
+
+  private def isMark(t: String): Boolean = markRe.pattern.matcher(t).matches
+
+  /** Re-scan every manifest for this stream's marks; callers hold the
+    * monitor. Also records the newest mark txn for the fence.
+    */
+  private def rescanMarks(): Map[Int, Long] = {
+    val markTxns = table.committedTxnIds.filter(isMark)
+    val scanned = markTxns.flatMap {
+      case markRe(pairs) =>
+        pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
+          val Array(p, o) = pair.split("-", 2)
+          p.toInt -> o.toLong
+        }
+      case _ => Nil
+    }.groupMapReduce(_._1)(_._2)(math.max(_, _))
+    cachedMarks = Some(scanned)
+    lastMarkTxn = markTxns.lastOption
+    scanned
+  }
 
   /** Per-partition committed high-water marks (max over every manifest
     * this stream has written). First call scans the manifests; later
     * calls serve the in-process cache maintained by [[commitBatch]].
     */
   def committedMarks(): Map[Int, Long] = synchronized {
-    cachedMarks.getOrElse {
-      val scanned = table.committedTxnIds.flatMap {
-        case markRe(pairs) =>
-          pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
-            val Array(p, o) = pair.split("-", 2)
-            p.toInt -> o.toLong
-          }
-        case _ => Nil
-      }.groupMapReduce(_._1)(_._2)(math.max(_, _))
-      cachedMarks = Some(scanned)
-      scanned
-    }
+    cachedMarks.getOrElse(rescanMarks())
+  }
+
+  /** The dual-writer fence: trust the cache only if the table's newest
+    * mark is the one this instance last wrote/recovered; otherwise
+    * re-scan. Callers hold the monitor.
+    */
+  private def fencedMarks(): Map[Int, Long] = {
+    val cached = cachedMarks.getOrElse(rescanMarks())
+    val newest = table.committedTxnIdsDesc.find(isMark)
+    if (newest == lastMarkTxn) cached else rescanMarks()
   }
 
   /** Commit one micro-batch of wire-shaped rows. Returns the published
@@ -146,7 +178,7 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
     */
   def commitBatch(batch: DataFrame,
       transform: DataFrame => DataFrame = identity): Option[Long] = {
-    val marks = committedMarks()
+    val marks = synchronized(fencedMarks())
     val live =
       if (marks.isEmpty) batch
       else {
@@ -175,8 +207,12 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       val merged = (marks.keySet ++ advanced.keySet).map { p =>
         p -> math.max(marks.getOrElse(p, -1L), advanced.getOrElse(p, -1L))
       }.toMap
-      val v = table.commit(transform(live), txnId = Some(encodeMarks(merged)))
-      synchronized { cachedMarks = Some(merged) } // commit landed: advance
+      val encoded = encodeMarks(merged)
+      val v = table.commit(transform(live), txnId = Some(encoded))
+      synchronized { // commit landed: advance cache + fence watermark
+        cachedMarks = Some(merged)
+        lastMarkTxn = Some(encoded)
+      }
       Some(v)
     }
   }

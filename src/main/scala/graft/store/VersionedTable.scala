@@ -285,6 +285,14 @@ class VersionedTable(spark: SparkSession, root: String,
     */
   def committedTxnIds: Seq[String] = versions.flatMap(n => readManifest(n).txn)
 
+  /** Committed txn ids NEWEST-FIRST, lazily — a consumer fencing on
+    * "the newest txn matching X" (the bus sink's dual-writer check)
+    * short-circuits at the top manifest in the common case instead of
+    * scanning every manifest the way [[committedTxnIds]] does.
+    */
+  def committedTxnIdsDesc: Iterator[String] =
+    versions.reverse.iterator.flatMap(n => readManifest(n).txn)
+
   // ---- reads --------------------------------------------------------
 
   private def readFiles(schema: Option[StructType],
@@ -630,32 +638,62 @@ class VersionedTable(spark: SparkSession, root: String,
     * pinned at a dropped version fail on next execution — the same
     * contract every table format's vacuum documents.
     *
-    * Claim-aware: an IN-FLIGHT commit (claim published, manifest not
-    * yet) has its data dirs on disk referenced by no manifest — but
-    * its claim body names them, and vacuum spares dirs named by any
-    * PENDING claim (claim number above the newest manifest). A
-    * crashed writer's claim stops pinning its garbage as soon as any
-    * later manifest publishes above it (claim numbers never reuse, so
-    * a newer manifest proves the claimant is not still in flight);
-    * the orphaned dirs are reclaimed by the next vacuum after that.
+    * Concurrent-writer safety rests on TWO rules (round-8 advice —
+    * the old "a newer manifest proves the claimant dead" heuristic was
+    * unsound: A claims v5, B claims+publishes v6, A is still mid-write):
+    *
+    *  1. Dirs named by any PENDING claim (a claim number with NO
+    *     matching manifest — regardless of newer manifests above it)
+    *     are spared while the claim file is younger than `graceMs`.
+    *     A claim older than `graceMs` is a crashed writer: the claim
+    *     file itself is deleted and its dirs fall through to rule 2.
+    *  2. An unreferenced data dir is reclaimed IMMEDIATELY only when a
+    *     manifest dropped by THIS vacuum referenced it (durably
+    *     superseded data). A dir referenced by nothing — which is what
+    *     an in-flight commit looks like during `writeData`, BEFORE its
+    *     claim exists — is reclaimed only once its mtime is older than
+    *     `graceMs`.
+    *
+    * So `graceMs` must exceed the longest plausible write+publish
+    * duration (the same age-based contract as Delta's vacuum retention
+    * or Iceberg's remove-orphan-files `olderThan`). The default is a
+    * day; an operator certain no writer is live may pass 0 for
+    * immediate reclaim of everything unreferenced.
     */
-  def vacuum(retain: Int = 2): Int = {
+  def vacuum(retain: Int = 2,
+      graceMs: Long = VersionedTable.DefaultVacuumGraceMs): Int = {
     require(retain >= 1, "vacuum must retain at least the current version")
+    require(graceMs >= 0, "graceMs must be non-negative")
+    val now = System.currentTimeMillis()
     val vs = versions
     val dropped = vs.dropRight(retain)
-    val pendingClaimDirs = {
-      val top = vs.lastOption.getOrElse(-1L)
-      listNumbers(claimRe).filter(_ > top).flatMap { n =>
+    val manifestSet = vs.toSet
+    // rule 1: pending claims (no matching manifest, ANY number)
+    val pendingClaimDirs = listNumbers(claimRe)
+      .filterNot(manifestSet.contains).flatMap { n =>
+        val p = new Path(manifestsDir, s"v_$n.claim")
         try {
-          val in = fs.open(new Path(manifestsDir, s"v_$n.claim"))
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          body.linesIterator.map(_.trim).filter(_.nonEmpty)
+          if (now - fs.getFileStatus(p).getModificationTime > graceMs) {
+            // crashed writer: the claim stops pinning; remove it so its
+            // number also stops inflating future claim allocation
+            fs.delete(p, false): Unit
+            Nil
+          } else {
+            val in = fs.open(p)
+            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            body.linesIterator.map(_.trim).filter(_.nonEmpty)
+          }
         } catch { case _: java.io.IOException => Nil } // claim raced away
       }.toSet
-    }
-    val referenced = vs.takeRight(retain)
+    val retained = vs.takeRight(retain)
       .flatMap(readManifest(_).files.map(_.commit)).toSet ++ pendingClaimDirs
+    // rule 2 bookkeeping: read the manifests we are about to drop —
+    // dirs they reference are durably superseded and reclaim NOW
+    val droppedReferenced = dropped.flatMap { n =>
+      try readManifest(n).files.map(_.commit)
+      catch { case _: Exception => Nil } // unreadable ⇒ treat as orphan
+    }.toSet -- retained
     // drop old manifests first: once they're gone no reader can
     // resolve a version whose data is about to disappear
     dropped.foreach { n =>
@@ -666,9 +704,20 @@ class VersionedTable(spark: SparkSession, root: String,
     if (!fs.exists(dataRoot)) 0
     else {
       val sweep = fs.listStatus(dataRoot).toSeq.filter(_.isDirectory)
-        .filterNot(st => referenced.contains(s"data/${st.getPath.getName}"))
+        .filterNot(st => retained.contains(s"data/${st.getPath.getName}"))
+        .filter { st =>
+          droppedReferenced.contains(s"data/${st.getPath.getName}") ||
+            now - st.getModificationTime > graceMs
+        }
       sweep.foreach(st => fs.delete(st.getPath, true))
       sweep.size
     }
   }
+}
+
+object VersionedTable {
+  /** Default age below which vacuum presumes an unreferenced dir or an
+    * unmatched claim may belong to a LIVE writer (see [[VersionedTable.vacuum]]).
+    */
+  val DefaultVacuumGraceMs: Long = 24L * 3600 * 1000
 }

@@ -75,6 +75,41 @@ class EventSourceSpec extends SparkSpec {
     assert(recovered.commitBatch(wire(Seq(0 -> 7L))).isEmpty)
   }
 
+  test("two live sinks on one streamId cannot double-commit (dual-writer fence)") {
+    // the crashed-driver restart race: sink A (the old driver) and sink
+    // B (the restarted one) are both live with warm caches. A commits;
+    // B's cache no longer reflects the table — the fence must detect
+    // the foreign mark and re-scan instead of trusting the stale cache.
+    val t = freshTable
+    val a = new OffsetTrackedSink(t, "s1")
+    val b = new OffsetTrackedSink(t, "s1")
+    // both warm their caches before any commit
+    assert(a.committedMarks().isEmpty && b.committedMarks().isEmpty)
+    assert(a.commitBatch(wire((0L to 4L).map(o => 0 -> o))).nonEmpty)
+    // B's next batch overlaps A's commit; a stale-cache B would fence
+    // against {} and re-commit offsets 0-4
+    assert(b.commitBatch(wire((0L to 6L).map(o => 0 -> o))).nonEmpty)
+    assert(committed(t) == (0L to 6L).map(o => (0, o)).toSet)
+    assert(t.read().count() == 7, "no offset may commit twice across sinks")
+    // and the other direction: A (now the stale one) replays fully
+    assert(a.commitBatch(wire((0L to 6L).map(o => 0 -> o))).isEmpty)
+    assert(t.read().count() == 7)
+    // marks agree from both instances after the dance
+    assert(a.committedMarks() == Map(0 -> 6L))
+    assert(b.committedMarks() == Map(0 -> 6L))
+  }
+
+  test("the fence re-scan folds a foreign sink's marks into the union") {
+    val t = freshTable
+    val a = new OffsetTrackedSink(t, "s1")
+    val b = new OffsetTrackedSink(t, "s1")
+    assert(b.committedMarks().isEmpty) // warm B's cache
+    a.commitBatch(wire(Seq(0 -> 3L)))       // A advances p0
+    b.commitBatch(wire(Seq(1 -> 5L)))       // B advances p1 — must re-scan
+    b.commitBatch(wire(Seq(0 -> 2L, 0 -> 4L, 1 -> 4L))) // p0≤3 and p1≤5 fenced
+    assert(committed(t) == Set(0 -> 3L, 1 -> 5L, 0 -> 4L))
+  }
+
   test("transform commits parsed rows while the fence stays on wire offsets") {
     val t = freshTable
     val sink = new OffsetTrackedSink(t, "s1")

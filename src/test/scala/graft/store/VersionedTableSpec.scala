@@ -180,7 +180,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Seq(p53 + 1), s"got $got — double-coerced bound admitted 2^53")
   }
 
-  test("vacuum spares an in-flight claim's data dirs, reclaims them once stale") {
+  test("vacuum spares an in-flight claim's data dirs, reclaims them once the grace expires") {
     val vt = fresh()
     vt.commit(Seq((1L, "a")).toDF("id", "v"))            // v0
     vt.replace(Seq((2L, "b")).toDF("id", "v"))           // v1: v0's dir orphaned
@@ -193,13 +193,41 @@ class VersionedTableSpec extends SparkSpec {
     Files.writeString(inflight.resolve("part-00000.parquet"), "pending")
     Files.writeString(java.nio.file.Paths.get(root, "_manifests", "v_2.claim"),
       "data/c_inflight\n")
-    assert(vt.vacuum(retain = 1) == 1, "v0's orphaned dir is swept")
+    assert(vt.vacuum(retain = 1) == 1,
+      "v0's dir (referenced by the manifest dropped NOW) is swept immediately")
     assert(Files.exists(inflight), "in-flight commit's dir must survive")
-    // a later manifest above the claim proves the claimant dead; its
-    // garbage is then reclaimable
+    // round-8 advice: a LATER manifest must NOT unpin a younger claim —
+    // A claims v2, B claims+publishes v3, A may still be mid-publish
     vt.replace(Seq((3L, "c")).toDF("id", "v"))           // v3 (> claim 2)
-    assert(vt.vacuum(retain = 1) >= 1)
-    assert(!Files.exists(inflight), "stale claim no longer pins its dir")
+    vt.vacuum(retain = 1)
+    assert(Files.exists(inflight),
+      "a newer manifest does not prove the claimant dead (in-grace claim pins)")
+    // only grace expiry declares the claimant crashed; graceMs = 0 is
+    // the operator's no-writers-live assertion
+    Thread.sleep(5)
+    assert(vt.vacuum(retain = 1, graceMs = 0) >= 1)
+    assert(!Files.exists(inflight), "expired claim no longer pins its dir")
+  }
+
+  test("vacuum leaves a young unclaimed dir (the pre-claim writeData window) until grace") {
+    val vt = fresh()
+    vt.commit(Seq((1L, "a")).toDF("id", "v"))            // v0
+    val root = vt.read().inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/data/c_.*", "")
+    // forge a writer INSIDE writeData: the dir exists, no claim yet —
+    // commit() only claims after the (long) Spark write finishes
+    val inflight = java.nio.file.Paths.get(root, "data", "c_writing")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-00000.parquet"), "half")
+    assert(vt.vacuum(retain = 1) == 0,
+      "an unreferenced dir younger than the grace may be an in-flight write")
+    assert(Files.exists(inflight))
+    // age the dir past the grace: now provably abandoned
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(vt.vacuum(retain = 1) == 1)
+    assert(!Files.exists(inflight), "orphan past the grace is reclaimed")
   }
 
   test("a pre-v2 (op-less header) manifest is rejected with a migration error") {
