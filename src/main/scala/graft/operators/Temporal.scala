@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,94 +204,97 @@ object Temporal {
     * aggregations smaller than raw events), totally ordered. A naive
     * `Window.orderBy(ts)` funnels every change point through ONE
     * reducer — the classic global-window scale killer — so this is
-    * the standard distributed two-pass prefix sum instead:
+    * the standard distributed prefix sum instead, in TWO actions and
+    * with NO pinned blocks (round-9: the old three-action form kept
+    * the change points `persist`ed across passes, and that pin
+    * interacted badly with block-manager/GC churn in long suite runs —
+    * q76's in-suite 3–5× bench anomaly):
     *
-    *  1. bucket change points by deterministic ts ranges (cut points
-    *     from an approx-quantile sketch; the bucket rule compares the
-    *     integer-µs timestamp only, so ALL rows with equal ts land in
-    *     the same bucket and the (ts, delta DESC) tie order is never
-    *     split across buckets);
-    *  2. per-bucket delta totals → driver (≤ numBuckets rows) →
-    *     cumulative offsets broadcast back as a literal map;
-    *  3. per-bucket local prefix sums (a PARTITIONED window — runs in
-    *     parallel across buckets) + the bucket's offset = the global
-    *     running sum.
+    *  1. deterministic ts range cuts from an approx-quantile sketch
+    *     over the RAW event timestamps — session starts/ends ARE
+    *     event timestamps (per-session min/max), so raw-ts quantiles
+    *     bucket the change points as well as their own would, and the
+    *     probe is one sketch pass over the scan with no sessionize at
+    *     all. The bucket rule compares the integer-µs timestamp only,
+    *     so ALL rows with equal ts land in the same bucket and the
+    *     (ts, delta DESC) tie order is never split across buckets;
+    *  2. ONE pass over the change points: per-bucket LOCAL prefix
+    *     sums (a PARTITIONED window — parallel across buckets),
+    *     reduced in the same job to per-(bucket, day)
+    *     `max(local prefix)` + `sum(delta)` — a frame bounded by
+    *     buckets × calendar days, never by data size.
     *
-    * Buckets are ordered by ts range, so local-prefix + offset equals
-    * the single-reducer sum exactly (spec-checked ≡ the global-window
-    * form in CohortFunnelSpec). Change points are persisted across the
-    * three passes; bucketing is deterministic from driver-side cut
-    * values, so recomputation after cache eviction is consistent.
-    *
-    * The public form MATERIALIZES the report and releases the
-    * change-point cache before returning: the output is one row per
-    * distinct calendar day — calendar-bounded (≤ ~36.5k rows for a
-    * century of data), the same bounded-driver-reduction class as the
-    * per-bucket totals — so collecting it is the cheapest way to make
-    * the three-pass cache's lifetime equal the call (a lazily-returned
-    * frame would either pin the change points forever or recompute
-    * the sessionize shuffle on every downstream action).
+    * The driver folds the per-bucket totals into cumulative offsets
+    * (buckets are ordered by ts range) and takes each day's peak as
+    * `max over buckets of (local day-max + bucket offset)`:
+    * local-prefix + offset equals the single-reducer running sum
+    * exactly, and a day's global maximum is the max of its per-bucket
+    * maxima because the offset is constant within a bucket.
+    * Spec-checked ≡ the global-window form in CohortFunnelSpec. The
+    * collected frame is calendar-bounded (≤ buckets × ~365·years
+    * rows), the same bounded-driver-reduction class as the old
+    * per-bucket totals — and sessionize now runs exactly once, with
+    * nothing persisted.
     */
   def peakConcurrency(events: DataFrame, gapSec: Long = 1800L,
       numBuckets: Int = 0): DataFrame = {
     val spark = events.sparkSession
-    val (result, deltas) = peakConcurrencyStaged(events, gapSec, numBuckets)
-    val rows = result.collect()
-    deltas.unpersist(blocking = false)
+    // bounded collect: ≤ numBuckets × distinct calendar days rows
+    val rows = peakConcurrencyStaged(events, gapSec, numBuckets).collect()
+    val totByPid: Map[Int, Long] = rows.groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val pids = totByPid.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids
+      .zip(pids.scanLeft(0L)((acc, p) => acc + totByPid(p)).init).toMap
+    val peaks = rows.groupBy(_.getDate(1)).toSeq.map { case (day, xs) =>
+      Row(day, xs.map(x => x.getLong(2) + offsets(x.getInt(0))).max)
+    }
     spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), result.schema)
+      java.util.Arrays.asList(peaks: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("peak",
+          org.apache.spark.sql.types.LongType))))
   }
 
-  /** The lazy three-pass plan plus its pinned change-point frame —
-    * callers own the unpersist (the public [[peakConcurrency]] runs
-    * collect-then-release; PlanShapeSpec asserts the distributed
-    * window shape on the un-collected plan).
+  /** The lazy bucketed sweep pre-aggregation: one row per (ts bucket,
+    * calendar day) = (pid, day, mx = max local prefix, tot = bucket's
+    * delta total that day). The public [[peakConcurrency]] folds
+    * these driver-side; PlanShapeSpec asserts the distributed
+    * (bucket-partitioned) window shape on this plan.
     */
   private[graft] def peakConcurrencyStaged(events: DataFrame,
-      gapSec: Long = 1800L, numBuckets: Int = 0): (DataFrame, DataFrame) = {
+      gapSec: Long = 1800L, numBuckets: Int = 0): DataFrame = {
     import events.sparkSession.implicits._
     val spark = events.sparkSession
+    val n = if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    // action 1: deterministic range cuts over RAW event timestamps
+    // (driver-side values; ε=1e-3 on a quantile SKETCH — bucket
+    // balance is approximate, correctness is not: any cut assignment
+    // is correct as long as it is a pure function of ts).
+    val cuts: Array[Long] =
+      if (n <= 1) Array.empty
+      else events.select(unix_micros($"ts").as("us")).stat
+        .approxQuantile("us", (1 until n).map(_.toDouble / n).toArray, 1e-3)
+        .filter(d => !d.isNaN).map(_.toLong).distinct.sorted
     val sess = sessionize(events, gapSec)
     val deltas = sess.select($"start_ts".as("ts"), lit(1L).as("delta"))
       .unionByName(sess.select($"end_ts".as("ts"), lit(-1L).as("delta")))
       .withColumn("us", unix_micros($"ts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = if (numBuckets > 0) numBuckets
-      else spark.sessionState.conf.numShufflePartitions
-    // pass 1: deterministic range cuts (driver-side values; ε=1e-3 on
-    // a quantile SKETCH — bucket balance is approximate, correctness
-    // is not: any cut assignment is correct as long as it is a pure
-    // function of ts).
-    val cuts: Array[Long] =
-      if (n <= 1) Array.empty
-      else deltas.stat
-        .approxQuantile("us", (1 until n).map(_.toDouble / n).toArray, 1e-3)
-        .filter(d => !d.isNaN).map(_.toLong).distinct.sorted
     val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when($"us" > lit(c), 1).otherwise(0)
     }
     val stamped = deltas.withColumn("pid", bucket)
-    // pass 2: per-bucket totals → cumulative offsets (≤ n rows on the
-    // driver — bounded by the bucket count, never by data size).
-    val totals = stamped.groupBy($"pid").agg(sum($"delta").as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
-      (pid, acc + tot)
-    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
-      .toMap
-    val offExpr =
-      if (offsets.isEmpty || offsets.values.forall(_ == 0L)) lit(0L)
-      else coalesce(element_at(
-        map(offsets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-        $"pid"), lit(0L))
-    // pass 3: local prefix sums per bucket, shifted by the offsets.
+    // action 2 (at the caller): local prefix sums per bucket, reduced
+    // to the bounded per-(bucket, day) frame inside the same job
     val wLocal = Window.partitionBy($"pid").orderBy($"ts", $"delta".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val result = stamped
-      .withColumn("conc", sum($"delta").over(wLocal) + offExpr)
-      .groupBy($"ts".cast("date").as("day"))
-      .agg(max($"conc").as("peak"))
-    (result, deltas)
+    stamped
+      .withColumn("conc", sum($"delta").over(wLocal))
+      .groupBy($"pid", $"ts".cast("date").as("day"))
+      .agg(max($"conc").as("mx"), sum($"delta").as("tot"))
   }
 
   /** Single-global-window reference form of [[peakConcurrency]] — the

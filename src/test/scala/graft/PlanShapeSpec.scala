@@ -141,19 +141,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q76: sweep-line prefix sum never funnels through one reducer") {
-    // the two-pass form partitions the running-sum window by the ts
+    // the distributed form partitions the running-sum window by the ts
     // bucket; the degenerate shape it replaces planned as
     // `Exchange SinglePartition` + unpartitioned Window. The public
-    // q76 materializes the day-sized report (cache-release contract),
+    // q76 materializes the bounded (bucket, day) report driver-side,
     // so the shape assertion runs on the staged pre-collect plan.
-    val (staged, deltas) = Temporal.peakConcurrencyStaged(
+    val staged = Temporal.peakConcurrencyStaged(
       graft.core.Tables.load(spark, sf, "events"))
-    try {
-      val p = plan(staged)
-      assert(!p.contains("Exchange SinglePartition"),
-        s"global single-reducer window crept back:\n$p")
-      assert(p.contains("Window"), "prefix sum should still be a window")
-    } finally deltas.unpersist(blocking = false)
+    val p = plan(staged)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-reducer window crept back:\n$p")
+    assert(p.contains("Window"), "prefix sum should still be a window")
   }
 
   test("q89: tile join inputs keep their explicit partitioning; top-k is partial-agg'd") {
