@@ -46,6 +46,25 @@ object Bench {
         .find(_.trim.nonEmpty).getOrElse("").take(160)
       s"${t.getClass.getSimpleName}: $msg"
     }
+    // PER-QUERY host-noise probe (~50 ms single-thread integer loop on
+    // an idle core, 1/10th of the end-of-run cal_sec workload): one
+    // run-wide cal cannot attribute a mid-suite stall to the queries it
+    // actually hit (this ambiguity is what made q41-r7 and q76-r8
+    // adjudications expensive). A probe runs adjacent to every rep;
+    // the published per-query `cals` value is the WORST adjacent probe
+    // — elevated exactly for the queries whose reps a host stall
+    // overlapped, ~0.05 everywhere else. Raw probes go to the sidecar.
+    var calSink = 0L
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 200000000L) { acc += i & 7L; i += 1 }
+      calSink ^= acc // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calsByQuery = scala.collection.mutable.LinkedHashMap
+      .empty[String, List[Double]]
     // Left(err) = the query threw (deterministic analysis/planning
     // failures dominate; no retry — a throw on ANY rep marks the query
     // failed, because a half-failing query has no honest duration).
@@ -58,6 +77,8 @@ object Bench {
             catch { case t: Throwable => Left(errString(t)) }
           val dt = (System.nanoTime() - t0) / 1e9
           dropPinnedBlocks()
+          calsByQuery.updateWith(name)(old =>
+            Some(calProbe() :: old.getOrElse(Nil)))
           res.map(_ => dt)
         }
         // two reps, both recorded; the headline number is the min: the
@@ -102,11 +123,18 @@ object Bench {
       errors.map { case (k, e) => "\"" + k + "\":{\"err\":" + jstr(e) + "}" })
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // sidecar: full-precision raw reps for noise auditing
-    val repsJson = outcomes.map {
+    // per-query cal: worst probe adjacent to this query's reps (idle
+    // ≈ 0.05 s) — localizes a host stall to the queries it overlapped
+    val cals = calsByQuery.map { case (k, ps) =>
+      "\"" + k + "\":" + r3(ps.max)
+    }.mkString("{", ",", "}")
+    // sidecar: full-precision raw reps + raw probes for noise auditing
+    val repsJson = (outcomes.map {
       case (k, Right(rs)) => "\"" + k + "\":[" + rs.mkString(",") + "]"
       case (k, Left(e))   => "\"" + k + "\":{\"err\":" + jstr(e) + "}"
-    }.mkString("{", ",", "}")
+    } ++ calsByQuery.map { case (k, ps) =>
+      "\"cal:" + k + "\":[" + ps.reverse.mkString(",") + "]"
+    }).mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_REPS.json"),
@@ -121,8 +149,9 @@ object Bench {
     var calI = 0L
     while (calI < 2000000000L) { calAcc += calI & 7L; calI += 1 }
     val cal = (System.nanoTime() - calT0) / 1e9
-    if (calAcc == Long.MinValue) println("") // defeat dead-code elim
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","err_count":${errors.size},"queries":$qs,"cal_sec":${r3(cal)},"sf":"$sfDir"}""")
+    if (calAcc == Long.MinValue || calSink == Long.MinValue)
+      println("") // defeat dead-code elim
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","err_count":${errors.size},"queries":$qs,"cals":$cals,"cal_sec":${r3(cal)},"sf":"$sfDir"}""")
     spark.stop()
     // a bench with failing queries must not hand the driver rc=0
     if (errors.nonEmpty) sys.exit(1)
