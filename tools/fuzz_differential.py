@@ -136,6 +136,72 @@ def gen_text_query(rnd):
             f"WHERE n_chars >= {lo} ORDER BY doc_id")
 
 
+def gen_temporal_query(rnd):
+    """Temporal band (round-9): the q74-q87 SHAPES — sessionization
+    gaps, follow-up/as-of tolerance, attribution horizons, SCD run
+    compaction — with random gap/horizon parameters, written in the
+    dialect-shared core (interval literals + timestamp subtraction +
+    named windows; NO epoch extraction, which the engines spell
+    differently). All four verified hash-identical on the fixture
+    before the band landed.
+    """
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    kind = rnd.randrange(4)
+    if kind == 0:
+        # sessionization with a random gap (the q58/q76 kernel)
+        g = rnd.randint(3, 240)
+        having = (f" HAVING count(*) > {rnd.randint(1, 3)}"
+                  if rnd.random() < 0.4 else "")
+        agg = rnd.choice(
+            ["count(*) AS n, min(ts) AS start_ts, max(ts) AS end_ts",
+             "count(*) AS n, round(sum(value), 6) AS v"])
+        return (
+            f"WITH m AS (SELECT user_id, ts, value, event_id, "
+            f"CASE WHEN lag(ts) OVER w IS NULL "
+            f"OR ts - lag(ts) OVER w > INTERVAL {g} MINUTE "
+            f"THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS {w}), "
+            f"s AS (SELECT user_id, ts, value, sum(brk) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS UNBOUNDED PRECEDING) AS session FROM m) "
+            f"SELECT user_id, session, {agg} FROM s "
+            f"GROUP BY user_id, session{having} ORDER BY user_id, session")
+    if kind == 1:
+        # follow-up-within-horizon (the q47 tolerance shape)
+        h = rnd.randint(5, 360)
+        pred = (f" WHERE value {rnd.choice(['<', '>='])} "
+                f"{round(rnd.uniform(10, 150), 2)}"
+                if rnd.random() < 0.4 else "")
+        return (
+            f"SELECT event_type, count(*) AS n, "
+            f"sum(CASE WHEN nxt IS NOT NULL AND nxt - ts <= "
+            f"INTERVAL {h} MINUTE THEN 1 ELSE 0 END) AS fu "
+            f"FROM (SELECT event_type, ts, lead(ts) OVER {w} AS nxt "
+            f"FROM events{pred}) t GROUP BY event_type ORDER BY event_type")
+    if kind == 2:
+        # attribution horizon: value-based RANGE frame over event time
+        # (round goes OUTSIDE the window call — DuckDB rejects
+        # round(...) as the windowed function itself)
+        h = rnd.randint(10, 600)
+        frame = (f"OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
+                 f"INTERVAL {h} MINUTE PRECEDING AND CURRENT ROW)")
+        fn = rnd.choice([f"count(*) {frame}",
+                         f"round(sum(value) {frame}, 6)"])
+        return (f"SELECT event_id, user_id, {fn} AS nwin "
+                f"FROM events ORDER BY event_id")
+    # SCD-style run compaction: contiguous same-type runs per user
+    agg = rnd.choice(["count(*) AS len",
+                      "count(*) AS len, min(ts) AS valid_from"])
+    return (
+        f"WITH m AS (SELECT user_id, ts, event_id, event_type, "
+        f"CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+        f"THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS {w}), "
+        f"r AS (SELECT user_id, event_type, ts, sum(chg) OVER "
+        f"(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS UNBOUNDED PRECEDING) AS run FROM m) "
+        f"SELECT user_id, run, event_type, {agg} FROM r "
+        f"GROUP BY user_id, run, event_type ORDER BY user_id, run, event_type")
+
+
 def gen_query(rnd):
     r = rnd.random()
     # keep join coverage at ~15% — inserting the subquery branch must
@@ -154,6 +220,9 @@ def gen_query(rnd):
         return gen_percentile_query(rnd)
     if r < 0.66:
         return gen_text_query(rnd)
+    if r < 0.82:
+        # temporal band eats into the ad-hoc tail, not the bands above
+        return gen_temporal_query(rnd)
     t = rnd.choice(list(TABLES))
     cols = TABLES[t]
     preds = []
