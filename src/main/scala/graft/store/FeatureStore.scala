@@ -188,7 +188,9 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * free no directories (every manifest references its ancestors'
     * data); run [[compactOffline]] first to strand them.
     */
-  def vacuumOffline(retain: Int = 8): Int = offlineTable.vacuum(retain)
+  def vacuumOffline(retain: Int = 8,
+      graceMs: Long = VersionedTable.DefaultVacuumGraceMs): Int =
+    offlineTable.vacuum(retain, graceMs)
 
   /** Date-bounded history scan with manifest-level commit pruning
     * (plus parquet footer pruning within surviving files) — the
@@ -383,11 +385,14 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   /** The cache tier in front of the serving layout (the reference's
     * ElastiCache role): bounded bucket-level LRU with read-through
     * signature invalidation — repeated lookups cost zero Spark jobs.
-    * See [[ServingCache]].
+    * `sigFreshMs > 0` additionally skips the per-get signature LIST
+    * within the window (bounded staleness — the object-storage
+    * latency dial). See [[ServingCache]].
     */
-  def servingCache(maxCachedBuckets: Int = 16): ServingCache =
+  def servingCache(maxCachedBuckets: Int = 16,
+      sigFreshMs: Long = 0L): ServingCache =
     new ServingCache(spark, servingDir, conf.keyCol, servingBuckets,
-      maxCachedBuckets, dropCols = Seq(seqCol))
+      maxCachedBuckets, dropCols = Seq(seqCol), sigFreshMs = sigFreshMs)
 
   /** Partition-pruned point lookup against the serving table — the
     * scan lists exactly one `kb=` directory (asserted in

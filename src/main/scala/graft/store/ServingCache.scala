@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   * read) and reloads the bucket iff a serving merge rewrote it since
   * caching. That gives read-your-merges semantics without TTL
   * guesswork; `invalidate()` drops everything for the blunt version.
+  * `sigFreshMs > 0` relaxes it to BOUNDED STALENESS: within the
+  * window, repeat lookups skip even the LIST (zero filesystem calls)
+  * — the dial to turn on object storage, where the LIST is the
+  * latency floor, not the memory lookup.
   *
   * Capacity: memory = maxCachedBuckets × bucket size. At 100 TB the
   * knob pairs with `nBuckets` — more buckets ⇒ smaller cache units ⇒
@@ -39,11 +43,23 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   */
 class ServingCache(spark: SparkSession, servingDir: String,
     keyCol: String, nBuckets: Int = 64, maxCachedBuckets: Int = 16,
-    dropCols: Seq[String] = Nil) {
+    dropCols: Seq[String] = Nil, sigFreshMs: Long = 0L) {
   require(nBuckets > 0 && maxCachedBuckets > 0,
     "nBuckets and maxCachedBuckets must be positive")
+  require(sigFreshMs >= 0, "sigFreshMs must be non-negative")
 
-  private final case class CachedBucket(sig: String, rows: Map[String, Row])
+  /** `checkedAt` = when this bucket's dir signature was last compared
+    * against the filesystem (epoch ms); within `sigFreshMs` of it, a
+    * lookup serves pure-memory with NO filesystem touch at all. That
+    * matters at 100 TB on object storage, where the per-get LIST
+    * (~10–100 ms) — not the memory lookup — is the latency floor:
+    * `sigFreshMs` trades read-your-merges for a bounded staleness
+    * window, the same freshness/latency dial every TTL'd serving
+    * cache exposes. 0 (the default) keeps the strict per-get
+    * signature check.
+    */
+  private final class CachedBucket(val sig: String,
+      val rows: Map[String, Row], @volatile var checkedAt: Long)
 
   // guarded by `this` — every critical section on it is O(1), no IO
   private val lru = new java.util.LinkedHashMap[Int, CachedBucket](
@@ -69,8 +85,18 @@ class ServingCache(spark: SparkSession, servingDir: String,
   private def fs =
     new Path(servingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private lazy val keyType: DataType =
-    spark.read.parquet(servingDir).schema(keyCol).dataType
+  // resolved once from the layout's own schema; `null` until the
+  // layout exists (get() guards the never-merged case on it, so no
+  // other lookup ever pays an exists() call)
+  @volatile private var keyTypeCache: DataType = null
+  private def keyType: DataType = {
+    var kt = keyTypeCache
+    if (kt == null) {
+      kt = spark.read.parquet(servingDir).schema(keyCol).dataType
+      keyTypeCache = kt
+    }
+    kt
+  }
 
   /** Normalize the caller's id to the STORED key type so the hash
     * matches `Layout.keyBucket`'s `xxhash64(cast(key))` exactly.
@@ -126,17 +152,33 @@ class ServingCache(spark: SparkSession, servingDir: String,
     */
   def get(id: Any): Option[Row] = {
     // a layout no merge has written yet has no keys (and no schema to
-    // normalize against) — None, not a PATH_NOT_FOUND from the driver
-    if (!fs.exists(new Path(servingDir))) return None
+    // normalize against) — None, not a PATH_NOT_FOUND from the driver.
+    // Once the key type resolves the layout exists (merges only add),
+    // so steady-state lookups skip the exists() probe entirely.
+    if (keyTypeCache == null && !fs.exists(new Path(servingDir)))
+      return None
     val key = norm(id) match {
       case Some(k) => k.toString
       case None    => return None // unkeyable id can match no stored row
     }
     val b = bucketOf(id)
+    // freshness fast path: a bucket whose signature was checked within
+    // sigFreshMs serves pure-memory — zero filesystem calls (see
+    // CachedBucket docs; bounded staleness is the contract here)
+    if (sigFreshMs > 0) {
+      val now = System.currentTimeMillis()
+      val fresh = synchronized {
+        val c = Option(lru.get(b)).filter(now - _.checkedAt < sigFreshMs)
+        if (c.isDefined) hitsN += 1
+        c
+      }
+      fresh.foreach(cb => return cb.rows.get(key))
+    }
     val sig = signature(b)
+    val now = System.currentTimeMillis()
     val hit = synchronized {
       val c = Option(lru.get(b)).filter(_.sig == sig)
-      if (c.isDefined) hitsN += 1
+      c.foreach { cb => hitsN += 1; cb.checkedAt = now }
       c
     }
     val bucket = hit.getOrElse {
@@ -148,7 +190,7 @@ class ServingCache(spark: SparkSession, servingDir: String,
           case Some(cb) => synchronized { hitsN += 1 }; cb
           case None =>
             val rows = loadBucket(b, sig) // IO: bucket latch only
-            val cb = CachedBucket(sig, rows)
+            val cb = new CachedBucket(sig, rows, System.currentTimeMillis())
             synchronized { missesN += 1; lru.put(b, cb) }
             cb
         }
