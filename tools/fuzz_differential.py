@@ -146,7 +146,7 @@ def gen_temporal_query(rnd):
     before the band landed.
     """
     w = "(PARTITION BY user_id ORDER BY ts, event_id)"
-    kind = rnd.randrange(4)
+    kind = rnd.randrange(6)
     if kind == 0:
         # sessionization with a random gap (the q58/q76 kernel)
         g = rnd.randint(3, 240)
@@ -188,6 +188,29 @@ def gen_temporal_query(rnd):
                          f"round(sum(value) {frame}, 6)"])
         return (f"SELECT event_id, user_id, {fn} AS nwin "
                 f"FROM events ORDER BY event_id")
+    if kind == 3:
+        # self-as-of: last event of a chosen type at-or-before each
+        # event (conditional running max — the q20 shape inside one
+        # stream)
+        et = rnd.choice(["view", "purchase", "signup", "click"])
+        bound = rnd.choice(["1 PRECEDING", "CURRENT ROW"])
+        return (
+            f"SELECT event_id, user_id, "
+            f"max(CASE WHEN event_type = '{et}' THEN ts END) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {bound}) AS prev_ts "
+            f"FROM events ORDER BY event_id")
+    if kind == 4:
+        # cross-table as-of with tolerance: newest event at-or-before
+        # each order, optionally within a horizon (the q87 nearest-asof
+        # shape as a correlated range scalar subquery)
+        tol = (f" AND e.ts > o_orderdate - INTERVAL {rnd.randint(60, 5000)} MINUTE"
+               if rnd.random() < 0.5 else "")
+        expr = rnd.choice(["max(e.ts)", "min(e.ts)", "count(*)"])
+        return (
+            f"SELECT o_orderkey, (SELECT {expr} FROM events e "
+            f"WHERE e.user_id = o_custkey AND e.ts <= o_orderdate{tol}) "
+            f"AS asof_v FROM orders ORDER BY o_orderkey")
     # SCD-style run compaction: contiguous same-type runs per user
     agg = rnd.choice(["count(*) AS len",
                       "count(*) AS len, min(ts) AS valid_from"])
