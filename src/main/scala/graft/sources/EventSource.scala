@@ -121,6 +121,17 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   // double-commit rows on a stale cache. Without the cache every
   // micro-batch re-reads every manifest: O(versions) per batch,
   // quadratic over a long-running stream's life.
+  //
+  // Residual window, stated honestly: the probe runs at batch START;
+  // two sinks whose probe→publish intervals fully overlap (both
+  // actively committing the SAME offsets at the SAME moment) can
+  // still each pass the fence. Closing that needs a compare-and-swap
+  // at publish (epoch fencing, what Kafka's transactional producer
+  // does with its epoch bump) — out of scope for a filesystem
+  // manifest store. The fence covers the failure that actually
+  // occurs in practice (a stale survivor resuming AFTER the new
+  // writer's commits), and the replay fence still dedups any
+  // SUBSEQUENT batch either sink commits.
   private var cachedMarks: Option[Map[Int, Long]] = None
   // newest <streamId>.offsets txn id this instance believes the table
   // holds (None = no mark committed yet) — the dual-writer fence
