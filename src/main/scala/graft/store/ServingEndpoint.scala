@@ -1,0 +1,112 @@
+package graft.store
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Over-the-wire point-lookup surface for the serving tier — the role
+  * the reference delegates to the SageMaker featurestore-runtime
+  * `get_record` API (`feature_store_manager.py:165-168`; response
+  * parsed as name/value pairs at `utils.py:145-164`). The response
+  * mirrors that wire shape exactly:
+  *
+  *   GET /record?id=42  →  {"Record":[{"FeatureName":"customer_id",
+  *                           "ValueAsString":"42"}, ...]}
+  *
+  * with an empty `Record` (HTTP 404) for an unknown key — the same
+  * stringly-typed contract the reference round-trips
+  * (`ValueAsString`, `feature_store_manager.py:235`).
+  *
+  * The endpoint is a thin loopback tier over [[ServingCache]]: a hit
+  * costs zero Spark jobs, and the cache's per-bucket load latches are
+  * exactly what lets this serve CONCURRENT requests — one cold
+  * bucket's load never blocks other requests' hits (round-9
+  * concurrency shape). JDK `HttpServer` only, no added dependencies;
+  * a production deployment would front the same cache with its real
+  * RPC stack, this pins the contract and the threading shape.
+  *
+  * Bind is loopback-only by design (a serving sidecar, not a public
+  * listener); `port = 0` picks an ephemeral port, returned by
+  * [[start]].
+  */
+final class ServingEndpoint(cache: ServingCache, port: Int = 0,
+    nThreads: Int = 8) {
+  require(nThreads > 0, "nThreads must be positive")
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+
+  private def jsonEsc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap {
+      _.split("&").iterator.map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if k == name =>
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }
+    }
+
+  private val recordHandler: HttpHandler = (ex: HttpExchange) =>
+    try {
+      queryParam(ex, "id") match {
+        case None => respond(ex, 400,
+          """{"error":"missing required query parameter 'id'"}""")
+        case Some(id) =>
+          cache.get(id) match {
+            case None => respond(ex, 404, """{"Record":[]}""")
+            case Some(row) =>
+              // the reference's Record shape: every present field as a
+              // FeatureName/ValueAsString pair; NULL fields omitted
+              // (SageMaker omits absent features the same way)
+              val fields = row.schema.fields.iterator.zipWithIndex
+                .filterNot { case (_, i) => row.isNullAt(i) }
+                .map { case (f, i) =>
+                  s"""{"FeatureName":"${jsonEsc(f.name)}",""" +
+                    s""""ValueAsString":"${jsonEsc(String.valueOf(row.get(i)))}"}"""
+                }
+              respond(ex, 200, fields.mkString("""{"Record":[""", ",", "]}"))
+          }
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
+    }
+
+  private val statsHandler: HttpHandler = (ex: HttpExchange) => {
+    val (h, m) = cache.stats
+    respond(ex, 200, s"""{"hits":$h,"misses":$m}""")
+  }
+
+  server.createContext("/record", recordHandler)
+  server.createContext("/stats", statsHandler)
+  server.setExecutor(pool)
+
+  /** Start serving; returns the bound port (useful with `port = 0`). */
+  def start(): Int = {
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow(): Unit
+  }
+}

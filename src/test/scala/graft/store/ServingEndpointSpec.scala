@@ -1,0 +1,94 @@
+package graft.store
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** The over-the-wire serving surface: the reference's `get_record`
+  * Record shape (`FeatureName`/`ValueAsString` pairs,
+  * `utils.py:145-164`) served over loopback HTTP from the cache tier —
+  * values, 404-empty-record, bad-request, stats, and concurrent
+  * requests riding the per-bucket latches.
+  */
+class ServingEndpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def withEndpoint[A](s: FeatureStore)(body: Int => A): A = {
+    val ep = new ServingEndpoint(s.servingCache())
+    val port = ep.start()
+    try body(port) finally ep.stop()
+  }
+
+  private def freshStore() = FeatureStore(
+    spark,
+    Files.createTempDirectory("fs-endpoint").toString,
+    keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+
+  test("GET /record returns the reference's Record wire shape") {
+    val s = freshStore()
+    s.mergeServing(Seq((42L, ts("2024-01-01 00:00:00"), 7.5))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      val (code, body) = get(port, "/record?id=42")
+      assert(code == 200)
+      assert(body.contains(
+        """{"FeatureName":"customer_id","ValueAsString":"42"}"""))
+      assert(body.contains("""{"FeatureName":"v","ValueAsString":"7.5"}"""))
+      assert(body.startsWith("""{"Record":["""))
+      // the _seq bookkeeping column is dropped before serving
+      assert(!body.contains("_seq"))
+    }
+  }
+
+  test("unknown key is 404 with an empty Record; missing id is 400") {
+    val s = freshStore()
+    s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      assert(get(port, "/record?id=9999") == (404, """{"Record":[]}"""))
+      assert(get(port, "/record?id=not-a-number")
+        == (404, """{"Record":[]}"""), "unparseable id = miss, not a 500")
+      assert(get(port, "/record")._1 == 400)
+      val (sc, sb) = get(port, "/stats")
+      assert(sc == 200 && sb.contains("\"misses\""))
+    }
+  }
+
+  test("concurrent requests serve correctly through the per-bucket latches") {
+    val s = freshStore()
+    s.mergeServing((1L to 200L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (1L to 200L).map { k =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call() = {
+              val (code, body) = get(port, s"/record?id=$k")
+              code == 200 && body.contains(
+                s""""FeatureName":"v","ValueAsString":"$k.0"""")
+            }
+          })
+        }
+        assert(futures.forall(
+          _.get(60, java.util.concurrent.TimeUnit.SECONDS)),
+          "every concurrent lookup must return its own row")
+      } finally pool.shutdownNow(): Unit
+    }
+  }
+}
