@@ -112,5 +112,25 @@ class ArchitectureE2ESpec extends SparkSpec {
     for ((c, amt) <- oracle)
       assert(cache.get(c).get.getAs[Double]("amount") == amt,
         s"cache and batch oracle disagree for customer $c")
+
+    // ---- the over-the-wire leg -------------------------------------
+    // the same values served through the Record-shaped HTTP endpoint
+    // (the reference's get_record runtime API role) — the full
+    // workflow diagram ends at a network lookup, so the test does too
+    val ep = new graft.store.ServingEndpoint(cache)
+    val port = ep.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      for ((c, amt) <- oracle) {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/record?id=$c")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+        assert(resp.body().contains(
+          s""""FeatureName":"amount","ValueAsString":"$amt""""),
+          s"endpoint and batch oracle disagree for customer $c")
+      }
+    } finally ep.stop()
   }
 }
