@@ -112,15 +112,20 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   // Marks cache: the manifest scan runs ONCE (recovery), then marks
   // advance in-process with each commit. The single-writer assumption
   // behind the cache is VERIFIED, not trusted (round-8 verdict #3):
-  // before every commit the sink probes the table's newest
-  // `<streamId>.offsets` txn (newest-first iterator — O(1) manifests
-  // in the steady state) and, if it is not the one this instance last
-  // wrote or recovered, another live sink advanced the stream — the
-  // cache is discarded and the marks re-scanned, so a crashed-driver
-  // restart race (two accidentally-live sinks on one streamId) cannot
-  // double-commit rows on a stale cache. Without the cache every
-  // micro-batch re-reads every manifest: O(versions) per batch,
-  // quadratic over a long-running stream's life.
+  // before every commit the sink compares the table's top VERSION
+  // NUMBER against the one it recorded at its own last commit/scan.
+  // Version numbers are monotone and never reused (vacuum keeps even
+  // expired claim files for exactly this reason), so ANY foreign
+  // commit — mark-bearing or not — necessarily bumps the top; on a
+  // mismatch the cache is discarded and the marks re-scanned. The
+  // probe is ONE directory listing, no manifest reads (an earlier
+  // shape re-parsed the newest manifest every batch — per-batch cost
+  // growing with snapshot size, the very pattern the cache exists to
+  // avoid). So a crashed-driver restart race (two accidentally-live
+  // sinks on one streamId) cannot double-commit rows on a stale
+  // cache. Without the cache every micro-batch re-reads every
+  // manifest: O(versions) per batch, quadratic over a long-running
+  // stream's life.
   //
   // Residual window, stated honestly: the probe runs at batch START;
   // two sinks whose probe→publish intervals fully overlap (both
@@ -133,19 +138,17 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   // writer's commits), and the replay fence still dedups any
   // SUBSEQUENT batch either sink commits.
   private var cachedMarks: Option[Map[Int, Long]] = None
-  // newest <streamId>.offsets txn id this instance believes the table
-  // holds (None = no mark committed yet) — the dual-writer fence
-  // compares the table's actual newest against it
-  private var lastMarkTxn: Option[String] = None
-
-  private def isMark(t: String): Boolean = markRe.pattern.matcher(t).matches
+  // the table's top version as of this instance's last scan/commit
+  // (None = table empty then) — the dual-writer fence invalidates the
+  // cache when the actual top has moved past it
+  private var lastSeenVersion: Option[Long] = None
 
   /** Re-scan every manifest for this stream's marks; callers hold the
-    * monitor. Also records the newest mark txn for the fence.
+    * monitor. Also records the top version for the fence.
     */
   private def rescanMarks(): Map[Int, Long] = {
-    val markTxns = table.committedTxnIds.filter(isMark)
-    val scanned = markTxns.flatMap {
+    lastSeenVersion = table.currentVersion
+    val scanned = table.committedTxnIds.flatMap {
       case markRe(pairs) =>
         pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
           val Array(p, o) = pair.split("-", 2)
@@ -154,7 +157,6 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       case _ => Nil
     }.groupMapReduce(_._1)(_._2)(math.max(_, _))
     cachedMarks = Some(scanned)
-    lastMarkTxn = markTxns.lastOption
     scanned
   }
 
@@ -166,14 +168,14 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
     cachedMarks.getOrElse(rescanMarks())
   }
 
-  /** The dual-writer fence: trust the cache only if the table's newest
-    * mark is the one this instance last wrote/recovered; otherwise
-    * re-scan. Callers hold the monitor.
+  /** The dual-writer fence: trust the cache only if the table's top
+    * version is still the one this instance recorded; otherwise
+    * re-scan. One directory LIST, zero manifest reads. Callers hold
+    * the monitor.
     */
   private def fencedMarks(): Map[Int, Long] = {
     val cached = cachedMarks.getOrElse(rescanMarks())
-    val newest = table.committedTxnIdsDesc.find(isMark)
-    if (newest == lastMarkTxn) cached else rescanMarks()
+    if (table.currentVersion == lastSeenVersion) cached else rescanMarks()
   }
 
   /** Commit one micro-batch of wire-shaped rows. Returns the published
@@ -218,11 +220,13 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       val merged = (marks.keySet ++ advanced.keySet).map { p =>
         p -> math.max(marks.getOrElse(p, -1L), advanced.getOrElse(p, -1L))
       }.toMap
-      val encoded = encodeMarks(merged)
-      val v = table.commit(transform(live), txnId = Some(encoded))
+      val v = table.commit(transform(live), txnId = Some(encodeMarks(merged)))
       synchronized { // commit landed: advance cache + fence watermark
         cachedMarks = Some(merged)
-        lastMarkTxn = Some(encoded)
+        // v is the audited version our commit produced; if a heal or a
+        // foreign writer lands above it, the next fence probe simply
+        // triggers one (cheap, correct) re-scan
+        lastSeenVersion = Some(v)
       }
       Some(v)
     }

@@ -56,39 +56,50 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
+  /** Decode ONLY percent-escapes: these are URI-query semantics, not
+    * form encoding — URLDecoder alone would turn a literal `+` in a
+    * string key into a space and miss an existing record.
+    */
   private def queryParam(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getRawQuery).flatMap {
       _.split("&").iterator.map(_.split("=", 2)).collectFirst {
         case Array(k, v) if k == name =>
-          java.net.URLDecoder.decode(v, "UTF-8")
+          java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
       }
     }
 
-  private val recordHandler: HttpHandler = (ex: HttpExchange) =>
-    try {
-      queryParam(ex, "id") match {
-        case None => respond(ex, 400,
-          """{"error":"missing required query parameter 'id'"}""")
-        case Some(id) =>
-          cache.get(id) match {
-            case None => respond(ex, 404, """{"Record":[]}""")
-            case Some(row) =>
-              // the reference's Record shape: every present field as a
-              // FeatureName/ValueAsString pair; NULL fields omitted
-              // (SageMaker omits absent features the same way)
-              val fields = row.schema.fields.iterator.zipWithIndex
-                .filterNot { case (_, i) => row.isNullAt(i) }
-                .map { case (f, i) =>
-                  s"""{"FeatureName":"${jsonEsc(f.name)}",""" +
-                    s""""ValueAsString":"${jsonEsc(String.valueOf(row.get(i)))}"}"""
-                }
-              respond(ex, 200, fields.mkString("""{"Record":[""", ",", "]}"))
-          }
+  private val recordHandler: HttpHandler = (ex: HttpExchange) => {
+    // compute the response BEFORE sending anything: once headers go
+    // out, a failed write (client disconnect — routine on a serving
+    // tier) must not trigger a second respond() on the same exchange
+    val (code, body) =
+      try {
+        queryParam(ex, "id") match {
+          case None =>
+            (400, """{"error":"missing required query parameter 'id'"}""")
+          case Some(id) =>
+            cache.get(id) match {
+              case None => (404, """{"Record":[]}""")
+              case Some(row) =>
+                // the reference's Record shape: every present field as
+                // a FeatureName/ValueAsString pair; NULL fields omitted
+                // (SageMaker omits absent features the same way)
+                val fields = row.schema.fields.iterator.zipWithIndex
+                  .filterNot { case (_, i) => row.isNullAt(i) }
+                  .map { case (f, i) =>
+                    s"""{"FeatureName":"${jsonEsc(f.name)}",""" +
+                      s""""ValueAsString":"${jsonEsc(String.valueOf(row.get(i)))}"}"""
+                  }
+                (200, fields.mkString("""{"Record":[""", ",", "]}"))
+            }
+        }
+      } catch {
+        case t: Throwable =>
+          (500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
       }
-    } catch {
-      case t: Throwable =>
-        respond(ex, 500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
-    }
+    try respond(ex, code, body)
+    catch { case _: java.io.IOException => ex.close() } // client went away
+  }
 
   private val statsHandler: HttpHandler = (ex: HttpExchange) => {
     val (h, m) = cache.stats

@@ -285,14 +285,6 @@ class VersionedTable(spark: SparkSession, root: String,
     */
   def committedTxnIds: Seq[String] = versions.flatMap(n => readManifest(n).txn)
 
-  /** Committed txn ids NEWEST-FIRST, lazily — a consumer fencing on
-    * "the newest txn matching X" (the bus sink's dual-writer check)
-    * short-circuits at the top manifest in the common case instead of
-    * scanning every manifest the way [[committedTxnIds]] does.
-    */
-  def committedTxnIdsDesc: Iterator[String] =
-    versions.reverse.iterator.flatMap(n => readManifest(n).txn)
-
   // ---- reads --------------------------------------------------------
 
   private def readFiles(schema: Option[StructType],
@@ -645,8 +637,14 @@ class VersionedTable(spark: SparkSession, root: String,
     *  1. Dirs named by any PENDING claim (a claim number with NO
     *     matching manifest — regardless of newer manifests above it)
     *     are spared while the claim file is younger than `graceMs`.
-    *     A claim older than `graceMs` is a crashed writer: the claim
-    *     file itself is deleted and its dirs fall through to rule 2.
+    *     A claim older than `graceMs` is presumed a crashed writer:
+    *     it stops pinning its dirs, but the claim FILE is kept —
+    *     deleting it would let a later writer re-allocate the number,
+    *     and a resumed claimant's publish would then silently clobber
+    *     that writer's manifest (rename REPLACES on POSIX). Version
+    *     numbers must never be reusable while any claimant could
+    *     still be alive, so only dropped-version claims (whose
+    *     manifest existed) are ever deleted.
     *  2. An unreferenced data dir is reclaimed IMMEDIATELY only when a
     *     manifest dropped by THIS vacuum referenced it (durably
     *     superseded data). A dir referenced by nothing — which is what
@@ -668,17 +666,16 @@ class VersionedTable(spark: SparkSession, root: String,
     val vs = versions
     val dropped = vs.dropRight(retain)
     val manifestSet = vs.toSet
-    // rule 1: pending claims (no matching manifest, ANY number)
+    // rule 1: pending claims (no matching manifest, ANY number). An
+    // expired claim stops PINNING but is never deleted (see scaladoc:
+    // number reuse would let a resumed claimant clobber a later
+    // writer's manifest).
     val pendingClaimDirs = listNumbers(claimRe)
       .filterNot(manifestSet.contains).flatMap { n =>
         val p = new Path(manifestsDir, s"v_$n.claim")
         try {
-          if (now - fs.getFileStatus(p).getModificationTime > graceMs) {
-            // crashed writer: the claim stops pinning; remove it so its
-            // number also stops inflating future claim allocation
-            fs.delete(p, false): Unit
-            Nil
-          } else {
+          if (now - fs.getFileStatus(p).getModificationTime > graceMs) Nil
+          else {
             val in = fs.open(p)
             val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()

@@ -68,6 +68,22 @@ class ServingEndpointSpec extends SparkSpec {
     }
   }
 
+  test("a literal '+' in a string key round-trips the query parameter") {
+    // URLDecoder alone applies form-encoding rules and turns '+' into
+    // a space — a miss for a record that exists. Only percent-escapes
+    // are URI-query semantics.
+    val s = FeatureStore(spark,
+      Files.createTempDirectory("fs-endpoint-str").toString,
+      keyCol = "doc_key", eventTimeCol = "purchase_timestamp")
+    s.mergeServing(Seq(("a+b", ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("doc_key", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      // raw '+' (RFC 3986 allows it in a query) and %2B must both hit
+      assert(get(port, "/record?id=a+b")._1 == 200)
+      assert(get(port, "/record?id=a%2Bb")._1 == 200)
+    }
+  }
+
   test("concurrent requests serve correctly through the per-bucket latches") {
     val s = freshStore()
     s.mergeServing((1L to 200L).map(i =>

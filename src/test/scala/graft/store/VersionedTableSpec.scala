@@ -207,6 +207,15 @@ class VersionedTableSpec extends SparkSpec {
     Thread.sleep(5)
     assert(vt.vacuum(retain = 1, graceMs = 0) >= 1)
     assert(!Files.exists(inflight), "expired claim no longer pins its dir")
+    // the claim FILE survives: deleting it would free version 2 for
+    // re-allocation, and a resumed claimant's publish would then
+    // silently clobber the new writer's manifest (rename replaces on
+    // POSIX) — numbers must never be reusable while a claimant could
+    // still be alive
+    assert(Files.exists(java.nio.file.Paths.get(root, "_manifests", "v_2.claim")),
+      "vacuum must not delete a pending claim file (version-reuse hazard)")
+    val next = vt.replace(Seq((4L, "d")).toDF("id", "v"))
+    assert(next > 3, s"allocation must skip the retained claim number; got $next")
   }
 
   test("vacuum leaves a young unclaimed dir (the pre-claim writeData window) until grace") {
