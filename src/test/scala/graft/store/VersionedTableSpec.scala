@@ -218,6 +218,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(next > 3, s"allocation must skip the retained claim number; got $next")
   }
 
+  test("randomized commit/replace/vacuum interleavings keep every retained version readable") {
+    // model test for the grace-reworked vacuum: under the single-writer
+    // contract, no sequence of appends, replaces, and vacuums (at both
+    // grace extremes) may ever corrupt the current snapshot or leave a
+    // listed version unreadable (a swept dir a manifest still needs)
+    val rnd = new scala.util.Random(9)
+    val vt = fresh()
+    var expected = Seq.empty[(Long, String)]
+    for (i <- 1 to 22) {
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val rows = Seq((i.toLong, s"r$i"))
+          vt.commit(rows.toDF("id", "v"))
+          expected = expected ++ rows
+        case 2 =>
+          val rows = (1 to rnd.nextInt(3) + 1)
+            .map(j => (i.toLong * 100 + j, s"c$i-$j"))
+          vt.replace(rows.toDF("id", "v"))
+          expected = rows
+        case _ =>
+          vt.vacuum(retain = rnd.nextInt(3) + 1,
+            graceMs = if (rnd.nextBoolean()) 0L
+              else VersionedTable.DefaultVacuumGraceMs): Unit
+      }
+      assert(vt.read().collect().map(r => (r.getLong(0), r.getString(1)))
+        .sorted.toSeq == expected.sorted,
+        s"snapshot diverged from the model after step $i")
+      // every version vacuum retained must still resolve to real files
+      vt.versions.foreach(v => vt.readAt(v).count())
+    }
+  }
+
   test("vacuum leaves a young unclaimed dir (the pre-claim writeData window) until grace") {
     val vt = fresh()
     vt.commit(Seq((1L, "a")).toDF("id", "v"))            // v0
