@@ -157,6 +157,58 @@ class EventSourceSpec extends SparkSpec {
     assert(t.read().count() == 3)
   }
 
+  test("model: random redelivery/crash/dual-writer schedules commit each offset exactly once") {
+    // the sink's whole claim, model-tested: an at-least-once bus
+    // (per-partition in-order NEW offsets, arbitrary-depth contiguous
+    // replay from at-most the delivered frontier — the Kafka consumer
+    // restart shape), crashed-and-recovered sink instances, and an
+    // alternating second live sink may interleave in any order, and
+    // every delivered (partition, offset) still lands in the table
+    // EXACTLY once. Complements the fixed-scenario specs above the
+    // same way the vacuum model test complements its pointwise specs.
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable
+      var main = new OffsetTrackedSink(t, "s1")
+      val other = new OffsetTrackedSink(t, "s1")
+      other.committedMarks(): Unit // warm the foreign cache → stale later
+      // per-partition offset logs with random gaps (compacted-topic
+      // shape), and the index up to which each has been delivered
+      val logs: Map[Int, IndexedSeq[Long]] = (0 to 1).map { p =>
+        p -> (1 to 30).scanLeft(0L)((o, _) => o + 1 + rnd.nextInt(3)).toIndexedSeq
+      }.toMap
+      val frontier = scala.collection.mutable.Map(0 -> 0, 1 -> 0)
+      def deliver(sink: OffsetTrackedSink): Unit = {
+        val batch = (0 to 1).filter(_ => rnd.nextInt(4) > 0).flatMap { p =>
+          val log = logs(p)
+          val d = frontier(p)
+          val start = rnd.nextInt(d + 1)                   // replay depth
+          val end = math.min(log.size, d + rnd.nextInt(5)) // new offsets
+          frontier(p) = math.max(d, end)
+          log.slice(start, end).map(o => p -> o) // end >= d >= start
+        }
+        if (batch.nonEmpty) sink.commitBatch(wire(batch)): Unit
+      }
+      for (step <- 1 to 12) {
+        rnd.nextInt(6) match {
+          case 0 => // crash: lose the instance, recover marks from manifests
+            main = new OffsetTrackedSink(t, "s1")
+          case 1 => // the other (stale-cached) sink delivers this batch
+            deliver(other)
+          case _ =>
+            deliver(main)
+        }
+        // exactly-once invariant after every step
+        val want = (0 to 1).flatMap(p =>
+          logs(p).take(frontier(p)).map(o => p -> o)).toSet
+        assert(committed(t) == want,
+          s"seed=$seed step=$step: table != delivered frontier set")
+        assert(t.read().count() == want.size,
+          s"seed=$seed step=$step: duplicate rows")
+      }
+    }
+  }
+
   test("FileEventSource reads a wire-shaped drop directory as a stream") {
     val t = freshTable
     val sink = new OffsetTrackedSink(t, "files")
