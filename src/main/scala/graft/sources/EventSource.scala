@@ -99,7 +99,7 @@ object EventSource {
   * vacuum retention must outlive the replay horizon, same contract as
   * txn replay fences.
   */
-final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
+class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   require(streamId.matches("[A-Za-z0-9._-]+"),
     s"streamId '$streamId' — use [A-Za-z0-9._-]+ (encoded into txn ids)")
 
@@ -130,13 +130,22 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   // Residual window, stated honestly: the probe runs at batch START;
   // two sinks whose probe→publish intervals fully overlap (both
   // actively committing the SAME offsets at the SAME moment) can
-  // still each pass the fence. Closing that needs a compare-and-swap
-  // at publish (epoch fencing, what Kafka's transactional producer
-  // does with its epoch bump) — out of scope for a filesystem
-  // manifest store. The fence covers the failure that actually
+  // still each pass the fence. PREVENTING that needs a
+  // compare-and-swap at publish (epoch fencing, what Kafka's
+  // transactional producer does with its epoch bump) — out of scope
+  // for a filesystem manifest store. But it is DETECTED: after every
+  // publish, [[commitBatch]] scans the (empty in the common case)
+  // version window between its fence snapshot and its own manifest
+  // for a foreign same-stream commit, folds any foreign marks into
+  // the cache (without this, setting lastSeenVersion to our own
+  // higher version would hide the interleaved foreign marks from
+  // every future probe — duplicates FOREVER, not just in the race),
+  // and raises a loud dual-writer alarm when the foreign frontier
+  // overlaps the range this batch wrote. So the overlap window
+  // yields a detected, repair-forward failure instead of silent
+  // duplication, and the fence covers the failure that actually
   // occurs in practice (a stale survivor resuming AFTER the new
-  // writer's commits), and the replay fence still dedups any
-  // SUBSEQUENT batch either sink commits.
+  // writer's commits).
   private var cachedMarks: Option[Map[Int, Long]] = None
   // the table's top version as of this instance's last scan/commit
   // (None = table empty then) — the dual-writer fence invalidates the
@@ -149,12 +158,8 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   private def rescanMarks(): Map[Int, Long] = {
     lastSeenVersion = table.currentVersion
     val scanned = table.committedTxnIds.flatMap {
-      case markRe(pairs) =>
-        pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
-          val Array(p, o) = pair.split("-", 2)
-          p.toInt -> o.toLong
-        }
-      case _ => Nil
+      case markRe(pairs) => decodePairs(pairs)
+      case _             => Nil
     }.groupMapReduce(_._1)(_._2)(math.max(_, _))
     cachedMarks = Some(scanned)
     scanned
@@ -178,6 +183,18 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
     if (table.currentVersion == lastSeenVersion) cached else rescanMarks()
   }
 
+  /** Test seam: runs between the fence probe and the data write —
+    * the residual interleave window. Production: no-op.
+    */
+  protected def afterFence(): Unit = ()
+
+  /** Decode one mark txn body (":p-o:p-o…") to per-partition marks. */
+  private def decodePairs(pairs: String): Map[Int, Long] =
+    pairs.split(":").iterator.filter(_.nonEmpty).map { pair =>
+      val Array(p, o) = pair.split("-", 2)
+      p.toInt -> o.toLong
+    }.toMap
+
   /** Commit one micro-batch of wire-shaped rows. Returns the published
     * version, or None when every row was already committed (a fully
     * replayed batch — including the crash-between-commit-and-checkpoint
@@ -191,7 +208,10 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
     */
   def commitBatch(batch: DataFrame,
       transform: DataFrame => DataFrame = identity): Option[Long] = {
-    val marks = synchronized(fencedMarks())
+    val (marks, fenceV) = synchronized {
+      (fencedMarks(), lastSeenVersion.getOrElse(-1L))
+    }
+    afterFence()
     val live =
       if (marks.isEmpty) batch
       else {
@@ -220,14 +240,60 @@ final class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       val merged = (marks.keySet ++ advanced.keySet).map { p =>
         p -> math.max(marks.getOrElse(p, -1L), advanced.getOrElse(p, -1L))
       }.toMap
-      val v = table.commit(transform(live), txnId = Some(encodeMarks(merged)))
+      val ourTxn = encodeMarks(merged)
+      val v = table.commit(transform(live), txnId = Some(ourTxn))
+      // Post-publish interleave probe. If a FOREIGN same-stream commit
+      // landed inside our fence→publish window (the residual overlap
+      // window in the class docs), versions in (fenceV, v] now hold
+      // its marks — and naively setting lastSeenVersion = v below
+      // would hide them from every future fence probe (the top is
+      // ours, the cache passes, the foreign marks stay invisible
+      // FOREVER — duplicates well beyond the race itself). So: fold
+      // any foreign marks in the window into the cache, and if the
+      // foreign frontier overlaps the range this batch just wrote,
+      // raise the dual-writer alarm loudly instead of leaving silent
+      // duplicates in the table. The common case (no interleave) scans
+      // an EMPTY version range — zero manifest reads.
+      val windowTxns = table.txnIdsBetween(fenceV, v + 1)
+      val markTxns = windowTxns.collect { case m @ markRe(_) => m }
+      // exactly one of these is our own publish; every other is foreign
+      // (string equality would mis-drop a foreign commit that wrote
+      // the IDENTICAL marks — the clearest duplicate of all — so drop
+      // one instance, not all)
+      val i = markTxns.indexOf(ourTxn)
+      require(i >= 0, s"$streamId: own commit's marks not found in " +
+        s"versions (${fenceV}, $v] — store audit moved it unexpectedly")
+      val foreign = markTxns.patch(i, Nil, 1)
+        .collect { case markRe(pairs) => decodePairs(pairs) }
+      val foreignMarks =
+        if (foreign.isEmpty) Map.empty[Int, Long]
+        else foreign.flatten.groupMapReduce(_._1)(_._2)(math.max(_, _))
+      val repaired = (merged.keySet ++ foreignMarks.keySet).map { p =>
+        p -> math.max(merged.getOrElse(p, -1L), foreignMarks.getOrElse(p, -1L))
+      }.toMap
       synchronized { // commit landed: advance cache + fence watermark
-        cachedMarks = Some(merged)
+        cachedMarks = Some(repaired)
         // v is the audited version our commit produced; if a heal or a
         // foreign writer lands above it, the next fence probe simply
         // triggers one (cheap, correct) re-scan
         lastSeenVersion = Some(v)
       }
+      // overlap = a foreign frontier above our fence base on a
+      // partition we also wrote: both writers committed some of the
+      // same offsets. The cache above is already repaired (a catching
+      // caller keeps exactly-once going FORWARD); the alarm makes the
+      // duplicated history loud instead of silent.
+      val overlapped = advanced.keys.filter { p =>
+        foreignMarks.getOrElse(p, -1L) > marks.getOrElse(p, -1L)
+      }
+      if (overlapped.nonEmpty)
+        throw new IllegalStateException(
+          s"$streamId: dual-writer overlap — a concurrent sink committed " +
+            s"offsets above the fence base on partition(s) " +
+            s"${overlapped.mkString(",")} inside this batch's " +
+            s"fence→publish window; duplicated rows are in versions " +
+            s"(${fenceV}, $v]. Deduplicate by (partition, offset) and " +
+            s"ensure a single live sink per streamId.")
       Some(v)
     }
   }

@@ -285,6 +285,17 @@ class VersionedTable(spark: SparkSession, root: String,
     */
   def committedTxnIds: Seq[String] = versions.flatMap(n => readManifest(n).txn)
 
+  /** Txn ids of manifests with `fromExcl < version < toExcl` only —
+    * the post-publish interleave probe ([[graft.sources
+    * .OffsetTrackedSink]] scans exactly the window between its fence
+    * snapshot and its own publish for a foreign writer's marks).
+    * Empty range → zero manifest reads, so the common no-interleave
+    * case costs nothing.
+    */
+  def txnIdsBetween(fromExcl: Long, toExcl: Long): Seq[String] =
+    versions.filter(n => n > fromExcl && n < toExcl)
+      .flatMap(n => readManifest(n).txn)
+
   // ---- reads --------------------------------------------------------
 
   private def readFiles(schema: Option[StructType],

@@ -157,6 +157,64 @@ class EventSourceSpec extends SparkSpec {
     assert(t.read().count() == 3)
   }
 
+  test("a foreign commit inside the fence window: overlap raises the dual-writer alarm, cache repairs forward") {
+    // the residual overlap window itself (probe→publish), driven via
+    // the afterFence test seam: a foreign sink commits the same
+    // offsets INSIDE the victim's window. The duplicates in history
+    // are the documented race cost — but they must be LOUD (alarm),
+    // and the victim's cache must fold the foreign marks so
+    // exactly-once holds from the very next batch.
+    val t = freshTable
+    val foreign = new OffsetTrackedSink(t, "s1")
+    var invade: () => Unit = () => ()
+    val victim = new OffsetTrackedSink(t, "s1") {
+      override protected def afterFence(): Unit = { invade(); invade = () => () }
+    }
+    assert(victim.commitBatch(wire(Seq(0 -> 0L))).nonEmpty)
+    foreign.committedMarks(): Unit // warm → will re-fence on its commit
+    invade = () => foreign.commitBatch(wire(Seq(0 -> 1L, 0 -> 2L))): Unit
+    val e = intercept[IllegalStateException](
+      victim.commitBatch(wire(Seq(0 -> 1L, 0 -> 2L, 0 -> 3L))))
+    assert(e.getMessage.contains("dual-writer overlap"))
+    // offsets 1-2 are duplicated in history (the race cost, now loud);
+    // 0 and 3 exactly once
+    val byOffset = t.read().groupBy("offset").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byOffset == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+    // forward repair: marks reflect the union, and the next batch
+    // commits only genuinely-new offsets
+    assert(victim.committedMarks() == Map(0 -> 3L))
+    victim.commitBatch(wire(Seq(0 -> 3L, 0 -> 4L)))
+    assert(t.read().filter("offset = 4").count() == 1)
+    assert(t.read().filter("offset = 3").count() == 1, "no new duplicates")
+  }
+
+  test("a disjoint-partition foreign commit inside the window folds into the cache without an alarm") {
+    // the stale-cache-forever hole: the foreign commit lands at a
+    // version BELOW the victim's own publish, so after the victim
+    // sets its fence watermark to its own (higher) version, a naive
+    // cache would never see the foreign partition's marks again — and
+    // a later redelivery of that partition would double-commit.
+    val t = freshTable
+    val foreign = new OffsetTrackedSink(t, "s1")
+    var invade: () => Unit = () => ()
+    val victim = new OffsetTrackedSink(t, "s1") {
+      override protected def afterFence(): Unit = { invade(); invade = () => () }
+    }
+    assert(victim.commitBatch(wire(Seq(0 -> 0L))).nonEmpty)
+    foreign.committedMarks(): Unit
+    invade = () => foreign.commitBatch(wire(Seq(1 -> 0L, 1 -> 1L))): Unit
+    // p0-only batch: the foreign p1 commit is disjoint — no alarm
+    assert(victim.commitBatch(wire(Seq(0 -> 1L))).nonEmpty)
+    assert(victim.committedMarks() == Map(0 -> 1L, 1 -> 1L),
+      "foreign partition marks folded into the victim's cache")
+    // the bus redelivers p1 0-1 (plus one new): only offset 2 commits
+    victim.commitBatch(wire(Seq(1 -> 0L, 1 -> 1L, 1 -> 2L)))
+    assert(committed(t) ==
+      Set(0 -> 0L, 0 -> 1L, 1 -> 0L, 1 -> 1L, 1 -> 2L))
+    assert(t.read().count() == 5, "no duplicate rows after the fold")
+  }
+
   test("model: random redelivery/crash/dual-writer schedules commit each offset exactly once") {
     // the sink's whole claim, model-tested: an at-least-once bus
     // (per-partition in-order NEW offsets, arbitrary-depth contiguous
