@@ -149,6 +149,20 @@ object SparkEntry {
       IvfIndex.topK(indexed, model,
         emb.filter(emb("vec_id").isin(0L, 1L, 2L)), k = 10)
     }),
+    // q101: incremental index maintenance — the quantizer is frozen on
+    // a base corpus (vec_id % 4 <> 0), the remaining quarter arrives
+    // as an ingest batch assigned under the frozen pivots and appended
+    // (no rebuild), and probes rank over the grown index. The oracle
+    // recomputes the same split exactly (pivots restricted to base).
+    "q101_ivf_grow" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.core.Tables.load(s, d, "embeddings")
+      val (idx0, model) = IvfIndex.buildPivots(emb.filter(col("vec_id") % 4 =!= 0))
+      val grown = idx0.unionByName(
+        IvfIndex.assign(emb.filter(col("vec_id") % 4 === 0), model))
+      IvfIndex.topK(grown, model,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1501,6 +1515,11 @@ object SparkEntry {
     // generators, so the approximate result is equality-checked.
     "q27_ann_topk" -> AnnIndex.oracleSql(),
     "q30_ivf_topk" -> IvfIndex.oracleSql(),
+    // q101: same construction with pivot selection restricted to the
+    // base corpus — the grown index must rank identically to a from-
+    // scratch recomputation under the SAME frozen quantizer
+    "q101_ivf_grow" -> IvfIndex.oracleSql(
+      pivotWhere = "WHERE vec_id % 4 <> 0"),
     // q28: LSH candidates are verified with EXACT shingle-set Jaccard,
     // so the output contract is the exact-Jaccard pair set (q18's
     // inverted-index result, as a distance). A pair at Jaccard j slips

@@ -80,14 +80,33 @@ object IvfIndex {
       .orderBy($"h", $"vec_id").limit(nLists)
       .select($"vec_id", $"e").as[(Long, Array[Double])].collect()
     val model = Model(pivots.zipWithIndex.map { case ((_, c), i) => (i, c) })
+    (assign(emb, model), model)
+  }
+
+  /** Assign vectors to cells under a FROZEN coarse quantizer — the
+    * incremental-maintenance primitive. At 100 TB the index cannot be
+    * rebuilt per ingest batch: the quantizer (pivots or trained
+    * centroids) is fit once on a base corpus, and every subsequent
+    * batch is assigned under it and APPENDED to the cell-partitioned
+    * store — per-batch cost O(batch · nLists · d), shuffle-free, no
+    * touch of existing index rows. Because assignment is per-row
+    * against model literals, growing the index incrementally yields
+    * bit-identical cells to re-assigning the whole corpus under the
+    * same model (spec-checked; q101's DuckDB oracle recomputes the
+    * grown index exactly, pivots restricted to the base corpus).
+    * Centroid drift under a growing corpus is the usual IVF trade:
+    * recall for new-distribution rows degrades gradually; re-fit the
+    * quantizer and re-assign on a schedule, not per batch.
+    */
+  def assign(emb: DataFrame, model: Model): DataFrame = {
+    import emb.sparkSession.implicits._
     val entries = model.centroids.map { case (cid, c) =>
       struct(
         Similarity.cosineSim($"embedding", typedLit(c.toSeq)).as("sim"),
         lit(-cid).as("negid"))
     }
-    val indexed = emb.withColumn("cell",
+    emb.withColumn("cell",
       (-array_max(array(entries.toIndexedSeq: _*)).getField("negid")).cast("int"))
-    (indexed, model)
   }
 
   /** DuckDB SQL reproducing `topK(buildPivots(embeddings), probes, k)`
@@ -95,13 +114,13 @@ object IvfIndex {
     * hash order, same cosine argmax tie-breaks, same nProbe cells.
     */
   def oracleSql(probeIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4): String =
+      nLists: Int = 16, nProbe: Int = 4, pivotWhere: String = ""): String =
     s"""WITH pv AS (SELECT * FROM (
        |    SELECT row_number() OVER (
        |        ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
        |          vec_id) - 1 AS pid,
        |      embedding::DOUBLE[] AS pe
-       |    FROM embeddings) WHERE pid < $nLists),
+       |    FROM embeddings $pivotWhere) WHERE pid < $nLists),
        | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        | asg AS (SELECT vec_id, e, pid AS cell FROM (
        |    SELECT c.vec_id, c.e, pv.pid, row_number() OVER (

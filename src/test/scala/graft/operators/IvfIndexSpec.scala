@@ -63,4 +63,30 @@ class IvfIndexSpec extends SparkSpec {
     // 4/16 cells searched; clustered data keeps true neighbors together
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("incremental growth under a frozen quantizer == whole-corpus re-assignment") {
+    // the q101 contract: fit pivots on a base corpus, assign the
+    // ingest batch under the FROZEN model, append — cells and top-k
+    // ranks are bit-identical to re-assigning the whole corpus under
+    // the same model (assignment is per-row against model literals,
+    // so growth order cannot matter)
+    val emb = Tables.load(spark, sf, "embeddings").cache()
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val batch = emb.filter($"vec_id" % 4 === 0)
+    val (idx0, model) = IvfIndex.buildPivots(base)
+    val grown = idx0.unionByName(IvfIndex.assign(batch, model))
+    val rebuilt = IvfIndex.assign(emb, model)
+    val key = Seq($"vec_id", $"cell")
+    assert(grown.select(key: _*).orderBy($"vec_id").collect().toSeq ==
+      rebuilt.select(key: _*).orderBy($"vec_id").collect().toSeq,
+      "incremental cells diverge from whole-corpus assignment")
+    // batch rows are queryable immediately: a batch row probing the
+    // grown index must find itself (its own cell is always probed)
+    val batchProbe = batch.limit(2)
+    val tk = IvfIndex.topK(grown, model, batchProbe, k = 5)
+    val probeIds = batchProbe.select($"vec_id").as[Long].collect().toSet
+    val selfHits = tk.filter($"probe_id" === $"vec_id")
+      .select($"probe_id").as[Long].collect().toSet
+    assert(selfHits == probeIds, "a just-ingested row must be findable")
+  }
 }
