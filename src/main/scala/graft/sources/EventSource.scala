@@ -103,7 +103,11 @@ class OffsetTrackedSink(table: VersionedTable, streamId: String) {
   require(streamId.matches("[A-Za-z0-9._-]+"),
     s"streamId '$streamId' — use [A-Za-z0-9._-]+ (encoded into txn ids)")
 
-  private val markRe = s"""${java.util.regex.Pattern.quote(streamId)}\\.offsets((?::\\d+-\\d+)+)""".r
+  // optional ".ckpt-<topVersion>" suffix = a checkpoint re-record of
+  // unchanged marks (see checkpointMarks — the suffix keeps the txn id
+  // distinct from the original mark commit so the store's replay
+  // dedup does not swallow the re-record)
+  private val markRe = s"""${java.util.regex.Pattern.quote(streamId)}\\.offsets((?::\\d+-\\d+)+)(?:\\.ckpt-\\d+)?""".r
 
   private def encodeMarks(marks: Map[Int, Long]): String =
     streamId + ".offsets" + marks.toSeq.sorted
@@ -194,6 +198,30 @@ class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       val Array(p, o) = pair.split("-", 2)
       p.toInt -> o.toLong
     }.toMap
+
+  /** Durably re-record the current marks in a FRESH manifest (an
+    * empty-body commit under the table's own schema, txn id = the
+    * marks plus a `.ckpt-<topVersion>` disambiguator). Mark recovery scans
+    * committed manifests, and [[VersionedTable.vacuum]] forgets
+    * dropped manifests' txn ids — so without checkpoints, vacuum
+    * retention has to cover the WHOLE stream history or old-offset
+    * replays stop being fenced. After a checkpoint, retention only
+    * needs to reach back to the newest checkpoint (the vacuum-grace
+    * contract every production offset store states). No-op on a
+    * markless stream; returns the checkpoint's version otherwise.
+    */
+  def checkpointMarks(): Option[Long] = {
+    val marks = synchronized(fencedMarks())
+    if (marks.isEmpty) None
+    else {
+      val txn = encodeMarks(marks) + ".ckpt-" + table.currentVersion.getOrElse(0L)
+      val v = table.commit(table.read().limit(0), txnId = Some(txn))
+      // checkpoints are rare: pay one full re-scan instead of carrying
+      // the interleave-window reasoning here too
+      synchronized(rescanMarks()): Unit
+      Some(v)
+    }
+  }
 
   /** Commit one micro-batch of wire-shaped rows. Returns the published
     * version, or None when every row was already committed (a fully

@@ -215,6 +215,44 @@ class EventSourceSpec extends SparkSpec {
     assert(t.read().count() == 5, "no duplicate rows after the fold")
   }
 
+  test("without a checkpoint, vacuum past the mark history un-fences old replays (the hazard)") {
+    // the documented contract under test: vacuum forgets dropped
+    // manifests' txn ids, so marks only reach back as far as retention
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "s1")
+    sink.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L)))            // v0: marks
+    t.commit(wire(Seq(9 -> 99L)), txnId = Some("w.a"))       // v1
+    t.commit(wire(Seq(9 -> 98L)), txnId = Some("w.b"))       // v2
+    t.vacuum(retain = 2, graceMs = 0L)                       // drops v0
+    val recovered = new OffsetTrackedSink(t, "s1")
+    assert(recovered.committedMarks().isEmpty, "marks gone with v0")
+    recovered.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L)))       // replay re-commits
+    assert(t.read().filter("partition = 0").count() == 4, "duplicates — the hazard")
+  }
+
+  test("checkpointMarks makes the replay fence survive vacuum beyond the mark history") {
+    val t = freshTable
+    val sink = new OffsetTrackedSink(t, "s1")
+    sink.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L)))            // v0
+    sink.commitBatch(wire(Seq(0 -> 2L, 1 -> 0L)))            // v1
+    assert(sink.checkpointMarks().nonEmpty)                  // v2: marks re-record
+    t.commit(wire(Seq(9 -> 99L)), txnId = Some("other.writer")) // v3
+    // retention (2) reaches the checkpoint but NOT the original mark
+    // manifests v0/v1 — the exact window the hazard test shows failing
+    t.vacuum(retain = 2, graceMs = 0L)
+    val recovered = new OffsetTrackedSink(t, "s1")
+    assert(recovered.committedMarks() == Map(0 -> 2L, 1 -> 0L),
+      "marks recovered from the checkpoint manifest alone")
+    // data survives vacuum (the retained snapshot still references the
+    // old commits' files), and a full replay stays fenced
+    recovered.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L, 0 -> 2L, 0 -> 3L)))
+    assert(committed(t).filter(_._1 == 0) ==
+      Set(0 -> 0L, 0 -> 1L, 0 -> 2L, 0 -> 3L))
+    assert(t.read().filter("partition = 0").count() == 4, "no duplicates")
+    // a checkpoint on a markless stream is a no-op
+    assert(new OffsetTrackedSink(freshTable, "s9").checkpointMarks().isEmpty)
+  }
+
   test("model: random redelivery/crash/dual-writer schedules commit each offset exactly once") {
     // the sink's whole claim, model-tested: an at-least-once bus
     // (per-partition in-order NEW offsets, arbitrary-depth contiguous
