@@ -78,19 +78,12 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
           case None =>
             (400, """{"error":"missing required query parameter 'id'"}""")
           case Some(id) =>
-            cache.get(id) match {
-              case None => (404, """{"Record":[]}""")
-              case Some(row) =>
-                // the reference's Record shape: every present field as
-                // a FeatureName/ValueAsString pair; NULL fields omitted
-                // (SageMaker omits absent features the same way)
-                val fields = row.schema.fields.iterator.zipWithIndex
-                  .filterNot { case (_, i) => row.isNullAt(i) }
-                  .map { case (f, i) =>
-                    s"""{"FeatureName":"${jsonEsc(f.name)}",""" +
-                      s""""ValueAsString":"${jsonEsc(String.valueOf(row.get(i)))}"}"""
-                  }
-                (200, fields.mkString("""{"Record":[""", ",", "]}"))
+            // the reference's Record shape: every present field as a
+            // FeatureName/ValueAsString pair; NULL fields omitted
+            // (the upstream API omits absent features the same way)
+            recordJson(id) match {
+              case None    => (404, """{"Record":[]}""")
+              case Some(r) => (200, s"""{"Record":$r}""")
             }
         }
       } catch {
@@ -101,12 +94,62 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
     catch { case _: java.io.IOException => ex.close() } // client went away
   }
 
+  /** One record's Record-array body, or None when the key is absent. */
+  private def recordJson(id: String): Option[String] =
+    cache.get(id).map { row =>
+      row.schema.fields.iterator.zipWithIndex
+        .filterNot { case (_, i) => row.isNullAt(i) }
+        .map { case (f, i) =>
+          s"""{"FeatureName":"${jsonEsc(f.name)}",""" +
+            s""""ValueAsString":"${jsonEsc(String.valueOf(row.get(i)))}"}"""
+        }.mkString("[", ",", "]")
+    }
+
+  /** Batch lookups — the reference runtime's `batch_get_record` role:
+    * one round-trip for many keys, response mirroring its shape
+    * (`Records` entries carrying the identifier + Record pairs;
+    * identifiers with no stored record listed under
+    * `UnprocessedIdentifiers`). Identifier count is capped at 100 per
+    * request, the same batch limit the upstream API enforces —
+    * callers page above that. Ids sharing a bucket amortize one cache
+    * load; distinct buckets ride the per-bucket latches exactly like
+    * concurrent point gets.
+    */
+  private val batchHandler: HttpHandler = (ex: HttpExchange) => {
+    val (code, body) =
+      try {
+        queryParam(ex, "ids").map(_.split(",", -1).iterator
+            .map(_.trim).filter(_.nonEmpty).distinct.toSeq) match {
+          case None | Some(Seq()) =>
+            (400, """{"error":"missing required query parameter 'ids' (comma-separated)"}""")
+          case Some(ids) if ids.sizeIs > 100 =>
+            (400, s"""{"error":"too many identifiers (${ids.size} > 100 per request)"}""")
+          case Some(ids) =>
+            val (found, missing) = ids.map(id => id -> recordJson(id))
+              .partition(_._2.isDefined)
+            val recs = found.map { case (id, r) =>
+              s"""{"RecordIdentifierValueAsString":"${jsonEsc(id)}",""" +
+                s""""Record":${r.get}}"""
+            }.mkString("[", ",", "]")
+            val unproc = missing.map(m => s""""${jsonEsc(m._1)}"""")
+              .mkString("[", ",", "]")
+            (200, s"""{"Records":$recs,"UnprocessedIdentifiers":$unproc}""")
+        }
+      } catch {
+        case t: Throwable =>
+          (500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
+      }
+    try respond(ex, code, body)
+    catch { case _: java.io.IOException => ex.close() }
+  }
+
   private val statsHandler: HttpHandler = (ex: HttpExchange) => {
     val (h, m) = cache.stats
     respond(ex, 200, s"""{"hits":$h,"misses":$m}""")
   }
 
   server.createContext("/record", recordHandler)
+  server.createContext("/records", batchHandler)
   server.createContext("/stats", statsHandler)
   server.setExecutor(pool)
 

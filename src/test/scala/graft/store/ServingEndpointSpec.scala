@@ -107,4 +107,37 @@ class ServingEndpointSpec extends SparkSpec {
       } finally pool.shutdownNow(): Unit
     }
   }
+
+  test("GET /records batches lookups in the batch_get_record wire shape") {
+    val s = freshStore()
+    s.mergeServing(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.5),
+      (2L, ts("2024-01-02 00:00:00"), 2.5),
+      (3L, ts("2024-01-03 00:00:00"), 3.5))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      // found + missing + duplicate (deduped) in one round-trip
+      val (code, body) = get(port, "/records?ids=1,3,999,1")
+      assert(code == 200)
+      assert(body.contains(
+        """{"RecordIdentifierValueAsString":"1","Record":["""))
+      assert(body.contains(
+        """{"RecordIdentifierValueAsString":"3","Record":["""))
+      assert(body.contains("""{"FeatureName":"v","ValueAsString":"1.5"}"""))
+      assert(body.contains("""{"FeatureName":"v","ValueAsString":"3.5"}"""))
+      assert(body.contains(""""UnprocessedIdentifiers":["999"]"""))
+      assert(!body.contains("\"2.5\""), "unrequested key must not appear")
+      // duplicate id collapses to one Record entry
+      assert("RecordIdentifierValueAsString\":\"1\"".r
+        .findAllIn(body).size == 1)
+      // the single-record route still answers beside the batch route
+      assert(get(port, "/record?id=2")._1 == 200)
+      // empty / oversized identifier lists are rejected loudly
+      assert(get(port, "/records?ids=")._1 == 400)
+      assert(get(port, "/records")._1 == 400)
+      val many = (0 to 100).mkString(",")
+      val (tooMany, msg) = get(port, s"/records?ids=$many")
+      assert(tooMany == 400 && msg.contains("too many identifiers"))
+    }
+  }
 }
