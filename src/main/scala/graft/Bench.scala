@@ -112,13 +112,7 @@ object Bench {
     // line overflowed it in round 4 (artifact truncated mid-object)
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => f"\\u${c.toInt}%04x"
-        case c             => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.Json.str(s)
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + r3(v) } ++
       errors.map { case (k, e) => "\"" + k + "\":{\"err\":" + jstr(e) + "}" })
       .mkString("{", ",", "}")

@@ -211,13 +211,15 @@ object Temporal {
     * q76's in-suite 3–5× bench anomaly):
     *
     *  1. deterministic ts range cuts from an approx-quantile sketch
-    *     over the RAW event timestamps — session starts/ends ARE
-    *     event timestamps (per-session min/max), so raw-ts quantiles
-    *     bucket the change points as well as their own would, and the
-    *     probe is one sketch pass over the scan with no sessionize at
-    *     all. The bucket rule compares the integer-µs timestamp only,
-    *     so ALL rows with equal ts land in the same bucket and the
-    *     (ts, delta DESC) tie order is never split across buckets;
+    *     over DISTINCT (user, gap-cell) pairs — a windowless proxy
+    *     for change-point density (bounded per unit session time,
+    *     independent of event count; raw-event-ts quantiles would
+    *     follow event density and let one mega-session's events pull
+    *     every cut into its range while everyone else's change points
+    *     collapse into a single bucket). The bucket rule compares the
+    *     integer-µs timestamp only, so ALL rows with equal ts land in
+    *     the same bucket and the (ts, delta DESC) tie order is never
+    *     split across buckets;
     *  2. ONE pass over the change points: per-bucket LOCAL prefix
     *     sums (a PARTITIONED window — parallel across buckets),
     *     reduced in the same job to per-(bucket, day)
@@ -270,19 +272,38 @@ object Temporal {
     val spark = events.sparkSession
     val n = if (numBuckets > 0) numBuckets
       else spark.sessionState.conf.numShufflePartitions
-    // action 1: deterministic range cuts over RAW event timestamps
-    // (driver-side values; ε=1e-3 on a quantile SKETCH — bucket
-    // balance is approximate, correctness is not: any cut assignment
-    // is correct as long as it is a pure function of ts).
-    val cuts: Array[Long] =
-      if (n <= 1) Array.empty
-      else events.select(unix_micros($"ts").as("us")).stat
-        .approxQuantile("us", (1 until n).map(_.toDouble / n).toArray, 1e-3)
-        .filter(d => !d.isNaN).map(_.toLong).distinct.sorted
     val sess = sessionize(events, gapSec)
     val deltas = sess.select($"start_ts".as("ts"), lit(1L).as("delta"))
       .unionByName(sess.select($"end_ts".as("ts"), lit(-1L).as("delta")))
       .withColumn("us", unix_micros($"ts"))
+    // action 1: deterministic range cuts (driver-side values; ε=1e-3
+    // on a quantile SKETCH — bucket balance is approximate,
+    // correctness is not: any cut assignment is correct as long as it
+    // is a pure function of ts). The probe must track CHANGE-POINT
+    // density, not event density: raw-event-ts quantiles would let
+    // one mega-session (10M events, 2 change points) pull every cut
+    // into its range while everyone else's change points collapse
+    // into one bucket — the single-reducer hotspot this decomposition
+    // exists to avoid. Exact change points would cost a second
+    // sessionize (a full per-user sort — measured ~2× the operator);
+    // instead sketch DISTINCT (user, gap-cell) pairs: a session
+    // contributes ≥ 1 cell per change-point pair and ≤ its time span
+    // in gap units — bounded per unit session TIME, independent of
+    // event count — for one map-side-combined agg shuffle, no window.
+    // A per-user hash jitter spreads each pair's probe point inside
+    // its cell so the sketch can still subdivide a cell many users
+    // crowd into; cuts stay pure ts literals either way.
+    val gapUs = gapSec * 1000000L
+    val cuts: Array[Long] =
+      if (n <= 1) Array.empty
+      else events
+        .select($"user_id",
+          (unix_micros($"ts") - pmod(unix_micros($"ts"), lit(gapUs))).as("cus"))
+        .distinct()
+        .select(($"cus" + pmod(xxhash64($"user_id"), lit(gapUs))).as("us"))
+        .stat
+        .approxQuantile("us", (1 until n).map(_.toDouble / n).toArray, 1e-3)
+        .filter(d => !d.isNaN).map(_.toLong).distinct.sorted
     val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when($"us" > lit(c), 1).otherwise(0)
     }

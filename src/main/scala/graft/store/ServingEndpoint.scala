@@ -38,16 +38,12 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
 
-  private def jsonEsc(s: String): String = {
-    val b = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"'           => b.append("\\\"")
-      case '\\'          => b.append("\\\\")
-      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
-      case c             => b.append(c)
-    }
-    b.toString
-  }
+  private def jsonEsc(s: String): String = graft.core.Json.esc(s)
+
+  /** A client-input defect (bad escape, malformed list) — mapped to
+    * HTTP 400, never the 5xx class a serving tier alerts on.
+    */
+  private final class BadRequest(msg: String) extends RuntimeException(msg)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -58,15 +54,30 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
 
   /** Decode ONLY percent-escapes: these are URI-query semantics, not
     * form encoding — URLDecoder alone would turn a literal `+` in a
-    * string key into a space and miss an existing record.
+    * string key into a space and miss an existing record. A malformed
+    * escape is the CLIENT's defect → BadRequest (400), not a 500.
     */
-  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+  private def pctDecode(v: String): String =
+    try java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
+    catch {
+      case _: IllegalArgumentException =>
+        throw new BadRequest("malformed percent-encoding in query parameter")
+    }
+
+  /** Raw (still percent-encoded) value of `name` — callers that split
+    * on structural characters (the batch route's commas) must split
+    * BEFORE decoding, or an encoded comma inside one identifier would
+    * be torn into several.
+    */
+  private def rawQueryParam(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getRawQuery).flatMap {
       _.split("&").iterator.map(_.split("=", 2)).collectFirst {
-        case Array(k, v) if k == name =>
-          java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
+        case Array(k, v) if k == name => v
       }
     }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    rawQueryParam(ex, name).map(pctDecode)
 
   private val recordHandler: HttpHandler = (ex: HttpExchange) => {
     // compute the response BEFORE sending anything: once headers go
@@ -87,6 +98,8 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
             }
         }
       } catch {
+        case b: BadRequest =>
+          (400, s"""{"error":"${jsonEsc(b.getMessage)}"}""")
         case t: Throwable =>
           (500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
       }
@@ -94,15 +107,33 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
     catch { case _: java.io.IOException => ex.close() } // client went away
   }
 
+  /** One feature's wire pair. Scalars → `ValueAsString`; array
+    * columns → `ValueAsStringList` (the upstream FeatureValue's
+    * collection shape — a flat `String.valueOf` would leak Scala
+    * debug strings like `ArraySeq(0.1, 0.2)` onto the wire); binary
+    * columns → base64 `ValueAsString`. Nested collections fall back
+    * to element `String.valueOf` (serving rows are flat in practice).
+    */
+  private def featureJson(name: String, value: Any): String = {
+    val k = s"""{"FeatureName":"${jsonEsc(name)}","""
+    value match {
+      case b: Array[Byte] =>
+        k + s""""ValueAsString":"${java.util.Base64.getEncoder.encodeToString(b)}"}"""
+      case seq: scala.collection.Seq[_] =>
+        k + seq.map(e => "\"" + jsonEsc(String.valueOf(e)) + "\"")
+          .mkString("\"ValueAsStringList\":[", ",", "]}")
+      case v =>
+        k + s""""ValueAsString":"${jsonEsc(String.valueOf(v))}"}"""
+    }
+  }
+
   /** One record's Record-array body, or None when the key is absent. */
   private def recordJson(id: String): Option[String] =
     cache.get(id).map { row =>
       row.schema.fields.iterator.zipWithIndex
         .filterNot { case (_, i) => row.isNullAt(i) }
-        .map { case (f, i) =>
-          s"""{"FeatureName":"${jsonEsc(f.name)}",""" +
-            s""""ValueAsString":"${jsonEsc(String.valueOf(row.get(i)))}"}"""
-        }.mkString("[", ",", "]")
+        .map { case (f, i) => featureJson(f.name, row.get(i)) }
+        .mkString("[", ",", "]")
     }
 
   /** Batch lookups — the reference runtime's `batch_get_record` role:
@@ -118,8 +149,11 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
   private val batchHandler: HttpHandler = (ex: HttpExchange) => {
     val (code, body) =
       try {
-        queryParam(ex, "ids").map(_.split(",", -1).iterator
-            .map(_.trim).filter(_.nonEmpty).distinct.toSeq) match {
+        // split the RAW value first: an encoded comma (%2C) inside one
+        // identifier is key content, not a list separator
+        rawQueryParam(ex, "ids").map(_.split(",", -1).iterator
+            .map(_.trim).filter(_.nonEmpty).map(pctDecode)
+            .distinct.toSeq) match {
           case None | Some(Seq()) =>
             (400, """{"error":"missing required query parameter 'ids' (comma-separated)"}""")
           case Some(ids) if ids.sizeIs > 100 =>
@@ -136,6 +170,8 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
             (200, s"""{"Records":$recs,"UnprocessedIdentifiers":$unproc}""")
         }
       } catch {
+        case b: BadRequest =>
+          (400, s"""{"error":"${jsonEsc(b.getMessage)}"}""")
         case t: Throwable =>
           (500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
       }
@@ -145,7 +181,8 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
 
   private val statsHandler: HttpHandler = (ex: HttpExchange) => {
     val (h, m) = cache.stats
-    respond(ex, 200, s"""{"hits":$h,"misses":$m}""")
+    try respond(ex, 200, s"""{"hits":$h,"misses":$m}""")
+    catch { case _: java.io.IOException => ex.close() } // client went away
   }
 
   server.createContext("/record", recordHandler)

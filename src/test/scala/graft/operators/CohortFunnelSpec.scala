@@ -147,6 +147,30 @@ class CohortFunnelSpec extends SparkSpec {
     assert(g2 == o2)
   }
 
+  test("peakConcurrency: cuts follow change-point density, not event density") {
+    // one mega-session (thousands of events, TWO change points) next
+    // to many single-event sessions: raw-event-ts quantile cuts would
+    // all land inside the mega-session's hour and collapse every other
+    // session's change points into one bucket — the single-reducer
+    // hotspot the decomposition exists to avoid
+    val mega = (1L to 5000L).map(i =>
+      (999L, "view", s"2024-01-01 10:${10 + (i % 40).toInt}:00"))
+    val singles = (1L to 200L).map(u =>
+      (u, "view", f"2024-01-${3 + (u % 25).toInt}%02d 0${(u % 9) + 1}:00:00"))
+    val e = ev((mega ++ singles): _*)
+    val staged = Temporal.peakConcurrencyStaged(e, numBuckets = 8)
+      .select($"pid").distinct().as[Int].collect()
+    assert(staged.length >= 4,
+      s"change points collapsed into ${staged.length} buckets of 8 " +
+        "— the cut probe is following event density")
+    // and the skewed corpus still folds to the exact answer
+    val got = Temporal.peakConcurrency(e, numBuckets = 8)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val want = Temporal.peakConcurrencyGlobalWindow(e)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(got == want)
+  }
+
   // ---- q77 winsorize + robust scale ---------------------------------
 
   test("winsorScale: clamps to the cut band and scales into [0,1]") {

@@ -140,4 +140,68 @@ class ServingEndpointSpec extends SparkSpec {
       assert(tooMany == 400 && msg.contains("too many identifiers"))
     }
   }
+
+  test("an encoded comma inside a batch identifier is key content, not a separator") {
+    val s = FeatureStore(spark,
+      Files.createTempDirectory("fs-endpoint-comma").toString,
+      keyCol = "doc_key", eventTimeCol = "purchase_timestamp")
+    s.mergeServing(Seq(("a,b", ts("2024-01-01 00:00:00"), 1.0),
+      ("c", ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("doc_key", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      val (code, body) = get(port, "/records?ids=a%2Cb,c")
+      assert(code == 200)
+      assert(body.contains("""{"RecordIdentifierValueAsString":"a,b""""),
+        "the %2C id must stay one identifier")
+      assert(body.contains("""{"RecordIdentifierValueAsString":"c""""))
+      assert(body.contains(""""UnprocessedIdentifiers":[]"""))
+    }
+  }
+
+  test("a malformed percent-escape is the client's 400, not a 500") {
+    val s = freshStore()
+    s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      // HttpClient refuses to even build a malformed-escape URI, so
+      // speak raw HTTP: the server must still answer in the 4xx class
+      def rawGet(path: String): String = {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        try {
+          val out = sock.getOutputStream
+          out.write((s"GET $path HTTP/1.1\r\nHost: l\r\n" +
+            "Connection: close\r\n\r\n").getBytes("US-ASCII"))
+          out.flush()
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, "US-ASCII"))
+          r.readLine() // e.g. "HTTP/1.1 400 Bad Request"
+        } finally sock.close()
+      }
+      assert(rawGet("/record?id=100%25") != null) // sanity: valid escape
+      val s1 = rawGet("/record?id=100%")
+      assert(s1 != null && s1.contains(" 400"), s"got: $s1")
+      val s2 = rawGet("/records?ids=1,100%")
+      assert(s2 != null && s2.contains(" 400"), s"got: $s2")
+    }
+  }
+
+  test("array features serve as ValueAsStringList, binary as base64 ValueAsString") {
+    val s = FeatureStore(spark,
+      Files.createTempDirectory("fs-endpoint-arr").toString,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    s.mergeServing(Seq((7L, ts("2024-01-01 00:00:00"),
+        Seq(0.25, 0.5), Array[Byte](1, 2, 3)))
+      .toDF("customer_id", "purchase_timestamp", "emb", "blob"))
+    withEndpoint(s) { port =>
+      val (code, body) = get(port, "/record?id=7")
+      assert(code == 200)
+      assert(body.contains(
+        """{"FeatureName":"emb","ValueAsStringList":["0.25","0.5"]}"""),
+        s"array must not leak a Scala debug string: $body")
+      assert(!body.contains("ArraySeq") && !body.contains("WrappedArray"))
+      val b64 = java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3))
+      assert(body.contains(
+        s"""{"FeatureName":"blob","ValueAsString":"$b64"}"""))
+    }
+  }
 }
