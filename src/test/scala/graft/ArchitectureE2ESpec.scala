@@ -133,4 +133,57 @@ class ArchitectureE2ESpec extends SparkSpec {
       }
     } finally ep.stop()
   }
+
+  test("operations leg: checkpoint + compaction + vacuum keep the fence across a restart") {
+    // the long-running production lifecycle on the same architecture:
+    // steady-state ingest builds mark history; the operator compacts
+    // the landing table and vacuums old versions; a restarted driver
+    // faces a FULL bus redelivery — and the replay fence must hold
+    // even though every original mark-bearing manifest is gone,
+    // because checkpointMarks() re-recorded the frontier inside the
+    // retained window (retention bounded by checkpoint cadence, not
+    // stream lifetime)
+    val dropDir = Files.createTempDirectory("e2e-ops-bus").toString
+    val landing = new VersionedTable(
+      spark, Files.createTempDirectory("e2e-ops-landing").toString)
+
+    wire((0, 0L, 1L, 10.0), (0, 1L, 2L, 20.0), (0, 2L, 1L, 11.0))
+      .write.mode("append").parquet(dropDir)
+    val sink1 = new OffsetTrackedSink(landing, "bus")
+    EventSource.runIngest(
+        new EventSource.FileEventSource(dropDir), spark, sink1,
+        Files.createTempDirectory("e2e-ops-cp1").toString,
+        transform = parse)
+      .awaitTermination()                       // v0: rows + marks 0-2
+    landing.replace(landing.read())             // v1: compaction
+    assert(sink1.checkpointMarks().nonEmpty)    // v2: marks re-record
+    // retention reaches the compaction + checkpoint, NOT the ingest
+    // manifest that originally carried the marks
+    landing.vacuum(retain = 2, graceMs = 0L)
+    assert(landing.versions.head >= 1L, "the mark-bearing v0 is gone")
+
+    // restart: fresh checkpoint + fresh sink; the bus redelivers
+    // everything plus one new purchase
+    wire((0, 3L, 3L, 30.0)).write.mode("append").parquet(dropDir)
+    EventSource.runIngest(
+        new EventSource.FileEventSource(dropDir), spark,
+        new OffsetTrackedSink(landing, "bus"),
+        Files.createTempDirectory("e2e-ops-cp2").toString,
+        transform = parse)
+      .awaitTermination()
+
+    val landed = landing.read()
+    assert(landed.count() == 4,
+      "full redelivery after compaction+vacuum must stay fenced")
+    // and the serving view of the survivors is correct
+    val latest = landed
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"customer_id")
+          .orderBy($"purchase_timestamp".desc)))
+      .filter($"_rn" === 1)
+      .select($"customer_id", $"amount")
+      .as[(Long, Double)].collect().toMap
+    assert(latest == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+  }
 }
