@@ -52,6 +52,10 @@ object BloomPrune {
             s"'$factKey' — Bloom probing is defined for integral and " +
             "string keys only (matching Spark's bloomFilter build side)")
     }
+    // empty dim side: the semi join is empty by definition — and
+    // Spark's bloomFilter over zero rows yields a null-buffered
+    // filter whose probe NPEs, so short-circuit before building it
+    if (dim.head(1).isEmpty) return fact.filter(lit(false))
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     val probe =

@@ -211,7 +211,8 @@ object Curation {
     val quotas = counts.map { case (g, n) =>
       (g, math.floor(total * w(n) / norm + 0.5).toLong)
     }
-    val maxQ = quotas.map(_._2).max.toInt
+    // floor 1: an empty corpus has no quotas, and TopKAgg needs k ≥ 1
+    val maxQ = quotas.foldLeft(1L)((a, q) => math.max(a, q._2)).toInt
     val tk = udaf(new graft.functions.TopKAgg(maxQ),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     val ranked = df

@@ -81,7 +81,8 @@ object Dedup {
   def q55IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val top = docs.agg(max($"doc_id")).head() // null on an empty corpus
+    val cut = if (top.isNullAt(0)) 0L else (top.getLong(0) + 1L) / 2L
     val (old, batch) =
       (docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
     incrementalNew(batch, old)

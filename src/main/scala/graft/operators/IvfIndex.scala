@@ -100,6 +100,12 @@ object IvfIndex {
     */
   def assign(emb: DataFrame, model: Model): DataFrame = {
     import emb.sparkSession.implicits._
+    // an empty quantizer (fit on an empty base corpus) assigns no
+    // cell — `array_max(array())` would not even analyze (VOID
+    // element type), and an empty-corpus day must not take the
+    // pipeline down
+    if (model.centroids.isEmpty)
+      return emb.withColumn("cell", lit(null).cast("int"))
     val entries = model.centroids.map { case (cid, c) =>
       struct(
         Similarity.cosineSim($"embedding", typedLit(c.toSeq)).as("sim"),
@@ -165,6 +171,9 @@ object IvfIndex {
     import emb.sparkSession.implicits._
     import org.apache.spark.sql.Encoders
     val (indexed, model) = buildPivots(emb, nLists)
+    if (model.centroids.isEmpty) // empty corpus: graph of nothing
+      return indexed.select($"vec_id", $"vec_id".as("nbr_id"),
+        lit(0.0).as("sim")).filter(lit(false))
     val nParts = emb.sparkSession.sessionState.conf.numShufflePartitions
     // (−sim, pid) structs sort ascending = similarity descending with
     // pid tie-break — identical ordering to Model.nearestCells

@@ -51,9 +51,14 @@ object KMeansTick {
       zip_with(qv, lit(c), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, z) => acc + z)
 
-  /** Argmin cluster id over centroid literals, ties to lower id. */
+  /** Argmin cluster id over centroid literals, ties to lower id.
+    * No centroids (empty corpus) → null cluster: `array(…)` with zero
+    * elements types as VOID and fails analysis, and the empty case
+    * must stay runnable.
+    */
   private def assignCol(qv: Column, cents: Seq[(Int, Array[Long])]): Column =
-    array_min(array(cents.map { case (j, c) =>
+    if (cents.isEmpty) lit(null).cast("int")
+    else array_min(array(cents.map { case (j, c) =>
       struct(sqDist(qv, c).as("d"), lit(j).as("cl"))
     }: _*)).getField("cl")
 
@@ -129,9 +134,12 @@ object KMeansTick {
     import org.apache.spark.sql.Encoders
     val (_, cents) = fit(emb, k, iters, tick)
     val q = quantize(emb, tick)
-    val best = array_min(array(cents.map { case (j, c) =>
-      struct(sqDist($"qv", c).as("d"), lit(j).as("cl"))
-    }: _*))
+    val best = // empty corpus → no centroids → typed-null struct
+      if (cents.isEmpty)
+        struct(lit(null).cast("bigint").as("d"), lit(null).cast("int").as("cl"))
+      else array_min(array(cents.map { case (j, c) =>
+        struct(sqDist($"qv", c).as("d"), lit(j).as("cl"))
+      }: _*))
     val scored = q.withColumn("s", best)
       .select($"vec_id", $"s.cl".as("cluster"), $"s.d".as("d"))
     val tk = udaf(new graft.functions.TopKAgg(m),

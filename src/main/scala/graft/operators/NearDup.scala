@@ -222,7 +222,8 @@ object NearDup {
   def q91IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val top = docs.agg(max($"doc_id")).head() // null on an empty corpus
+    val cut = if (top.isNullAt(0)) 0L else (top.getLong(0) + 1L) / 2L
     jaccardPairsAgainst(
       docs.filter($"doc_id" >= cut), docs.filter($"doc_id" < cut), 0.5)
       .orderBy($"doc_id", $"dup_of")

@@ -164,7 +164,8 @@ object Profiling {
   def q96TokenDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L
+    val top = docs.agg(max($"doc_id")).head() // null on an empty corpus
+    val cut = if (top.isNullAt(0)) 0L else (top.getLong(0) + 1L) / 2L
     tokenDrift(docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
       .orderBy($"contrib".desc, $"token")
       .select($"token", $"cnt_ref", $"cnt_new",

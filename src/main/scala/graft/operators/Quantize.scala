@@ -88,7 +88,7 @@ object Quantize {
       .withColumn("h", h)
       .orderBy($"h", $"vec_id").limit(ksub)
       .select($"e").as[Array[Double]].collect()
-    val dim = pivots.head.length
+    val dim = if (pivots.isEmpty) 0 else pivots.head.length // empty corpus
     val sub = dim / m
     Array.tabulate(m, pivots.length, sub)((s, p, d) =>
       pivots(p)(s * sub + d))
