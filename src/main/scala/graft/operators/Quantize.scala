@@ -107,7 +107,9 @@ object Quantize {
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb.select($"embedding".cast("array<double>").as("e"))
       .localCheckpoint(true)
-    val dim = e.head().getSeq[Double](0).length
+    val first = e.head(1) // empty corpus: nothing to learn from
+    if (first.isEmpty) return Array.fill(m)(Array.empty)
+    val dim = first.head.getSeq[Double](0).length
     val sub = dim / m
     (0 until m).map { s =>
       val slice = e.select(array_to_vector(
