@@ -54,8 +54,11 @@ object BloomPrune {
     }
     // empty dim side: the semi join is empty by definition — and
     // Spark's bloomFilter over zero rows yields a null-buffered
-    // filter whose probe NPEs, so short-circuit before building it
-    if (dim.head(1).isEmpty) return fact.filter(lit(false))
+    // filter whose probe NPEs, so short-circuit before building it.
+    // The probe is a column-pruned limit-1 plan (scans can early-exit)
+    // so the common non-empty case pays near nothing.
+    if (dim.select(col(dimKey)).limit(1).head(1).isEmpty)
+      return fact.filter(lit(false))
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     val probe =

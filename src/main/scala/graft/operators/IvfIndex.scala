@@ -100,12 +100,16 @@ object IvfIndex {
     */
   def assign(emb: DataFrame, model: Model): DataFrame = {
     import emb.sparkSession.implicits._
-    // an empty quantizer (fit on an empty base corpus) assigns no
-    // cell — `array_max(array())` would not even analyze (VOID
-    // element type), and an empty-corpus day must not take the
-    // pipeline down
+    // an empty quantizer (fit on an empty base corpus): an empty
+    // batch must still analyze and execute (the zero-row-day
+    // contract — `array_max(array())` would fail analysis with a
+    // VOID element type), but any actual ROW reaching this plan is a
+    // misconfiguration that must stay LOUD — silently assigning null
+    // cells would make every such row invisible to topK forever
     if (model.centroids.isEmpty)
-      return emb.withColumn("cell", lit(null).cast("int"))
+      return emb.withColumn("cell", raise_error(lit(
+        "IvfIndex.assign: the quantizer has no centroids (fit on an " +
+          "empty base corpus) — re-fit before assigning rows")).cast("int"))
     val entries = model.centroids.map { case (cid, c) =>
       struct(
         Similarity.cosineSim($"embedding", typedLit(c.toSeq)).as("sim"),

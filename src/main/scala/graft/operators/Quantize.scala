@@ -107,8 +107,13 @@ object Quantize {
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb.select($"embedding".cast("array<double>").as("e"))
       .localCheckpoint(true)
-    val first = e.head(1) // empty corpus: nothing to learn from
-    if (first.isEmpty) return Array.fill(m)(Array.empty)
+    val first = e.head(1)
+    // nothing to learn from an empty corpus — and returning empty
+    // codebooks would make every later encode silently emit code -1;
+    // fail here, with the actual reason instead of head()'s bare
+    // NoSuchElementException
+    require(first.nonEmpty,
+      "learnedCodebooks: cannot learn PQ codebooks from an empty corpus")
     val dim = first.head.getSeq[Double](0).length
     val sub = dim / m
     (0 until m).map { s =>

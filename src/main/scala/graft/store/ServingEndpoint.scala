@@ -120,7 +120,10 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
       case b: Array[Byte] =>
         k + s""""ValueAsString":"${java.util.Base64.getEncoder.encodeToString(b)}"}"""
       case seq: scala.collection.Seq[_] =>
-        k + seq.map(e => "\"" + jsonEsc(String.valueOf(e)) + "\"")
+        // a null ELEMENT is JSON null, not the string "null" — the
+        // two are indistinguishable on the wire otherwise
+        k + seq.map(e =>
+            if (e == null) "null" else "\"" + jsonEsc(String.valueOf(e)) + "\"")
           .mkString("\"ValueAsStringList\":[", ",", "]}")
       case v =>
         k + s""""ValueAsString":"${jsonEsc(String.valueOf(v))}"}"""
@@ -180,8 +183,11 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
   }
 
   private val statsHandler: HttpHandler = (ex: HttpExchange) => {
-    val (h, m) = cache.stats
-    try respond(ex, 200, s"""{"hits":$h,"misses":$m}""")
+    val (code, body) = // same compute-then-respond shape as the others
+      try { val (h, m) = cache.stats; (200, s"""{"hits":$h,"misses":$m}""") }
+      catch { case t: Throwable =>
+        (500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""") }
+    try respond(ex, code, body)
     catch { case _: java.io.IOException => ex.close() } // client went away
   }
 
