@@ -163,6 +163,8 @@ object SparkEntry {
       IvfIndex.topK(grown, model,
         emb.filter(col("vec_id").isin(0L, 1L, 2L)), k = 10)
     }),
+    "q102_excise_spans"  -> (SpanDedup.q102ExciseSpans _),
+    "q103_bm25_topk"     -> (Retrieval.q103Bm25TopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1520,6 +1522,63 @@ object SparkEntry {
     // scratch recomputation under the SAME frozen quantizer
     "q101_ivf_grow" -> IvfIndex.oracleSql(
       pivotWhere = "WHERE vec_id % 4 <> 0"),
+    // q102: duplicated-span excision — Spark counts 64-bit n-gram
+    // hash OCCURRENCES (non-distinct), DuckDB the strings (the
+    // q18/q51/q88 collision contract); coverage is a per-doc windowed
+    // max of dup-start flags over the trailing 7 positions, and the
+    // kept text is an ordered string_agg of uncovered tokens (NULLs
+    // skipped; '' when everything was excised, matching Spark's "").
+    "q102_excise_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+        |         FROM t WHERE len(toks) >= 8)),
+        | dup AS (SELECT doc_id, pos FROM occ
+        |   JOIN (SELECT s FROM occ GROUP BY s HAVING count(*) >= 2) d USING (s)),
+        | tok AS (SELECT doc_id, j, toks[j] AS tk
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t)),
+        | flag AS (SELECT k.doc_id, k.j, k.tk,
+        |     CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS ds
+        |   FROM tok k LEFT JOIN dup d ON d.doc_id = k.doc_id AND d.pos = k.j),
+        | cov AS (SELECT doc_id, j, tk,
+        |     max(ds) OVER (PARTITION BY doc_id ORDER BY j
+        |       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+        |   FROM flag)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(c)::BIGINT AS n_removed,
+        |  coalesce(string_agg(CASE WHEN c = 0 THEN tk END, ' ' ORDER BY j), '')
+        |    AS kept_text
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q103: BM25 top-5 — per-(term,doc) contributions are the same
+    // literal double dag in both engines (left-assoc, identical
+    // constants) rounded to integer millionths BEFORE the
+    // per-(query,doc) sum, so the summation is exact Long arithmetic
+    // and the (ticks DESC, doc_id) ranking is total; term hashes vs
+    // strings is the q18/q51/q88 collision contract.
+    "q103_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS tot FROM t),
+        | tok AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS tk FROM t),
+        | tf AS (SELECT doc_id, tk, max(dl) AS dl, count(*)::BIGINT AS tf
+        |   FROM tok GROUP BY doc_id, tk),
+        | df AS (SELECT tk, count(*)::BIGINT AS df FROM tf GROUP BY tk),
+        | q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS tk
+        |   FROM t WHERE doc_id % 97 = 0),
+        | sc AS (SELECT q.query_id, tf.doc_id,
+        |     sum(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |       * tf.tf * 2.2
+        |       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * n / tot))
+        |       * 1000000.0)::BIGINT)::BIGINT AS ticks
+        |   FROM q JOIN tf USING (tk) JOIN df USING (tk), stats
+        |   WHERE tf.doc_id <> q.query_id
+        |   GROUP BY 1, 2)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ticks DESC, doc_id) AS rank,
+        |  doc_id, round(ticks / 1000000.0, 6) AS score
+        |FROM sc
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // q28: LSH candidates are verified with EXACT shingle-set Jaccard,
     // so the output contract is the exact-Jaccard pair set (q18's
     // inverted-index result, as a distance). A pair at Jaccard j slips

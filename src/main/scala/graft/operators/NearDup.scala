@@ -68,7 +68,7 @@ object NearDup {
     * equality is preserved: tokens contain no separator char, so the
     * joined shingle string determines the token tuple and vice versa.
     */
-  @inline private def shingleHash(th: Array[Long], i: Int, n: Int): Long = {
+  @inline private[operators] def shingleHash(th: Array[Long], i: Int, n: Int): Long = {
     var h = 0x9e3779b97f4a7c15L
     var j = 0
     while (j < n) { h = smix(h ^ th(i + j)); j += 1 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Parallel, Tables}
+
+/** BM25 lexical retrieval — the inverted-index top-k scorer that
+  * turns the corpus statistics family ([[TextStats]] TF-IDF/vocab)
+  * into an actual retrieval operator, the lexical half of the
+  * standard hybrid (BM25 + dense ANN) stack a training-data /RAG
+  * pipeline runs at corpus scale. Okapi BM25 with the +1 idf variant:
+  * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1),
+  * score(q,d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)).
+  *
+  * Determinism contract: per-(term,doc) contributions are a fixed dag
+  * of double ops on exact integers (tf, df, dl, N, Σdl) — identical
+  * bits in any engine — rounded to integer millionths ("ticks") BEFORE
+  * the per-(query,doc) summation, so the sum is order-independent
+  * Long arithmetic (the [[LmScore]] integer-tick convention) and the
+  * top-k ordering (ticks DESC, doc_id) is total.
+  *
+  * Scale shape: [[docTermStats]] is the inverted index — one typed
+  * tokenize+count pass, 8-byte term hashes on the wire (the
+  * q18/q51/q88 collision contract). A retrieval batch's term set is
+  * tiny against a 100 TB corpus, so it broadcasts INTO the index
+  * pass: the only postings that ever leave the scan are the query
+  * terms' (map-side broadcast-hash filter, no vocabulary-wide
+  * shuffle anywhere), and df over that filtered set is still the
+  * global document frequency because every row of a kept term
+  * survives. The score agg is keyed (query_id, doc_id) — bounded by
+  * query-terms × matching docs, never all-pairs — and top-k is a
+  * per-query window over only scored docs. Corpus scalars (N, Σdl)
+  * are a one-row broadcast cross join. Nothing collects to the
+  * driver. (A standing deployment would persist `docTermStats`
+  * bucketed by term instead of re-scanning per batch; the per-batch
+  * plan here is the ad-hoc form.)
+  *
+  * Reference scope: absent from the reference (no text retrieval);
+  * extends the similarity/curation families of SURVEY.md §2.13.
+  */
+object Retrieval {
+
+  /** Per-document term statistics (the inverted index): one row per
+    * distinct (doc, term) — (doc_id, th 64-bit term hash, tf
+    * occurrences in doc, dl doc length in tokens). Tokenization is
+    * the corpus-wide contract: split on single spaces, empties kept.
+    */
+  def docTermStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val counts = new java.util.HashMap[Long, Long]
+        var i = 0
+        while (i < toks.length) {
+          counts.merge(NearDup.tokenHash64(toks(i)), 1L, java.lang.Long.sum)
+          i += 1
+        }
+        val dl = toks.length.toLong
+        val out = new Array[(Long, Long, Long, Long)](counts.size)
+        val it = counts.entrySet.iterator
+        var w = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(w) = (id, e.getKey, e.getValue, dl)
+          w += 1
+        }
+        out.iterator
+      })
+      .toDF("doc_id", "th", "tf", "dl")
+  }
+
+  /** Top-k BM25 matches per query: (query_id, rank, doc_id, score).
+    * `queries` = (query_id, th) distinct term hashes; a query's own
+    * doc (query_id = doc_id) is excluded. k1 = 1.2, b = 0.75 (the
+    * standard Okapi constants, baked into the tick expression so both
+    * engines evaluate the identical literal dag).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    // only the QUERY terms' postings matter: broadcast the distinct
+    // query-term hashes into the index pass so the one full-corpus
+    // tokenize emits a term-filtered postings set — no
+    // vocabulary-wide shuffle anywhere. df over the filtered postings
+    // is still the GLOBAL document frequency (every row of a kept
+    // term survives the filter). Checkpoint the small filtered set:
+    // it feeds both the df agg and the scoring join, and without it
+    // the corpus would tokenize twice.
+    val post = docTermStats(docs)
+      .join(broadcast(queries.select($"th").distinct()), "th")
+      .localCheckpoint(true)
+    val df = post.groupBy($"th").agg(count(lit(1)).as("df"))
+    // corpus scalars straight off the docs scan (split keeps empties,
+    // matching docTermStats's tokenizer): one partial+final agg row
+    val corpus = docs
+      .select(size(split($"text", " ", -1)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
+    // per-(term,doc) contribution in integer millionths — the exact
+    // literal dag the oracle SQL evaluates (left-assoc, same literals)
+    val ticks = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
+      .*($"tf").*(lit(2.2))
+      ./($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" * $"n" / $"tot"))
+      .*(lit(1000000.0))
+    val scored = queries
+      .join(post, "th")
+      .join(df, "th")
+      .crossJoin(broadcast(corpus))
+      .filter($"doc_id" =!= $"query_id")
+      .select($"query_id", $"doc_id", round(ticks, 0).cast("long").as("tick"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"tick").as("ticks"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"ticks".desc, $"doc_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id",
+        round($"ticks" / lit(1000000.0), 6).as("score"))
+  }
+
+  /** Stand-in query batch carved from the corpus: every doc_id ≡ 0
+    * (mod `mod`) contributes its first `nTerms` tokens' distinct
+    * hashes as a query — (query_id, th).
+    */
+  def prefixQueries(docs: DataFrame, mod: Long = 97L,
+      nTerms: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter($"doc_id" % mod === 0)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).take(nTerms).distinct
+          .map(t => (id, NearDup.tokenHash64(t)))
+      }
+      .toDF("query_id", "th")
+  }
+
+  /** Q103 — BM25 top-5 over `documents`, queries = the first-4-token
+    * prefixes of every 97th doc.
+    */
+  def q103Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    bm25TopK(docs, prefixQueries(docs), k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+}

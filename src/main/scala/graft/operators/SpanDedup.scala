@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Parallel, Tables}
+
+/** Exact duplicated-SPAN excision — substring-level deduplication in
+  * the style public LM data pipelines describe as "exact substring
+  * dedup" (remove every span that appears verbatim elsewhere in the
+  * corpus, rather than dropping or keeping whole documents): any
+  * word-level n-gram occurring ≥ `minCount` times corpus-wide marks
+  * its n tokens as duplicated; a document is rewritten with every
+  * marked token excised. Unlike the doc-level families
+  * ([[Dedup]]/[[NearDup]]/[[MinHashDedup]]) and the duplicated-n-gram
+  * RATE diagnostic ([[Contamination.duplicatedNgrams]]), this operator
+  * produces the cleaned corpus itself — boilerplate headers, license
+  * blocks, and templated passages vanish from otherwise-unique
+  * documents.
+  *
+  * Semantics (word-token adaptation of the suffix-array formulation):
+  * with 0-based token positions and window starts i ∈ [0, len−n], a
+  * window is DUPLICATED when its n-gram occurs ≥ `minCount` times
+  * across the whole corpus — occurrences, not distinct-per-doc, so a
+  * doc repeating its own n-gram counts. Token t is excised iff some
+  * duplicated window covers it (∃ dup i with i ≤ t ≤ i+n−1). Output
+  * per doc: token count, excised count, and the kept text (remaining
+  * tokens joined by a single space; "" when everything was excised).
+  *
+  * Scale shape: positional occurrences are a typed per-partition loop
+  * (tokenize once, hash tokens once, fold n-gram hashes — 8-byte
+  * postings, no shingle strings on the wire). The global occurrence
+  * count is ONE partial+final agg shuffled on the hash; duplicated
+  * positions come from the postings⋈counts equi-join on that same key
+  * (exchange reuse), and the per-doc rewrite folds each doc's dup
+  * positions (sorted, ≤ len of that doc — bounded by the document
+  * unit, never the corpus) back against the text in a typed loop.
+  * Nothing is all-pairs, the corpus is scanned twice (postings +
+  * rewrite), and driver state is zero.
+  *
+  * Collision contract: same as q18/q51/q88 — 64-bit n-gram hashes
+  * stand in for strings; distinct-shingle collision odds ~|grams|²/2⁶⁴
+  * are irrelevant below trillions of distinct n-grams.
+  *
+  * Reference scope: the reference pipeline
+  * (`core/feature_store_manager.py`) has no text curation at all;
+  * this extends the LLM-curation family (SURVEY.md §2.13).
+  */
+object SpanDedup {
+
+  /** Positional (NON-distinct) n-gram hash occurrences: one row per
+    * window start — (doc_id, pos 0-based, sh). Docs with < n tokens
+    * contribute nothing.
+    */
+  def ngramPositions(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val m = toks.length - n + 1
+        if (m <= 0) Iterator.empty
+        else {
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { th(i) = NearDup.tokenHash64(toks(i)); i += 1 }
+          (0 until m).iterator.map(i => (id, i, NearDup.shingleHash(th, i, n)))
+        }
+      })
+      .toDF("doc_id", "pos", "sh")
+  }
+
+  /** Window starts whose n-gram occurs ≥ `minCount` times corpus-wide:
+    * (doc_id, pos). The agg and the probe join share the `sh` key, so
+    * the postings exchange is reused.
+    */
+  def duplicatedPositions(docs: DataFrame, n: Int,
+      minCount: Long = 2L): DataFrame = {
+    import docs.sparkSession.implicits._
+    // the positional postings feed BOTH the occurrence-count agg and
+    // the probe join back onto themselves — checkpoint so the
+    // tokenize+hash pass runs once, not twice (the NearDup pattern)
+    val occ = ngramPositions(docs, n).localCheckpoint(true)
+    val dupHashes = occ.groupBy($"sh")
+      .agg(count(lit(1)).as("occ_n"))
+      .filter($"occ_n" >= minCount)
+      .select($"sh")
+    occ.join(dupHashes, "sh").select($"doc_id", $"pos")
+  }
+
+  /** The cleaned corpus: (doc_id, n_tokens, n_removed, kept_text),
+    * every token covered by a duplicated window excised. Docs shorter
+    * than n tokens pass through verbatim (no windows ⇒ nothing dup).
+    */
+  def excise(docs: DataFrame, n: Int = 8, minCount: Long = 2L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dupPos = duplicatedPositions(docs, n, minCount)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("dup_pos"))
+    rewrite(docs.join(dupPos, Seq("doc_id"), "left"), n)
+  }
+
+  /** Serving/incremental shape: excise an arriving batch against a
+    * FROZEN corpus n-gram index ([[dupNgramIndex]]) — a batch window
+    * matching ANY corpus occurrence is duplicated (corpus + batch
+    * together put it at ≥ 2), plus windows occurring ≥ `minCount`
+    * times within the batch itself. Equals [[excise]] over
+    * corpus ∪ batch restricted to the batch docs whenever batch
+    * windows don't overlap corpus text they themselves introduced.
+    */
+  def exciseAgainst(corpusIndex: DataFrame, batch: DataFrame,
+      n: Int = 8, minCount: Long = 2L): DataFrame = {
+    import batch.sparkSession.implicits._
+    // three consumers (corpus probe, within-batch count, count probe)
+    val occ = ngramPositions(batch, n).localCheckpoint(true)
+    val inCorpus = occ.join(corpusIndex, "sh").select($"doc_id", $"pos")
+    val inBatch = occ.groupBy($"sh")
+      .agg(count(lit(1)).as("occ_n"))
+      .filter($"occ_n" >= minCount)
+      .select($"sh")
+      .join(occ, "sh").select($"doc_id", $"pos")
+    val dupPos = inCorpus.union(inBatch).distinct()
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("dup_pos"))
+    rewrite(batch.join(dupPos, Seq("doc_id"), "left"), n)
+  }
+
+  /** Distinct n-gram hashes of the corpus — the frozen artifact
+    * [[exciseAgainst]] gates against (persist like any index).
+    */
+  def dupNgramIndex(corpus: DataFrame, n: Int = 8): DataFrame =
+    ngramPositions(corpus, n).select(col("sh")).distinct()
+
+  /** Fold sorted dup window-starts back onto the text: mark
+    * [p, p+n−1] per dup start, count and excise covered tokens.
+    * `joined` = docs left-joined with `dup_pos: array<int>` (null ⇒
+    * clean doc).
+    */
+  private def rewrite(joined: DataFrame, n: Int): DataFrame = {
+    import joined.sparkSession.implicits._
+    joined
+      .select(col("doc_id"), col("text"),
+        coalesce(col("dup_pos"), array().cast("array<int>")).as("dup_pos"))
+      .as[(Long, String, Array[Int])]
+      .mapPartitions(_.map { case (id, text, dup) =>
+        val toks = text.split(" ", -1)
+        val covered = new Array[Boolean](toks.length)
+        var i = 0
+        while (i < dup.length) {
+          var j = dup(i)
+          val end = math.min(j + n, toks.length)
+          while (j < end) { covered(j) = true; j += 1 }
+          i += 1
+        }
+        var removed = 0L
+        val sb = new java.lang.StringBuilder
+        var first = true
+        i = 0
+        while (i < toks.length) {
+          if (covered(i)) removed += 1L
+          else {
+            if (!first) sb.append(' ')
+            sb.append(toks(i))
+            first = false
+          }
+          i += 1
+        }
+        (id, toks.length.toLong, removed, sb.toString)
+      })
+      .toDF("doc_id", "n_tokens", "n_removed", "kept_text")
+  }
+
+  /** Q102 — exact duplicated-span excision over `documents` (8-grams,
+    * corpus-wide occurrence ≥ 2).
+    */
+  def q102ExciseSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    excise(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+}

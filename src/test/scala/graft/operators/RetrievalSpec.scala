@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 retrieval: hand-computed scores on a tiny corpus, ranking /
+  * exclusion / tie-break contracts, and the determinism of the
+  * integer-tick summation.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    1L -> "apple banana apple cherry",
+    2L -> "banana cherry date egg fig",
+    3L -> "apple apple apple apple",
+    4L -> "grape fig egg date cherry banana apple").toDF("doc_id", "text")
+
+  /** Scalar BM25 reference: same +1-idf variant, same tick rounding. */
+  private def bm25Ticks(queryTerms: Seq[String]): Map[(String, Long), Long] = {
+    val docs = Map(
+      1L -> "apple banana apple cherry",
+      2L -> "banana cherry date egg fig",
+      3L -> "apple apple apple apple",
+      4L -> "grape fig egg date cherry banana apple")
+      .view.mapValues(_.split(" ", -1).toSeq).toMap
+    val n = docs.size.toLong
+    val tot = docs.values.map(_.length.toLong).sum
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    (for {
+      t <- queryTerms
+      (id, toks) <- docs
+      tf = toks.count(_ == t).toLong if tf > 0
+    } yield {
+      val df = dfm(t)
+      val dl = toks.length.toLong
+      val v = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl * n / tot)) * 1000000.0
+      (t, id) -> math.round(v)
+    }).toMap
+  }
+
+  test("scores match the scalar BM25 reference, self excluded") {
+    val queries = Seq(
+      (0L, NearDup.tokenHash64("apple")),
+      (0L, NearDup.tokenHash64("fig"))).toDF("query_id", "th")
+    val got = Retrieval.bm25TopK(corpus, queries, k = 10)
+      .orderBy($"rank")
+      .select($"doc_id", $"score").as[(Long, Double)].collect()
+    val ticks = bm25Ticks(Seq("apple", "fig"))
+    val want = (1L to 4L).flatMap { id =>
+      val s = Seq("apple", "fig").flatMap(t => ticks.get(t -> id)).sum
+      if (s == 0L) None else Some(id -> s / 1e6)
+    }.sortBy { case (id, s) => (-s, id) }
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-6)
+    }
+    // query_id 0 matches no doc_id, so nothing was self-excluded here;
+    // now query AS doc 3: its own perfect match must be absent
+    val self = Seq((3L, NearDup.tokenHash64("apple"))).toDF("query_id", "th")
+    val ids = Retrieval.bm25TopK(corpus, self, k = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(3L) && ids == Set(1L, 4L))
+  }
+
+  test("rank is dense per query and ties break by doc_id") {
+    // two docs with identical text score identically for any query —
+    // the lower doc_id must rank first
+    val tied = Seq(
+      1L -> "same words here exactly",
+      2L -> "same words here exactly",
+      3L -> "other material entirely").toDF("doc_id", "text")
+    val q = Seq((9L, NearDup.tokenHash64("same"))).toDF("query_id", "th")
+    val got = Retrieval.bm25TopK(tied, q, k = 5)
+      .orderBy($"rank").select($"rank", $"doc_id")
+      .as[(Int, Long)].collect()
+    assert(got.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("prefixQueries carves distinct first-token prefixes") {
+    val d = Seq(
+      0L -> "a b a c d e",
+      97L -> "x y z w v",
+      5L -> "never a query doc").toDF("doc_id", "text")
+    val q = Retrieval.prefixQueries(d, mod = 97L, nTerms = 4)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(q.keySet == Set(0L, 97L))
+    // "a b a c" → distinct {a, b, c}
+    assert(q(0L) == Set("a", "b", "c").map(NearDup.tokenHash64))
+    assert(q(97L) == Set("x", "y", "z", "w").map(NearDup.tokenHash64))
+  }
+
+  test("q103 runs end to end at sf0.001 with a total ordering") {
+    val out = Retrieval.q103Bm25TopK(spark, sf)
+    val rows = out.select($"query_id", $"rank").as[(Long, Int)].collect()
+    assert(rows.nonEmpty)
+    // per query: ranks are 1..m with no gaps
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}
