@@ -145,4 +145,67 @@ object Retrieval {
     bm25TopK(docs, prefixQueries(docs), k = 5)
       .orderBy($"query_id", $"rank")
   }
+
+  /** Hybrid retrieval — reciprocal-rank fusion of a lexical (BM25)
+    * and a dense (cosine) candidate list, the standard two-leg stack:
+    * rrf(d) = Σ_legs 1/(60 + rank_leg(d)), missing leg contributes 0,
+    * fused ties broken by doc_id. Fusion consumes only RANKS (exact
+    * integers with total orderings on both legs), so the result is
+    * engine-portable: the only doubles are two 1/(60+r) terms added
+    * in a fixed order.
+    *
+    * Scale shape: each leg is already bounded per query (BM25 via the
+    * filtered-postings plan, cosine via bounded-heap partial top-k),
+    * so the fusion joins two ≤ `legK`-row-per-query frames —
+    * negligible against either leg. At 100 TB the dense leg swaps the
+    * brute-force scan for [[IvfIndex]]/[[AnnIndex]] candidates under
+    * the same (sim DESC, vec_id) rank contract.
+    */
+  def hybridRrfTopK(bm25: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    import bm25.sparkSession.implicits._
+    val b = bm25.select($"query_id", $"doc_id", $"rank".as("brank"))
+    val c = dense.select($"query_id", $"doc_id", $"rank".as("crank"))
+    val rrf = coalesce(lit(1.0) / (lit(60) + $"brank"), lit(0.0))
+      .+(coalesce(lit(1.0) / (lit(60) + $"crank"), lit(0.0)))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"rrf_raw".desc, $"doc_id")
+    b.join(c, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id", rrf.as("rrf_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id",
+        round($"rrf_raw", 6).as("rrf"))
+  }
+
+  /** Dense candidate list for [[hybridRrfTopK]]: exact cosine top-k
+    * per probe (bounded-heap partials), self excluded, ranked
+    * (sim DESC, vec_id) — the q16 cosine bit-exactness contract.
+    */
+  def denseRanks(emb: DataFrame, probeMod: Long, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val probes = emb.filter($"vec_id" % probeMod === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        Similarity.cosineSim($"embedding", $"probe_emb").as("sim"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"sim".desc, $"vec_id")
+    Similarity.topKPerProbe(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .select($"probe_id".as("query_id"), $"vec_id".as("doc_id"), $"rank")
+  }
+
+  /** Q105 — hybrid top-5: BM25 (first-4-token prefix queries of every
+    * 97th doc) fused with cosine over the SAME ids' embeddings,
+    * 10 candidates per leg.
+    */
+  def q105HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val bm = bm25TopK(docs, prefixQueries(docs), k = 10)
+    hybridRrfTopK(bm, denseRanks(emb, probeMod = 97L, k = 10), k = 5)
+      .orderBy($"query_id", $"rank")
+  }
 }

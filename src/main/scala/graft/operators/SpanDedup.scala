@@ -106,19 +106,29 @@ object SpanDedup {
     * times within the batch itself. Equals [[excise]] over
     * corpus ∪ batch restricted to the batch docs whenever batch
     * windows don't overlap corpus text they themselves introduced.
+    * `minCount = Long.MaxValue` disables the within-batch leg
+    * (pure index-probe semantics — the decontamination-rewrite
+    * shape, see [[q104ExciseContaminated]]) and skips its shuffle.
     */
   def exciseAgainst(corpusIndex: DataFrame, batch: DataFrame,
       n: Int = 8, minCount: Long = 2L): DataFrame = {
     import batch.sparkSession.implicits._
-    // three consumers (corpus probe, within-batch count, count probe)
-    val occ = ngramPositions(batch, n).localCheckpoint(true)
+    val probeOnly = minCount == Long.MaxValue
+    // up to three consumers (corpus probe, within-batch count + probe)
+    val occ0 = ngramPositions(batch, n)
+    val occ = if (probeOnly) occ0 else occ0.localCheckpoint(true)
     val inCorpus = occ.join(corpusIndex, "sh").select($"doc_id", $"pos")
-    val inBatch = occ.groupBy($"sh")
-      .agg(count(lit(1)).as("occ_n"))
-      .filter($"occ_n" >= minCount)
-      .select($"sh")
-      .join(occ, "sh").select($"doc_id", $"pos")
-    val dupPos = inCorpus.union(inBatch).distinct()
+    val dup =
+      if (probeOnly) inCorpus
+      else {
+        val inBatch = occ.groupBy($"sh")
+          .agg(count(lit(1)).as("occ_n"))
+          .filter($"occ_n" >= minCount)
+          .select($"sh")
+          .join(occ, "sh").select($"doc_id", $"pos")
+        inCorpus.union(inBatch).distinct()
+      }
+    val dupPos = dup
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"pos")).as("dup_pos"))
     rewrite(batch.join(dupPos, Seq("doc_id"), "left"), n)
@@ -175,5 +185,22 @@ object SpanDedup {
   def q102ExciseSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     excise(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** Q104 — decontamination as a REWRITE: training docs (doc_id % 10
+    * ≠ 0) lose every span whose 8-gram appears anywhere in the
+    * held-out benchmark tenth (doc_id % 10 = 0, the q51 stand-in
+    * split) — the excision counterpart of q51's flag-only
+    * contamination report. Pure index-probe semantics: spans
+    * duplicated only WITHIN the training split are kept (that's
+    * q102's job), so the two legs stay independently testable.
+    */
+  def q104ExciseContaminated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val benchIdx = dupNgramIndex(docs.filter($"doc_id" % 10 === 0))
+    exciseAgainst(benchIdx, docs.filter($"doc_id" % 10 =!= 0),
+      n = 8, minCount = Long.MaxValue)
+      .orderBy($"doc_id")
   }
 }

@@ -94,6 +94,43 @@ class RetrievalSpec extends SparkSpec {
     assert(q(97L) == Set("x", "y", "z", "w").map(NearDup.tokenHash64))
   }
 
+  test("hybridRrfTopK fuses ranks with missing-leg zeros and doc_id ties") {
+    val bm = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val dense = Seq((1L, 1, 20L), (1L, 2, 40L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.hybridRrfTopK(bm, dense, k = 10)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    def r(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20: both legs (1/62 + 1/61) — wins; doc 10: bm-only 1/61;
+    // doc 40: dense-only 1/62; doc 30: bm-only 1/63
+    val want = Seq(
+      (1L, 1, 20L, r(1.0 / 62 + 1.0 / 61)),
+      (1L, 2, 10L, r(1.0 / 61)),
+      (1L, 3, 40L, r(1.0 / 62)),
+      (1L, 4, 30L, r(1.0 / 63)))
+    assert(got.toSeq == want)
+    // exact tie (same single-leg rank) breaks by doc_id
+    val bm2 = Seq((2L, 1, 7L)).toDF("query_id", "rank", "doc_id")
+    val d2 = Seq((2L, 1, 3L)).toDF("query_id", "rank", "doc_id")
+    val tied = Retrieval.hybridRrfTopK(bm2, d2, k = 10)
+      .orderBy($"rank").as[(Long, Int, Long, Double)].collect()
+    assert(tied.map(t => (t._2, t._3)).toSeq == Seq((1, 3L), (2, 7L)))
+  }
+
+  test("q105 fusion promotes both-leg docs over single-leg docs at sf0.001") {
+    val out = Retrieval.q105HybridRrf(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      // rrf scores weakly decrease with rank inside a query
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q103 runs end to end at sf0.001 with a total ordering") {
     val out = Retrieval.q103Bm25TopK(spark, sf)
     val rows = out.select($"query_id", $"rank").as[(Long, Int)].collect()

@@ -69,6 +69,24 @@ class SpanDedupSpec extends SparkSpec {
       }
   }
 
+  test("probe-only gate excises bench-shared spans but keeps within-split dups") {
+    val bench = docs(100L -> s"bench header $span bench footer")
+    // train docs 1/2 share a 10-token block with EACH OTHER (not the
+    // bench); doc 1 also carries the bench span
+    val internal = (1 to 10).map(i => s"v$i").mkString(" ")
+    val train = docs(
+      1L -> s"$internal and then $span",
+      2L -> s"$internal closing words here")
+    val idx = SpanDedup.dupNgramIndex(bench, n = 8)
+    val out = SpanDedup
+      .exciseAgainst(idx, train, n = 8, minCount = Long.MaxValue)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // doc 1: only the 12 bench-span tokens go; the internal block stays
+    assert(out(0) == ((1L, 24L, 12L, s"$internal and then")))
+    // doc 2: untouched — within-split duplication is q102's job
+    assert(out(1) == ((2L, 13L, 0L, s"$internal closing words here")))
+  }
+
   test("frozen-index gate matches the batch form on arriving docs") {
     val corpus = docs(
       10L -> s"one $span two",
