@@ -78,8 +78,11 @@ object Retrieval {
     * standard Okapi constants, baked into the tick expression so both
     * engines evaluate the identical literal dag).
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(docs: DataFrame, queries0: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    // self-enforce the distinct-(query, term) contract: a duplicated
+    // query term would join its postings twice and double-count ticks
+    val queries = queries0.dropDuplicates("query_id", "th")
     // only the QUERY terms' postings matter: broadcast the distinct
     // query-term hashes into the index pass so the one full-corpus
     // tokenize emits a term-filtered postings set — no
@@ -195,6 +198,71 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .select($"probe_id".as("query_id"), $"vec_id".as("doc_id"), $"rank")
   }
+
+  /** DuckDB oracle CTE chain shared by q103/q105 — the single source
+    * of truth for the BM25 scoring dag (t..sc), ending in
+    * `sc(query_id, doc_id, ticks)`.
+    */
+  def bm25CtesSql: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS tot FROM t),
+      | tok AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS tk FROM t),
+      | tf AS (SELECT doc_id, tk, max(dl) AS dl, count(*)::BIGINT AS tf
+      |   FROM tok GROUP BY doc_id, tk),
+      | df AS (SELECT tk, count(*)::BIGINT AS df FROM tf GROUP BY tk),
+      | q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS tk
+      |   FROM t WHERE doc_id % 97 = 0),
+      | sc AS (SELECT q.query_id, tf.doc_id,
+      |     sum(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |       * tf.tf * 2.2
+      |       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * n / tot))
+      |       * 1000000.0)::BIGINT)::BIGINT AS ticks
+      |   FROM q JOIN tf USING (tk) JOIN df USING (tk), stats
+      |   WHERE tf.doc_id <> q.query_id
+      |   GROUP BY 1, 2)""".stripMargin
+
+  /** q103 oracle: the BM25 chain ranked (ticks DESC, doc_id), top-5. */
+  def bm25OracleSql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ticks DESC, doc_id) AS rank,
+       |  doc_id, round(ticks / 1000000.0, 6) AS score
+       |FROM sc
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q105 oracle: BM25 ranks (k=10) RRF-fused with the q16-contract
+    * cosine ranks (k=10, self excluded), ties by doc_id.
+    */
+  def hybridOracleSql: String =
+    s"""WITH $bm25CtesSql,
+       | br AS (SELECT query_id, doc_id,
+       |     row_number() OVER (PARTITION BY query_id
+       |       ORDER BY ticks DESC, doc_id) AS brank
+       |   FROM sc QUALIFY brank <= 10),
+       | p AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS pe
+       |   FROM embeddings WHERE vec_id % 97 = 0),
+       | cs AS (SELECT p.query_id, e.vec_id AS doc_id,
+       |     list_cosine_similarity(e.embedding::DOUBLE[], p.pe) AS sim
+       |   FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.query_id),
+       | cr AS (SELECT query_id, doc_id,
+       |     row_number() OVER (PARTITION BY query_id
+       |       ORDER BY sim DESC, doc_id) AS crank
+       |   FROM cs QUALIFY crank <= 10),
+       | f AS (SELECT coalesce(br.query_id, cr.query_id) AS query_id,
+       |     coalesce(br.doc_id, cr.doc_id) AS doc_id,
+       |     coalesce(1.0 / (60 + br.brank), 0) + coalesce(1.0 / (60 + cr.crank), 0)
+       |       AS rrf_raw
+       |   FROM br FULL OUTER JOIN cr
+       |     ON br.query_id = cr.query_id AND br.doc_id = cr.doc_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_raw DESC, doc_id) AS rank,
+       |  doc_id, round(rrf_raw, 6) AS rrf
+       |FROM f
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Q105 — hybrid top-5: BM25 (first-4-token prefix queries of every
     * 97th doc) fused with cosine over the SAME ids' embeddings,

@@ -187,6 +187,58 @@ object SpanDedup {
     excise(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
   }
 
+  /** DuckDB oracle builder shared by q102/q104 — the single source of
+    * truth for the coverage/rewrite output contract. `dupCtes` must
+    * define a CTE `dup(doc_id, pos)` of 1-based duplicated window
+    * starts (appended after the shared `t` CTE); `docWhere` filters
+    * the rewritten doc set ("" = whole corpus). Coverage is a per-doc
+    * windowed max of dup-start flags over the trailing n−1 = 7
+    * positions; kept text is an ordered `string_agg` of uncovered
+    * tokens (NULLs skipped; '' when everything was excised, matching
+    * Spark's "").
+    */
+  def oracleSql(dupCtes: String, docWhere: String = ""): String = {
+    val where = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |$dupCtes,
+       | tok AS (SELECT doc_id, j, toks[j] AS tk
+       |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j
+       |         FROM t$where)),
+       | flag AS (SELECT k.doc_id, k.j, k.tk,
+       |     CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS ds
+       |   FROM tok k LEFT JOIN dup d ON d.doc_id = k.doc_id AND d.pos = k.j),
+       | cov AS (SELECT doc_id, j, tk,
+       |     max(ds) OVER (PARTITION BY doc_id ORDER BY j
+       |       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+       |   FROM flag)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(c)::BIGINT AS n_removed,
+       |  coalesce(string_agg(CASE WHEN c = 0 THEN tk END, ' ' ORDER BY j), '')
+       |    AS kept_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q102 oracle: corpus-wide occurrence ≥ 2 marks a window dup. */
+  def exciseOracleSql: String = oracleSql(
+    """ occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
+      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+      |         FROM t WHERE len(toks) >= 8)),
+      | dup AS (SELECT doc_id, pos FROM occ
+      |   JOIN (SELECT s FROM occ GROUP BY s HAVING count(*) >= 2) d USING (s))""".stripMargin)
+
+  /** q104 oracle: membership in the benchmark tenth's distinct 8-gram
+    * set marks a window dup; only training docs are rewritten.
+    */
+  def decontaminateOracleSql: String = oracleSql(
+    """ occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
+      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+      |         FROM t WHERE len(toks) >= 8 AND doc_id % 10 <> 0)),
+      | bench AS (SELECT DISTINCT array_to_string(toks[pos:pos+7], ' ') AS s
+      |   FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS pos
+      |         FROM t WHERE len(toks) >= 8 AND doc_id % 10 = 0)),
+      | dup AS (SELECT doc_id, pos FROM occ JOIN bench USING (s))""".stripMargin,
+    docWhere = "doc_id % 10 <> 0")
+
   /** Q104 — decontamination as a REWRITE: training docs (doc_id % 10
     * ≠ 0) lose every span whose 8-gram appears anywhere in the
     * held-out benchmark tenth (doc_id % 10 = 0, the q51 stand-in
