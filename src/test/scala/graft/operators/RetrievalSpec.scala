@@ -131,6 +131,56 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("dense leg swaps to IVF candidates under the same rank contract") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Tables
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Retrieval.denseRanks(emb, probeMod = 97L, k = 10)
+    // full-coverage IVF (nProbe = nLists) scores every vector, so its
+    // candidates carry the exact cosine ranking; k = 11 then drop the
+    // self row (always sim 1.0, which denseRanks excluded pre-heap)
+    val (indexed, model) = IvfIndex.buildPivots(emb, nLists = 16)
+    val probes = emb.filter($"vec_id" % 97 === 0)
+    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    val ivf = IvfIndex.topK(indexed, model, probes, k = 11, nProbe = 16)
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id".as("query_id"), $"vec_id".as("doc_id"), $"rank")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows(ivf) == rows(exact))
+    // and the fused output is bit-identical through either leg
+    val docs = Tables.load(spark, sf, "documents")
+    val bm = Retrieval.bm25TopK(docs, Retrieval.prefixQueries(docs), k = 10)
+      .localCheckpoint(true)
+    def fused(dense: org.apache.spark.sql.DataFrame) =
+      Retrieval.hybridRrfTopK(bm, dense, k = 5)
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fused(ivf) == fused(exact))
+  }
+
+  test("a standing bucketed index aggregates df without an exchange") {
+    import graft.operators.Layout
+    // the deployment shape from the scaladoc: persist docTermStats
+    // bucketed by term hash; per-term stats then aggregate with no
+    // shuffle (bucketing satisfies the distribution requirement)
+    val stats = Retrieval.docTermStats(corpus)
+    Layout.writeBucketed(stats, "bm25_index_spec", "th", nBuckets = 4)
+    val idx = spark.table("bm25_index_spec")
+    val dfAgg = idx.groupBy($"th").agg(count(lit(1)).as("df"))
+    dfAgg.collect()
+    val plan = dfAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed df agg must not shuffle:\n$plan")
+    // and the values match the ad-hoc computation
+    val adhoc = Retrieval.docTermStats(corpus)
+      .groupBy($"th").agg(count(lit(1)).as("df"))
+      .as[(Long, Long)].collect().toMap
+    assert(dfAgg.as[(Long, Long)].collect().toMap == adhoc)
+  }
+
   test("q103 runs end to end at sf0.001 with a total ordering") {
     val out = Retrieval.q103Bm25TopK(spark, sf)
     val rows = out.select($"query_id", $"rank").as[(Long, Int)].collect()
