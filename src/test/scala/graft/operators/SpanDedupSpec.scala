@@ -69,6 +69,22 @@ class SpanDedupSpec extends SparkSpec {
       }
   }
 
+  test("a 50k-token document excises exactly its repeated kilotoken block") {
+    // per-doc state is bounded by the DOCUMENT (dup positions +
+    // tokens), so one huge doc must pass through without issue and
+    // with exact counts: a 1000-token block planted twice amid unique
+    // filler loses exactly its 2×1000 tokens
+    val block = (0 until 1000).map(i => s"b$i").mkString(" ")
+    val fillA = (0 until 24000).map(i => s"u$i").mkString(" ")
+    val fillB = (24000 until 48000).map(i => s"u$i").mkString(" ")
+    val text = s"$fillA $block $fillB $block"
+    val out = SpanDedup.excise(docs(1L -> text), n = 8, minCount = 2)
+      .as[(Long, Long, Long, String)].head()
+    assert(out._2 == 50000L)
+    assert(out._3 == 2000L)
+    assert(out._4 == s"$fillA $fillB")
+  }
+
   test("probe-only gate excises bench-shared spans but keeps within-split dups") {
     val bench = docs(100L -> s"bench header $span bench footer")
     // train docs 1/2 share a 10-token block with EACH OTHER (not the
