@@ -167,6 +167,7 @@ object SparkEntry {
     "q103_bm25_topk"     -> (Retrieval.q103Bm25TopK _),
     "q104_excise_contaminated" -> (SpanDedup.q104ExciseContaminated _),
     "q105_hybrid_rrf"    -> (Retrieval.q105HybridRrf _),
+    "q106_excise_repeats" -> (SpanDedup.q106ExciseRepeats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1532,6 +1533,9 @@ object SparkEntry {
     // vs membership in the benchmark tenth's 8-gram set).
     "q102_excise_spans" -> SpanDedup.exciseOracleSql,
     "q104_excise_contaminated" -> SpanDedup.decontaminateOracleSql,
+    // q106: within-doc de-repetition — dup windows are later same-doc
+    // repeats (min-pos window per (doc, 3-gram)); first copy survives.
+    "q106_excise_repeats" -> SpanDedup.derepOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

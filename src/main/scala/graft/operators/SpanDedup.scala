@@ -192,12 +192,13 @@ object SpanDedup {
     * define a CTE `dup(doc_id, pos)` of 1-based duplicated window
     * starts (appended after the shared `t` CTE); `docWhere` filters
     * the rewritten doc set ("" = whole corpus). Coverage is a per-doc
-    * windowed max of dup-start flags over the trailing n−1 = 7
+    * windowed max of dup-start flags over the trailing n−1
     * positions; kept text is an ordered `string_agg` of uncovered
     * tokens (NULLs skipped; '' when everything was excised, matching
     * Spark's "").
     */
-  def oracleSql(dupCtes: String, docWhere: String = ""): String = {
+  def oracleSql(dupCtes: String, docWhere: String = "",
+      n: Int = 8): String = {
     val where = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |$dupCtes,
@@ -209,7 +210,7 @@ object SpanDedup {
        |   FROM tok k LEFT JOIN dup d ON d.doc_id = k.doc_id AND d.pos = k.j),
        | cov AS (SELECT doc_id, j, tk,
        |     max(ds) OVER (PARTITION BY doc_id ORDER BY j
-       |       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+       |       ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS c
        |   FROM flag)
        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
        |  sum(c)::BIGINT AS n_removed,
@@ -238,6 +239,48 @@ object SpanDedup {
       |         FROM t WHERE len(toks) >= 8 AND doc_id % 10 = 0)),
       | dup AS (SELECT doc_id, pos FROM occ JOIN bench USING (s))""".stripMargin,
     docWhere = "doc_id % 10 <> 0")
+
+  /** Within-doc de-repetition: a window whose n-gram already occurred
+    * at an EARLIER position in the same document is duplicated — the
+    * first occurrence survives, every later repeat excises. The
+    * generated-text / boilerplate cleanup op, complementing [[excise]]
+    * (which removes ALL occurrences corpus-wide): here repetition is
+    * judged per document only, and something always remains.
+    *
+    * Scale shape: first-occurrence is one partial+final `min(pos)`
+    * agg keyed (doc_id, sh); the probe join reuses the exchange, and
+    * everything downstream is per-doc as in [[excise]]. No
+    * corpus-global state at all — each doc is independent, so the
+    * operator is embarrassingly parallel at any scale.
+    */
+  def exciseRepeats(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    // two consumers (min-pos agg, probe) — tokenize once
+    val occ = ngramPositions(docs, n).localCheckpoint(true)
+    val first = occ.groupBy($"doc_id", $"sh").agg(min($"pos").as("mp"))
+    val dupPos = occ.join(first, Seq("doc_id", "sh"))
+      .filter($"pos" > $"mp")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("dup_pos"))
+    rewrite(docs.join(dupPos, Seq("doc_id"), "left"), n)
+  }
+
+  /** q106 oracle: later same-doc repeats of a 3-gram mark windows. */
+  def derepOracleSql: String = oracleSql(
+    """ occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+2], ' ') AS s
+      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
+      |         FROM t WHERE len(toks) >= 3)),
+      | dup AS (SELECT doc_id, pos FROM (
+      |     SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, s) AS mp
+      |     FROM occ)
+      |   WHERE pos > mp)""".stripMargin,
+    n = 3)
+
+  /** Q106 — within-doc 3-gram de-repetition over `documents`. */
+  def q106ExciseRepeats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    exciseRepeats(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
 
   /** Q104 — decontamination as a REWRITE: training docs (doc_id % 10
     * ≠ 0) lose every span whose 8-gram appears anywhere in the

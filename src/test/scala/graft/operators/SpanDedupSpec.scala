@@ -69,6 +69,19 @@ class SpanDedupSpec extends SparkSpec {
       }
   }
 
+  test("within-doc de-repetition keeps the first occurrence") {
+    // "a b c" repeats at positions 0 and 5 (n=3): the second copy goes,
+    // the first stays; the cross-DOC copy in doc 2 is untouched (per-doc
+    // semantics)
+    val d = docs(
+      1L -> "a b c x y a b c z",
+      2L -> "a b c entirely fresh here")
+    val out = SpanDedup.exciseRepeats(d, n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 9L, 3L, "a b c x y z")))
+    assert(out(1) == ((2L, 6L, 0L, "a b c entirely fresh here")))
+  }
+
   test("a 50k-token document excises exactly its repeated kilotoken block") {
     // per-doc state is bounded by the DOCUMENT (dup positions +
     // tokens), so one huge doc must pass through without issue and

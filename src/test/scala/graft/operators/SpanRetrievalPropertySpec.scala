@@ -59,6 +59,36 @@ class SpanRetrievalPropertySpec extends SparkSpec {
     }
   }
 
+  /** Reference de-repetition: later same-doc repeats marked, literal
+    * n-gram strings.
+    */
+  private def refDerep(corpus: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, String)] =
+    corpus.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val seen = scala.collection.mutable.HashSet.empty[Seq[String]]
+      val covered = new Array[Boolean](ts.length)
+      (0 to ts.length - n).foreach { i =>
+        val g = ts.slice(i, i + n).toSeq
+        if (!seen.add(g)) (i until i + n).foreach(covered(_) = true)
+      }
+      val kept = ts.indices.filterNot(covered).map(ts)
+      id -> ((ts.length.toLong, covered.count(identity).toLong,
+        kept.mkString(" ")))
+    }.toMap
+
+  test("exciseRepeats ≡ keep-first reference over random corpora") {
+    for (seed <- Seq(41, 42, 43)) {
+      val rnd = new Random(seed)
+      val corpus = randomCorpus(rnd, nDocs = 40, alpha = 4, maxLen = 40)
+      val n = 2 + rnd.nextInt(3) // 2..4
+      val got = SpanDedup.exciseRepeats(corpus.toDF("doc_id", "text"), n)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == refDerep(corpus, n), s"seed=$seed n=$n")
+    }
+  }
+
   /** Reference BM25 (+1 idf, k1=1.2, b=0.75, millionth ticks). */
   private def refBm25(corpus: Seq[(Long, String)],
       queries: Seq[(Long, String)], k: Int): Seq[(Long, Int, Long, Double)] = {
