@@ -78,28 +78,52 @@ object Retrieval {
     * standard Okapi constants, baked into the tick expression so both
     * engines evaluate the identical literal dag).
     */
-  def bm25TopK(docs: DataFrame, queries0: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    // self-enforce the distinct-(query, term) contract: a duplicated
-    // query term would join its postings twice and double-count ticks
-    val queries = queries0.dropDuplicates("query_id", "th")
-    // only the QUERY terms' postings matter: broadcast the distinct
-    // query-term hashes into the index pass so the one full-corpus
-    // tokenize emits a term-filtered postings set — no
-    // vocabulary-wide shuffle anywhere. df over the filtered postings
-    // is still the GLOBAL document frequency (every row of a kept
-    // term survives the filter). Checkpoint the small filtered set:
-    // it feeds both the df agg and the scoring join, and without it
-    // the corpus would tokenize twice.
-    val post = docTermStats(docs)
-      .join(broadcast(queries.select($"th").distinct()), "th")
-      .localCheckpoint(true)
-    val df = post.groupBy($"th").agg(count(lit(1)).as("df"))
     // corpus scalars straight off the docs scan (split keeps empties,
     // matching docTermStats's tokenizer): one partial+final agg row
     val corpus = docs
       .select(size(split($"text", " ", -1)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
+    score(docTermStats(docs), corpus, queries, k)
+  }
+
+  /** [[bm25TopK]] scored from a STANDING postings index (the
+    * `(doc_id, th, tf, dl)` rows of [[docTermStats]], persisted — and
+    * at scale bucketed by `th`): corpus scalars (N, Σdl) derive from
+    * the index itself (one per-doc `first(dl)` reduction), so an
+    * incrementally-grown index scores exactly like a fresh corpus
+    * scan — df, N, and avgdl all shift with every ingested batch,
+    * which is the CORRECT BM25 semantics, not drift. Equivalence with
+    * the scan path is spec-pinned.
+    */
+  def bm25TopKFromIndex(post: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import post.sparkSession.implicits._
+    val corpus = post.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
+    score(post, corpus, queries, k)
+  }
+
+  /** Shared scoring core: term-filter the postings under the
+    * broadcast query-term set (no vocabulary-wide shuffle — df over
+    * the filtered postings is still the GLOBAL document frequency,
+    * every row of a kept term survives), tick-round per-(term,doc)
+    * contributions, Long-sum per (query,doc), per-query top-k.
+    * Self-enforces the distinct-(query, term) contract up front: a
+    * duplicated query term would join its postings twice and
+    * double-count ticks.
+    */
+  private def score(post0: DataFrame, corpus: DataFrame,
+      queries0: DataFrame, k: Int): DataFrame = {
+    import post0.sparkSession.implicits._
+    val queries = queries0.dropDuplicates("query_id", "th")
+    // checkpoint the small filtered set: it feeds both the df agg and
+    // the scoring join, and without it the source would scan twice
+    val post = post0
+      .join(broadcast(queries.select($"th").distinct()), "th")
+      .localCheckpoint(true)
+    val df = post.groupBy($"th").agg(count(lit(1)).as("df"))
     // per-(term,doc) contribution in integer millionths — the exact
     // literal dag the oracle SQL evaluates (left-assoc, same literals)
     val ticks = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))

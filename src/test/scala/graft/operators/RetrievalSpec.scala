@@ -161,6 +161,19 @@ class RetrievalSpec extends SparkSpec {
     assert(fused(ivf) == fused(exact))
   }
 
+  test("index-path scoring equals the corpus-scan path") {
+    val q = Seq(
+      (0L, NearDup.tokenHash64("apple")),
+      (0L, NearDup.tokenHash64("fig")),
+      (3L, NearDup.tokenHash64("apple"))).toDF("query_id", "th")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows(Retrieval.bm25TopKFromIndex(
+        Retrieval.docTermStats(corpus), q, k = 10)) ==
+      rows(Retrieval.bm25TopK(corpus, q, k = 10)))
+  }
+
   test("a standing bucketed index aggregates df without an exchange") {
     import graft.operators.Layout
     // the deployment shape from the scaladoc: persist docTermStats
