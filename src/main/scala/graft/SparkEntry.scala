@@ -168,6 +168,7 @@ object SparkEntry {
     "q104_excise_contaminated" -> (SpanDedup.q104ExciseContaminated _),
     "q105_hybrid_rrf"    -> (Retrieval.q105HybridRrf _),
     "q106_excise_repeats" -> (SpanDedup.q106ExciseRepeats _),
+    "q107_novelty"       -> (SpanDedup.q107NoveltyProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1536,6 +1537,10 @@ object SparkEntry {
     // q106: within-doc de-repetition — dup windows are later same-doc
     // repeats (min-pos window per (doc, 3-gram)); first copy survives.
     "q106_excise_repeats" -> SpanDedup.derepOracleSql,
+    // q107: stream-novelty profile — distinct per-doc 3-grams vs
+    // their min-doc first occurrence (the q88 inverted-index class;
+    // hash-vs-string collision contract as everywhere).
+    "q107_novelty" -> SpanDedup.noveltyOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

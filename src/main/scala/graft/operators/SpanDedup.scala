@@ -282,6 +282,57 @@ object SpanDedup {
     exciseRepeats(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
   }
 
+  /** Corpus novelty profile — per document (in doc_id ingest order):
+    * its distinct n-gram count, how many of those n-grams appear
+    * FIRST in this document (no earlier doc contains them), and the
+    * novelty fraction. The stream-novelty / Heaps-law diagnostic a
+    * curation pipeline watches to decide when more of a source stops
+    * adding information (novelty decaying toward 0 = the source is
+    * exhausted or self-repeating).
+    *
+    * Scale shape: distinct per-doc n-gram hashes (the
+    * [[NearDup.shingleHashSets]] typed loop), one `min(doc_id)` agg
+    * keyed on the hash, probe join reusing that exchange, per-doc
+    * final agg. Same inverted-index class as q88.
+    */
+  def noveltyProfile(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sets = NearDup.shingleHashSets(docs, n)
+    val postings = sets.select($"doc_id", explode($"shs").as("sh"))
+      .localCheckpoint(true)
+    val firstDoc = postings.groupBy($"sh")
+      .agg(min($"doc_id").as("first_doc"))
+    postings.join(firstDoc, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        round($"n_novel".cast("double") / $"n_grams", 6)
+          .as("novelty_frac"))
+  }
+
+  /** q107 oracle: string 3-grams, min-doc first-occurrence. */
+  def noveltyOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |     range(1, len(toks) - 1),
+      |     i -> array_to_string(toks[i:i+2], ' ')))) AS s
+      |   FROM t WHERE len(toks) >= 3),
+      | fd AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+      |SELECT doc_id, count(*)::BIGINT AS n_grams,
+      |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+      |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+      |    / count(*), 6) AS novelty_frac
+      |FROM sh JOIN fd USING (s)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Q107 — 3-gram novelty profile over `documents` in id order. */
+  def q107NoveltyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    noveltyProfile(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+
   /** Q104 — decontamination as a REWRITE: training docs (doc_id % 10
     * ≠ 0) lose every span whose 8-gram appears anywhere in the
     * held-out benchmark tenth (doc_id % 10 = 0, the q51 stand-in

@@ -54,6 +54,18 @@ class SpanDedupSpec extends SparkSpec {
     assert(kept2.forall(r => r._3 == 12L && r._4 == ""))
   }
 
+  test("novelty profile: first doc fully novel, copies zero, overlap partial") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",     // 2 distinct 3-grams, all first
+      2L -> "alpha beta gamma delta",     // exact copy → nothing novel
+      3L -> "alpha beta gamma zeta")      // shares "alpha beta gamma" only
+    val out = SpanDedup.noveltyProfile(d, n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 2L, 2L, 1.0)))
+    assert(out(1) == ((2L, 2L, 0L, 0.0)))
+    assert(out(2) == ((3L, 2L, 1L, 0.5)))
+  }
+
   test("counts are consistent with the rewritten text") {
     val d = docs(
       1L -> s"head $span x y z",
