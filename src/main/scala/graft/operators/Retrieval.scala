@@ -97,9 +97,17 @@ object Retrieval {
     * which is the CORRECT BM25 semantics, not drift. Equivalence with
     * the scan path is spec-pinned.
     */
-  def bm25TopKFromIndex(post: DataFrame, queries: DataFrame,
+  def bm25TopKFromIndex(post0: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
-    import post.sparkSession.implicits._
+    import post0.sparkSession.implicits._
+    // self-enforce one posting row per (doc, term): a doc re-landed
+    // under a fresh offset (producer re-send the offset fence cannot
+    // key on) duplicates its IDENTICAL posting rows, which would
+    // double-count df, N, and Σdl. Exact-row dedup absorbs that
+    // benign mode; CONFLICTING duplicates (same (doc_id, th),
+    // different tf/dl) mean a corrupt index and remain the caller's
+    // contract violation.
+    val post = post0.dropDuplicates("doc_id", "th", "tf", "dl")
     val corpus = post.groupBy($"doc_id").agg(first($"dl").as("dl"))
       .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
     score(post, corpus, queries, k)

@@ -172,6 +172,13 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25TopKFromIndex(
         Retrieval.docTermStats(corpus), q, k = 10)) ==
       rows(Retrieval.bm25TopK(corpus, q, k = 10)))
+    // a doc re-landed whole (identical posting rows twice — the
+    // producer-re-send shape the offset fence cannot key on) must not
+    // double-count df/N/Σdl
+    val doubled = Retrieval.docTermStats(corpus)
+      .unionByName(Retrieval.docTermStats(corpus.limit(2)))
+    assert(rows(Retrieval.bm25TopKFromIndex(doubled, q, k = 10)) ==
+      rows(Retrieval.bm25TopK(corpus, q, k = 10)))
   }
 
   test("a standing bucketed index aggregates df without an exchange") {

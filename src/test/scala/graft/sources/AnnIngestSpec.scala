@@ -30,26 +30,15 @@ class AnnIngestSpec extends SparkSpec {
     val arriving = emb.filter($"vec_id" % 4 === 0)
     val (idx0, model) = IvfIndex.buildPivots(base)
 
-    // wire shape: value = JSON of (vec_id, embedding)
-    val wire = arriving
-      .select($"vec_id", $"embedding")
-      .withColumn("partition", lit(0))
-      .withColumn("offset", $"vec_id" / 4) // gapless per-partition
-      .withColumn("ts", timestamp_micros($"vec_id" * 1000L))
-      .withColumn("key", $"vec_id".cast("string"))
-      .withColumn("value", to_json(struct($"vec_id", $"embedding")))
-      .select($"partition", $"offset".cast("long").as("offset"),
-        $"ts", $"key", $"value")
-      .orderBy($"offset").cache()
+    val wire = WireFixtures
+      .wireOf(arriving, "vec_id", Seq("vec_id", "embedding")).cache()
     val n = wire.count()
 
     // post-fence parse + frozen-model assignment: the table holds
     // index-ready (vec_id, embedding, cell) rows
     val parseAssign: DataFrame => DataFrame = df =>
       IvfIndex.assign(
-        df.select(from_json($"value", org.apache.spark.sql.types.StructType
-            .fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")).as("r"))
-          .select($"r.vec_id", $"r.embedding"),
+        WireFixtures.parsePayload(df, "vec_id BIGINT, embedding ARRAY<FLOAT>"),
         model)
 
     val table = new VersionedTable(

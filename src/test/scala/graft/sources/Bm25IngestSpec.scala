@@ -24,24 +24,13 @@ class Bm25IngestSpec extends SparkSpec {
 
   test("exactly-once postings ingest; grown index scores like a corpus scan") {
     val docs = Tables.load(spark, sf, "documents")
-    val wire = docs
-      .select($"doc_id", $"text",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy($"doc_id")).cast("long").as("offset"))
-      .withColumn("partition", lit(0))
-      .withColumn("ts", timestamp_micros($"doc_id" * 1000L))
-      .withColumn("key", $"doc_id".cast("string"))
-      .withColumn("value", to_json(struct($"doc_id", $"text")))
-      .select($"partition", $"offset", $"ts", $"key", $"value")
-      .cache()
+    val wire = WireFixtures
+      .wireOf(docs, "doc_id", Seq("doc_id", "text")).cache()
     val n = wire.count()
 
     val parseIndex: DataFrame => DataFrame = df =>
       Retrieval.docTermStats(
-        df.select(from_json($"value",
-            org.apache.spark.sql.types.StructType
-              .fromDDL("doc_id BIGINT, text STRING")).as("r"))
-          .select($"r.doc_id", $"r.text"))
+        WireFixtures.parsePayload(df, "doc_id BIGINT, text STRING"))
 
     val table = new VersionedTable(
       spark, Files.createTempDirectory("bm25-ingest").toString)

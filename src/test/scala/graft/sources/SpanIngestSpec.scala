@@ -27,26 +27,13 @@ class SpanIngestSpec extends SparkSpec {
       .localCheckpoint(true)
     val train = docs.filter($"doc_id" % 10 =!= 0)
 
-    // wire shape: value = JSON of (doc_id, text); offsets gapless per
-    // partition in doc order
-    val wire = train
-      .select($"doc_id", $"text",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy($"doc_id")).cast("long").as("offset"))
-      .withColumn("partition", lit(0))
-      .withColumn("ts", timestamp_micros($"doc_id" * 1000L))
-      .withColumn("key", $"doc_id".cast("string"))
-      .withColumn("value", to_json(struct($"doc_id", $"text")))
-      .select($"partition", $"offset", $"ts", $"key", $"value")
-      .cache()
+    val wire = WireFixtures
+      .wireOf(train, "doc_id", Seq("doc_id", "text")).cache()
     val n = wire.count()
 
     val parseExcise: DataFrame => DataFrame = df =>
       SpanDedup.exciseAgainst(benchIdx,
-        df.select(from_json($"value",
-            org.apache.spark.sql.types.StructType
-              .fromDDL("doc_id BIGINT, text STRING")).as("r"))
-          .select($"r.doc_id", $"r.text"),
+        WireFixtures.parsePayload(df, "doc_id BIGINT, text STRING"),
         n = 8, minCount = Long.MaxValue)
 
     val table = new VersionedTable(
