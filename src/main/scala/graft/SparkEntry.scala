@@ -169,6 +169,7 @@ object SparkEntry {
     "q105_hybrid_rrf"    -> (Retrieval.q105HybridRrf _),
     "q106_excise_repeats" -> (SpanDedup.q106ExciseRepeats _),
     "q107_novelty"       -> (SpanDedup.q107NoveltyProfile _),
+    "q108_grouping_sets" -> (Relational.q108GroupingSets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1541,6 +1542,17 @@ object SparkEntry {
     // their min-doc first occurrence (the q88 inverted-index class;
     // hash-vs-string collision contract as everywhere).
     "q107_novelty" -> SpanDedup.noveltyOracleSql,
+    // q108: explicit GROUPING SETS — the four NULL patterns are
+    // mutually distinguishable (both keys non-null in the data), so
+    // NULLS-LAST ordering alone is deterministic.
+    "q108_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS q, count(*)::BIGINT AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -227,6 +227,28 @@ object Relational {
       .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
   }
 
+  /** Q108 — explicit GROUPING SETS (arbitrary set list, not the
+    * rollup/cube lattices): per-(flag,status), per-flag, per-status,
+    * and grand total in ONE pass — Catalyst expands the sets into a
+    * single Expand + partial/final agg, so the input is scanned once
+    * no matter how many sets (the hand-written alternative is one
+    * scan per set unioned). The four NULL patterns are mutually
+    * distinguishable here because both keys are non-null in the data,
+    * so no grouping_id is needed for a deterministic ordering.
+    */
+  def q108GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+          Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("q"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
+  }
+
   /** Q13 — string scalars + agg over documents. Sums are pinned to
     * BIGINT on both sides: DuckDB's sum(INT) widens to HUGEINT
     * (int128), which the driver's hash canonicalization distinguishes

@@ -77,9 +77,21 @@ def gen_rollup_query(rnd):
          else ["event_type", "user_id"])
     fn = rnd.choice(["sum", "avg", "min", "max"])
     c = rnd.choice(TABLES[t]["num"])
-    g = rnd.choice(["ROLLUP", "CUBE"])
+    if rnd.random() < 0.33:
+        # explicit GROUPING SETS: random DISTINCT subset of the 4
+        # possible sets (distinctness keeps every NULL pattern unique,
+        # so NULLS-LAST ordering alone is deterministic — both keys
+        # are non-null in the data)
+        # the full set is always present so every selected key is
+        # covered (both binders reject a selected key in no set)
+        extra = rnd.sample([f"({k[0]})", f"({k[1]})", "()"],
+                           rnd.randint(1, 3))
+        sets = [f"({k[0]}, {k[1]})"] + extra
+        g = f"GROUPING SETS ({', '.join(sets)})"
+    else:
+        g = f"{rnd.choice(['ROLLUP', 'CUBE'])} ({k[0]}, {k[1]})"
     return (f"SELECT {k[0]}, {k[1]}, count(*) AS n, {fn}({c}) AS a0 "
-            f"FROM {t} GROUP BY {g} ({k[0]}, {k[1]}) "
+            f"FROM {t} GROUP BY {g} "
             f"ORDER BY {k[0]} NULLS LAST, {k[1]} NULLS LAST")
 
 
