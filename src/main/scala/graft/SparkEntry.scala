@@ -170,6 +170,7 @@ object SparkEntry {
     "q106_excise_repeats" -> (SpanDedup.q106ExciseRepeats _),
     "q107_novelty"       -> (SpanDedup.q107NoveltyProfile _),
     "q108_grouping_sets" -> (Relational.q108GroupingSets _),
+    "q109_array_funcs"   -> (Relational.q109ArrayFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1553,6 +1554,19 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    // q109: array HOF surface — list folds are float-compared at
+    // 1e-9 rel tol by the driver, so summation ulps don't matter;
+    // all-negative vectors make pos_sum NULL in DuckDB → coalesce 0
+    // to match Spark's 0.0 fold seed.
+    "q109_array_funcs" ->
+      """SELECT vec_id, len(e) AS n_dims,
+        |  round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2,
+        |  round(list_aggregate(e, 'max'), 6) AS mx,
+        |  round(list_aggregate(e, 'min'), 6) AS mn,
+        |  len(list_filter(e, x -> x > 0)) AS n_pos,
+        |  round(coalesce(list_sum(list_filter(e, x -> x > 0)), 0), 6) AS pos_sum
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

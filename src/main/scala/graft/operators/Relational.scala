@@ -249,6 +249,31 @@ object Relational {
       .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
   }
 
+  /** Q109 — the array higher-order-function surface as a user query:
+    * per embedding, dimension count, L2 norm (fold of squares),
+    * max/min element, positive count and positive mass — all
+    * `transform`/`filter`/`aggregate`/`array_max` built-ins, fully
+    * codegen, no UDF. Double folds are sequential left-to-right over
+    * the (ordered) array on both engines; the driver compares floats
+    * at 1e-9 relative tolerance, so summation-algorithm ulps are
+    * irrelevant.
+    */
+  def q109ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = $"embedding".cast("array<double>")
+    t(spark, dir, "embeddings")
+      .select($"vec_id",
+        size($"embedding").as("n_dims"),
+        round(sqrt(aggregate(transform(e, x => x * x), lit(0.0),
+          (acc, x) => acc + x)), 6).as("l2"),
+        round(array_max(e), 6).as("mx"),
+        round(array_min(e), 6).as("mn"),
+        size(filter(e, _ > 0.0)).as("n_pos"),
+        round(aggregate(filter(e, _ > 0.0), lit(0.0),
+          (acc, x) => acc + x), 6).as("pos_sum"))
+      .orderBy($"vec_id")
+  }
+
   /** Q13 — string scalars + agg over documents. Sums are pinned to
     * BIGINT on both sides: DuckDB's sum(INT) widens to HUGEINT
     * (int128), which the driver's hash canonicalization distinguishes
