@@ -80,10 +80,19 @@ object Layout {
       if (!hasCommittedBuckets(spark, dir)) b
       else {
         val touched = b.select($"kb").distinct().as[Int].collect().toSeq
-        val cur = spark.read.parquet(dir)
+        // mergeSchema: earlier add-column batches may have rewritten
+        // only SOME buckets — footer-sampled inference without it
+        // could resurface the old schema and drop the widened column
+        val cur = spark.read.option("mergeSchema", "true").parquet(dir)
           .filter($"kb".isin(touched: _*))
           .localCheckpoint(true)
-        cur.unionByName(b.select(cur.columns.map(col).toIndexedSeq: _*))
+        // widen in BOTH directions: a batch with a new feature column
+        // must reach the serving files (projecting it away would
+        // silently diverge serving from the offline history forever),
+        // and a batch missing a column must not throw — its rows get
+        // null for the column, exactly like the history table's
+        // schema evolution
+        cur.unionByName(b, allowMissingColumns = true)
       }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col(_).desc): _*)
@@ -105,7 +114,9 @@ object Layout {
     */
   def bucketLookup(spark: SparkSession, dir: String, keyCol: String,
       keyValue: Column, nBuckets: Int): DataFrame = {
-    val table = spark.read.parquet(dir)
+    // mergeSchema: bucket dirs can disagree after an add-column merge
+    // rewrote only some of them (see mergeBucketPartitioned)
+    val table = spark.read.option("mergeSchema", "true").parquet(dir)
     val k = keyValue.cast(table.schema(keyCol).dataType)
     table.filter(col("kb") === pmod(xxhash64(k), lit(nBuckets.toLong))
       .cast("int") && col(keyCol) === k)

@@ -240,7 +240,7 @@ class OffsetTrackedSink(table: VersionedTable, streamId: String) {
       (fencedMarks(), lastSeenVersion.getOrElse(-1L))
     }
     afterFence()
-    val live =
+    val live0 =
       if (marks.isEmpty) batch
       else {
         // literal map lookup (codegen'd, no UDF): offset must exceed
@@ -250,6 +250,11 @@ class OffsetTrackedSink(table: VersionedTable, streamId: String) {
         batch.filter(col("offset") >
           coalesce(element_at(markMap, col("partition")), lit(-1L)))
       }
+    // pin the fenced batch: the frontier collect below and the data
+    // write both consume it — without the checkpoint each would
+    // re-read every wire file of the batch (and re-run the caller's
+    // transform side of the plan), doubling source I/O per micro-batch
+    val live = live0.localCheckpoint(true)
     // O(#partitions) rows to the driver — the batch's own frontier.
     // Null or negative identifiers cannot round-trip the mark codec
     // (and a null offset would be silently fenced as a replay); no

@@ -71,11 +71,13 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   private def nextSeq(): Long = {
     if (seqCounter < 0L)
       seqCounter = readSeqSidecar().getOrElse {
-        if (exists)
-          offline().agg(max(col(seqCol))).head().getLong(0) + 1L
-        else if (servingInitialized)
-          spark.read.parquet(servingDir)
-            .agg(max(col(seqCol))).head().getLong(0) + 1L
+        // max over ZERO rows is null (a table that exists but holds
+        // only empty versions) — recover to 0, don't NPE the store
+        def maxSeq(df: DataFrame): Long =
+          Option(df.agg(max(col(seqCol))).head().get(0))
+            .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+        if (exists) maxSeq(offline())
+        else if (servingInitialized) maxSeq(spark.read.parquet(servingDir))
         else 0L
       }
     val s = seqCounter
@@ -203,7 +205,20 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * Input must carry the `_seq` column.
     */
   private def dedupLatest(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts.desc, col(seqCol).desc)
+    // final tiebreak: a content hash of the BUSINESS columns. `_seq`
+    // breaks ties BETWEEN batches, but two rows of ONE batch share a
+    // seq — a same-key same-event-time pair inside a batch would
+    // otherwise dedup to whichever row the shuffle delivered first.
+    // Metadata columns (seq, derived date, bucket) are excluded so
+    // the hash covers the IDENTICAL column list at every call site
+    // (online merge vs full-history compaction see different
+    // metadata) — every path picks the same survivor; a full tie
+    // means the rows are identical and either is correct.
+    val hashCols = df.columns
+      .filterNot(Set(seqCol, "event_date", "kb")).sorted
+    val rowHash = xxhash64(hashCols.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(key)
+      .orderBy(ts.desc, col(seqCol).desc, rowHash.desc)
     df.withColumn("_rn", row_number().over(w))
       .filter($"_rn" === 1)
       .drop("_rn")
@@ -224,7 +239,12 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   private def mergeOnline(stamped: DataFrame): Unit = {
     val base = stamped.drop("event_date")
     val merged = currentOnlineDir match {
-      case Some(dir) => dedupLatest(spark.read.parquet(dir).unionByName(base))
+      // allowMissingColumns: a batch carrying a NEW feature column
+      // must widen the online view like VersionedTable.commit widens
+      // the history (and a narrower batch appends nulls) — without it
+      // the documented add-column evolution crashes the whole ingest
+      case Some(dir) => dedupLatest(
+        spark.read.parquet(dir).unionByName(base, allowMissingColumns = true))
       case None      => dedupLatest(base)
     }
     writeOnline(merged)
@@ -361,7 +381,8 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     val batch =
       if (servingInitialized) stamped
       else if (exists)
-        dedupLatest(offline().drop("event_date").unionByName(stamped))
+        dedupLatest(offline().drop("event_date")
+          .unionByName(stamped, allowMissingColumns = true))
       else dedupLatest(stamped)
     graft.operators.Layout.mergeBucketPartitioned(
       servingDir, batch, conf.keyCol,
@@ -374,13 +395,14 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     */
   def serving(): DataFrame =
     if (!servingInitialized) latestView()
-    else spark.read.parquet(servingDir).drop(seqCol, "kb")
+    // mergeSchema: dynamic overwrite rewrites only TOUCHED buckets,
+    // so after an add-column batch the bucket dirs disagree on schema
+    // and footer-sampled inference could silently drop the new column
+    else spark.read.option("mergeSchema", "true")
+      .parquet(servingDir).drop(seqCol, "kb")
 
-  private def servingInitialized: Boolean = {
-    val root = new Path(servingDir)
-    fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("kb="))
-  }
+  private def servingInitialized: Boolean =
+    graft.operators.Layout.hasCommittedBuckets(spark, servingDir)
 
   /** The cache tier in front of the serving layout (the reference's
     * ElastiCache role): bounded bucket-level LRU with read-through

@@ -3,7 +3,8 @@ package graft.store
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DecimalType,
+  DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 
 /** ElastiCache-shaped keyed serving tier, Spark-native (the
   * reference's scaling plan puts ElastiCache in front of the online
@@ -108,10 +109,19 @@ class ServingCache(spark: SparkSession, servingDir: String,
     try Some(keyType match {
       case LongType    => id.toString.toLong
       case IntegerType => id.toString.toInt
+      case ShortType   => id.toString.toShort
+      case ByteType    => id.toString.toByte
+      case DoubleType  => id.toString.toDouble
+      case FloatType   => id.toString.toFloat
       case StringType  => id.toString
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(id.toString), d.precision, d.scale)
       case _           => id
     })
-    catch { case _: NumberFormatException => None }
+    // NonFatal, not just NumberFormatException: every conversion
+    // failure is 'this id can match no stored key' — a miss, never an
+    // exception into the serving path
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** The bucket `Layout.keyBucket` assigns this key — computed by
     * evaluating the SAME Catalyst expression (`pmod(xxhash64(key),
@@ -151,11 +161,14 @@ class ServingCache(spark: SparkSession, servingDir: String,
     * latch, memoized for next time.
     */
   def get(id: Any): Option[Row] = {
-    // a layout no merge has written yet has no keys (and no schema to
-    // normalize against) — None, not a PATH_NOT_FOUND from the driver.
+    // a layout no merge has COMMITTED yet has no keys (and no schema
+    // to normalize against) — None, not a PATH_NOT_FOUND (or, after a
+    // crashed first merge left only `_temporary`, an unreadable
+    // schema-less dir → 'unable to infer schema') from the driver.
     // Once the key type resolves the layout exists (merges only add),
-    // so steady-state lookups skip the exists() probe entirely.
-    if (keyTypeCache == null && !fs.exists(new Path(servingDir)))
+    // so steady-state lookups skip the probe entirely.
+    if (keyTypeCache == null &&
+        !graft.operators.Layout.hasCommittedBuckets(spark, servingDir))
       return None
     val key = norm(id) match {
       case Some(k) => k.toString

@@ -270,13 +270,26 @@ class VersionedTable(spark: SparkSession, root: String,
 
   def currentVersion: Option[Long] = versions.lastOption
 
-  /** True iff some committed manifest records `txnId`. Scans manifest
-    * headers newest-first (replays are usually of recent batches);
-    * O(versions) tiny driver-side reads — a production table format
-    * keeps a txn index, a minimal one documents the scan.
+  /** True iff some committed manifest records `txnId`. Incremental:
+    * this instance caches every txn id it has seen and reads only
+    * manifests NEWER than its high-water mark, so a long-lived
+    * per-batch caller (the bus sink commits every micro-batch) pays
+    * O(new versions) amortized, not O(all versions) per call — after
+    * 10k micro-batches the old full scan opened 10k manifests per
+    * commit. Vacuum dropping old versions is safe here: a dropped
+    * manifest's txn stays cached, and committed-ness never un-happens.
+    * Cross-instance writers are still observed (the version LIST runs
+    * every call; only the manifest READS are memoized).
     */
-  def txnCommitted(txnId: String): Boolean =
-    versions.reverse.exists(n => readManifest(n).txn.contains(txnId))
+  def txnCommitted(txnId: String): Boolean = synchronized {
+    versions.filter(_ > txnScannedUpTo).foreach { n =>
+      readManifest(n).txn.foreach(txnSeen += _)
+      txnScannedUpTo = math.max(txnScannedUpTo, n)
+    }
+    txnSeen.contains(txnId)
+  }
+  private var txnScannedUpTo: Long = -1L
+  private val txnSeen = scala.collection.mutable.HashSet.empty[String]
 
   /** All committed txn ids, ascending version order. Consumers that
     * encode durable state in their txn ids (the bus sink's offset
@@ -519,7 +532,7 @@ class VersionedTable(spark: SparkSession, root: String,
           true
         }
         catch { case _: java.io.IOException => false } // lost the race
-      if (claimed) {
+      if (claimed) try {
         // base entries are read AFTER the claim: the claim winner
         // observes every manifest published before its claim
         val base = currentVersion.map(readManifest)
@@ -547,6 +560,18 @@ class VersionedTable(spark: SparkSession, root: String,
           throw new IllegalStateException(
             s"$root: publish of v_$next failed to rename its manifest")
         return next
+      } catch {
+        // release our claim before propagating (schema-merge reject,
+        // manifest-write failure): the claimant itself is giving the
+        // number back SYNCHRONOUSLY, so reuse is safe — without this,
+        // every failed attempt of a retry loop leaks a claim file
+        // that vacuum never reclaims and that pins the commit's
+        // orphan data dirs for a full grace period each
+        case e: Throwable =>
+          val m = new Path(manifestsDir, s"v_$next.manifest")
+          if (!fs.exists(m)) // only if OUR manifest didn't publish
+            fs.delete(new Path(manifestsDir, s"v_$next.claim"), false)
+          throw e
       }
     }
     throw new IllegalStateException(

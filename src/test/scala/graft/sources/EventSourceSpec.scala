@@ -218,16 +218,22 @@ class EventSourceSpec extends SparkSpec {
   test("without a checkpoint, vacuum past the mark history un-fences old replays (the hazard)") {
     // the documented contract under test: vacuum forgets dropped
     // manifests' txn ids, so marks only reach back as far as retention
-    val t = freshTable
+    val dir = Files.createTempDirectory("bus").toString
+    val t = new VersionedTable(spark, dir)
     val sink = new OffsetTrackedSink(t, "s1")
     sink.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L)))            // v0: marks
     t.commit(wire(Seq(9 -> 99L)), txnId = Some("w.a"))       // v1
     t.commit(wire(Seq(9 -> 98L)), txnId = Some("w.b"))       // v2
     t.vacuum(retain = 2, graceMs = 0L)                       // drops v0
-    val recovered = new OffsetTrackedSink(t, "s1")
+    // the hazard is a RESTART hazard: a fresh table handle (new
+    // driver) has no in-memory txn cache, so only the surviving
+    // manifests fence — the same handle would still remember the
+    // vacuumed txn id and dedup the replay
+    val t2 = new VersionedTable(spark, dir)
+    val recovered = new OffsetTrackedSink(t2, "s1")
     assert(recovered.committedMarks().isEmpty, "marks gone with v0")
     recovered.commitBatch(wire(Seq(0 -> 0L, 0 -> 1L)))       // replay re-commits
-    assert(t.read().filter("partition = 0").count() == 4, "duplicates — the hazard")
+    assert(t2.read().filter("partition = 0").count() == 4, "duplicates — the hazard")
   }
 
   test("checkpointMarks makes the replay fence survive vacuum beyond the mark history") {

@@ -54,6 +54,67 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.latestView().head().getDouble(2) == 2.0)
   }
 
+  test("a batch with a NEW feature column widens online AND serving views") {
+    val fs = freshStore()
+    fs.ingestServing(batch1)
+    // second batch carries a new column the first never had
+    fs.ingestServing(Seq((1L, ts("2024-01-06 10:00:00"), 60.0, 7L))
+      .toDF("customer_id", "purchase_timestamp", "avg_purchase_value",
+        "visit_count"))
+    // online view: widened, old rows null, new row carries the value
+    val online = fs.online()
+    assert(online.columns.contains("visit_count"))
+    val byKey = online.collect()
+      .map(r => r.getLong(r.fieldIndex("customer_id")) ->
+        (if (r.isNullAt(r.fieldIndex("visit_count"))) None
+         else Some(r.getLong(r.fieldIndex("visit_count"))))).toMap
+    assert(byKey == Map(1L -> Some(7L), 2L -> None))
+    // serving layout: the new column reached the bucket files too
+    val serving = fs.serving()
+    assert(serving.columns.contains("visit_count"),
+      "serving files silently dropped the new column")
+    assert(fs.getServingRecord(1L).select("visit_count")
+      .head().getLong(0) == 7L)
+    // and a NARROWER later batch appends with nulls instead of throwing
+    fs.ingestServing(Seq((4L, ts("2024-01-07 10:00:00")))
+      .toDF("customer_id", "purchase_timestamp"))
+    assert(fs.serving().filter($"customer_id" === 4L).count() == 1)
+  }
+
+  test("same-key same-event-time duplicates within ONE batch dedup deterministically") {
+    // both rows share (key, ts, _seq); the content-hash tiebreak must
+    // pick the same survivor on every run and both store paths
+    val dup = Seq(
+      (9L, ts("2024-02-01 00:00:00"), 111.0),
+      (9L, ts("2024-02-01 00:00:00"), 222.0))
+    val picks = (1 to 3).map { _ =>
+      val fs = freshStore()
+      fs.ingest(dup.toDF(
+        "customer_id", "purchase_timestamp", "avg_purchase_value"))
+      (fs.online().filter($"customer_id" === 9L)
+        .head().getDouble(2),
+        fs.latestView().head().getDouble(2))
+    }
+    assert(picks.distinct.size == 1, s"nondeterministic dedup: $picks")
+    assert(picks.head._1 == picks.head._2,
+      "online merge and full-history compaction disagree on the survivor")
+  }
+
+  test("seq recovery survives a zero-row history with no sidecar") {
+    val dir = Files.createTempDirectory("fs-test").toString
+    val fs1 = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    fs1.ingest(batch1.limit(0)) // zero-row version; history now exists
+    // simulate the lost-sidecar crash window the scaladoc documents
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/_seq"), false)
+    val fs2 = FeatureStore(spark, dir,
+      keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+    fs2.ingest(batch1) // must recover to seq 0, not NPE
+    assert(fs2.latestView().count() == 2)
+  }
+
   test("point lookup + existence probe (get_record round-trip, reference tests.py:12-36)") {
     val fs = freshStore()
     fs.ingest(batch1)

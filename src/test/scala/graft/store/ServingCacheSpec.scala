@@ -209,6 +209,34 @@ class ServingCacheSpec extends SparkSpec {
     assert(s.servingCache().get(1L).isEmpty)
   }
 
+  test("a crashed first merge's _temporary-only dir yields None, not a 500") {
+    val s = freshStore()
+    // simulate the crash: servingDir exists but holds only the
+    // committer's scratch dir — no kb= partitions, no parquet footers
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${s.conf.path}/serving", "_temporary"))
+    assert(s.servingCache().get(1L).isEmpty,
+      "bare-existence probe would throw 'unable to infer schema' here")
+    // and the layout repairs on the next merge as documented
+    s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    assert(s.servingCache().get(1L).get.getAs[Double]("v") == 1.0)
+  }
+
+  test("a double-keyed layout serves lookups; unkeyable ids are misses") {
+    val dir = Files.createTempDirectory("fs-cache-dbl").toString
+    graft.operators.Layout.mergeBucketPartitioned(
+      s"$dir/serving",
+      Seq((1.5, ts("2024-01-01 00:00:00"), 10.0), (2.5, ts("2024-01-01 00:00:00"), 20.0))
+        .toDF("k", "purchase_timestamp", "v"),
+      "k", Seq("purchase_timestamp"), nBuckets = 8)
+    val cache = new ServingCache(spark, s"$dir/serving", "k", nBuckets = 8)
+    assert(cache.get("1.5").get.getAs[Double]("v") == 10.0)
+    assert(cache.get(2.5).get.getAs[Double]("v") == 20.0)
+    assert(cache.get("not-a-number").isEmpty,
+      "unparseable id must be a miss, not an exception")
+  }
+
   test("an empty (never-merged) bucket yields None, not an error") {
     val s = freshStore()
     s.mergeServing(Seq((1L, ts("2024-01-01 00:00:00"), 1.0))

@@ -308,4 +308,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(healed > 2)
     assert(vt.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("a rejected publish releases its claim; the version number is not burned") {
+    val dir = Files.createTempDirectory("vt2").toString
+    val vt = new VersionedTable(spark, dir)
+    vt.commit(Seq((1L, "a")).toDF("id", "v"))
+    // type-changing append: mergeSchemas refuses AFTER the claim won
+    intercept[IllegalArgumentException] {
+      vt.commit(Seq((2L, 99L)).toDF("id", "v")) // v: string -> long
+    }
+    // a published version keeps its claim marker by design; the leak
+    // is a claim with NO manifest (a pending claim nobody owns)
+    val names = new java.io.File(s"$dir/_manifests").listFiles()
+      .map(_.getName).toSet
+    val orphans = names.filter(_.endsWith(".claim"))
+      .filterNot(c => names.contains(c.stripSuffix(".claim") + ".manifest"))
+    assert(orphans.isEmpty,
+      s"failed publish leaked pending claims: $orphans")
+    // a compatible commit proceeds and takes the RELEASED number
+    val v = vt.commit(Seq((2L, "b")).toDF("id", "v"))
+    assert(v == 1L, "released version number must be reusable")
+    assert(vt.read().count() == 2)
+  }
 }
