@@ -171,6 +171,7 @@ object SparkEntry {
     "q107_novelty"       -> (SpanDedup.q107NoveltyProfile _),
     "q108_grouping_sets" -> (Relational.q108GroupingSets _),
     "q109_array_funcs"   -> (Relational.q109ArrayFuncs _),
+    "q110_pagerank"      -> (GraphRank.q110PageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1567,6 +1568,11 @@ object SparkEntry {
         |  round(coalesce(list_sum(list_filter(e, x -> x > 0)), 0), 6) AS pos_sum
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+    // q110: similarity-graph PageRank — exact Long "tick" arithmetic
+    // (floor division + fixed ×17/20 damping) makes the whole rank
+    // trajectory engine-portable; the edge CTEs are the q18 detector
+    // at τ = 0.05. Builder on the operator (no hand-synced SQL copy).
+    "q110_pagerank" -> GraphRank.oracleSql(minJaccard = "0.05", iters = 5),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Graph-based authority scoring over the near-dup similarity graph —
+  * the source-weighting op of web-scale corpus curation (host/document
+  * rank as a quality prior, the CommonCrawl-pipeline role of PageRank).
+  * The reference has no graph ops; this is the beyond-reference
+  * LLM-pipeline family (SURVEY §2 NS rows), composing the q18 pair
+  * detector into a ranked-corpus diagnostic: documents central in a
+  * dense similarity neighborhood score high (template/boilerplate
+  * families), isolated documents keep the teleport floor.
+  *
+  * Determinism across engines is the design constraint: float PageRank
+  * sums in fold order, which no two engines (or two partitionings!)
+  * agree on. Here every rank is an exact Long in 1e-6 "ticks" and each
+  * iteration is
+  *
+  *   r'(v) = 150000 + (17 · Σ_{u→v} (r(u) div deg(u))) div 20
+  *
+  * — floor division on non-negative longs, so Spark's `div` and
+  * DuckDB's `//` produce bit-identical trajectories and the oracle can
+  * hash-match the full ranking (same tick trick as the BM25 scorer,
+  * `Retrieval.scala`). d = 0.85 damping becomes the exact ×17/20;
+  * the 0.15 teleport term is 150000 ticks of the 1e6 start mass.
+  *
+  * Scale shape (the part that must survive 100×): per iteration, ONE
+  * shuffle — the partial-agg sum of contributions keyed by dst; the
+  * rank⋈degree join is keyed on v and reuses the same hash
+  * partitioning, and the edge join is src-keyed postings × a
+  * vertex-count-sized rank table (AQE broadcasts it while it fits —
+  * vertex tables are |V|, edge tables |E| ≫ |V|). The symmetrized
+  * edge set is pinned once (`localCheckpoint`) because it feeds every
+  * iteration — without the cut, each of the 5 rounds would re-run the
+  * full Jaccard postings join upstream. Rank state never touches the
+  * driver; iterations are a fixed count, not a convergence probe, so
+  * the whole computation is one job at the final action.
+  */
+object GraphRank {
+
+  /** Exact-integer PageRank. `edges` is an undirected pair set with
+    * columns (doc_a, doc_b), one row per unordered pair; vertices are
+    * the pair endpoints (isolated docs are out of the graph — they
+    * carry no edge mass and would sit at the teleport floor forever).
+    * Returns (doc_id, degree, rank_ticks), rank_ticks the exact Long
+    * trajectory value after `iters` rounds from a uniform 1e6 start.
+    */
+  def pageRankTicks(edges: DataFrame, iters: Int): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    // symmetric closure, pinned: referenced by all `iters` rounds, and
+    // its upstream (the Jaccard pair join) is the expensive part
+    val e = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(true)
+    // symmetric ⇒ out-degree = in-degree and every vertex has ≥ 1 of
+    // each, so the vertex set is invariant across iterations
+    val deg = e.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
+    var ranks = deg.select($"v", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, "v").select($"v", expr("r div d").as("c"))
+      ranks = e.join(contrib, e("src") === contrib("v"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("v"), (lit(150000L) + expr("(s * 17) div 20")).as("r"))
+    }
+    ranks.join(deg, "v")
+      .select($"v".as("doc_id"), $"d".cast("long").as("degree"),
+        $"r".as("rank_ticks"))
+      .orderBy($"rank_ticks".desc, $"doc_id")
+  }
+
+  /** Q110 — similarity-graph PageRank over `documents`: edges are the
+    * exact 3-gram-shingle Jaccard pairs at τ = 0.05 (the q18 detector,
+    * opened wider so near-miss neighborhoods contribute structure, not
+    * just verbatim dups), 5 exact-tick iterations.
+    */
+  def q110PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankTicks(
+      NearDup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.05),
+      iters = 5)
+
+  /** DuckDB oracle for [[q110PageRank]]: the q18 edge CTEs at the same
+    * threshold, then the identical integer recurrence unrolled as
+    * chained CTEs (fixed iteration count ⇒ no recursion needed — and
+    * chained CTEs are portable where recursive-CTE aggregation rules
+    * are not). `//` is DuckDB's floor division; the per-term
+    * `CAST(... AS BIGINT)` collapses DuckDB's HUGEINT sum back to the
+    * Long domain Spark computes in (values stay ≪ 2⁶³ by
+    * construction: Σ ranks ≤ |V| · 1e6).
+    */
+  def oracleSql(minJaccard: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""" r$i AS (SELECT e.dst AS v,
+         |   150000 + (CAST(sum(p.r // deg.d) AS BIGINT) * 17) // 20 AS r
+         |  FROM e JOIN r${i - 1} p ON p.v = e.src
+         |         JOIN deg ON deg.v = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+       |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2),
+       | jacs AS (SELECT doc_a, doc_b
+       |   FROM prs JOIN counts ca ON ca.doc_id = doc_a
+       |            JOIN counts cb ON cb.doc_id = doc_b
+       |   WHERE co::DOUBLE / (ca.n + cb.n - co) >= $minJaccard),
+       | e AS (SELECT doc_a AS src, doc_b AS dst FROM jacs
+       |   UNION ALL SELECT doc_b, doc_a FROM jacs),
+       | deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM e GROUP BY src),
+       | r0 AS (SELECT v, 1000000::BIGINT AS r FROM deg),
+       |$iterCtes
+       |SELECT f.v AS doc_id, deg.d AS degree, f.r AS rank_ticks
+       |FROM r$iters f JOIN deg ON deg.v = f.v
+       |ORDER BY rank_ticks DESC, doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala reference implementation of the exact-tick recurrence —
+    * plain Maps, no Spark — the independent oracle for the
+    * distributed version. Floor division on non-negative longs.
+    */
+  private def referenceRanks(pairs: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = e.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var r = deg.map { case (v, _) => v -> 1000000L }
+    for (_ <- 1 to iters) {
+      val c = r.map { case (v, rv) => v -> rv / deg(v) }
+      val s = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => c(u) }.sum
+      }
+      r = s.map { case (v, sv) => v -> (150000L + (sv * 17) / 20) }
+    }
+    r.map { case (v, rv) => v -> (deg(v), rv) }
+  }
+
+  private def run(pairs: Seq[(Long, Long)], iters: Int) =
+    GraphRank.pageRankTicks(pairs.toDF("doc_a", "doc_b"), iters)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, d, r) => v -> (d, r) }.toMap
+
+  test("path graph: hand-traced two iterations") {
+    // 1-2-3: deg 1/2/1; iter1 ranks 575000/1850000/575000 (traced in
+    // the operator's scaladoc terms), iter2 936250/1127500/936250
+    val got = run(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    assert(got === Map(
+      1L -> (1L, 936250L), 2L -> (2L, 1127500L), 3L -> (1L, 936250L)))
+  }
+
+  test("triangle is symmetric and conserves the uniform start") {
+    // every vertex identical by symmetry; deg 2, r stays at the
+    // fixpoint of r = 150000 + (2*(r div 2)*17) div 20 from 1e6
+    val got = run(Seq((1L, 2L), (2L, 3L), (1L, 3L)), iters = 5)
+    assert(got.values.map(_._1).toSet === Set(2L))
+    assert(got.values.map(_._2).toSet.size === 1)
+  }
+
+  test("seeded random graph matches the plain-Scala reference exactly") {
+    val rnd = new scala.util.Random(4242)
+    val pairs = (1 to 120).map { _ =>
+      val a = rnd.nextInt(30).toLong
+      var b = rnd.nextInt(30).toLong
+      while (b == a) b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    for (iters <- Seq(1, 3, 5))
+      assert(run(pairs, iters) === referenceRanks(pairs, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("disconnected components rank independently") {
+    val pairs = Seq((1L, 2L), (10L, 11L), (11L, 12L))
+    assert(run(pairs, 4) === referenceRanks(pairs, 4))
+  }
+
+  test("empty edge set yields an empty ranking (schema intact)") {
+    val df = GraphRank.pageRankTicks(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), 5)
+    assert(df.columns.toSeq === Seq("doc_id", "degree", "rank_ticks"))
+    assert(df.count() === 0L)
+  }
+
+  test("q110 on sf0.001 runs and ranks hub docs above leaves") {
+    val rows = GraphRank.q110PageRank(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // rank order must be consistent with the output's declared sort
+    assert(rows.sortBy(t => (-t._3, t._1)).toSeq === rows.toSeq)
+    // all ranks at/above the teleport floor of a degree-1 leaf
+    assert(rows.forall(_._3 >= 150000L))
+  }
+}
