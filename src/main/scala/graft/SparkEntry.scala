@@ -172,6 +172,7 @@ object SparkEntry {
     "q108_grouping_sets" -> (Relational.q108GroupingSets _),
     "q109_array_funcs"   -> (Relational.q109ArrayFuncs _),
     "q110_pagerank"      -> (GraphRank.q110PageRank _),
+    "q111_html_extract"  -> (HtmlExtract.q111HtmlExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1573,6 +1574,12 @@ object SparkEntry {
     // trajectory engine-portable; the edge CTEs are the q18 detector
     // at τ = 0.05. Builder on the operator (no hand-synced SQL copy).
     "q110_pagerank" -> GraphRank.oracleSql(minJaccard = "0.05", iters = 5),
+    // q111: HTML main-content extraction — both sides build the same
+    // synthetic page and apply the same RE2-subset rule constants
+    // (interpolated from HtmlExtract, no hand-synced regex copies);
+    // the density test is integer arithmetic, so content is
+    // byte-identical.
+    "q111_html_extract" -> HtmlExtract.oracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

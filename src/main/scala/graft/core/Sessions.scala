@@ -37,6 +37,10 @@ object Sessions {
       // for filter-only plans — the store's point-lookup path
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // pin-strategy override (core.Pin): auto | persist |
+      // localCheckpoint | checkpoint — benchmarking/migration knob
+      .config(graft.core.Pin.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_PIN", "auto"))
     // fixture-reader timestamp typing (scan-level, keeps pushdown) —
     // owned HERE, not by Tables.load: a loader must not mutate the
     // shared session's conf as a side effect (see Tables.readerConfs)

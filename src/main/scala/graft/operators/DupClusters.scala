@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Pin, Tables}
 
 /** Near-duplicate CLUSTER assignment — the step after pair detection
   * in a training-data dedup pipeline: near-dup pairs form a graph,
@@ -35,28 +35,28 @@ object DupClusters {
     import edges.sparkSession.implicits._
     val e = edges.toDF("src", "dst")
     // symmetric closure once; propagation then only needs src→dst.
-    // localCheckpoint (not persist) on every iteration state: an
+    // Pin.iterative on every iteration state: an
     // iterative DataFrame algorithm otherwise accretes each round's
     // joins into one exponentially-growing logical plan — lineage
     // must be CUT, not just cached.
-    // LAZY checkpoints throughout the loop: `localCheckpoint(false)`
-    // still cuts lineage (the returned frame is plan-rooted at the
-    // checkpointed RDD) but defers materialization to the first
-    // action — which we make the convergence probe, so each round is
-    // ONE Spark job (materialize + sum) instead of two (eager
-    // checkpoint, then a separate agg). Tiny dedup graphs are
+    // LAZY pins throughout the loop: `Pin.iterative(_, eager = false)`
+    // still cuts lineage when it resolves to a checkpoint (and a lazy
+    // persist never grows the plan — the cached subtree is swapped for
+    // InMemoryRelation at planning) while deferring materialization to
+    // the first action — the convergence probe — so each round is ONE
+    // Spark job (materialize + sum) instead of two. Tiny dedup graphs are
     // fixed-overhead-bound, so job count is the cost driver; at
     // corpus scale the fused job also saves one full pass per round.
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-      .localCheckpoint(false)
+      .transform(Pin.reuse)
     // seed labels with the 1-hop closed-neighborhood min — exactly
     // what round 1 of propagation would compute from identity labels,
     // for the price of the agg alone (no join): one round saved
     var labels = sym.groupBy($"src")
       .agg(min(least($"dst", $"src")).as("label"))
       .withColumnRenamed("src", "id")
-      .localCheckpoint(false)
+      .transform(Pin.iterative(_, eager = false))
     // convergence probe: labels only ever DECREASE under min-label
     // propagation, so sum(label) is strictly monotone until fixpoint —
     // one agg per round instead of a join-and-compare
@@ -77,7 +77,7 @@ object DupClusters {
             .withColumnRenamed("src", "id"),
           Seq("id"), "left")
         .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
-        .localCheckpoint(false)
+        .transform(Pin.iterative(_, eager = false))
       val nextSum = labelSum(next)
       labels.unpersist() // drop the previous round's checkpoint blocks
       labels = next
@@ -129,7 +129,7 @@ object DupClusters {
       val e0 = edges.toDF("src", "dst")
       e0.select($"src".as("id"))
         .union(e0.select($"dst".as("id"))).distinct()
-        .localCheckpoint(true)
+        .transform(Pin.reuse)
     }
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -152,11 +152,11 @@ object DupClusters {
     }
 
     var e = edges.toDF("src", "dst")
-      .filter($"src" =!= $"dst").distinct().localCheckpoint(true)
+      .filter($"src" =!= $"dst").distinct().transform(Pin.iterative(_))
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).transform(Pin.iterative(_))
       // fixpoint when the edge set is exactly stable (both are
       // checkpointed, so this costs two anti-join probes, no recompute)
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
@@ -198,7 +198,7 @@ object DupClusters {
     */
   def degreeProfile(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.transform(Pin.reuse)
     val ends = p.select($"doc_a".as("doc_id"), $"jac")
       .unionByName(p.select($"doc_b".as("doc_id"), $"jac"))
     ends.groupBy($"doc_id")

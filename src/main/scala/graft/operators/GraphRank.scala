@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Pin, Tables}
 
 /** Graph-based authority scoring over the near-dup similarity graph —
   * the source-weighting op of web-scale corpus curation (host/document
@@ -33,7 +33,7 @@ import graft.core.Tables
   * partitioning, and the edge join is src-keyed postings × a
   * vertex-count-sized rank table (AQE broadcasts it while it fits —
   * vertex tables are |V|, edge tables |E| ≫ |V|). The symmetrized
-  * edge set is pinned once (`localCheckpoint`) because it feeds every
+  * edge set is pinned once (`Pin.reuse`) because it feeds every
   * iteration — without the cut, each of the 5 rounds would re-run the
   * full Jaccard postings join upstream. Rank state never touches the
   * driver; iterations are a fixed count, not a convergence probe, so
@@ -42,21 +42,31 @@ import graft.core.Tables
 object GraphRank {
 
   /** Exact-integer PageRank. `edges` is an undirected pair set with
-    * columns (doc_a, doc_b), one row per unordered pair; vertices are
-    * the pair endpoints (isolated docs are out of the graph — they
-    * carry no edge mass and would sit at the teleport floor forever).
-    * Returns (doc_id, degree, rank_ticks), rank_ticks the exact Long
-    * trajectory value after `iters` rounds from a uniform 1e6 start.
+    * columns (doc_a, doc_b); vertices are the pair endpoints
+    * (isolated docs are out of the graph — they carry no edge mass
+    * and would sit at the teleport floor forever). The operator is
+    * public, so the input contract is enforced rather than assumed:
+    * duplicate pair rows, either-orientation re-listings, and
+    * self-loops are all collapsed/dropped in the symmetric-closure
+    * step (a `distinct` on the one-time pinned edge set — without it
+    * a duplicated row would silently double-count both the degree and
+    * the contribution, diverging from PageRank semantics and from the
+    * oracle). Returns (doc_id, degree, rank_ticks), rank_ticks the
+    * exact Long trajectory value after `iters` rounds from a uniform
+    * 1e6 start.
     */
   def pageRankTicks(edges: DataFrame, iters: Int): DataFrame = {
     val ss = edges.sparkSession
     import ss.implicits._
     require(iters >= 1, "iters must be >= 1")
-    // symmetric closure, pinned: referenced by all `iters` rounds, and
-    // its upstream (the Jaccard pair join) is the expensive part
+    // symmetric closure, defensively dedup'd (see Scaladoc), pinned:
+    // referenced by all `iters` rounds, and its upstream (the Jaccard
+    // pair join) is the expensive part. The distinct rides the pin's
+    // one-time materialization, not the per-iteration path.
     val e = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint(true)
+      .filter($"src" =!= $"dst").distinct()
+      .transform(Pin.reuse)
     // symmetric ⇒ out-degree = in-degree and every vertex has ≥ 1 of
     // each, so the vertex set is invariant across iterations
     val deg = e.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))

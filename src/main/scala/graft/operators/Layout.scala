@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Pin
+
 /** Physical-layout controls for 100 TB: bucketed tables (co-located,
   * shuffle-free joins) and key salting (skew spreading). These are the
   * knobs SCALE.md's claims rest on; each has a plan-level spec
@@ -42,7 +44,7 @@ object Layout {
     * via DYNAMIC partition overwrite — untouched buckets' files are
     * never opened or replaced.
     *
-    * The touched current buckets are pinned with `localCheckpoint`
+    * The touched current buckets are pinned with `Pin.snapshot`
     * before the write: it materializes exactly the data the merge
     * must hold before overwriting, and cuts the file-source lineage
     * so the plan never reads the dir it is replacing.
@@ -73,7 +75,7 @@ object Layout {
     // re-execute the batch plan — three full offline scans when the
     // bootstrap batch is itself a windowed history dedup
     val b = batch.withColumn("kb", keyBucket(keyCol, nBuckets))
-      .localCheckpoint(true)
+      .transform(Pin.snapshot)
     if (b.isEmpty) return // no touched buckets — a write would leave
                           // an empty (schema-less) partition root
     val all =
@@ -85,7 +87,7 @@ object Layout {
         // could resurface the old schema and drop the widened column
         val cur = spark.read.option("mergeSchema", "true").parquet(dir)
           .filter($"kb".isin(touched: _*))
-          .localCheckpoint(true)
+          .transform(Pin.snapshot)
         // widen in BOTH directions: a batch with a new feature column
         // must reach the serving files (projecting it away would
         // silently diverge serving from the offline history forever),

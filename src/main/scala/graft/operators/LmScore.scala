@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Pin, Tables}
 
 /** Corpus-LM document scoring — the CCNet-style quality signal from
   * public data-curation literature: score every document by its mean
@@ -64,7 +64,7 @@ object LmScore {
     import docs.sparkSession.implicits._
     // pinned: the LM aggs and the scoring join would otherwise each
     // re-run the tokenize+count pass
-    val db = docBigramCounts(docs).localCheckpoint(true)
+    val db = docBigramCounts(docs).transform(Pin.reuse)
     val c12 = db.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val vocab = docs
@@ -121,7 +121,7 @@ object LmScore {
   def importanceWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column)
       : DataFrame = {
     import docs.sparkSession.implicits._
-    val dt = docTokenCounts(docs).localCheckpoint(true)
+    val dt = docTokenCounts(docs).transform(Pin.reuse)
     val corpusCounts = dt.groupBy($"w").agg(sum($"c").as("cc"))
     val targetCounts = docTokenCounts(docs.filter(isTarget))
       .groupBy($"w").agg(sum($"c").as("ct"))

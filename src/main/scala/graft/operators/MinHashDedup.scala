@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import scala.util.Random
 
+import graft.core.Pin
+
 /** MinHash-LSH near-duplicate detection — the probabilistic scale path
   * next to the exact inverted-index join in [[NearDup]]. At 100 TB the
   * exact join's postings lists on hot shingles explode; MinHash keeps
@@ -166,7 +168,7 @@ object MinHashDedup {
     // pin the sets once: band keys + both verify-join sides would
     // otherwise each re-run the shingle hash pass (same rationale as
     // NearDup.jaccardPairsDfCut)
-    val sets = shingleHashes(docs).localCheckpoint(true)
+    val sets = shingleHashes(docs).transform(Pin.reuse)
     candidatePairsOf(sets, numBands, rowsPerBand, seed, maxBucket)
       .join(sets.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(sets.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")

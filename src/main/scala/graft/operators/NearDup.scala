@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Parallel, Tables}
+import graft.core.{Parallel, Pin, Tables}
 
 /** Near-duplicate detection over `documents` — the training-data-
   * pipeline dedup family (north star). The reference has no dedup at
@@ -140,7 +140,7 @@ object NearDup {
     // each re-run the tokenize+hash+sort pass (3× the dominant per-row
     // cost — the two join sides' differing projections defeat exchange
     // reuse). ~16 bytes/shingle of block storage, released with the JVM.
-    val sets = shingleHashSets(docs).localCheckpoint(true)
+    val sets = shingleHashSets(docs).transform(Pin.reuse)
     val shAll = sets.select($"doc_id", explode($"shs").as("sh"))
     val sh =
       if (dfCut == Int.MaxValue) shAll
@@ -199,8 +199,8 @@ object NearDup {
   def jaccardPairsAgainst(batch: DataFrame, corpus: DataFrame,
       minJaccard: Double): DataFrame = {
     import batch.sparkSession.implicits._
-    val bs = shingleHashSets(batch).localCheckpoint(true)
-    val cs = shingleHashSets(corpus).localCheckpoint(true)
+    val bs = shingleHashSets(batch).transform(Pin.reuse)
+    val cs = shingleHashSets(corpus).transform(Pin.reuse)
     val bPost = bs.select($"doc_id", explode($"shs").as("sh"))
     val cPost = cs.select($"doc_id".as("dup_of"), explode($"shs").as("sh"))
     val co = bPost.join(cPost, "sh")

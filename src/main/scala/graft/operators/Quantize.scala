@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Pin, Tables}
 
 /** Embedding compression for vector-store layouts — per-vector
   * symmetric int8 quantization (the standard 4× shrink before ANN
@@ -106,7 +106,7 @@ object Quantize {
     import emb.sparkSession.implicits._
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb.select($"embedding".cast("array<double>").as("e"))
-      .localCheckpoint(true)
+      .transform(Pin.reuse)
     val first = e.head(1)
     // nothing to learn from an empty corpus — and returning empty
     // codebooks would make every later encode silently emit code -1;

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Parallel, Tables}
+import graft.core.{Parallel, Pin, Tables}
 
 /** BM25 lexical retrieval — the inverted-index top-k scorer that
   * turns the corpus statistics family ([[TextStats]] TF-IDF/vocab)
@@ -78,14 +78,15 @@ object Retrieval {
     * standard Okapi constants, baked into the tick expression so both
     * engines evaluate the identical literal dag).
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import docs.sparkSession.implicits._
     // corpus scalars straight off the docs scan (split keeps empties,
     // matching docTermStats's tokenizer): one partial+final agg row
     val corpus = docs
       .select(size(split($"text", " ", -1)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
-    score(docTermStats(docs), corpus, queries, k)
+    score(docTermStats(docs), corpus, queries, k, k1, b)
   }
 
   /** [[bm25TopK]] scored from a STANDING postings index (the
@@ -123,20 +124,24 @@ object Retrieval {
     * double-count ticks.
     */
   private def score(post0: DataFrame, corpus: DataFrame,
-      queries0: DataFrame, k: Int): DataFrame = {
+      queries0: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import post0.sparkSession.implicits._
     val queries = queries0.dropDuplicates("query_id", "th")
-    // checkpoint the small filtered set: it feeds both the df agg and
+    // pin the small filtered set (Pin.reuse): it feeds both the df agg and
     // the scoring join, and without it the source would scan twice
     val post = post0
       .join(broadcast(queries.select($"th").distinct()), "th")
-      .localCheckpoint(true)
+      .transform(Pin.reuse)
     val df = post.groupBy($"th").agg(count(lit(1)).as("df"))
     // per-(term,doc) contribution in integer millionths — the exact
     // literal dag the oracle SQL evaluates (left-assoc, same literals)
+    // k1/b enter as PRE-COMPUTED doubles ((k1+1), k1, (1-b), b) so the
+    // oracle can interpolate the identical decimal literals and both
+    // engines evaluate the same bit-exact dag
     val ticks = log(($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
-      .*($"tf").*(lit(2.2))
-      ./($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" * $"n" / $"tot"))
+      .*($"tf").*(lit(k1 + 1.0))
+      ./($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" * $"n" / $"tot"))
       .*(lit(1000000.0))
     val scored = queries
       .join(post, "th")
@@ -231,44 +236,51 @@ object Retrieval {
       .select($"probe_id".as("query_id"), $"vec_id".as("doc_id"), $"rank")
   }
 
-  /** DuckDB oracle CTE chain shared by q103/q105 — the single source
-    * of truth for the BM25 scoring dag (t..sc), ending in
-    * `sc(query_id, doc_id, ticks)`.
+  /** DuckDB oracle CTE chain shared by q103/q105 and the fuzz band —
+    * the single source of truth for the BM25 scoring dag (t..sc),
+    * ending in `sc(query_id, doc_id, ticks)`. The k1/b literals are
+    * interpolated as the SAME pre-computed doubles the Column dag
+    * uses (full-precision Scala Double rendering round-trips).
     */
-  def bm25CtesSql: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      | stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS tot FROM t),
-      | tok AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS tk FROM t),
-      | tf AS (SELECT doc_id, tk, max(dl) AS dl, count(*)::BIGINT AS tf
-      |   FROM tok GROUP BY doc_id, tk),
-      | df AS (SELECT tk, count(*)::BIGINT AS df FROM tf GROUP BY tk),
-      | q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS tk
-      |   FROM t WHERE doc_id % 97 = 0),
-      | sc AS (SELECT q.query_id, tf.doc_id,
-      |     sum(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
-      |       * tf.tf * 2.2
-      |       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * n / tot))
-      |       * 1000000.0)::BIGINT)::BIGINT AS ticks
-      |   FROM q JOIN tf USING (tk) JOIN df USING (tk), stats
-      |   WHERE tf.doc_id <> q.query_id
-      |   GROUP BY 1, 2)""".stripMargin
+  def bm25CtesSql(mod: Long = 97L, nTerms: Int = 4,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS tot FROM t),
+       | tok AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS tk FROM t),
+       | tf AS (SELECT doc_id, tk, max(dl) AS dl, count(*)::BIGINT AS tf
+       |   FROM tok GROUP BY doc_id, tk),
+       | df AS (SELECT tk, count(*)::BIGINT AS df FROM tf GROUP BY tk),
+       | q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:$nTerms])) AS tk
+       |   FROM t WHERE doc_id % $mod = 0),
+       | sc AS (SELECT q.query_id, tf.doc_id,
+       |     sum(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |       * tf.tf * ${k1 + 1.0}
+       |       / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl * n / tot))
+       |       * 1000000.0)::BIGINT)::BIGINT AS ticks
+       |   FROM q JOIN tf USING (tk) JOIN df USING (tk), stats
+       |   WHERE tf.doc_id <> q.query_id
+       |   GROUP BY 1, 2)""".stripMargin
 
-  /** q103 oracle: the BM25 chain ranked (ticks DESC, doc_id), top-5. */
-  def bm25OracleSql: String =
-    s"""WITH $bm25CtesSql
+  /** Parameterized q103-shape oracle (the fuzz-band builder). */
+  def bm25OracleSqlN(k: Int, mod: Long = 97L, nTerms: Int = 4,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25CtesSql(mod, nTerms, k1, b)}
        |SELECT query_id,
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY ticks DESC, doc_id) AS rank,
        |  doc_id, round(ticks / 1000000.0, 6) AS score
        |FROM sc
-       |QUALIFY rank <= 5
+       |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q103 oracle: the BM25 chain ranked (ticks DESC, doc_id), top-5. */
+  def bm25OracleSql: String = bm25OracleSqlN(k = 5)
 
   /** q105 oracle: BM25 ranks (k=10) RRF-fused with the q16-contract
     * cosine ranks (k=10, self excluded), ties by doc_id.
     */
   def hybridOracleSql: String =
-    s"""WITH $bm25CtesSql,
+    s"""WITH ${bm25CtesSql()},
        | br AS (SELECT query_id, doc_id,
        |     row_number() OVER (PARTITION BY query_id
        |       ORDER BY ticks DESC, doc_id) AS brank

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Pin, Tables}
 
 /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv
   * 2303.09540): cluster the corpus embeddings into cells, then drop
@@ -50,7 +50,7 @@ object SemDedup {
     import emb.sparkSession.implicits._
     val (indexed, _) = IvfIndex.buildPivots(emb, nLists)
     val pinned = indexed.select($"vec_id", $"cell", $"embedding")
-      .localCheckpoint(true) // assignment feeds both join sides + output
+      .transform(Pin.reuse) // assignment feeds both join sides + output
     val pairs = cellPairs(pinned, tau)
     val clusters = DupClusters.connectedComponents(
       pairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Parallel, Tables}
+import graft.core.{Parallel, Pin, Tables}
 
 /** Exact duplicated-SPAN excision — substring-level deduplication in
   * the style public LM data pipelines describe as "exact substring
@@ -77,9 +77,9 @@ object SpanDedup {
       minCount: Long = 2L): DataFrame = {
     import docs.sparkSession.implicits._
     // the positional postings feed BOTH the occurrence-count agg and
-    // the probe join back onto themselves — checkpoint so the
+    // the probe join back onto themselves — pin (Pin.reuse) so the
     // tokenize+hash pass runs once, not twice (the NearDup pattern)
-    val occ = ngramPositions(docs, n).localCheckpoint(true)
+    val occ = ngramPositions(docs, n).transform(Pin.reuse)
     val dupHashes = occ.groupBy($"sh")
       .agg(count(lit(1)).as("occ_n"))
       .filter($"occ_n" >= minCount)
@@ -116,7 +116,7 @@ object SpanDedup {
     val probeOnly = minCount == Long.MaxValue
     // up to three consumers (corpus probe, within-batch count + probe)
     val occ0 = ngramPositions(batch, n)
-    val occ = if (probeOnly) occ0 else occ0.localCheckpoint(true)
+    val occ = if (probeOnly) occ0 else occ0.transform(Pin.reuse)
     val inCorpus = occ.join(corpusIndex, "sh").select($"doc_id", $"pos")
     val dup =
       if (probeOnly) inCorpus
@@ -219,26 +219,45 @@ object SpanDedup {
        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** q102 oracle: corpus-wide occurrence ≥ 2 marks a window dup. */
-  def exciseOracleSql: String = oracleSql(
-    """ occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
-      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
-      |         FROM t WHERE len(toks) >= 8)),
-      | dup AS (SELECT doc_id, pos FROM occ
-      |   JOIN (SELECT s FROM occ GROUP BY s HAVING count(*) >= 2) d USING (s))""".stripMargin)
-
-  /** q104 oracle: membership in the benchmark tenth's distinct 8-gram
-    * set marks a window dup; only training docs are rewritten.
+  /** The positional n-gram `occ` CTE fragment for a given n and doc
+    * filter — 1-based window starts 1..len−n+1, docs shorter than n
+    * excluded. Shared by the fixed q102/q104 oracles AND the
+    * parameterized fuzz-band builders, so the n-arithmetic lives once.
     */
-  def decontaminateOracleSql: String = oracleSql(
-    """ occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
-      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
-      |         FROM t WHERE len(toks) >= 8 AND doc_id % 10 <> 0)),
-      | bench AS (SELECT DISTINCT array_to_string(toks[pos:pos+7], ' ') AS s
-      |   FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS pos
-      |         FROM t WHERE len(toks) >= 8 AND doc_id % 10 = 0)),
-      | dup AS (SELECT doc_id, pos FROM occ JOIN bench USING (s))""".stripMargin,
-    docWhere = "doc_id % 10 <> 0")
+  private def occCteSql(n: Int, docWhere: String): String = {
+    val where = if (docWhere.isEmpty) "" else s" AND $docWhere"
+    s""" occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+${n - 1}], ' ') AS s
+       |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS pos
+       |         FROM t WHERE len(toks) >= $n$where))""".stripMargin
+  }
+
+  /** Parameterized q102-shape oracle: n-gram corpus-wide occurrence ≥
+    * `minCount` marks a window dup (the [[excise]] contract for any
+    * n/minCount — the differential fuzz band's builder).
+    */
+  def exciseOracleSqlN(n: Int, minCount: Long): String = oracleSql(
+    s"""${occCteSql(n, "")},
+       | dup AS (SELECT doc_id, pos FROM occ
+       |   JOIN (SELECT s FROM occ GROUP BY s HAVING count(*) >= $minCount) d USING (s))""".stripMargin,
+    n = n)
+
+  /** q102 oracle: corpus-wide occurrence ≥ 2 marks a window dup. */
+  def exciseOracleSql: String = exciseOracleSqlN(n = 8, minCount = 2L)
+
+  /** Parameterized q104-shape oracle for any n: membership in the
+    * benchmark tenth's distinct n-gram set marks a window dup; only
+    * training docs are rewritten.
+    */
+  def decontaminateOracleSqlN(n: Int): String = oracleSql(
+    s"""${occCteSql(n, "doc_id % 10 <> 0")},
+       | bench AS (SELECT DISTINCT array_to_string(toks[pos:pos+${n - 1}], ' ') AS s
+       |   FROM (SELECT toks, unnest(range(1, len(toks) - ${n - 2})) AS pos
+       |         FROM t WHERE len(toks) >= $n AND doc_id % 10 = 0)),
+       | dup AS (SELECT doc_id, pos FROM occ JOIN bench USING (s))""".stripMargin,
+    docWhere = "doc_id % 10 <> 0", n = n)
+
+  /** q104 oracle: the decontamination rewrite at the fixed n = 8. */
+  def decontaminateOracleSql: String = decontaminateOracleSqlN(8)
 
   /** Within-doc de-repetition: a window whose n-gram already occurred
     * at an EARLIER position in the same document is duplicated — the
@@ -256,7 +275,7 @@ object SpanDedup {
   def exciseRepeats(docs: DataFrame, n: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
     // two consumers (min-pos agg, probe) — tokenize once
-    val occ = ngramPositions(docs, n).localCheckpoint(true)
+    val occ = ngramPositions(docs, n).transform(Pin.reuse)
     val first = occ.groupBy($"doc_id", $"sh").agg(min($"pos").as("mp"))
     val dupPos = occ.join(first, Seq("doc_id", "sh"))
       .filter($"pos" > $"mp")
@@ -265,16 +284,19 @@ object SpanDedup {
     rewrite(docs.join(dupPos, Seq("doc_id"), "left"), n)
   }
 
-  /** q106 oracle: later same-doc repeats of a 3-gram mark windows. */
-  def derepOracleSql: String = oracleSql(
-    """ occ AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+2], ' ') AS s
-      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos
-      |         FROM t WHERE len(toks) >= 3)),
-      | dup AS (SELECT doc_id, pos FROM (
-      |     SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, s) AS mp
-      |     FROM occ)
-      |   WHERE pos > mp)""".stripMargin,
-    n = 3)
+  /** Parameterized q106-shape oracle: later same-doc repeats of an
+    * n-gram mark windows.
+    */
+  def derepOracleSqlN(n: Int): String = oracleSql(
+    s"""${occCteSql(n, "")},
+       | dup AS (SELECT doc_id, pos FROM (
+       |     SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, s) AS mp
+       |     FROM occ)
+       |   WHERE pos > mp)""".stripMargin,
+    n = n)
+
+  /** q106 oracle: within-doc de-repetition at the fixed n = 3. */
+  def derepOracleSql: String = derepOracleSqlN(3)
 
   /** Q106 — within-doc 3-gram de-repetition over `documents`. */
   def q106ExciseRepeats(spark: SparkSession, dir: String): DataFrame = {
@@ -299,7 +321,7 @@ object SpanDedup {
     import docs.sparkSession.implicits._
     val sets = NearDup.shingleHashSets(docs, n)
     val postings = sets.select($"doc_id", explode($"shs").as("sh"))
-      .localCheckpoint(true)
+      .transform(Pin.reuse)
     val firstDoc = postings.groupBy($"sh")
       .agg(min($"doc_id").as("first_doc"))
     postings.join(firstDoc, "sh")
@@ -312,20 +334,25 @@ object SpanDedup {
           .as("novelty_frac"))
   }
 
-  /** q107 oracle: string 3-grams, min-doc first-occurrence. */
-  def noveltyOracleSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |     range(1, len(toks) - 1),
-      |     i -> array_to_string(toks[i:i+2], ' ')))) AS s
-      |   FROM t WHERE len(toks) >= 3),
-      | fd AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
-      |SELECT doc_id, count(*)::BIGINT AS n_grams,
-      |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-      |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
-      |    / count(*), 6) AS novelty_frac
-      |FROM sh JOIN fd USING (s)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  /** Parameterized q107-shape oracle: distinct string n-grams,
+    * min-doc first-occurrence.
+    */
+  def noveltyOracleSqlN(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |     range(1, len(toks) - ${n - 2}),
+       |     i -> array_to_string(toks[i:i+${n - 1}], ' ')))) AS s
+       |   FROM t WHERE len(toks) >= $n),
+       | fd AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+       |SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS novelty_frac
+       |FROM sh JOIN fd USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q107 oracle: the novelty profile at the fixed n = 3. */
+  def noveltyOracleSql: String = noveltyOracleSqlN(3)
 
   /** Q107 — 3-gram novelty profile over `documents` in id order. */
   def q107NoveltyProfile(spark: SparkSession, dir: String): DataFrame = {

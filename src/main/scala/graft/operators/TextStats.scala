@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Pin, Tables}
 
 /** North-star text analysis over `documents` (token counting, quality
   * scoring) — SQL-expressible slice, oracle-checked as q17. The
@@ -229,10 +229,10 @@ object TextStats {
       topK: Int = 100): DataFrame = {
     import docs.sparkSession.implicits._
     // distinct-bigram counts: |vocab²|-bounded, far smaller than the
-    // corpus — localCheckpoint so the three derived aggs (marginals,
+    // corpus — pinned (Pin.reuse) so the three derived aggs (marginals,
     // total) don't each re-run the corpus pass
     val c12 = bigramPartials(docs).groupBy($"w1", $"w2")
-      .agg(sum($"cnt").as("c12")).localCheckpoint(true)
+      .agg(sum($"cnt").as("c12")).transform(Pin.reuse)
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val c2 = c12.groupBy($"w2").agg(sum($"c12").as("c2"))
     val t = c12.agg(sum($"c12").as("t"))

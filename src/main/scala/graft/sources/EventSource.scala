@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.core.Pin
 import graft.store.VersionedTable
 
 /** Message-bus streaming source seam (the reference's scaling plan
@@ -250,11 +251,11 @@ class OffsetTrackedSink(table: VersionedTable, streamId: String) {
         batch.filter(col("offset") >
           coalesce(element_at(markMap, col("partition")), lit(-1L)))
       }
-    // pin the fenced batch: the frontier collect below and the data
-    // write both consume it — without the checkpoint each would
+    // snapshot-pin the fenced batch: the frontier collect and the data
+    // write both consume it — without the lineage cut each would
     // re-read every wire file of the batch (and re-run the caller's
     // transform side of the plan), doubling source I/O per micro-batch
-    val live = live0.localCheckpoint(true)
+    val live = Pin.snapshot(live0)
     // O(#partitions) rows to the driver — the batch's own frontier.
     // Null or negative identifiers cannot round-trip the mark codec
     // (and a null offset would be silently fenced as a replay); no

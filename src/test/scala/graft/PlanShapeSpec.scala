@@ -105,11 +105,12 @@ class PlanShapeSpec extends SparkSpec {
     val p50 = plan(TextStats.q50BigramStats(spark, sf))
     assert(p50.contains("MapPartitions"), s"expected typed loop:\n$p50")
     assert(!p50.contains("Generate explode"), s"HOF shape crept back:\n$p50")
-    // q54 localCheckpoints the typed counts, so its bigram legs read
-    // the checkpointed RDD (the only remaining explode is the
-    // |vocab| scalar's token count — not bigram emission)
+    // q54 pins the typed counts (Pin.reuse → lineage-preserving
+    // persist), so its bigram legs read the cached partials
+    // (InMemoryTableScan) instead of re-running the loop; under a
+    // forced localCheckpoint mode the stump is ExistingRDD
     val p54 = plan(LmScore.q54LmScore(spark, sf))
-    assert(p54.contains("ExistingRDD"))
+    assert(p54.contains("InMemoryTableScan") || p54.contains("ExistingRDD"))
   }
 
   test("q51: contamination join keys are the 8-byte shingle hashes") {

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-boilerplate contract for the HTML main-content extractor:
+  * chrome vanishes wholesale, prose survives byte-exact, the density
+  * and min-length gates cut exactly at their integer boundaries, and
+  * the whole operator stays a shuffle-free projection.
+  */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(html: String, minChars: Int = 10, minDensityPct: Int = 50) =
+    HtmlExtract.extract(Seq((1L, html)).toDF("doc_id", "html"),
+        minChars = minChars, minDensityPct = minDensityPct)
+      .select($"content", $"n_blocks_total", $"n_blocks_kept",
+        $"content_chars")
+      .head()
+
+  test("script, style, comments and chrome containers vanish wholesale") {
+    val r = one(
+      "<html><head><style>p{color:red}</style>" +
+        "<script>var secret = 'leak me';</script></head><body>" +
+        "<nav><a href=\"/\">HomeLink NavigationMenu</a></nav>" +
+        "<!-- tracking: should never appear -->" +
+        "<header>masthead branding banner</header>" +
+        "<p>the actual article body text survives extraction</p>" +
+        "<aside>related links sidebar</aside>" +
+        "<footer>Copyright notice legal boilerplate</footer></body></html>")
+    val content = r.getString(0)
+    assert(content === "the actual article body text survives extraction")
+    for (leak <- Seq("secret", "color:red", "HomeLink", "tracking",
+        "masthead", "sidebar", "Copyright"))
+      assert(!content.contains(leak), s"chrome leaked: $leak")
+  }
+
+  test("prose round-trips byte-exact and blocks keep document order") {
+    val body = "alpha beta gamma delta epsilon zeta"
+    val r = one(s"<h1>heading line of the article</h1><p>$body</p>")
+    assert(r.getString(0) === s"heading line of the article\n$body")
+    assert(r.getLong(2) === 2L) // n_blocks_kept
+    assert(r.getLong(3) === r.getString(0).length.toLong)
+  }
+
+  test("link farms fail the density gate; attribute cruft is not text") {
+    val r = one(
+      "<p>a paragraph with enough characters to clear the gates</p>" +
+        "<div class=\"share\"><a href=\"#\">share this page</a> " +
+        "<a href=\"#\">tweet this page</a></div>")
+    assert(r.getString(0) ===
+      "a paragraph with enough characters to clear the gates")
+  }
+
+  test("minChars cuts exactly at the boundary") {
+    // 9 text chars → dropped; 10 → kept (density 100% in both)
+    assert(one("<p>123456789</p>").getString(0) === "")
+    assert(one("<p>1234567890</p>").getString(0) === "1234567890")
+  }
+
+  test("density cuts exactly at the integer boundary") {
+    // raw block "0123456789<b></b><i></i>" = 24 chars, text 10 chars:
+    // 10*100 >= 50*24 ⇔ 1000 >= 1200 fails → dropped
+    assert(one("<p>0123456789<b></b><i></i></p>").getString(0) === "")
+    // raw 20 chars, text 10: 1000 >= 1000 holds → kept
+    assert(one("<p>0123456789<b></b></p>").getString(0) === "0123456789")
+  }
+
+  test("chrome-only pages extract to empty, with block accounting") {
+    val r = one("<html><body><nav><a href=\"/\">x</a></nav>" +
+      "<footer>f</footer></body></html>")
+    assert(r.getString(0) === "")
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 0L)
+  }
+
+  test("q111 synthetic page: content is heading + document text") {
+    val df = Seq((3L, "plain document words repeated enough times here"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        HtmlExtract.syntheticHtml($"doc_id", $"text").as("html"))
+    val r = HtmlExtract.extract(df).select($"content").head().getString(0)
+    assert(r === "Document number 3 of the corpus\n" +
+      "plain document words repeated enough times here")
+  }
+
+  test("the operator is a shuffle-free whole-stage projection") {
+    val df = Seq((1L, "<p>text</p>")).toDF("doc_id", "html")
+    val plan = HtmlExtract.extract(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("Spark split and DuckDB string_split_regex agree on empty fragments") {
+    // '<p>a</p><div>b</div>' → ['', 'a', '', 'b', ''] in DuckDB
+    // (probed); Java split(…, -1) must produce the same 5 fragments
+    // or every block index downstream drifts
+    val frags = Seq(Tuple1("<p>a</p><div>b</div>")).toDF("h")
+      .select(split($"h", HtmlExtract.BlockBoundaryRe).as("b"))
+      .head().getSeq[String](0)
+    assert(frags === Seq("", "a", "", "b", ""))
+  }
+}
