@@ -173,6 +173,7 @@ object SparkEntry {
     "q109_array_funcs"   -> (Relational.q109ArrayFuncs _),
     "q110_pagerank"      -> (GraphRank.q110PageRank _),
     "q111_html_extract"  -> (HtmlExtract.q111HtmlExtract _),
+    "q112_pagerank_weighted" -> (GraphRank.q112PageRankWeighted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1580,6 +1581,12 @@ object SparkEntry {
     // the density test is integer arithmetic, so content is
     // byte-identical.
     "q111_html_extract" -> HtmlExtract.oracleSql(),
+    // q112: Jaccard-weighted PageRank — the q110 contract with the
+    // degree split replaced by a weight split; weights are 1e3-scale
+    // ticks rounded from the same co/union double both engines
+    // compute, so the whole weighted trajectory hash-matches.
+    "q112_pagerank_weighted" ->
+      GraphRank.weightedOracleSql(minJaccard = "0.05", iters = 5),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

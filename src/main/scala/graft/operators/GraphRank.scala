@@ -94,6 +94,92 @@ object GraphRank {
       NearDup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.05),
       iters = 5)
 
+  /** EDGE-WEIGHTED exact-integer PageRank — the weighted-host-rank
+    * form production curation uses (a near-identical neighbor should
+    * pull more rank than a barely-over-threshold one). `edges` is
+    * (doc_a, doc_b, wt) with POSITIVE Long weight ticks; duplicates,
+    * re-orientations (max-weight wins) and self-loops are collapsed
+    * like [[pageRankTicks]]. The recurrence replaces the degree split
+    * with a weight split, still in pure floor-division Long
+    * arithmetic so the trajectory is engine-exact:
+    *
+    *   r'(v) = 150000 + (17 · Σ_{u→v} ((r(u) · wt(u,v)) div W(u))) div 20
+    *
+    * with W(u) = Σ_x wt(u,x).
+    *
+    * Overflow domain: the per-term product r(u)·wt must stay under
+    * 2⁶³. Total rank mass is ≤ |V|·1.15e6 ticks, so with the default
+    * 1e3 weight scale ([[jaccardWeightTicks]]) the operator is exact
+    * for |V| up to ~8e9 vertices — web-host-graph scale; a finer
+    * 1e6 weight scale trades that to |V| ≲ 8e6. The documented
+    * escalation past 2⁶³ is the split identity
+    * r·wt div W = wt·(r div W) + (wt·(r mod W)) div W.
+    *
+    * `tolTicks` ≥ 0 enables the convergence probe: after each round,
+    * ONE extra agg (Σ|r′−r|) and a driver read; iteration stops early
+    * when the total movement is ≤ tolTicks. At tolTicks = 0 the probe
+    * only stops at an EXACT fixpoint, so results are identical to the
+    * fixed-count run — the probe trades one small agg per round for
+    * skipped full iterations. Negative (default) = off, fixed count,
+    * one job, oracle-reproducible by CTE unrolling.
+    */
+  def pageRankTicksWeighted(edges: DataFrame, iters: Int,
+      tolTicks: Long = -1L): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select($"doc_a".as("src"), $"doc_b".as("dst"), $"wt")
+      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst"), $"wt"))
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(max($"wt").as("wt"))
+      .transform(Pin.reuse)
+    val ws = e.groupBy($"src".as("v")).agg(sum($"wt").as("w"))
+      .transform(Pin.reuse)
+    var ranks = ws.select($"v", lit(1000000L).as("r"))
+    var round = 0
+    var moved = Long.MaxValue
+    while (round < iters && (tolTicks < 0L || moved > tolTicks)) {
+      val contrib = ranks.join(ws, "v")
+      val next = e.join(contrib, e("src") === contrib("v"))
+        .select($"dst", expr("(r * wt) div w").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("v"), (lit(150000L) + expr("(s * 17) div 20")).as("r"))
+      if (tolTicks >= 0L) {
+        // probe mode: pin the round (it feeds the probe AND the next
+        // round) and read back ONE Long — never the rank table
+        val pinned = Pin.iterative(next)
+        moved = pinned.join(ranks.withColumnRenamed("r", "pr"), "v")
+          .agg(sum(abs($"r" - $"pr")).as("d")).head().getLong(0)
+        ranks = pinned
+      } else ranks = next
+      round += 1
+    }
+    ranks.join(ws, "v")
+      .select($"v".as("doc_id"), $"w".as("w_ticks"), $"r".as("rank_ticks"))
+      .orderBy($"rank_ticks".desc, $"doc_id")
+  }
+
+  /** Jaccard pairs with integer weight ticks at the overflow-safe 1e3
+    * scale: (doc_a, doc_b, wt = round(jac·1000)). The round happens on
+    * the raw co/union double — the identical dag the oracle evaluates.
+    */
+  def jaccardWeightTicks(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs.select($"doc_a", $"doc_b",
+      round($"jac" * lit(1000.0), 0).cast("long").as("wt"))
+  }
+
+  /** Q112 — Jaccard-WEIGHTED similarity-graph PageRank over
+    * `documents` at τ = 0.05, 5 exact-tick iterations: near-identical
+    * neighborhoods concentrate rank harder than in q110.
+    */
+  def q112PageRankWeighted(spark: SparkSession, dir: String): DataFrame =
+    pageRankTicksWeighted(
+      jaccardWeightTicks(
+        NearDup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.05)),
+      iters = 5)
+
   /** DuckDB oracle for [[q110PageRank]]: the q18 edge CTEs at the same
     * threshold, then the identical integer recurrence unrolled as
     * chained CTEs (fixed iteration count ⇒ no recursion needed — and
@@ -130,6 +216,45 @@ object GraphRank {
        |$iterCtes
        |SELECT f.v AS doc_id, deg.d AS degree, f.r AS rank_ticks
        |FROM r$iters f JOIN deg ON deg.v = f.v
+       |ORDER BY rank_ticks DESC, doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[q112PageRankWeighted]]: the q110 edge CTEs
+    * plus 1e3-scale weight ticks on the raw co/union double (same
+    * dag, same round), max-weight symmetric dedup, then the weighted
+    * recurrence unrolled as chained CTEs. Per-term `(p.r * e.wt) //
+    * ws.w` stays in BIGINT; only the sum needs the HUGEINT collapse.
+    */
+  def weightedOracleSql(minJaccard: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""" r$i AS (SELECT e.dst AS v,
+         |   150000 + (CAST(sum((p.r * e.wt) // ws.w) AS BIGINT) * 17) // 20 AS r
+         |  FROM e JOIN r${i - 1} p ON p.v = e.src
+         |         JOIN ws ON ws.v = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+       |   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2),
+       | jacs AS (SELECT doc_a, doc_b,
+       |     CAST(round(co::DOUBLE / (ca.n + cb.n - co) * 1000.0) AS BIGINT) AS wt
+       |   FROM prs JOIN counts ca ON ca.doc_id = doc_a
+       |            JOIN counts cb ON cb.doc_id = doc_b
+       |   WHERE co::DOUBLE / (ca.n + cb.n - co) >= $minJaccard),
+       | e0 AS (SELECT doc_a AS src, doc_b AS dst, wt FROM jacs
+       |   UNION ALL SELECT doc_b, doc_a, wt FROM jacs),
+       | e AS (SELECT src, dst, max(wt) AS wt FROM e0
+       |   WHERE src <> dst GROUP BY src, dst),
+       | ws AS (SELECT src AS v, sum(wt)::BIGINT AS w FROM e GROUP BY src),
+       | r0 AS (SELECT v, 1000000::BIGINT AS r FROM ws),
+       |$iterCtes
+       |SELECT f.v AS doc_id, ws.w AS w_ticks, f.r AS rank_ticks
+       |FROM r$iters f JOIN ws ON ws.v = f.v
        |ORDER BY rank_ticks DESC, doc_id""".stripMargin
   }
 }

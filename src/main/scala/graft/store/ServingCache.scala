@@ -81,6 +81,11 @@ class ServingCache(spark: SparkSession, servingDir: String,
   /** (hits, misses) — a miss is any get that (re)loaded its bucket. */
   def stats: (Long, Long) = synchronized((hitsN, missesN))
 
+  /** Currently resident buckets — the health/metrics surface's view
+    * of cache warmth (≤ maxCachedBuckets by the LRU bound).
+    */
+  def loadedBuckets: Int = synchronized(lru.size)
+
   def invalidate(): Unit = synchronized(lru.clear())
 
   private def fs =

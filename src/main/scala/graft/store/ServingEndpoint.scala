@@ -130,14 +130,53 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
     }
   }
 
-  /** One record's Record-array body, or None when the key is absent. */
-  private def recordJson(id: String): Option[String] =
-    cache.get(id).map { row =>
+  // ---- operations surface (r10): lookup-latency histogram -------------
+  // Exponential power-of-two microsecond buckets, lock-free increments:
+  // bucket i counts lookups in (2^(i-1), 2^i] µs, i ≤ 25 (~33 s cap).
+  // Quantiles read the bucket UPPER bound — a ≤ 2× overestimate, never
+  // an underestimate, which is the conservative direction for a p99
+  // alert. One histogram per endpoint lifetime; /metrics reads are
+  // O(26) and allocation-free on the hot path.
+  private val latBuckets = new java.util.concurrent.atomic.AtomicLongArray(26)
+  private val startedAtMs = System.currentTimeMillis()
+
+  private def recordLatency(nanos: Long): Unit = {
+    val us = math.max(nanos / 1000L, 1L)
+    val idx = math.min(64 - java.lang.Long.numberOfLeadingZeros(us - 1), 25L)
+    latBuckets.incrementAndGet(idx.toInt): Unit
+  }
+
+  /** Upper-bound latency quantile in ms from the histogram (0 when no
+    * lookups were recorded yet).
+    */
+  def quantileMs(q: Double): Double = {
+    val counts = Array.tabulate(26)(latBuckets.get)
+    val total = counts.sum
+    if (total == 0L) 0.0
+    else {
+      val target = math.max(math.ceil(q * total).toLong, 1L)
+      var acc = 0L
+      var i = 0
+      while (i < 26 && acc + counts(i) < target) { acc += counts(i); i += 1 }
+      (1L << i).toDouble / 1000.0
+    }
+  }
+
+  /** One record's Record-array body, or None when the key is absent.
+    * Times the CACHE lookup only (the latency a capacity alert should
+    * see), not response serialization.
+    */
+  private def recordJson(id: String): Option[String] = {
+    val t0 = System.nanoTime()
+    val got = cache.get(id)
+    recordLatency(System.nanoTime() - t0)
+    got.map { row =>
       row.schema.fields.iterator.zipWithIndex
         .filterNot { case (_, i) => row.isNullAt(i) }
         .map { case (f, i) => featureJson(f.name, row.get(i)) }
         .mkString("[", ",", "]")
     }
+  }
 
   /** Batch lookups — the reference runtime's `batch_get_record` role:
     * one round-trip for many keys, response mirroring its shape
@@ -191,9 +230,52 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
     catch { case _: java.io.IOException => ex.close() } // client went away
   }
 
+  /** Liveness + readiness in one probe: 200 whenever the cache tier
+    * answers its introspection calls (an orchestrator's restart
+    * trigger); carries warmth + uptime so a human reading the probe
+    * sees WHY a cold tier is slow.
+    */
+  private val healthHandler: HttpHandler = (ex: HttpExchange) => {
+    val (code, body) =
+      try {
+        val loaded = cache.loadedBuckets
+        (200, s"""{"status":"ok","buckets_loaded":$loaded,""" +
+          s""""uptime_ms":${System.currentTimeMillis() - startedAtMs}}""")
+      } catch { case t: Throwable =>
+        (500, s"""{"status":"error","error":"${jsonEsc(t.toString.take(160))}"}""")
+      }
+    try respond(ex, code, body)
+    catch { case _: java.io.IOException => ex.close() }
+  }
+
+  /** Operations metrics: cache hit ratio + lookup-latency quantiles
+    * (histogram upper bounds — conservative). The numbers a serving
+    * dashboard alerts on: hit_ratio collapsing = invalidation storm
+    * or working set > LRU bound; p99 jumping with a stable hit_ratio
+    * = slow loads (storage tier) rather than cache churn.
+    */
+  private val metricsHandler: HttpHandler = (ex: HttpExchange) => {
+    val (code, body) =
+      try {
+        val (h, m) = cache.stats
+        val ratio = if (h + m == 0L) 1.0 else h.toDouble / (h + m)
+        (200, s"""{"hits":$h,"misses":$m,""" +
+          f""""hit_ratio":$ratio%.6f,""" +
+          s""""lookups":${h + m},""" +
+          s""""p50_ms":${quantileMs(0.50)},"p99_ms":${quantileMs(0.99)},""" +
+          s""""buckets_loaded":${cache.loadedBuckets}}""")
+      } catch { case t: Throwable =>
+        (500, s"""{"error":"${jsonEsc(t.toString.take(160))}"}""")
+      }
+    try respond(ex, code, body)
+    catch { case _: java.io.IOException => ex.close() }
+  }
+
   server.createContext("/record", recordHandler)
   server.createContext("/records", batchHandler)
   server.createContext("/stats", statsHandler)
+  server.createContext("/healthz", healthHandler)
+  server.createContext("/metrics", metricsHandler)
   server.setExecutor(pool)
 
   /** Start serving; returns the bound port (useful with `port = 0`). */

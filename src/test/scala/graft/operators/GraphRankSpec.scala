@@ -78,4 +78,77 @@ class GraphRankSpec extends SparkSpec {
     // all ranks at/above the teleport floor of a degree-1 leaf
     assert(rows.forall(_._3 >= 150000L))
   }
+
+  /** Plain-Scala reference for the WEIGHTED recurrence: the degree
+    * split becomes a weight split, same floor-division Long dag.
+    */
+  private def referenceWeighted(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).max) }.toSeq
+    val ws = e.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    var r = ws.map { case (v, _) => v -> 1000000L }
+    for (_ <- 1 to iters) {
+      val s = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => (r(u) * w) / ws(u) }.sum
+      }
+      r = s.map { case (v, sv) => v -> (150000L + (sv * 17) / 20) }
+    }
+    r.map { case (v, rv) => v -> (ws(v), rv) }
+  }
+
+  private def runWeighted(edges: Seq[(Long, Long, Long)], iters: Int,
+      tolTicks: Long = -1L) =
+    GraphRank.pageRankTicksWeighted(
+        edges.toDF("doc_a", "doc_b", "wt"), iters, tolTicks)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, w, r) => v -> (w, r) }.toMap
+
+  test("weighted: seeded random weighted graph matches the reference") {
+    val rnd = new scala.util.Random(1717)
+    val edges = (1 to 140).map { _ =>
+      val a = rnd.nextInt(25).toLong
+      var b = rnd.nextInt(25).toLong
+      while (b == a) b = rnd.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b), 50L + rnd.nextInt(950).toLong)
+    }.distinct
+    for (iters <- Seq(1, 3, 5))
+      assert(runWeighted(edges, iters) === referenceWeighted(edges, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("weighted: uniform weights reproduce the unweighted ranking") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val uw = run(pairs, 4)
+    val w = runWeighted(pairs.map { case (a, b) => (a, b, 1000L) }, 4)
+    // (r * w) div (d * w) = r div d when all weights are equal
+    assert(w.map { case (v, (wt, r)) => v -> (wt / 1000L, r) } === uw)
+  }
+
+  test("weighted: duplicate/reoriented/self-loop edges are collapsed") {
+    val clean = Seq((1L, 2L, 700L), (2L, 3L, 400L))
+    val dirty = clean ++ Seq((2L, 1L, 700L), (1L, 2L, 700L), (3L, 3L, 999L))
+    assert(runWeighted(dirty, 3) === runWeighted(clean, 3))
+  }
+
+  test("weighted: heavier neighbor pulls more rank") {
+    // star 2-1-3 with edge (1,2) 5x the weight of (1,3): vertex 2
+    // receives 5/6 of vertex 1's mass each round, so it must outrank 3
+    val got = runWeighted(Seq((1L, 2L, 1000L), (1L, 3L, 200L)), 5)
+    assert(got(2L)._2 > got(3L)._2)
+  }
+
+  test("weighted: convergence probe stops only at the exact fixpoint") {
+    // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
+    // must stop early with EXACTLY the fixed-count result
+    val tri = Seq((1L, 2L, 600L), (2L, 3L, 600L), (1L, 3L, 600L))
+    assert(runWeighted(tri, 50, tolTicks = 0L) === runWeighted(tri, 50))
+    // and a probed run over a non-trivial graph matches the reference
+    val edges = Seq((1L, 2L, 900L), (2L, 3L, 300L), (3L, 4L, 500L),
+      (4L, 1L, 250L), (2L, 4L, 750L))
+    assert(runWeighted(edges, 5, tolTicks = 0L) ===
+      referenceWeighted(edges, 5))
+  }
 }

@@ -204,4 +204,91 @@ class ServingEndpointSpec extends SparkSpec {
         s"""{"FeatureName":"blob","ValueAsString":"$b64"}"""))
     }
   }
+
+  test("/healthz reports ok with cache warmth; /metrics carries the dashboard set") {
+    val s = freshStore()
+    s.mergeServing(Seq((42L, ts("2024-01-01 00:00:00"), 7.5))
+      .toDF("customer_id", "purchase_timestamp", "v"))
+    withEndpoint(s) { port =>
+      val (hc, hb) = get(port, "/healthz")
+      assert(hc === 200 && hb.contains(""""status":"ok""""))
+      assert(hb.contains(""""buckets_loaded":0"""), s"cold tier: $hb")
+      assert(get(port, "/record?id=42")._1 === 200)
+      val (hc2, hb2) = get(port, "/healthz")
+      assert(hc2 === 200 && hb2.contains(""""buckets_loaded":1"""))
+      val (mc, mb) = get(port, "/metrics")
+      assert(mc === 200)
+      for (field <- Seq("\"hits\":", "\"misses\":", "\"hit_ratio\":",
+          "\"lookups\":1", "\"p50_ms\":", "\"p99_ms\":", "\"buckets_loaded\":1"))
+        assert(mb.contains(field), s"missing $field in $mb")
+    }
+  }
+
+  test("a merge-churn storm on one bucket keeps other buckets' p99 bounded") {
+    // the operational claim behind the per-bucket latches: repeated
+    // serving merges force one bucket through slow reloads, and
+    // requests for OTHER buckets must never queue behind them. Slow
+    // loads are made explicit (400 ms sleep on every bucket except
+    // the warm one); client-observed latency of the warm key is the
+    // assertion, so the bound covers the whole HTTP + cache path.
+    val s = freshStore()
+    def batch(ids: Seq[Long], v: Double) = s.mergeServing(
+      ids.map(i => (i, ts("2024-01-01 00:00:00"), v))
+        .toDF("customer_id", "purchase_timestamp", "v"))
+    batch(1L to 200L, 1.0)
+    val kA = 1L
+    val cache = new ServingCache(spark, s"${s.conf.path}/serving",
+        "customer_id", 64, 16, dropCols = Seq("_seq")) {
+      private val bA = bucketOf(kA)
+      override protected def loadBucket(b: Int, sig: String) = {
+        if (b != bA) Thread.sleep(400)
+        super.loadBucket(b, sig)
+      }
+    }
+    val kB = (2L to 200L).find(k => cache.bucketOf(k) != cache.bucketOf(kA)).get
+    val ep = new ServingEndpoint(cache)
+    val port = ep.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      assert(get(port, s"/record?id=$kA")._1 === 200) // warm bucket A
+      // JIT/HTTP warm-up so the measured window is steady-state
+      (1 to 20).foreach(_ => get(port, s"/record?id=$kA"))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // the storm: serving merges keep changing bucket B's signature,
+      // and each post-merge lookup drags B through a 400 ms reload
+      val storm = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call() = {
+          var reloads = 0
+          for (i <- 1 to 3) {
+            batch(Seq(kB), i + 1.0)
+            val t0 = System.nanoTime()
+            if (get(port, s"/record?id=$kB")._1 == 200) {
+              if ((System.nanoTime() - t0) / 1e6 >= 400.0) reloads += 1
+            }
+          }
+          stop.set(true)
+          reloads
+        }
+      })
+      // meanwhile: hammer the warm bucket and record client latencies
+      val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (!stop.get()) {
+        val t0 = System.nanoTime()
+        val (code, _) = get(port, s"/record?id=$kA")
+        assert(code === 200)
+        lat += (System.nanoTime() - t0) / 1e6
+      }
+      assert(storm.get(120, java.util.concurrent.TimeUnit.SECONDS) >= 1,
+        "the storm must have dragged bucket B through a slow reload")
+      assert(lat.size >= 20, s"expected a steady request stream, got ${lat.size}")
+      val sorted = lat.sorted
+      val p99 = sorted(math.min((0.99 * sorted.size).toInt, sorted.size - 1))
+      assert(p99 < 200.0,
+        s"warm-bucket p99 must stay far under the 400 ms reload: $p99 ms " +
+          s"(n=${lat.size})")
+    } finally {
+      pool.shutdownNow()
+      ep.stop()
+    }
+  }
 }
