@@ -174,6 +174,8 @@ object SparkEntry {
     "q110_pagerank"      -> (GraphRank.q110PageRank _),
     "q111_html_extract"  -> (HtmlExtract.q111HtmlExtract _),
     "q112_pagerank_weighted" -> (GraphRank.q112PageRankWeighted _),
+    "q113_extract_links" -> (HtmlExtract.q113ExtractLinks _),
+    "q114_host_rank"     -> (GraphRank.q114HostRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1587,6 +1589,13 @@ object SparkEntry {
     // compute, so the whole weighted trajectory hash-matches.
     "q112_pagerank_weighted" ->
       GraphRank.weightedOracleSql(minJaccard = "0.05", iters = 5),
+    // q113: outlink extraction — same AnchorRe + tag-strip rules on
+    // both sides, positions from the same document-order anchor list.
+    "q113_extract_links" -> HtmlExtract.linksOracleSql,
+    // q114: directed PageRank over the EXTRACTED link graph — the
+    // ingest → parse → graph → rank composition; LEFT joins against
+    // the vertex set keep in-link-less vertices at the teleport floor.
+    "q114_host_rank" -> GraphRank.directedOracleSql(iters = 5),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

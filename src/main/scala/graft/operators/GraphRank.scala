@@ -160,6 +160,114 @@ object GraphRank {
       .orderBy($"rank_ticks".desc, $"doc_id")
   }
 
+  /** DIRECTED weighted PageRank — the web-link-graph form (a page
+    * endorses the pages it links to; endorsement is not symmetric).
+    * `edges` is (src, dst, wt), positive Long weights (typically link
+    * multiplicities); parallel rows sum their weights, self-links
+    * drop. Vertices are ALL edge endpoints; a vertex with no in-links
+    * sits at the teleport floor (the LEFT join against the vertex
+    * set), and a sink vertex's mass leaks — the plain no-dangling-
+    * redistribution variant, exact and engine-portable like the
+    * undirected forms:
+    *
+    *   r'(v) = 150000 + (17 · Σ_{u→v} ((r(u) · wt(u,v)) div W(u))) div 20
+    *
+    * Scale shape: out-weights fold into the edge set ONCE before the
+    * loop (e ⋈ ws is iteration-invariant — the per-round work is one
+    * src-keyed rank join, one dst-keyed partial agg, one v-keyed left
+    * join that reuses the agg's partitioning).
+    */
+  def pageRankTicksDirected(edges: DataFrame, iters: Int): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = edges.select($"src", $"dst", $"wt")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
+      .transform(Pin.reuse)
+    val ws = e0.groupBy($"src".as("v")).agg(sum($"wt").as("w"))
+    // out-weight folded into the edge set once — never re-joined
+    // inside the loop
+    val e = e0.join(ws.withColumnRenamed("v", "src"), "src")
+      .transform(Pin.reuse)
+    val verts = e0.select($"src".as("v"))
+      .union(e0.select($"dst".as("v"))).distinct()
+      .transform(Pin.reuse)
+    var ranks = verts.select($"v", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("v", "cv"), $"src" === $"cv")
+        .select($"dst", expr("(r * wt) div w").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+      ranks = verts.join(contrib, verts("v") === contrib("dst"), "left")
+        .select($"v",
+          expr("150000 + (coalesce(s, 0) * 17) div 20").as("r"))
+    }
+    ranks.join(ws, Seq("v"), "left")
+      .select($"v".as("doc_id"), coalesce($"w", lit(0L)).as("out_w"),
+        $"r".as("rank_ticks"))
+      .orderBy($"rank_ticks".desc, $"doc_id")
+  }
+
+  /** Q114 — directed PageRank over the EXTRACTED link graph: the q113
+    * outlink extraction parsed to internal doc targets (the ingest →
+    * graph → rank composition a web-curation pipeline runs), link
+    * multiplicity as edge weight, 5 exact-tick iterations.
+    */
+  def q114HostRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val pages = docs.select($"doc_id",
+      HtmlExtract.syntheticLinkedHtml($"doc_id", $"text").as("html"))
+    val links = HtmlExtract.extractLinks(pages)
+      .select($"doc_id".as("src"),
+        regexp_extract($"href", "/doc/([0-9]+)", 1).cast("long").as("dst"))
+      .filter($"dst".isNotNull)
+    // internal links only: targets that exist as documents (doc_id is
+    // unique, so the inner join is a semi join)
+    val edges = links.join(docs.select($"doc_id".as("dst")), "dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("wt"))
+    pageRankTicksDirected(edges, iters = 5)
+  }
+
+  /** DuckDB oracle for [[q114HostRank]]: the q113 link CTEs, target
+    * parse (TRY_CAST mirrors Spark's null-on-no-match), existence
+    * filter, multiplicity weights, then the DIRECTED recurrence —
+    * LEFT joins against the vertex set so in-link-less vertices hold
+    * the teleport floor.
+    */
+  def directedOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""" r$i AS (SELECT vv.v,
+         |   150000 + (CAST(coalesce(sum((p.r * e.wt) // ws.w), 0) AS BIGINT) * 17) // 20 AS r
+         |  FROM verts vv
+         |  LEFT JOIN e ON e.dst = vv.v
+         |  LEFT JOIN r${i - 1} p ON p.v = e.src
+         |  LEFT JOIN ws ON ws.v = e.src
+         |  GROUP BY vv.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${HtmlExtract.linkedCtesSql},
+       | ln AS (SELECT src, dst FROM (
+       |     SELECT doc_id AS src,
+       |       TRY_CAST(regexp_extract(unnest(list_transform(l,
+       |         a -> regexp_extract(a, '${HtmlExtract.AnchorRe}', 1))),
+       |         '/doc/([0-9]+)', 1) AS BIGINT) AS dst
+       |     FROM lk)
+       |   WHERE dst IS NOT NULL),
+       | ed AS (SELECT src, dst FROM ln
+       |   JOIN (SELECT DISTINCT doc_id FROM documents) d ON d.doc_id = ln.dst
+       |   WHERE src <> dst),
+       | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed GROUP BY src, dst),
+       | ws AS (SELECT src AS v, sum(wt)::BIGINT AS w FROM e GROUP BY src),
+       | verts AS (SELECT DISTINCT v FROM
+       |   (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       | r0 AS (SELECT v, 1000000::BIGINT AS r FROM verts),
+       |$iterCtes
+       |SELECT f.v AS doc_id, coalesce(ws.w, 0) AS out_w, f.r AS rank_ticks
+       |FROM r$iters f LEFT JOIN ws ON ws.v = f.v
+       |ORDER BY rank_ticks DESC, doc_id""".stripMargin
+  }
+
   /** Jaccard pairs with integer weight ticks at the overflow-safe 1e3
     * scale: (doc_a, doc_b, wt = round(jac·1000)). The round happens on
     * the raw co/union double — the identical dag the oracle evaluates.

@@ -61,6 +61,12 @@ object HtmlExtract {
   val InlineTagRe = "<[^>]*>"
   val WsRe = "\\s+"
 
+  /** Anchor element with a double-quoted href: group 1 = href, group
+    * 2 = anchor body (may contain inline markup — stripped by
+    * [[extractLinks]]). Non-greedy body, RE2-compatible.
+    */
+  val AnchorRe = "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+
   /** Per-block candidate text: inline tags stripped, whitespace
     * collapsed, trimmed.
     */
@@ -92,6 +98,25 @@ object HtmlExtract {
       .withColumn("content_chars", length(col("content")).cast("long"))
   }
 
+  /** Outlink extraction — the web-GRAPH ingest op next to the content
+    * extraction: one row per anchor element in document order —
+    * (doc_id, link_pos 1-based, href, anchor text with inline tags
+    * stripped and whitespace collapsed). Like [[extract]] this is a
+    * pure per-row projection plus a generator (posexplode): zero
+    * shuffles, zero state, column pruning reaches the scan. Feeds the
+    * link-graph family (q114 composes it into directed PageRank).
+    */
+  def extractLinks(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val anchors = regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(0))
+    docs
+      .select(col("doc_id"),
+        posexplode(transform(anchors, a => struct(
+          regexp_extract(a, AnchorRe, 1).as("href"),
+          blockText(regexp_extract(a, AnchorRe, 2)).as("anchor")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_pos"),
+        col("col.href").as("href"), col("col.anchor").as("anchor"))
+  }
+
   /** Deterministic synthetic page around a document's text — the
     * fixture both q111 sides build CHARACTER-IDENTICALLY (the
     * container has no HTML corpus; the extraction rules are what is
@@ -116,6 +141,82 @@ object HtmlExtract {
         lit("<div><a href=\"/buy\">Buy now</a> <a href=\"/x\">Click</a></div>"))
         .otherwise(lit("")),
       lit("<footer>Copyright 2026 Example</footer></body></html>"))
+
+  /** Deterministic LINKED page — the q113/q114 fixture: every doc
+    * links to (7·id+3) mod 500 and (13·id+11) mod 500, plus a REPEAT
+    * of the first link for even ids (multi-links carry weight in the
+    * q114 graph) or a third target (29·id+17) mod 500 for odd ids.
+    * Anchors carry inline markup so extraction has tags to strip.
+    */
+  def syntheticLinkedHtml(docId: Column, text: Column): Column = {
+    val t1 = (docId * 7 + 3) % 500
+    val t2 = (docId * 13 + 11) % 500
+    val t3 = (docId * 29 + 17) % 500
+    val extra = when(docId % 2 === 0,
+      concat(lit(" plus <a href=\"/doc/"), t1.cast("string"),
+        lit("\">again doc "), t1.cast("string"), lit("</a>")))
+      .otherwise(
+        concat(lit(" plus <a href=\"/doc/"), t3.cast("string"),
+          lit("\">see doc "), t3.cast("string"), lit("</a>")))
+    concat(
+      lit("<html><body><h1>Doc "), docId.cast("string"), lit("</h1><p>"),
+      text,
+      lit("</p><p>More: <a href=\"/doc/"), t1.cast("string"),
+      lit("\">see doc "), t1.cast("string"),
+      lit("</a> and <a href=\"/doc/"), t2.cast("string"),
+      lit("\">see <b>doc "), t2.cast("string"), lit("</b></a>"),
+      extra,
+      lit("</p></body></html>"))
+  }
+
+  /** Q113 — outlink extraction over the linked synthetic pages:
+    * (doc_id, link_pos, href, anchor) in document order.
+    */
+  def q113ExtractLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.load(spark, dir, "documents")
+      .select($"doc_id", syntheticLinkedHtml($"doc_id", $"text").as("html"))
+    extractLinks(pages).orderBy($"doc_id", $"link_pos")
+  }
+
+  /** The shared linked-page + anchor-list CTEs for q113/q114 —
+    * `h(doc_id, html)` and `lk(doc_id, l)` with `l` the raw anchor
+    * elements in document order.
+    */
+  def linkedCtesSql: String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    '<html><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text ||
+       |    '</p><p>More: <a href="/doc/' || ((doc_id * 7 + 3) % 500)::VARCHAR ||
+       |    '">see doc ' || ((doc_id * 7 + 3) % 500)::VARCHAR ||
+       |    '</a> and <a href="/doc/' || ((doc_id * 13 + 11) % 500)::VARCHAR ||
+       |    '">see <b>doc ' || ((doc_id * 13 + 11) % 500)::VARCHAR || '</b></a>' ||
+       |    (CASE WHEN doc_id % 2 = 0
+       |      THEN ' plus <a href="/doc/' || ((doc_id * 7 + 3) % 500)::VARCHAR ||
+       |        '">again doc ' || ((doc_id * 7 + 3) % 500)::VARCHAR || '</a>'
+       |      ELSE ' plus <a href="/doc/' || ((doc_id * 29 + 17) % 500)::VARCHAR ||
+       |        '">see doc ' || ((doc_id * 29 + 17) % 500)::VARCHAR || '</a>'
+       |      END) ||
+       |    '</p></body></html>' AS html
+       |  FROM documents),
+       | lk AS (SELECT doc_id, regexp_extract_all(html, '$AnchorRe', 0) AS l
+       |   FROM h)""".stripMargin
+
+  /** DuckDB oracle for [[q113ExtractLinks]] — same [[AnchorRe]], same
+    * inline-tag strip + whitespace collapse on the anchor body.
+    */
+  def linksOracleSql: String =
+    s"""WITH $linkedCtesSql
+       |SELECT doc_id, u.p AS link_pos, u.h AS href, u.a AS anchor
+       |FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+       |    i -> struct_pack(
+       |      p := i,
+       |      h := regexp_extract(l[i], '$AnchorRe', 1),
+       |      a := trim(regexp_replace(regexp_replace(
+       |        regexp_extract(l[i], '$AnchorRe', 2),
+       |        '$InlineTagRe', ' ', 'g'), '$WsRe', ' ', 'g'))))) AS u
+       |  FROM lk)
+       |ORDER BY doc_id, link_pos""".stripMargin
 
   /** Q111 — main-content extraction over synthetic pages built from
     * `documents`: (doc_id, content, n_blocks_total, n_blocks_kept,

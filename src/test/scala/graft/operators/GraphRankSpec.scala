@@ -140,6 +140,59 @@ class GraphRankSpec extends SparkSpec {
     assert(got(2L)._2 > got(3L)._2)
   }
 
+  /** Plain-Scala reference for the DIRECTED recurrence: endpoints are
+    * the vertex set; a vertex with no in-links holds the teleport
+    * floor; parallel edges sum their weights.
+    */
+  private def referenceDirected(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val ws = e.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = verts.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val s = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => (r(u) * w) / ws(u) }.sum
+      }
+      r = verts.map(v => v -> (150000L + (s.getOrElse(v, 0L) * 17) / 20)).toMap
+    }
+    r.map { case (v, rv) => v -> (ws.getOrElse(v, 0L), rv) }
+  }
+
+  private def runDirected(edges: Seq[(Long, Long, Long)], iters: Int) =
+    GraphRank.pageRankTicksDirected(
+        edges.toDF("src", "dst", "wt"), iters)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, w, r) => v -> (w, r) }.toMap
+
+  test("directed: seeded random digraph matches the reference") {
+    val rnd = new scala.util.Random(2929)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        1L + rnd.nextInt(3).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    for (iters <- Seq(1, 3, 5))
+      assert(runDirected(edges, iters) === referenceDirected(edges, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("directed: in-link-less sources hold the teleport floor; sinks leak") {
+    // 1 -> 2 -> 3: vertex 1 never receives, 3 never gives
+    val got = runDirected(Seq((1L, 2L, 1L), (2L, 3L, 1L)), 4)
+    assert(got(1L)._2 === 150000L + (0L * 17) / 20)
+    assert(got(3L)._1 === 0L, "sink has no out-weight")
+    assert(got(2L)._2 > got(1L)._2 && got(3L)._2 > got(1L)._2)
+    assert(got === referenceDirected(Seq((1L, 2L, 1L), (2L, 3L, 1L)), 4))
+  }
+
+  test("directed: parallel edges sum weights; self-links drop") {
+    val clean = Seq((1L, 2L, 3L), (1L, 3L, 1L))
+    val dirty = Seq((1L, 2L, 1L), (1L, 2L, 2L), (1L, 3L, 1L), (2L, 2L, 9L))
+    assert(runDirected(dirty, 3) === runDirected(clean, 3))
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result

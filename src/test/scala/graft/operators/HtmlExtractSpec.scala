@@ -91,6 +91,40 @@ class HtmlExtractSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("extractLinks: document order, tag-stripped anchors, href-less <a> skipped") {
+    val html = "<p>pre <a href=\"/x\">first</a> mid " +
+      "<a class=\"z\" href=\"/y?q=1\">see <b>bold</b>  text</a> " +
+      "<a name=\"no-href\">not a link</a> post</p>"
+    val rows = HtmlExtract.extractLinks(
+        Seq((9L, html)).toDF("doc_id", "html"))
+      .orderBy($"link_pos")
+      .as[(Long, Long, String, String)].collect()
+    assert(rows.toSeq === Seq(
+      (9L, 1L, "/x", "first"),
+      (9L, 2L, "/y?q=1", "see bold text")))
+  }
+
+  test("extractLinks is shuffle-free (projection + generator only)") {
+    val df = Seq((1L, "<a href=\"/a\">a</a>")).toDF("doc_id", "html")
+    val plan = HtmlExtract.extractLinks(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("linked fixture: even docs repeat their first target, odd add a third") {
+    val links = HtmlExtract.extractLinks(
+      Seq((4L, "t"), (5L, "t")).toDF("doc_id", "text")
+        .select($"doc_id",
+          HtmlExtract.syntheticLinkedHtml($"doc_id", $"text").as("html")))
+      .select($"doc_id", $"href")
+      .as[(Long, String)].collect().groupBy(_._1)
+    // doc 4: t1=(31)%500=31 twice + t2=63; doc 5: t1=38, t2=76, t3=162
+    assert(links(4L).map(_._2).sorted.toSeq ===
+      Seq("/doc/31", "/doc/31", "/doc/63"))
+    assert(links(5L).map(_._2).sorted.toSeq ===
+      Seq("/doc/162", "/doc/38", "/doc/76"))
+  }
+
   test("Spark split and DuckDB string_split_regex agree on empty fragments") {
     // '<p>a</p><div>b</div>' → ['', 'a', '', 'b', ''] in DuckDB
     // (probed); Java split(…, -1) must produce the same 5 fragments
