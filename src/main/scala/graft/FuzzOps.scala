@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Retrieval, SpanDedup}
+import graft.operators.{HtmlExtract, Retrieval, SpanDedup}
 
 /** Differential-fuzz runner for the span/retrieval operator family
   * (q102–q107 shapes + BM25) — the operators whose oracles are
@@ -25,6 +25,8 @@ import graft.operators.{Retrieval, SpanDedup}
   *   <name>,derep,<n>
   *   <name>,novelty,<n>
   *   <name>,bm25,<k>,<k1>,<b>,<mod>,<nTerms>
+  *   <name>,html,<minChars>,<minDensityPct>
+  *   <name>,links
   *
   * The corpus is a small-alphabet token soup with planted cross-doc
   * span copies (`copyPct`% of docs copy a 3–14-token slice from an
@@ -105,6 +107,20 @@ object FuzzOps {
             .orderBy($"query_id", $"rank"),
             Retrieval.bm25OracleSqlN(k.toInt, mod.toLong, nTerms.toInt,
               k1.toDouble, b.toDouble))
+        case "html" =>
+          val pages = docs.select($"doc_id",
+            HtmlExtract.syntheticHtml($"doc_id", $"text").as("html"))
+          (HtmlExtract.extract(pages, minChars = f(2).toInt,
+              minDensityPct = f(3).toInt)
+            .select($"doc_id", $"content", $"n_blocks_total",
+              $"n_blocks_kept", $"content_chars")
+            .orderBy($"doc_id"),
+            HtmlExtract.oracleSql(f(2).toInt, f(3).toInt))
+        case "links" =>
+          val pages = docs.select($"doc_id",
+            HtmlExtract.syntheticLinkedHtml($"doc_id", $"text").as("html"))
+          (HtmlExtract.extractLinks(pages).orderBy($"doc_id", $"link_pos"),
+            HtmlExtract.linksOracleSql)
         case other => sys.error(s"unknown op: $other")
       }
       try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -176,6 +176,7 @@ object SparkEntry {
     "q112_pagerank_weighted" -> (GraphRank.q112PageRankWeighted _),
     "q113_extract_links" -> (HtmlExtract.q113ExtractLinks _),
     "q114_host_rank"     -> (GraphRank.q114HostRank _),
+    "q115_url_canon"     -> (UrlNorm.q115UrlCanon _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1596,6 +1597,10 @@ object SparkEntry {
     // ingest → parse → graph → rank composition; LEFT joins against
     // the vertex set keep in-link-less vertices at the teleport floor.
     "q114_host_rank" -> GraphRank.directedOracleSql(iters = 5),
+    // q115: URL canonicalization — shared regex constants, identical
+    // rule order, list ops mirroring the HOFs; `starts_with` on both
+    // sides (a LIKE 'utm_%' would wildcard the underscore).
+    "q115_url_canon" -> UrlNorm.oracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

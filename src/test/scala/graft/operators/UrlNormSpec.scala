@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Rule-by-rule contract for URL canonicalization: every rule proven
+  * on a crafted URL where only that rule fires, plus combined cases.
+  */
+class UrlNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): (String, String, String, Long) = {
+    val r = UrlNorm.canonicalize(Seq((1L, url)).toDF("doc_id", "url"))
+      .select($"canonical_url", $"host", $"domain", $"n_params")
+      .head()
+    (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+  }
+
+  test("fragment drops; scheme and host lowercase; path survives as-is") {
+    assert(canon("HTTPS://WWW.Example.COM/A/B?x=1#frag")._1 ===
+      "https://www.example.com/A/B?x=1")
+  }
+
+  test("default ports strip per scheme; explicit ports survive") {
+    assert(canon("http://a.example.com:80/p")._1 === "http://a.example.com/p")
+    assert(canon("https://a.example.com:443/p")._1 === "https://a.example.com/p")
+    assert(canon("http://a.example.com:8080/p")._1 ===
+      "http://a.example.com:8080/p")
+    // :443 is NOT http's default — it must survive on http
+    assert(canon("http://a.example.com:443/p")._1 ===
+      "http://a.example.com:443/p")
+  }
+
+  test("empty path becomes /; query params sort; utm_* drop") {
+    val (u, _, _, n) = canon("http://e.com?z=2&utm_source=x&a=1&utm_medium=y")
+    assert(u === "http://e.com/?a=1&z=2")
+    assert(n === 2L)
+    // all params tracking -> no query at all
+    assert(canon("http://e.com/p?utm_source=x")._1 === "http://e.com/p")
+  }
+
+  test("domain is the last two host labels; port never leaks into it") {
+    val (_, host, domain, _) = canon("http://Deep.Sub.Example.ORG:8080/x")
+    assert(host === "deep.sub.example.org:8080")
+    assert(domain === "example.org")
+    assert(canon("http://localhost/x")._3 === "localhost")
+  }
+
+  test("canonicalization is idempotent") {
+    val once = canon("HTTP://A.Example.COM:80/x?utm_a=1&b=2&a=1#f")._1
+    assert(canon(once)._1 === once)
+  }
+
+  test("equivalent messy URLs collapse to one canonical form") {
+    val variants = Seq(
+      "http://News.Example.com/story?b=2&a=1",
+      "HTTP://news.example.COM:80/story?a=1&b=2#top",
+      "http://news.example.com/story?utm_campaign=x&b=2&a=1")
+    assert(variants.map(canon(_)._1).distinct.size === 1)
+  }
+
+  test("the operator is a shuffle-free projection") {
+    val plan = UrlNorm.canonicalize(Seq((1L, "http://e.com/x"))
+        .toDF("doc_id", "url"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("q115 fixture fires every rule somewhere") {
+    val rows = UrlNorm.q115UrlCanon(spark, sf)
+      .select($"canonical_url").as[String].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(u => u.startsWith("http://") || u.startsWith("https://")))
+    assert(rows.forall(u => !u.contains("#") && !u.contains("utm_")))
+    assert(rows.forall(u => !u.contains(":80/") && !u.contains(":443/")))
+    assert(rows.exists(_.contains(":8080")), "explicit ports must survive")
+    // sorted params: a= precedes z= everywhere a query survives
+    assert(rows.filter(_.contains("?")).forall { u =>
+      val q = u.substring(u.indexOf('?') + 1)
+      q.split("&").toSeq === q.split("&").toSeq.sorted
+    })
+  }
+}

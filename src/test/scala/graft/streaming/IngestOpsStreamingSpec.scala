@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{HtmlExtract, UrlNorm}
+
+/** The web-ingest operators (content extraction, outlink extraction,
+  * URL canonicalization) are stateless projections — so the SAME
+  * operator call must run unchanged over a Structured Streaming
+  * source and produce exactly the batch answer. This is the claim
+  * "ingest ops compose with the bus pipeline" made concrete: no
+  * rewrite, no state store, no watermark needed.
+  */
+class IngestOpsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def streamOf(rows: Seq[(Long, String)], cols: (String, String)) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(rows: _*)
+    (ms, ms.toDF().toDF(cols._1, cols._2))
+  }
+
+  private def drain(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("extract + extractLinks + canonicalize run unchanged on a stream") {
+    val pages = (1L to 30L).map(i =>
+      (i, s"<h1>Heading number $i of page</h1><p>body text for doc $i " +
+        s"with enough characters</p><a href=\"/doc/${i * 3 % 20}\">see " +
+        s"${i * 3 % 20}</a><footer>legal</footer>"))
+    val (_, sdf) = streamOf(pages, ("doc_id", "html"))
+
+    val gotContent = drain(HtmlExtract.extract(sdf), "s_extract")
+      .select($"doc_id", $"content", $"n_blocks_kept")
+    val expContent = HtmlExtract.extract(pages.toDF("doc_id", "html"))
+      .select($"doc_id", $"content", $"n_blocks_kept")
+    assert(gotContent.exceptAll(expContent).isEmpty &&
+      expContent.exceptAll(gotContent).isEmpty)
+
+    val (_, sdf2) = streamOf(pages, ("doc_id", "html"))
+    val gotLinks = drain(HtmlExtract.extractLinks(sdf2), "s_links")
+    val expLinks = HtmlExtract.extractLinks(pages.toDF("doc_id", "html"))
+    assert(gotLinks.exceptAll(expLinks).isEmpty &&
+      expLinks.exceptAll(gotLinks).isEmpty)
+
+    val urls = (1L to 30L).map(i =>
+      (i, s"HTTP://Example$i.COM:80/p/$i?utm_s=x&b=$i&a=1#f"))
+    val (_, sdf3) = streamOf(urls, ("doc_id", "url"))
+    val gotUrls = drain(UrlNorm.canonicalize(sdf3), "s_urls")
+      .select($"doc_id", $"canonical_url", $"domain")
+    val expUrls = UrlNorm.canonicalize(urls.toDF("doc_id", "url"))
+      .select($"doc_id", $"canonical_url", $"domain")
+    assert(gotUrls.exceptAll(expUrls).isEmpty &&
+      expUrls.exceptAll(gotUrls).isEmpty)
+  }
+}

@@ -26,7 +26,8 @@ def gen_cases(rnd):
         f"{rnd.randint(6, 24)},5,{rnd.randint(40, 120)},{rnd.randint(20, 50)}"
     ]
     for i in range(N):
-        op = rnd.choice(["excise", "decont", "derep", "novelty", "bm25"])
+        op = rnd.choice(["excise", "decont", "derep", "novelty", "bm25",
+                         "html", "links"])
         n = rnd.randint(2, 8)
         if op == "excise":
             lines.append(f"c{i:03d},excise,{n},{rnd.choice([2, 2, 3, 4])}")
@@ -36,6 +37,12 @@ def gen_cases(rnd):
             lines.append(f"c{i:03d},derep,{n}")
         elif op == "novelty":
             lines.append(f"c{i:03d},novelty,{n}")
+        elif op == "html":
+            # random extraction gates: min text chars and density pct
+            lines.append(f"c{i:03d},html,{rnd.randint(2, 25)},"
+                         f"{rnd.randint(10, 95)}")
+        elif op == "links":
+            lines.append(f"c{i:03d},links")
         else:
             k = rnd.randint(1, 10)
             k1 = rnd.choice([0.8, 1.0, 1.2, 1.5, 2.0])
