@@ -96,7 +96,12 @@ object Pin {
     */
   def reuse[T](ds: Dataset[T]): Dataset[T] = mode(ds) match {
     case "localCheckpoint"       => ds.localCheckpoint(true)
-    case "checkpoint"            => reliable(ds)
+    // forced checkpoint mode degrades like iterative/snapshot do when
+    // no checkpoint dir is configured — Dataset.checkpoint would throw
+    // at runtime, and a forced MODE must not turn a valid pipeline
+    // into a crash on a session-config detail
+    case "checkpoint"            =>
+      if (hasCheckpointDir(ds)) reliable(ds) else ds.localCheckpoint(true)
     case "persist"               => ds.persist(StorageLevel.MEMORY_AND_DISK)
     case _ if isLocal(ds)        => ds.localCheckpoint(true)
     case _                       => ds.persist(StorageLevel.MEMORY_AND_DISK)
@@ -123,4 +128,33 @@ object Pin {
   def snapshot[T](ds: Dataset[T]): Dataset[T] =
     if (hasCheckpointDir(ds) && mode(ds) != "localCheckpoint") reliable(ds)
     else ds.localCheckpoint(true)
+
+  /** Release a pinned dataset's storage once no consumer remains —
+    * the loop-state cleanup for [[iterative]] pins (each round pins a
+    * new frame; without release, `localCheckpoint` blocks accumulate
+    * O(rounds) of executor storage).
+    *
+    * `Dataset.unpersist` only talks to the cache manager, so it
+    * covers persist-backed pins but is a silent no-op on a
+    * checkpoint-rooted frame (the blocks live on the RDD, not in the
+    * plan cache) — this helper additionally unpersists the underlying
+    * `LogicalRDD`'s RDD, which is exactly the block set
+    * `localCheckpoint` pinned. RELIABLE checkpoint FILES are not
+    * deleted here (there is no public API); enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set by
+    * `Sessions.local`) so the ContextCleaner removes them when the
+    * RDD is garbage-collected.
+    *
+    * Safe on never-pinned datasets (both paths no-op). UNSAFE on a
+    * frame that still has consumers: a released `localCheckpoint` has
+    * no lineage left to recompute from.
+    */
+  def release(ds: Dataset[_]): Unit = {
+    ds.unpersist(blocking = false)
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 }

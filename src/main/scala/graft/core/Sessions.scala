@@ -41,6 +41,10 @@ object Sessions {
       // localCheckpoint | checkpoint — benchmarking/migration knob
       .config(graft.core.Pin.ModeKey,
         sys.env.getOrElse("SPARK_GRAFT_PIN", "auto"))
+      // reliable-checkpoint hygiene (core.Pin.release): let the
+      // ContextCleaner delete checkpoint FILES once the RDD is GC'd —
+      // without this an iterative job leaks one directory per round
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     // fixture-reader timestamp typing (scan-level, keeps pushdown) —
     // owned HERE, not by Tables.load: a loader must not mutate the
     // shared session's conf as a side effect (see Tables.readerConfs)

@@ -79,13 +79,16 @@ object DupClusters {
         .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
         .transform(Pin.iterative(_, eager = false))
       val nextSum = labelSum(next)
-      labels.unpersist() // drop the previous round's checkpoint blocks
+      // drop the previous round's pinned blocks — Pin.release reaches
+      // the checkpoint-rooted RDD where a bare Dataset.unpersist is a
+      // cache-manager-only no-op
+      Pin.release(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
-    sym.unpersist()
+    Pin.release(sym)
     // an unconverged result is silently WRONG (split clusters, several
     // keepers per real component) — fail loudly instead of returning it
     if (!converged)
@@ -160,7 +163,7 @@ object DupClusters {
       // fixpoint when the edge set is exactly stable (both are
       // checkpointed, so this costs two anti-join probes, no recompute)
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
-      e.unpersist()
+      Pin.release(e)
       e = next
       iter += 1
     }

@@ -151,6 +151,10 @@ object GraphRank {
         val pinned = Pin.iterative(next)
         moved = pinned.join(ranks.withColumnRenamed("r", "pr"), "v")
           .agg(sum(abs($"r" - $"pr")).as("d")).head().getLong(0)
+        // the previous round's pin has no consumer left after the
+        // probe read — release it or blocks accumulate O(rounds)
+        // (round 0's `ranks` is unpinned; release no-ops there)
+        if (round > 0) Pin.release(ranks)
         ranks = pinned
       } else ranks = next
       round += 1

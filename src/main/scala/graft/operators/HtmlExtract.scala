@@ -52,10 +52,23 @@ object HtmlExtract {
   /** Shared rule constants — the Spark operator and the DuckDB oracle
     * builder both read THESE, so the two sides cannot drift.
     */
-  val ScriptStyleRe = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
-  val CommentRe = "(?s)<!--.*?-->"
-  val ChromeContainerRe =
-    "(?is)<(nav|header|footer|aside)[^>]*>.*?</(nav|header|footer|aside)>"
+  /** One strip regex PER ELEMENT, applied in this order. The r10 form
+    * used alternation on both the open and close tag
+    * (`<(script|style)…</(script|style)>`), which lets MISMATCHED
+    * pairs match — `<script>…</style>` would end the strip early and
+    * leak script text into content; anchoring the close tag to the
+    * open tag per element closes that hole while staying in the
+    * RE2-compatible subset (the oracle builder folds over the same
+    * list, so both engines strip identically).
+    */
+  val StripRes: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "(?is)<nav[^>]*>.*?</nav>",
+    "(?is)<header[^>]*>.*?</header>",
+    "(?is)<footer[^>]*>.*?</footer>",
+    "(?is)<aside[^>]*>.*?</aside>")
   val BlockBoundaryRe =
     "(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|main|blockquote|pre)[^>]*>"
   val InlineTagRe = "<[^>]*>"
@@ -78,24 +91,32 @@ object HtmlExtract {
     */
   def extract(docs: DataFrame, htmlCol: String = "html",
       minChars: Int = 10, minDensityPct: Int = 50): DataFrame = {
-    val cleaned = regexp_replace(
-      regexp_replace(
-        regexp_replace(col(htmlCol), ScriptStyleRe, " "),
-        CommentRe, " "),
-      ChromeContainerRe, " ")
-    val blocks = split(cleaned, BlockBoundaryRe)
+    val cleaned = StripRes.foldLeft(col(htmlCol))(regexp_replace(_, _, " "))
+    // LAYERED projections, one intermediate per layer, each referenced
+    // MORE THAN ONCE by the next layer: CollapseProject refuses to
+    // inline a non-cheap expression with >1 consumer, so the strip /
+    // split / score-filter chain is evaluated exactly ONCE per row by
+    // plan construction — the r10 single-Project form repeated the
+    // full chain inside each of content / n_blocks_total /
+    // n_blocks_kept and relied on (unverified) codegen subexpression
+    // elimination to dedup it. At 100 TB the HTML strip is the
+    // CPU-bound ingest step; a silent 3× would dominate.
+    val withBlocks = docs
+      .withColumn("_g_blocks", split(cleaned, BlockBoundaryRe))
     // (text, raw length) per block; the density test needs both
-    val scored = transform(blocks,
-      b => struct(blockText(b).as("t"), length(b).as("r")))
-    val kept = filter(scored, s =>
-      length(s.getField("t")) >= minChars &&
-        length(s.getField("t")) * 100 >= lit(minDensityPct) * s.getField("r"))
-    docs
+    val withKept = withBlocks
+      .withColumn("n_blocks_total", size(col("_g_blocks")).cast("long"))
+      .withColumn("_g_kept", filter(
+        transform(col("_g_blocks"),
+          b => struct(blockText(b).as("t"), length(b).as("r"))),
+        s => length(s.getField("t")) >= minChars &&
+          length(s.getField("t")) * 100 >= lit(minDensityPct) * s.getField("r")))
+    withKept
       .withColumn("content",
-        array_join(transform(kept, _.getField("t")), "\n"))
-      .withColumn("n_blocks_total", size(blocks).cast("long"))
-      .withColumn("n_blocks_kept", size(kept).cast("long"))
+        array_join(transform(col("_g_kept"), _.getField("t")), "\n"))
+      .withColumn("n_blocks_kept", size(col("_g_kept")).cast("long"))
       .withColumn("content_chars", length(col("content")).cast("long"))
+      .drop("_g_blocks", "_g_kept")
   }
 
   /** Outlink extraction — the web-GRAPH ingest op next to the content
@@ -233,6 +254,13 @@ object HtmlExtract {
       .orderBy($"doc_id")
   }
 
+  /** The [[StripRes]] fold as nested DuckDB `regexp_replace` calls —
+    * generated from the same ordered list the operator compiles.
+    */
+  def stripSql(colName: String): String =
+    StripRes.foldLeft(colName)((acc, re) =>
+      s"regexp_replace($acc, '$re', ' ', 'g')")
+
   /** DuckDB oracle for [[q111HtmlExtract]] — generated from the SAME
     * rule constants the operator compiles (regexes interpolated, not
     * re-typed). DuckDB's `regexp_replace` needs the explicit 'g'
@@ -255,10 +283,7 @@ object HtmlExtract {
        |      ELSE '' END) ||
        |    '<footer>Copyright 2026 Example</footer></body></html>' AS html
        |  FROM documents),
-       | c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-       |    '$ScriptStyleRe', ' ', 'g'),
-       |    '$CommentRe', ' ', 'g'),
-       |    '$ChromeContainerRe', ' ', 'g') AS x FROM h),
+       | c AS (SELECT doc_id, ${stripSql("html")} AS x FROM h),
        | b AS (SELECT doc_id,
        |    string_split_regex(x, '$BlockBoundaryRe') AS blocks FROM c),
        | s AS (SELECT doc_id, len(blocks) AS n_blocks_total,

@@ -259,8 +259,12 @@ final class ServingEndpoint(cache: ServingCache, port: Int = 0,
       try {
         val (h, m) = cache.stats
         val ratio = if (h + m == 0L) 1.0 else h.toDouble / (h + m)
+        // Locale.ROOT: the f-interpolator uses the JVM default locale,
+        // which on comma-decimal locales (de_DE …) would emit
+        // "0,333333" — invalid JSON (same pitfall Bench guards)
         (200, s"""{"hits":$h,"misses":$m,""" +
-          f""""hit_ratio":$ratio%.6f,""" +
+          s""""hit_ratio":${String.format(java.util.Locale.ROOT,
+            "%.6f", Double.box(ratio))},""" +
           s""""lookups":${h + m},""" +
           s""""p50_ms":${quantileMs(0.50)},"p99_ms":${quantileMs(0.99)},""" +
           s""""buckets_loaded":${cache.loadedBuckets}}""")
