@@ -19,9 +19,16 @@ import graft.core.Tables
   *   5. drop `utm_*` tracking parameters, sort the survivors
   *      byte-lexicographically, rejoin (param order is not
   *      significant to origin servers; tracking params are noise);
-  *   6. registered domain = last two dot-labels of the host (the
-  *      naive public-suffix rule, documented — a real deployment
-  *      swaps in the PSL table as a broadcast join).
+  *   6. registered domain = longest matching PUBLIC SUFFIX plus one
+  *      more label ([[PublicSuffixes2]]/[[PublicSuffixes3]], a
+  *      representative subset of the published Mozilla Public Suffix
+  *      List — public data); the naive last-two-labels rule applies
+  *      only to hosts under no listed multi-label suffix. Without
+  *      the PSL, every `bbc.co.uk`-class site would silently merge
+  *      into one `co.uk` "domain" — and registered domain is the
+  *      KEYING op for host-level curation (q116 contracts the link
+  *      graph by it), so the naive rule corrupts host grouping, not
+  *      just a label.
   *
   * Scale shape: pure per-row projection — zero shuffles, zero state,
   * column pruning to (doc_id, url). Like [[HtmlExtract]], stateless ⇒
@@ -35,6 +42,57 @@ object UrlNorm {
   val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
   val QueryRe = "\\?([^#]*)"
   val FragmentRe = "#.*$"
+
+  /** Two-label public suffixes — a representative subset of the
+    * Mozilla Public Suffix List (publicsuffix.org, public data): the
+    * country-code second-level schemes that most registrations live
+    * under. Small enough to ship as a literal IN-list (codegen'd
+    * per-row check, no join, no broadcast plumbing); a production
+    * deployment regenerates BOTH constants from the published
+    * `public_suffix_list.dat` at build time — the matching logic is
+    * list-size-independent.
+    */
+  val PublicSuffixes2: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "ltd.uk", "plc.uk", "nhs.uk",
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "edu.in", "res.in", "ac.in", "gov.in",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "edu.za", "web.za",
+    "co.kr", "or.kr", "go.kr", "ac.kr", "ne.kr", "re.kr", "pe.kr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.th", "or.th", "go.th", "ac.th", "in.th", "net.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "go.id", "ac.id", "web.id", "sch.id", "net.id",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn")
+
+  /** Three-label public suffixes (same source): the Australian state
+    * education scheme and the US `k12/cc/lib.<state>.us` scheme —
+    * these exercise the longest-match-first rule.
+    */
+  val PublicSuffixes3: Seq[String] = Seq(
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.il.us",
+    "k12.pa.us", "k12.oh.us", "k12.ma.us", "k12.wa.us",
+    "cc.ca.us", "cc.ny.us", "cc.tx.us",
+    "lib.ca.us", "lib.ny.us", "lib.tx.us")
 
   /** Appends (canonical_url, host, domain, n_params) to rows carrying
     * a `urlCol` string column.
@@ -53,9 +111,22 @@ object UrlNorm {
       p => length(p) > 0 && !p.startsWith("utm_")))
     val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
     val labels = split(hostNoPort, "\\.")
-    val domain = when(size(labels) >= 2,
-        concat(element_at(labels, -2), lit("."), element_at(labels, -1)))
-      .otherwise(hostNoPort)
+    val nl = size(labels)
+    // longest-suffix-first PSL match: public-suffix label count, then
+    // registered domain = suffix + one label (or the whole host when
+    // the host IS a public suffix / has too few labels). slice with a
+    // too-negative start yields an empty array, so the nl guards only
+    // document intent — no out-of-bounds behavior to defend against.
+    def sufK(k: Int) = array_join(slice(labels, -k, k), ".")
+    val pubLen = when(
+        nl >= 3 && array_contains(lit(PublicSuffixes3.toArray), sufK(3)),
+        lit(3))
+      .when(
+        nl >= 2 && array_contains(lit(PublicSuffixes2.toArray), sufK(2)),
+        lit(2))
+      .otherwise(lit(1))
+    val regLen = least(pubLen + 1, nl)
+    val domain = array_join(slice(labels, -regLen, regLen), ".")
     docs
       .withColumn("canonical_url",
         concat(scheme, lit("://"), host, path,
@@ -74,7 +145,14 @@ object UrlNorm {
     concat(
       when(docId % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
       lit("Sub"), (docId % 5).cast("string"), lit(".Example"),
-      (docId % 7).cast("string"), lit(".COM"),
+      (docId % 7).cast("string"), lit("."),
+      // TLD varies so the PSL rule fires in every shape: generic TLD
+      // (naive fallback), 2-label suffix (mixed case — lowercased
+      // before the match), 3-label suffix (longest-match-first)
+      when(docId % 4 === 1, lit("co.UK"))
+        .when(docId % 4 === 2, lit("com.au"))
+        .when(docId % 4 === 3, lit("k12.ca.us"))
+        .otherwise(lit("COM")),
       when(docId % 2 === 0, lit(":80"))
         .when(docId % 3 === 0, lit(":443"))
         .when(docId % 5 === 0, lit(":8080")).otherwise(lit("")),
@@ -96,14 +174,19 @@ object UrlNorm {
   }
 
   /** DuckDB oracle for [[q115UrlCanon]] — same regex constants, same
-    * rule order, list ops mirroring the HOFs.
+    * rule order, list ops mirroring the HOFs, and the SAME
+    * public-suffix constants interpolated into the IN-lists.
     */
   def oracleSql: String =
     s"""WITH u AS (
        |  SELECT doc_id,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
        |    'Sub' || (doc_id % 5)::VARCHAR || '.Example' ||
-       |    (doc_id % 7)::VARCHAR || '.COM' ||
+       |    (doc_id % 7)::VARCHAR || '.' ||
+       |    (CASE WHEN doc_id % 4 = 1 THEN 'co.UK'
+       |          WHEN doc_id % 4 = 2 THEN 'com.au'
+       |          WHEN doc_id % 4 = 3 THEN 'k12.ca.us'
+       |          ELSE 'COM' END) ||
        |    (CASE WHEN doc_id % 2 = 0 THEN ':80'
        |          WHEN doc_id % 3 = 0 THEN ':443'
        |          WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
@@ -135,11 +218,24 @@ object UrlNorm {
        |         THEN '?' || array_to_string(params, '&') ELSE '' END)
        |       AS canonical_url,
        |     string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS labels
-       |   FROM hosts)
+       |   FROM hosts),
+       | psl AS (SELECT *,
+       |     CASE WHEN len(labels) >= 3 AND
+       |            array_to_string(labels[len(labels)-2:len(labels)], '.')
+       |            IN (${sqlList(PublicSuffixes3)}) THEN 3
+       |          WHEN len(labels) >= 2 AND
+       |            array_to_string(labels[len(labels)-1:len(labels)], '.')
+       |            IN (${sqlList(PublicSuffixes2)}) THEN 2
+       |          ELSE 1 END AS pub_len
+       |   FROM canon),
+       | reg AS (SELECT *, least(pub_len + 1, len(labels)) AS reg_len FROM psl)
        |SELECT doc_id, canonical_url, host,
-       |  CASE WHEN len(labels) >= 2
-       |    THEN labels[-2] || '.' || labels[-1]
-       |    ELSE array_to_string(labels, '.') END AS domain,
+       |  array_to_string(labels[len(labels)-reg_len+1:len(labels)], '.')
+       |    AS domain,
        |  len(params)::BIGINT AS n_params
-       |FROM canon ORDER BY doc_id""".stripMargin
+       |FROM reg ORDER BY doc_id""".stripMargin
+
+  /** `'a', 'b', …` — the shared suffix constants as a SQL IN-list. */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString(", ")
 }

@@ -38,11 +38,28 @@ class UrlNormSpec extends SparkSpec {
     assert(canon("http://e.com/p?utm_source=x")._1 === "http://e.com/p")
   }
 
-  test("domain is the last two host labels; port never leaks into it") {
+  test("unlisted TLD: domain is the last two host labels; port never leaks") {
     val (_, host, domain, _) = canon("http://Deep.Sub.Example.ORG:8080/x")
     assert(host === "deep.sub.example.org:8080")
     assert(domain === "example.org")
     assert(canon("http://localhost/x")._3 === "localhost")
+  }
+
+  test("registered domain honors the public-suffix list, longest match first") {
+    // the bbc.co.uk class: last-two-labels would merge every .co.uk
+    // site into one "domain"
+    assert(canon("https://www.bbc.co.uk/news")._3 === "bbc.co.uk")
+    assert(canon("https://News.BBC.CO.UK/x")._3 === "bbc.co.uk")
+    assert(canon("http://a.b.example.com.au/")._3 === "example.com.au")
+    // 3-label suffix beats its embedded 2-label parent
+    assert(canon("http://school.district.k12.ca.us/x")._3 ===
+      "district.k12.ca.us")
+    assert(canon("http://x.y.wa.edu.au/")._3 === "y.wa.edu.au")
+    // a host that IS a public suffix maps to itself
+    assert(canon("http://co.uk/")._3 === "co.uk")
+    assert(canon("http://k12.ca.us/")._3 === "k12.ca.us")
+    // one label above the suffix is already registered
+    assert(canon("http://bbc.co.uk/")._3 === "bbc.co.uk")
   }
 
   test("canonicalization is idempotent") {
