@@ -177,6 +177,8 @@ object SparkEntry {
     "q113_extract_links" -> (HtmlExtract.q113ExtractLinks _),
     "q114_host_rank"     -> (GraphRank.q114HostRank _),
     "q115_url_canon"     -> (UrlNorm.q115UrlCanon _),
+    "q116_domain_rank"   -> (GraphRank.q116DomainRank _),
+    "q117_sink_rank"     -> (GraphRank.q117SinkRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1601,6 +1603,16 @@ object SparkEntry {
     // rule order, list ops mirroring the HOFs; `starts_with` on both
     // sides (a LIKE 'utm_%' would wildcard the underscore).
     "q115_url_canon" -> UrlNorm.oracleSql,
+    // q116: DOMAIN-level PageRank — the q114 link graph contracted by
+    // q115's PSL registered domain (the q115 oracle is embedded as
+    // the mapping subquery, zero drift), same directed recurrence
+    // over string vertices.
+    "q116_domain_rank" -> GraphRank.domainOracleSql(iters = 5),
+    // q117: dangling-mass-REDISTRIBUTING directed PageRank over a
+    // sink-bearing link graph — one scalar sink-mass CTE per round,
+    // |V|-way floor share folded into the pre-damping sum on both
+    // sides.
+    "q117_sink_rank" -> GraphRank.sinkRankOracleSql(iters = 5),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

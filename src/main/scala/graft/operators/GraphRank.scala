@@ -181,7 +181,8 @@ object GraphRank {
     * src-keyed rank join, one dst-keyed partial agg, one v-keyed left
     * join that reuses the agg's partitioning).
     */
-  def pageRankTicksDirected(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankTicksDirected(edges: DataFrame, iters: Int,
+      redistribute: Boolean = false): DataFrame = {
     val ss = edges.sparkSession
     import ss.implicits._
     require(iters >= 1, "iters must be >= 1")
@@ -197,15 +198,55 @@ object GraphRank {
     val verts = e0.select($"src".as("v"))
       .union(e0.select($"dst".as("v"))).distinct()
       .transform(Pin.reuse)
+    // |V| as a 1-row frame: the redistribution share is sink mass
+    // split |V| ways — computed plan-side (cross join), never a
+    // driver read
+    val nv = verts.agg(count(lit(1)).as("nv"))
     var ranks = verts.select($"v", lit(1000000L).as("r"))
+    var round = 0
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("v", "cv"), $"src" === $"cv")
         .select($"dst", expr("(r * wt) div w").as("c"))
         .groupBy($"dst")
         .agg(sum($"c").as("s"))
-      ranks = verts.join(contrib, verts("v") === contrib("dst"), "left")
-        .select($"v",
-          expr("150000 + (coalesce(s, 0) * 17) div 20").as("r"))
+      val next =
+        if (redistribute) {
+          // DANGLING-MASS REDISTRIBUTION (the canonical PageRank
+          // form): sink vertices (no out-edge = not in ws) hold mass
+          // that the plain variant leaks; here one scalar agg per
+          // round collects it and every vertex receives an equal
+          // floor share BEFORE damping:
+          //
+          //   r'(v) = 150000 + (17 · (Σ contrib + sink div |V|)) div 20
+          //
+          // Exact-tick consequence: total mass is CONSERVED up to
+          // floor loss (< |E| + 2|V| ticks per round, all downward) —
+          // spec'd in GraphRankSpec; the plain variant deflates every
+          // rank on sink-heavy web graphs.
+          val sink = ranks.join(ws, Seq("v"), "left_anti")
+            .agg(coalesce(sum($"r"), lit(0L)).as("sink"))
+          val share = sink.crossJoin(nv)
+            .select(expr("sink div nv").as("share"))
+          verts.join(contrib, verts("v") === contrib("dst"), "left")
+            .crossJoin(share)
+            .select($"v",
+              expr("150000 + ((coalesce(s, 0) + share) * 17) div 20").as("r"))
+        } else {
+          verts.join(contrib, verts("v") === contrib("dst"), "left")
+            .select($"v",
+              expr("150000 + (coalesce(s, 0) * 17) div 20").as("r"))
+        }
+      if (redistribute) {
+        // the round's rank frame has TWO consumers (next round's
+        // contrib join and its sink agg) — pin it or the logical plan
+        // doubles per round; release the previous pin once replaced
+        // (the probe-mode pattern). Cost: one job per round instead
+        // of one job total — the price of the extra scalar agg.
+        val pinned = Pin.iterative(next)
+        if (round > 0) Pin.release(ranks)
+        ranks = pinned
+      } else ranks = next
+      round += 1
     }
     ranks.join(ws, Seq("v"), "left")
       .select($"v".as("doc_id"), coalesce($"w", lit(0L)).as("out_w"),
@@ -218,7 +259,12 @@ object GraphRank {
     * graph → rank composition a web-curation pipeline runs), link
     * multiplicity as edge weight, 5 exact-tick iterations.
     */
-  def q114HostRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The q113 extraction parsed to internal doc targets with link
+    * multiplicity as weight — the doc-level edge set feeding q114
+    * (direct rank) and q116 (domain contraction then rank):
+    * (src, dst, wt).
+    */
+  def linkEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
     val pages = docs.select($"doc_id",
@@ -229,28 +275,74 @@ object GraphRank {
       .filter($"dst".isNotNull)
     // internal links only: targets that exist as documents (doc_id is
     // unique, so the inner join is a semi join)
-    val edges = links.join(docs.select($"doc_id".as("dst")), "dst")
+    links.join(docs.select($"doc_id".as("dst")), "dst")
       .groupBy($"src", $"dst").agg(count(lit(1)).as("wt"))
-    pageRankTicksDirected(edges, iters = 5)
   }
 
-  /** DuckDB oracle for [[q114HostRank]]: the q113 link CTEs, target
-    * parse (TRY_CAST mirrors Spark's null-on-no-match), existence
-    * filter, multiplicity weights, then the DIRECTED recurrence —
-    * LEFT joins against the vertex set so in-link-less vertices hold
-    * the teleport floor.
+  def q114HostRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankTicksDirected(linkEdges(spark, dir), iters = 5)
+
+  /** GRAPH CONTRACTION by a vertex key — the host/domain-graph step
+    * of web curation: map each endpoint of (src, dst, wt) through
+    * `mapping` (vertex → key) and sum weights per key pair. Pure
+    * relational: two key joins + one partial-agg sum; at web scale
+    * the mapping is |V| (pages) while edges are |E| ≫ |V|, so AQE
+    * broadcasts the mapping side while it fits. SELF-LOOPS (edges
+    * inside one key) are KEPT — total edge weight is conserved
+    * exactly (the spec'd invariant); the rank operator drops them
+    * under its own documented contract.
     */
-  def directedOracleSql(iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s""" r$i AS (SELECT vv.v,
-         |   150000 + (CAST(coalesce(sum((p.r * e.wt) // ws.w), 0) AS BIGINT) * 17) // 20 AS r
-         |  FROM verts vv
-         |  LEFT JOIN e ON e.dst = vv.v
-         |  LEFT JOIN r${i - 1} p ON p.v = e.src
-         |  LEFT JOIN ws ON ws.v = e.src
-         |  GROUP BY vv.v)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${HtmlExtract.linkedCtesSql},
+  def contractEdges(edges: DataFrame, mapping: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    // the mapping feeds BOTH endpoint joins — pin it so its producing
+    // plan (for q116: the whole URL-canonicalization chain) runs once,
+    // not once per join side
+    val m = Pin.reuse(mapping.toDF("vid", "key"))
+    edges
+      .join(m.select($"vid".as("src"), $"key".as("ksrc")), "src")
+      .join(m.select($"vid".as("dst"), $"key".as("kdst")), "dst")
+      .groupBy($"ksrc".as("src"), $"kdst".as("dst"))
+      .agg(sum($"wt").as("wt"))
+  }
+
+  /** Q116 — DOMAIN-level PageRank, the actual host-rank quality prior
+    * of web curation: contract the q113/q114 doc link graph by each
+    * page's REGISTERED DOMAIN (q115's PSL rule over the synthetic
+    * URLs) and rank the contracted graph with the directed tick
+    * recurrence. Returns (domain, out_w, rank_ticks).
+    */
+  def q116DomainRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val doms = UrlNorm.canonicalize(
+        docs.select($"doc_id", UrlNorm.syntheticUrl($"doc_id").as("url")))
+      .select($"doc_id", $"domain")
+    val edges = contractEdges(linkEdges(spark, dir), doms)
+    pageRankTicksDirected(edges, iters = 5)
+      .select($"doc_id".as("domain"), $"out_w", $"rank_ticks")
+      .orderBy($"rank_ticks".desc, $"domain")
+  }
+
+  /** Q117 — directed PageRank WITH dangling-mass redistribution over
+    * a sink-bearing graph: the q114 edge set minus the out-links of
+    * every 5th doc (fetched-but-unparsed frontier pages — they
+    * receive links but contribute none, the real-web sink shape the
+    * full q114 fixture lacks: there every doc has an out-link).
+    */
+  def q117SinkRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pageRankTicksDirected(
+      linkEdges(spark, dir).filter($"src" % 5 =!= 0),
+      iters = 5, redistribute = true)
+  }
+
+  /** The q113-link → doc-edge CTE chain shared by the q114/q116/q117
+    * oracles: `ed(src, dst)` one row per internal link occurrence
+    * (TRY_CAST mirrors Spark's null-on-no-match target parse;
+    * existence filter keeps only targets that are documents).
+    */
+  def linkEdgeCtesSql: String =
+    s"""${HtmlExtract.linkedCtesSql},
        | ln AS (SELECT src, dst FROM (
        |     SELECT doc_id AS src,
        |       TRY_CAST(regexp_extract(unnest(list_transform(l,
@@ -260,17 +352,83 @@ object GraphRank {
        |   WHERE dst IS NOT NULL),
        | ed AS (SELECT src, dst FROM ln
        |   JOIN (SELECT DISTINCT doc_id FROM documents) d ON d.doc_id = ln.dst
-       |   WHERE src <> dst),
-       | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed GROUP BY src, dst),
+       |   WHERE src <> dst)""".stripMargin
+
+  /** DIRECTED tick recurrence as chained CTEs over caller-supplied
+    * edge CTEs (which must define `e(src, dst, wt)` — self-loops
+    * dropped, parallel edges aggregated). LEFT joins against the
+    * vertex set keep in-link-less vertices at the teleport floor.
+    * With `redistribute`, each round adds one scalar CTE collecting
+    * sink mass (vertices absent from `ws`) and folds its |V|-way
+    * floor share into every vertex's pre-damping sum — the exact
+    * mirror of the Spark operator's redistributing form.
+    */
+  def directedRecurrenceSql(edgeCtes: String, iters: Int,
+      redistribute: Boolean = false, vertexName: String = "doc_id"): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val shareCte =
+        if (redistribute)
+          s""" s$i AS (SELECT
+             |    (SELECT coalesce(sum(p.r), 0)::BIGINT FROM r${i - 1} p
+             |      WHERE p.v NOT IN (SELECT v FROM ws)) //
+             |    (SELECT count(*)::BIGINT FROM verts) AS share),
+             |""".stripMargin
+        else ""
+      val shareTerm = if (redistribute) s" + (SELECT share FROM s$i)" else ""
+      s"""$shareCte r$i AS (SELECT vv.v,
+         |   150000 + ((CAST(coalesce(sum((p.r * e.wt) // ws.w), 0) AS BIGINT)$shareTerm) * 17) // 20 AS r
+         |  FROM verts vv
+         |  LEFT JOIN e ON e.dst = vv.v
+         |  LEFT JOIN r${i - 1} p ON p.v = e.src
+         |  LEFT JOIN ws ON ws.v = e.src
+         |  GROUP BY vv.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
        | ws AS (SELECT src AS v, sum(wt)::BIGINT AS w FROM e GROUP BY src),
        | verts AS (SELECT DISTINCT v FROM
        |   (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
        | r0 AS (SELECT v, 1000000::BIGINT AS r FROM verts),
        |$iterCtes
-       |SELECT f.v AS doc_id, coalesce(ws.w, 0) AS out_w, f.r AS rank_ticks
+       |SELECT f.v AS $vertexName, coalesce(ws.w, 0) AS out_w, f.r AS rank_ticks
        |FROM r$iters f LEFT JOIN ws ON ws.v = f.v
-       |ORDER BY rank_ticks DESC, doc_id""".stripMargin
+       |ORDER BY rank_ticks DESC, $vertexName""".stripMargin
   }
+
+  /** DuckDB oracle for [[q114HostRank]]. */
+  def directedOracleSql(iters: Int): String =
+    directedRecurrenceSql(
+      s"""$linkEdgeCtesSql,
+         | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed
+         |   GROUP BY src, dst)""".stripMargin,
+      iters)
+
+  /** DuckDB oracle for [[q116DomainRank]]: the link CTEs, the FULL
+    * q115 canonicalization as the doc → domain mapping (zero drift —
+    * the q115 oracle text is embedded as a subquery), domain-level
+    * contraction with same-domain links dropped, then the directed
+    * recurrence over string vertices.
+    */
+  def domainOracleSql(iters: Int): String =
+    directedRecurrenceSql(
+      s"""$linkEdgeCtesSql,
+         | doms AS (SELECT doc_id, domain FROM (${UrlNorm.oracleSql}) _q115),
+         | e AS (SELECT da.domain AS src, db.domain AS dst,
+         |     count(*)::BIGINT AS wt
+         |   FROM ed JOIN doms da ON da.doc_id = ed.src
+         |           JOIN doms db ON db.doc_id = ed.dst
+         |   WHERE da.domain <> db.domain
+         |   GROUP BY 1, 2)""".stripMargin,
+      iters, vertexName = "domain")
+
+  /** DuckDB oracle for [[q117SinkRank]]: the q114 edge CTEs minus
+    * every 5th doc's out-links, redistributing recurrence.
+    */
+  def sinkRankOracleSql(iters: Int): String =
+    directedRecurrenceSql(
+      s"""$linkEdgeCtesSql,
+         | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed
+         |   WHERE src % 5 <> 0 GROUP BY src, dst)""".stripMargin,
+      iters, redistribute = true)
 
   /** Jaccard pairs with integer weight ticks at the overflow-safe 1e3
     * scale: (doc_a, doc_b, wt = round(jac·1000)). The round happens on

@@ -98,25 +98,38 @@ object UrlNorm {
     * a `urlCol` string column.
     */
   def canonicalize(docs: DataFrame, urlCol: String = "url"): DataFrame = {
-    val noFrag = regexp_replace(col(urlCol), FragmentRe, "")
-    val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
-    val rawHost = lower(regexp_extract(noFrag, HostRe, 1))
-    val host = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
-      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
-      .otherwise(rawHost)
-    val path0 = regexp_extract(noFrag, PathRe, 1)
-    val path = when(path0 === "", lit("/")).otherwise(path0)
-    val params = array_sort(filter(split(
-      regexp_extract(noFrag, QueryRe, 1), "&"),
-      p => length(p) > 0 && !p.startsWith("utm_")))
-    val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
-    val labels = split(hostNoPort, "\\.")
-    val nl = size(labels)
+    // LAYERED projections (the HtmlExtract.extract pattern): each
+    // intermediate is a named column referenced >1× by the next
+    // layer, so CollapseProject cannot inline it — without the
+    // layering, every `labels` reference re-inlines the full
+    // fragment/host regex chain and the single-Project form blows
+    // past the JVM's 64 KB generated-method limit (codegen falls back
+    // to the interpreter — a silent hot-path slowdown) while
+    // evaluating the chain ~10× per row.
+    val noFrag = col("_u_nofrag")
+    val withParts = docs
+      .withColumn("_u_nofrag", regexp_replace(col(urlCol), FragmentRe, ""))
+      .withColumn("_u_scheme", lower(regexp_extract(noFrag, SchemeRe, 1)))
+      .withColumn("_u_rawhost", lower(regexp_extract(noFrag, HostRe, 1)))
+      .withColumn("_u_path0", regexp_extract(noFrag, PathRe, 1))
+      .withColumn("_u_params", array_sort(filter(split(
+        regexp_extract(noFrag, QueryRe, 1), "&"),
+        p => length(p) > 0 && !p.startsWith("utm_"))))
+    val withHost = withParts.withColumn("_u_host",
+      when(col("_u_scheme") === "http",
+        regexp_replace(col("_u_rawhost"), ":80$", ""))
+        .when(col("_u_scheme") === "https",
+          regexp_replace(col("_u_rawhost"), ":443$", ""))
+        .otherwise(col("_u_rawhost")))
+    val withLabels = withHost.withColumn("_u_labels",
+      split(regexp_replace(col("_u_host"), ":[0-9]+$", ""), "\\."))
     // longest-suffix-first PSL match: public-suffix label count, then
     // registered domain = suffix + one label (or the whole host when
     // the host IS a public suffix / has too few labels). slice with a
     // too-negative start yields an empty array, so the nl guards only
     // document intent — no out-of-bounds behavior to defend against.
+    val labels = col("_u_labels")
+    val nl = size(labels)
     def sufK(k: Int) = array_join(slice(labels, -k, k), ".")
     val pubLen = when(
         nl >= 3 && array_contains(lit(PublicSuffixes3.toArray), sufK(3)),
@@ -125,16 +138,20 @@ object UrlNorm {
         nl >= 2 && array_contains(lit(PublicSuffixes2.toArray), sufK(2)),
         lit(2))
       .otherwise(lit(1))
-    val regLen = least(pubLen + 1, nl)
-    val domain = array_join(slice(labels, -regLen, regLen), ".")
-    docs
+    withLabels
+      .withColumn("_u_reglen", least(pubLen + 1, nl))
       .withColumn("canonical_url",
-        concat(scheme, lit("://"), host, path,
-          when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        concat(col("_u_scheme"), lit("://"), col("_u_host"),
+          when(col("_u_path0") === "", lit("/")).otherwise(col("_u_path0")),
+          when(size(col("_u_params")) > 0,
+            concat(lit("?"), array_join(col("_u_params"), "&")))
             .otherwise(lit(""))))
-      .withColumn("host", host)
-      .withColumn("domain", domain)
-      .withColumn("n_params", size(params).cast("long"))
+      .withColumn("host", col("_u_host"))
+      .withColumn("domain", array_join(
+        slice(labels, -col("_u_reglen"), col("_u_reglen")), "."))
+      .withColumn("n_params", size(col("_u_params")).cast("long"))
+      .drop("_u_nofrag", "_u_scheme", "_u_rawhost", "_u_path0",
+        "_u_params", "_u_host", "_u_labels", "_u_reglen")
   }
 
   /** Deterministic messy-URL fixture built from doc ids — mixed-case

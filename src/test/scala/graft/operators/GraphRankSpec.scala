@@ -193,6 +193,110 @@ class GraphRankSpec extends SparkSpec {
     assert(runDirected(dirty, 3) === runDirected(clean, 3))
   }
 
+  /** Plain-Scala reference for the REDISTRIBUTING directed recurrence:
+    * sink mass (vertices with no out-edge) splits |V| ways by floor
+    * division and folds into every vertex's pre-damping sum.
+    */
+  private def referenceRedistributed(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val ws = e.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+    val nv = verts.size.toLong
+    var r = verts.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val share = verts.filterNot(ws.contains).map(r).sum / nv
+      val s = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => (r(u) * w) / ws(u) }.sum
+      }
+      r = verts.map(v =>
+        v -> (150000L + ((s.getOrElse(v, 0L) + share) * 17) / 20)).toMap
+    }
+    r.map { case (v, rv) => v -> (ws.getOrElse(v, 0L), rv) }
+  }
+
+  private def runRedistributed(edges: Seq[(Long, Long, Long)], iters: Int) =
+    GraphRank.pageRankTicksDirected(
+        edges.toDF("src", "dst", "wt"), iters, redistribute = true)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, w, r) => v -> (w, r) }.toMap
+
+  /** Seeded digraph where src draws from a narrower range than dst —
+    * the high vertices receive links but emit none (guaranteed sinks).
+    */
+  private def sinkyEdges(seed: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 120).map { _ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(24).toLong,
+        1L + rnd.nextInt(3).toLong)
+    }.filter(t => t._1 != t._2).distinct
+  }
+
+  test("redistribute: seeded sink-heavy digraph matches the reference") {
+    val edges = sinkyEdges(5151)
+    for (iters <- Seq(1, 3, 5))
+      assert(runRedistributed(edges, iters) ===
+        referenceRedistributed(edges, iters), s"divergence at iters=$iters")
+  }
+
+  test("redistribute: no sinks means identical to the plain variant") {
+    // a cycle has no sinks — sink mass is 0 every round
+    val cyc = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 3L), (1L, 3L, 1L))
+    assert(runRedistributed(cyc, 5) === runDirected(cyc, 5))
+  }
+
+  test("redistribute: total mass is conserved up to floor loss; " +
+      "the plain variant leaks") {
+    val edges = sinkyEdges(6060)
+    val nv = (edges.map(_._1) ++ edges.map(_._2)).distinct.size.toLong
+    val ne = edges.size.toLong
+    val s0 = nv * 1000000L
+    for (iters <- Seq(1, 3, 5)) {
+      val total = runRedistributed(edges, iters).values.map(_._2).sum
+      // every div floors DOWNWARD: per round the loss is < |E| (edge
+      // splits) + |V| (share floor) + |V| (damping floor)
+      assert(total <= s0, s"mass created at iters=$iters")
+      assert(total >= s0 - iters * (ne + 2 * nv),
+        s"mass lost beyond floor rounding at iters=$iters: $total vs $s0")
+      // the plain variant leaks the sinks' mass outright
+      val plain = runDirected(edges, iters).values.map(_._2).sum
+      assert(plain < total, s"no leak difference at iters=$iters")
+    }
+  }
+
+  test("contraction conserves total edge weight, self-loops included") {
+    val rnd = new scala.util.Random(7722)
+    val edges = (1 to 200).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        1L + rnd.nextInt(9).toLong)
+    }.toDF("src", "dst", "wt")
+    // 40 vertices contract into 7 keys
+    val mapping = (0L until 40L).map(v => (v, s"k${v % 7}"))
+      .toDF("vid", "key")
+    val contracted = GraphRank.contractEdges(edges, mapping)
+    assert(contracted.agg(org.apache.spark.sql.functions.sum($"wt"))
+      .head().getLong(0) ===
+      edges.agg(org.apache.spark.sql.functions.sum($"wt")).head().getLong(0))
+    // and the contracted graph has at most 7x7 key pairs
+    assert(contracted.count() <= 49L)
+  }
+
+  test("q116/q117 on sf0.001: domain rank contracts, sink rank retains mass") {
+    val doms = GraphRank.q116DomainRank(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(doms.nonEmpty)
+    assert(doms.sortBy(t => (-t._3, t._1)).toSeq === doms.toSeq)
+    // domains are PSL-registered: never a bare public suffix label pair
+    assert(doms.forall(d => d._1.count(_ == '.') >= 1))
+    val sink = GraphRank.q117SinkRank(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(sink.nonEmpty)
+    // every 5th doc's out-links were dropped: those vertices are sinks
+    assert(sink.filter(_._1 % 5 == 0).forall(_._2 === 0L))
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result
