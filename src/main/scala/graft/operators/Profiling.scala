@@ -315,20 +315,27 @@ object Profiling {
     * mean/stddev z-score drowns in. Two agg passes (median, then MAD
     * of deviations) with the tiny per-group medians broadcast back;
     * a row is an outlier when |v − med| > k·MAD. Exact `percentile`
-    * here; at 100 TB per-group cardinality the same shape runs on
-    * `approx_percentile` (mergeable t-digest).
+    * by default (`accuracy = 0`); `accuracy > 0` is the IMPLEMENTED
+    * 100 TB switch — both medians come from the mergeable
+    * `approx_percentile` sketch, so per-group agg state is
+    * O(accuracy) instead of the whole group sorted. Sketch medians
+    * are data points with rank within n/accuracy of n/2 (spec'd);
+    * the outlier threshold shifts by at most that rank error.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      k: Double = 3.0): DataFrame = {
+      k: Double = 3.0, accuracy: Int = 0): DataFrame = {
     import df.sparkSession.implicits._
     val g = col(groupCol)
     val v = col(valueCol)
+    def med50(c: org.apache.spark.sql.Column) =
+      if (accuracy > 0) percentile_approx(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
     val med = df.groupBy(g.as("g"))
-      .agg(percentile(v, lit(0.5)).as("med"))
+      .agg(med50(v).cast("double").as("med"))
     val dev = df.join(broadcast(med), g === $"g").drop("g")
       .withColumn("adev", abs(v - $"med"))
     val mad = dev.groupBy(g.as("g"))
-      .agg(percentile($"adev", lit(0.5)).as("mad"))
+      .agg(med50($"adev").cast("double").as("mad"))
     dev.join(broadcast(mad), g === $"g").drop("g")
       .groupBy(g)
       .agg(count(lit(1)).as("n"),
@@ -364,18 +371,24 @@ object Profiling {
     *
     * Portability contract: the cuts are rounded to 6 dp BEFORE use,
     * so both clamp comparisons and the scale division see identical
-    * operands in any engine; outputs are rounded to 6 dp. At 100 TB
-    * the exact percentile swaps for `approx_percentile` (mergeable
-    * t-digest) behind the same interface.
+    * operands in any engine; outputs are rounded to 6 dp. `accuracy
+    * > 0` is the IMPLEMENTED 100 TB switch: the cuts come from the
+    * mergeable `approx_percentile` sketch (per-group state
+    * O(accuracy), not the group sorted) — cut values are data points
+    * with rank within n/accuracy of the target (spec'd), and
+    * everything downstream of the cuts is unchanged per-row math.
     */
   def winsorScale(df: DataFrame, groupCol: String, valCol: String,
-      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95, accuracy: Int = 0): DataFrame = {
     import df.sparkSession.implicits._
     val g = col(groupCol)
     val v = col(valCol)
+    def pct(c: org.apache.spark.sql.Column, q: Double) =
+      if (accuracy > 0) percentile_approx(c, lit(q), lit(accuracy))
+      else percentile(c, lit(q))
     val cuts = df.groupBy(g.as("g"))
-      .agg(round(percentile(v, lit(lo)), 6).as("plo"),
-        round(percentile(v, lit(hi)), 6).as("phi"))
+      .agg(round(pct(v, lo).cast("double"), 6).as("plo"),
+        round(pct(v, hi).cast("double"), 6).as("phi"))
     df.join(broadcast(cuts), g === $"g").drop("g")
       .withColumn("w", least(greatest(v, $"plo"), $"phi"))
       .withColumn("winsorized", round($"w", 6))

@@ -188,6 +188,60 @@ class CurationExtrasSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers sketch form: approx median holds the rank-error bound") {
+    val events = Tables.load(spark, sf, "events").cache()
+    val acc = 100
+    val exact = Profiling.madOutliers(events, "event_type", "value")
+    val approx = Profiling.madOutliers(events, "event_type", "value",
+      accuracy = acc)
+    // same interface: identical schema either path
+    assert(approx.columns.toSeq === exact.columns.toSeq)
+    val data = events.select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    approx.collect().foreach { r =>
+      val (t, n, nOut) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val med = r.getLong(3).toDouble / 1e6
+      val xs = data(t)
+      assert(n === xs.length.toLong && nOut <= n)
+      // sketch guarantee: the median is a data point whose rank is
+      // within n/accuracy of n/2 (+1 row slack for rank convention;
+      // +1e-9 value slack for the 1e6-tick round-trip)
+      val rank = xs.count(_ <= med + 1e-9)
+      assert(math.abs(rank - xs.length / 2.0) <= xs.length.toDouble / acc + 1.0,
+        s"$t: median rank $rank of ${xs.length}")
+    }
+  }
+
+  test("winsorScale sketch form: approx cuts hold the rank-error bound") {
+    val events = Tables.load(spark, sf, "events").cache()
+    val acc = 100
+    val (lo, hi) = (0.05, 0.95)
+    val approx = Profiling.winsorScale(events, "event_type", "value",
+      lo, hi, accuracy = acc)
+    assert(approx.columns.toSeq ===
+      Profiling.winsorScale(events, "event_type", "value").columns.toSeq)
+    val rows = approx.select($"event_type", $"value", $"winsorized", $"scaled")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // scaled stays in [0,1]; winsorized clamps toward the band
+    assert(rows.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+    val data = rows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    // recover each group's cuts from the clamp output and bound their
+    // empirical ranks (cuts are 6-dp rounded → 1e-6 comparison slack)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val xs = data(t)
+      val plo = rs.map(_._3).min
+      val phi = rs.map(_._3).max
+      val rLo = xs.count(_ <= plo + 1e-6)
+      val rHi = xs.count(_ <= phi + 1e-6)
+      assert(math.abs(rLo - lo * xs.length) <= xs.length.toDouble / acc + 1.0,
+        s"$t: lo cut rank $rLo of ${xs.length}")
+      assert(math.abs(rHi - hi * xs.length) <= xs.length.toDouble / acc + 1.0,
+        s"$t: hi cut rank $rHi of ${xs.length}")
+    }
+  }
+
   test("tokenDrift: planted vanished/newborn tokens dominate the report") {
     val ref = Seq((1L, "old old old common common"),
       (2L, "old common stable")).toDF("doc_id", "text")
