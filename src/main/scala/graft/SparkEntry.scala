@@ -179,6 +179,9 @@ object SparkEntry {
     "q115_url_canon"     -> (UrlNorm.q115UrlCanon _),
     "q116_domain_rank"   -> (GraphRank.q116DomainRank _),
     "q117_sink_rank"     -> (GraphRank.q117SinkRank _),
+    "q118_frontier_dedup" -> (UrlNorm.q118FrontierDedup _),
+    "q119_anchor_index"  -> (HtmlExtract.q119AnchorIndex _),
+    "q120_trust_rank"    -> (GraphRank.q120TrustRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1613,6 +1616,17 @@ object SparkEntry {
     // |V|-way floor share folded into the pre-damping sum on both
     // sides.
     "q117_sink_rank" -> GraphRank.sinkRankOracleSql(iters = 5),
+    // q118: crawl-frontier dedup — q113 links aggregated per target,
+    // q115 canonicalization over the targets (shared CTE chain), one
+    // canonical-URL group.
+    "q118_frontier_dedup" -> UrlNorm.frontierOracleSql,
+    // q119: anchor-text index — per-target anchor-term counts, top-3
+    // by the (cnt desc, term) total order on both sides.
+    "q119_anchor_index" -> HtmlExtract.anchorIndexOracleSql(k = 3),
+    // q120: TrustRank — seed-personalized teleport (every 10th doc);
+    // start mass and the per-round 150000 exist only on seeds in both
+    // recurrences.
+    "q120_trust_rank" -> GraphRank.trustRankOracleSql(iters = 5),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -270,8 +270,11 @@ object GraphRank {
     val pages = docs.select($"doc_id",
       HtmlExtract.syntheticLinkedHtml($"doc_id", $"text").as("html"))
     val links = HtmlExtract.extractLinks(pages)
+      // try_cast: an external href extracts to '' — ANSI cast would
+      // throw; null-and-drop mirrors the oracle's TRY_CAST
       .select($"doc_id".as("src"),
-        regexp_extract($"href", "/doc/([0-9]+)", 1).cast("long").as("dst"))
+        expr("try_cast(regexp_extract(href, '/doc/([0-9]+)', 1) " +
+          "as bigint)").as("dst"))
       .filter($"dst".isNotNull)
     // internal links only: targets that exist as documents (doc_id is
     // unique, so the inner join is a semi join)
@@ -336,6 +339,81 @@ object GraphRank {
       iters = 5, redistribute = true)
   }
 
+  /** SEED-PERSONALIZED directed PageRank (the TrustRank / topic-
+    * sensitive form): start mass and the per-round teleport exist
+    * only on the SEED vertices, so rank measures proximity to the
+    * trusted set through link structure — the spam-demotion /
+    * topical-authority prior of web curation. Same exact-tick
+    * contract; recurrence:
+    *
+    *   r'(v) = [v ∈ S]·150000 + (17 · Σ_{u→v} ((r(u)·wt) div W(u))) div 20
+    *
+    * with r0 = [v ∈ S]·1e6. When S = all vertices this is exactly
+    * [[pageRankTicksDirected]] (spec'd). Scale shape identical to
+    * the plain form plus ONE pinned seed-flag join before the loop —
+    * the flag frame replaces the bare vertex set, so per-round cost
+    * is unchanged and the whole computation stays one job.
+    */
+  def pageRankTicksSeeded(edges: DataFrame, iters: Int,
+      seeds: DataFrame): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = edges.select($"src", $"dst", $"wt")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
+      .transform(Pin.reuse)
+    val ws = e0.groupBy($"src".as("v")).agg(sum($"wt").as("w"))
+    val e = e0.join(ws.withColumnRenamed("v", "src"), "src")
+      .transform(Pin.reuse)
+    val verts = e0.select($"src".as("v"))
+      .union(e0.select($"dst".as("v"))).distinct()
+    // seed flag folded into the vertex set once (seeds outside the
+    // graph are irrelevant by construction — the left join drops them)
+    val vf = verts
+      .join(seeds.toDF("sv").distinct(), verts("v") === $"sv", "left")
+      .select($"v", $"sv".isNotNull.as("is_seed"))
+      .transform(Pin.reuse)
+    var ranks = vf.select($"v",
+      when($"is_seed", lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("v", "cv"), $"src" === $"cv")
+        .select($"dst", expr("(r * wt) div w").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+      ranks = vf.join(contrib, vf("v") === contrib("dst"), "left")
+        .select(vf("v"),
+          (when($"is_seed", lit(150000L)).otherwise(lit(0L)) +
+            expr("(coalesce(s, 0) * 17) div 20")).as("r"))
+    }
+    ranks.join(ws, Seq("v"), "left")
+      .select($"v".as("doc_id"), coalesce($"w", lit(0L)).as("out_w"),
+        $"r".as("rank_ticks"))
+      .orderBy($"rank_ticks".desc, $"doc_id")
+  }
+
+  /** Q120 — TrustRank over the q114 link graph with every 10th doc as
+    * a trusted seed: rank flows out of the seed set along links.
+    */
+  def q120TrustRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pageRankTicksSeeded(
+      linkEdges(spark, dir),
+      iters = 5,
+      seeds = Tables.load(spark, dir, "documents")
+        .select($"doc_id").filter($"doc_id" % 10 === 0))
+  }
+
+  /** DuckDB oracle for [[q120TrustRank]]. */
+  def trustRankOracleSql(iters: Int): String =
+    directedRecurrenceSql(
+      s"""$linkEdgeCtesSql,
+         | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed
+         |   GROUP BY src, dst)""".stripMargin,
+      iters,
+      seedsCte = Some("seeds AS (SELECT DISTINCT doc_id AS sv " +
+        "FROM documents WHERE doc_id % 10 = 0)"))
+
   /** The q113-link → doc-edge CTE chain shared by the q114/q116/q117
     * oracles: `ed(src, dst)` one row per internal link occurrence
     * (TRY_CAST mirrors Spark's null-on-no-match target parse;
@@ -364,7 +442,21 @@ object GraphRank {
     * mirror of the Spark operator's redistributing form.
     */
   def directedRecurrenceSql(edgeCtes: String, iters: Int,
-      redistribute: Boolean = false, vertexName: String = "doc_id"): String = {
+      redistribute: Boolean = false, vertexName: String = "doc_id",
+      seedsCte: Option[String] = None): String = {
+    // personalized (seeded) form: start mass and teleport exist ONLY
+    // on seed vertices — `seedsCte` must define `seeds(sv)`
+    def teleport(v: String): String = seedsCte match {
+      case Some(_) =>
+        s"(CASE WHEN $v IN (SELECT sv FROM seeds) THEN 150000 ELSE 0 END)"
+      case None => "150000"
+    }
+    val r0 = seedsCte match {
+      case Some(_) =>
+        """(CASE WHEN v IN (SELECT sv FROM seeds)
+          |   THEN 1000000 ELSE 0 END)::BIGINT""".stripMargin
+      case None => "1000000::BIGINT"
+    }
     val iterCtes = (1 to iters).map { i =>
       val shareCte =
         if (redistribute)
@@ -376,18 +468,19 @@ object GraphRank {
         else ""
       val shareTerm = if (redistribute) s" + (SELECT share FROM s$i)" else ""
       s"""$shareCte r$i AS (SELECT vv.v,
-         |   150000 + ((CAST(coalesce(sum((p.r * e.wt) // ws.w), 0) AS BIGINT)$shareTerm) * 17) // 20 AS r
+         |   ${teleport("vv.v")} + ((CAST(coalesce(sum((p.r * e.wt) // ws.w), 0) AS BIGINT)$shareTerm) * 17) // 20 AS r
          |  FROM verts vv
          |  LEFT JOIN e ON e.dst = vv.v
          |  LEFT JOIN r${i - 1} p ON p.v = e.src
          |  LEFT JOIN ws ON ws.v = e.src
          |  GROUP BY vv.v)""".stripMargin
     }.mkString(",\n")
+    val seedsPart = seedsCte.map(c => s" $c,\n").getOrElse("")
     s"""WITH $edgeCtes,
-       | ws AS (SELECT src AS v, sum(wt)::BIGINT AS w FROM e GROUP BY src),
+       |$seedsPart ws AS (SELECT src AS v, sum(wt)::BIGINT AS w FROM e GROUP BY src),
        | verts AS (SELECT DISTINCT v FROM
        |   (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
-       | r0 AS (SELECT v, 1000000::BIGINT AS r FROM verts),
+       | r0 AS (SELECT v, $r0 AS r FROM verts),
        |$iterCtes
        |SELECT f.v AS $vertexName, coalesce(ws.w, 0) AS out_w, f.r AS rank_ticks
        |FROM r$iters f LEFT JOIN ws ON ws.v = f.v

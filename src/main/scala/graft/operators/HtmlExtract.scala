@@ -239,6 +239,70 @@ object HtmlExtract {
        |  FROM lk)
        |ORDER BY doc_id, link_pos""".stripMargin
 
+  /** ANCHOR-TEXT aggregation per link TARGET — the classic web-search
+    * relevance signal (how the web describes a page, independent of
+    * the page's own text): parse each link's target, tokenize the
+    * tag-stripped anchor text, count (target, term) occurrences and
+    * keep the top `k` terms per target (count desc, term asc — a
+    * total order). Scale shape: projection + generator upstream, ONE
+    * (dst, term)-keyed partial-agg shuffle, then the per-target
+    * top-k window runs on the aggregated counts (|targets|·|terms|
+    * rows, never the raw link multiset).
+    */
+  def anchorTermIndex(links: DataFrame, k: Int = 3): DataFrame = {
+    import links.sparkSession.implicits._
+    val terms = links
+      // try_cast: non-/doc/ hrefs extract to '' — under ANSI a plain
+      // cast throws; null-and-drop is the contract (oracle: TRY_CAST)
+      .select(expr("try_cast(regexp_extract(href, '/doc/([0-9]+)', 1) " +
+        "as bigint)").as("dst"), $"anchor")
+      .filter($"dst".isNotNull)
+      .select($"dst", explode(split($"anchor", " ")).as("term"))
+      .filter(length($"term") > 0)
+    val counts = terms.groupBy($"dst", $"term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dst").orderBy($"cnt".desc, $"term")
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+  }
+
+  /** Q119 — top-3 anchor terms per link target over the linked
+    * fixture pages: (doc_id, term, cnt, rnk).
+    */
+  def q119AnchorIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.load(spark, dir, "documents")
+      .select($"doc_id", syntheticLinkedHtml($"doc_id", $"text").as("html"))
+    anchorTermIndex(extractLinks(pages), k = 3)
+      .select($"dst".as("doc_id"), $"term", $"cnt", $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** DuckDB oracle for [[q119AnchorIndex]] — same anchor parse and
+    * tag strip as the q113 oracle, same (cnt desc, term) total order.
+    */
+  def anchorIndexOracleSql(k: Int = 3): String =
+    s"""WITH $linkedCtesSql,
+       | an AS (SELECT doc_id,
+       |     regexp_extract(a, '$AnchorRe', 1) AS href,
+       |     trim(regexp_replace(regexp_replace(
+       |       regexp_extract(a, '$AnchorRe', 2),
+       |       '$InlineTagRe', ' ', 'g'), '$WsRe', ' ', 'g')) AS anchor
+       |   FROM (SELECT doc_id, unnest(l) AS a FROM lk)),
+       | tg AS (SELECT TRY_CAST(regexp_extract(href, '/doc/([0-9]+)', 1)
+       |       AS BIGINT) AS dst, anchor
+       |   FROM an),
+       | tm AS (SELECT dst, unnest(list_filter(string_split(anchor, ' '),
+       |     t -> len(t) > 0)) AS term
+       |   FROM tg WHERE dst IS NOT NULL),
+       | ct AS (SELECT dst, term, count(*)::BIGINT AS cnt FROM tm
+       |   GROUP BY dst, term),
+       | rk AS (SELECT dst, term, cnt, row_number() OVER
+       |     (PARTITION BY dst ORDER BY cnt DESC, term) AS rnk
+       |   FROM ct)
+       |SELECT dst AS doc_id, term, cnt, rnk::BIGINT AS rnk
+       |FROM rk WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
+
   /** Q111 — main-content extraction over synthetic pages built from
     * `documents`: (doc_id, content, n_blocks_total, n_blocks_kept,
     * content_chars). The heading and paragraph survive; nav, script,

@@ -190,30 +190,46 @@ object UrlNorm {
       .orderBy($"doc_id")
   }
 
+  /** The [[syntheticUrl]] fixture as a SQL expression over any id
+    * column — shared by the q115 oracle (`doc_id`) and the q118
+    * frontier oracle (link targets).
+    */
+  def syntheticUrlSql(id: String): String =
+    s"""(CASE WHEN $id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+       |    'Sub' || ($id % 5)::VARCHAR || '.Example' ||
+       |    ($id % 7)::VARCHAR || '.' ||
+       |    (CASE WHEN $id % 4 = 1 THEN 'co.UK'
+       |          WHEN $id % 4 = 2 THEN 'com.au'
+       |          WHEN $id % 4 = 3 THEN 'k12.ca.us'
+       |          ELSE 'COM' END) ||
+       |    (CASE WHEN $id % 2 = 0 THEN ':80'
+       |          WHEN $id % 3 = 0 THEN ':443'
+       |          WHEN $id % 5 = 0 THEN ':8080' ELSE '' END) ||
+       |    (CASE WHEN $id % 4 = 0 THEN ''
+       |          ELSE '/articles/item-' || $id::VARCHAR END) ||
+       |    '?utm_source=feed&z=' || ($id % 3)::VARCHAR ||
+       |    '&a=' || ($id % 11)::VARCHAR ||
+       |    (CASE WHEN $id % 2 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
+
   /** DuckDB oracle for [[q115UrlCanon]] — same regex constants, same
     * rule order, list ops mirroring the HOFs, and the SAME
     * public-suffix constants interpolated into the IN-lists.
     */
   def oracleSql: String =
     s"""WITH u AS (
-       |  SELECT doc_id,
-       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
-       |    'Sub' || (doc_id % 5)::VARCHAR || '.Example' ||
-       |    (doc_id % 7)::VARCHAR || '.' ||
-       |    (CASE WHEN doc_id % 4 = 1 THEN 'co.UK'
-       |          WHEN doc_id % 4 = 2 THEN 'com.au'
-       |          WHEN doc_id % 4 = 3 THEN 'k12.ca.us'
-       |          ELSE 'COM' END) ||
-       |    (CASE WHEN doc_id % 2 = 0 THEN ':80'
-       |          WHEN doc_id % 3 = 0 THEN ':443'
-       |          WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
-       |    (CASE WHEN doc_id % 4 = 0 THEN ''
-       |          ELSE '/articles/item-' || doc_id::VARCHAR END) ||
-       |    '?utm_source=feed&z=' || (doc_id % 3)::VARCHAR ||
-       |    '&a=' || (doc_id % 11)::VARCHAR ||
-       |    (CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END) AS url
+       |  SELECT doc_id, ${syntheticUrlSql("doc_id")} AS url
        |  FROM documents),
-       | nf AS (SELECT doc_id, regexp_replace(url, '$FragmentRe', '') AS nofrag
+       |$canonCtesSql
+       |SELECT doc_id, canonical_url, host, domain, n_params
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** The canonicalization rule chain as CTEs from a caller-supplied
+    * `u(doc_id, url)` CTE to `fin(doc_id, canonical_url, host,
+    * domain, n_params)` — shared verbatim by every oracle that needs
+    * URL identity (q115, q116 via embedding, q118).
+    */
+  def canonCtesSql: String =
+    s""" nf AS (SELECT doc_id, regexp_replace(url, '$FragmentRe', '') AS nofrag
        |   FROM u),
        | parts AS (SELECT doc_id, nofrag,
        |     lower(regexp_extract(nofrag, '$SchemeRe', 1)) AS scheme,
@@ -245,14 +261,60 @@ object UrlNorm {
        |            IN (${sqlList(PublicSuffixes2)}) THEN 2
        |          ELSE 1 END AS pub_len
        |   FROM canon),
-       | reg AS (SELECT *, least(pub_len + 1, len(labels)) AS reg_len FROM psl)
-       |SELECT doc_id, canonical_url, host,
-       |  array_to_string(labels[len(labels)-reg_len+1:len(labels)], '.')
-       |    AS domain,
-       |  len(params)::BIGINT AS n_params
-       |FROM reg ORDER BY doc_id""".stripMargin
+       | reg AS (SELECT *, least(pub_len + 1, len(labels)) AS reg_len FROM psl),
+       | fin AS (SELECT doc_id, canonical_url, host,
+       |   array_to_string(labels[len(labels)-reg_len+1:len(labels)], '.')
+       |     AS domain,
+       |   len(params)::BIGINT AS n_params
+       |  FROM reg)""".stripMargin
 
   /** `'a', 'b', …` — the shared suffix constants as a SQL IN-list. */
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString(", ")
+
+  /** Q118 — CRAWL-FRONTIER dedup, the fetch-scheduler op q115 exists
+    * for: every page DISCOVERS target URLs through its outlinks; the
+    * frontier is the multiset of discovered URLs, and the scheduler
+    * fetches each CANONICAL url once, keyed by registered domain
+    * (politeness buckets). Per canonical URL: the target doc, how
+    * many times it was discovered (link multiplicity included — the
+    * in-link pressure signal schedulers prioritize by), and the
+    * earliest discovering page. Composition: q113 links → q115
+    * canonicalization → one groupBy; the canonicalization runs on
+    * the DISTINCT target set (|targets|, not |links|) — at crawl
+    * scale the frontier aggregation is the cheap side and the
+    * per-URL projection never touches the link multiset.
+    */
+  def q118FrontierDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val disc = GraphRank.linkEdges(spark, dir)
+      .groupBy($"dst")
+      .agg(sum($"wt").as("n_discoveries"),
+        min($"src").as("first_discoverer"))
+    canonicalize(disc.withColumn("url", syntheticUrl($"dst")))
+      .groupBy($"canonical_url", $"domain")
+      .agg(min($"dst").as("target_doc_id"),
+        sum($"n_discoveries").as("n_discoveries"),
+        min($"first_discoverer").as("first_discoverer"))
+      .orderBy($"canonical_url")
+  }
+
+  /** DuckDB oracle for [[q118FrontierDedup]]: the q114 link CTEs, the
+    * discovery aggregation, the [[syntheticUrlSql]] fixture over the
+    * targets, then the SAME canonicalization CTE chain.
+    */
+  def frontierOracleSql: String =
+    s"""WITH ${GraphRank.linkEdgeCtesSql},
+       | disc AS (SELECT dst, count(*)::BIGINT AS nd, min(src)::BIGINT AS fd
+       |   FROM ed GROUP BY dst),
+       | u AS (SELECT dst AS doc_id, ${syntheticUrlSql("dst")} AS url
+       |   FROM disc),
+       |$canonCtesSql
+       |SELECT f.canonical_url, f.domain,
+       |  min(d.dst)::BIGINT AS target_doc_id,
+       |  sum(d.nd)::BIGINT AS n_discoveries,
+       |  min(d.fd)::BIGINT AS first_discoverer
+       |FROM fin f JOIN disc d ON d.dst = f.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY canonical_url""".stripMargin
 }

@@ -297,6 +297,60 @@ class GraphRankSpec extends SparkSpec {
     assert(sink.filter(_._1 % 5 == 0).forall(_._2 === 0L))
   }
 
+  /** Plain-Scala reference for the SEEDED recurrence: start mass and
+    * teleport only on seeds.
+    */
+  private def referenceSeeded(edges: Seq[(Long, Long, Long)], iters: Int,
+      seeds: Set[Long]): Map[Long, (Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val ws = e.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = verts.map(v => v -> (if (seeds(v)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val s = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => (r(u) * w) / ws(u) }.sum
+      }
+      r = verts.map(v => v -> ((if (seeds(v)) 150000L else 0L) +
+        (s.getOrElse(v, 0L) * 17) / 20)).toMap
+    }
+    r.map { case (v, rv) => v -> (ws.getOrElse(v, 0L), rv) }
+  }
+
+  private def runSeeded(edges: Seq[(Long, Long, Long)], iters: Int,
+      seeds: Seq[Long]) =
+    GraphRank.pageRankTicksSeeded(
+        edges.toDF("src", "dst", "wt"), iters, seeds.toDF("v"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, w, r) => v -> (w, r) }.toMap
+
+  test("seeded: seeded random digraph matches the reference") {
+    val rnd = new scala.util.Random(8844)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        1L + rnd.nextInt(3).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    val seeds = Seq(0L, 5L, 10L, 15L, 20L)
+    for (iters <- Seq(1, 3, 5))
+      assert(runSeeded(edges, iters, seeds) ===
+        referenceSeeded(edges, iters, seeds.toSet),
+        s"divergence at iters=$iters")
+  }
+
+  test("seeded: the all-vertices seed set reproduces the plain ranking") {
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 3L), (1L, 3L, 1L))
+    assert(runSeeded(edges, 5, Seq(1L, 2L, 3L)) === runDirected(edges, 5))
+  }
+
+  test("seeded: vertices unreachable from the seed set stay at zero") {
+    // two chains; only chain 1's head is trusted — chain 3→4 never
+    // receives teleport or flow, so both its vertices rank 0
+    val got = runSeeded(Seq((1L, 2L, 1L), (3L, 4L, 1L)), 4, Seq(1L))
+    assert(got(3L)._2 === 0L && got(4L)._2 === 0L)
+    assert(got(1L)._2 > 0L && got(2L)._2 > 0L)
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result

@@ -125,6 +125,34 @@ class HtmlExtractSpec extends SparkSpec {
       Seq("/doc/162", "/doc/38", "/doc/76"))
   }
 
+  test("anchorTermIndex: counts aggregate per target; ties break by term") {
+    val pages = Seq(
+      (1L, """<p><a href="/doc/9">alpha beta</a></p>"""),
+      (2L, """<p><a href="/doc/9">alpha</a> and <a href="/x">noise</a></p>"""),
+      (3L, """<p><a href="/doc/9">gamma</a><a href="/doc/7">delta</a></p>"""))
+      .toDF("doc_id", "html")
+    val got = HtmlExtract.anchorTermIndex(HtmlExtract.extractLinks(pages))
+      .orderBy($"dst", $"rnk")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // target 9: alpha ×2 wins; beta/gamma tie at 1 → term order;
+    // target 7: delta; the non-/doc/ href contributes nothing
+    assert(got === Seq(
+      (7L, "delta", 1L, 1L),
+      (9L, "alpha", 2L, 1L), (9L, "beta", 1L, 2L), (9L, "gamma", 1L, 3L)))
+  }
+
+  test("anchorTermIndex: top-k cuts at k and inline markup is stripped") {
+    val pages = Seq(
+      (1L, """<a href="/doc/5">w1 w2</a><a href="/doc/5"><b>w3</b> w4</a>
+             |<a href="/doc/5">w2 w3</a>""".stripMargin))
+      .toDF("doc_id", "html")
+    val got = HtmlExtract.anchorTermIndex(
+        HtmlExtract.extractLinks(pages), k = 2)
+      .orderBy($"rnk").as[(Long, String, Long, Long)].collect().toSeq
+    // counts: w2=2, w3=2 (bold stripped), w1=1, w4=1 → top-2 = w2, w3
+    assert(got === Seq((5L, "w2", 2L, 1L), (5L, "w3", 2L, 2L)))
+  }
+
   test("Spark split and DuckDB string_split_regex agree on empty fragments") {
     // '<p>a</p><div>b</div>' → ['', 'a', '', 'b', ''] in DuckDB
     // (probed); Java split(…, -1) must produce the same 5 fragments

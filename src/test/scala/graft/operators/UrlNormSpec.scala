@@ -82,6 +82,20 @@ class UrlNormSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("q118 frontier: discoveries conserve the link count; one row per URL") {
+    val frontier = UrlNorm.q118FrontierDedup(spark, sf).cache()
+    val totalLinks = GraphRank.linkEdges(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum($"wt")).head().getLong(0)
+    // every link occurrence is exactly one discovery
+    assert(frontier.agg(org.apache.spark.sql.functions.sum($"n_discoveries"))
+      .head().getLong(0) === totalLinks)
+    // canonical URLs are unique (that IS the dedup) and each carries a
+    // PSL-registered domain
+    assert(frontier.select($"canonical_url").distinct().count() ===
+      frontier.count())
+    assert(frontier.filter($"domain".contains(".") === false).count() === 0L)
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
