@@ -182,6 +182,8 @@ object SparkEntry {
     "q118_frontier_dedup" -> (UrlNorm.q118FrontierDedup _),
     "q119_anchor_index"  -> (HtmlExtract.q119AnchorIndex _),
     "q120_trust_rank"    -> (GraphRank.q120TrustRank _),
+    "q121_hits"          -> (GraphRank.q121Hits _),
+    "q122_mirror_domains" -> (UrlNorm.q122MirrorDomains _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -368,11 +370,8 @@ object SparkEntry {
         |  greatest(en, fr, de, es) AS m
         |  FROM documents) ORDER BY doc_id""".stripMargin,
     "q26_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_transform(range(1, length(text) + 1),
-        |      i -> ascii(text[i])::BIGINT),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_term_doc_freq" ->
       """SELECT tok, count(DISTINCT doc_id) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -1627,6 +1626,14 @@ object SparkEntry {
     // start mass and the per-round 150000 exist only on seeds in both
     // recurrences.
     "q120_trust_rank" -> GraphRank.trustRankOracleSql(iters = 5),
+    // q121: HITS hubs/authorities — max-normalized half-steps in Long
+    // ticks (sup-norm variant), scalar maxima as subqueries/cross
+    // joins, identical floor-division trajectory on both sides.
+    "q121_hits" -> GraphRank.hitsOracleSql(iters = 5),
+    // q122: mirror-site detection — q115 domains × q26 fingerprints,
+    // fp-keyed inverted-index self-join with the same frequency cap
+    // on both engines.
+    "q122_mirror_domains" -> UrlNorm.mirrorOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -523,6 +523,109 @@ object GraphRank {
          |   WHERE src % 5 <> 0 GROUP BY src, dst)""".stripMargin,
       iters, redistribute = true)
 
+  /** HITS hubs-and-authorities in exact tick arithmetic — the
+    * complementary authority model to PageRank (a good HUB links to
+    * good authorities; a good AUTHORITY is linked from good hubs —
+    * directory pages vs content pages, both curation signals). The
+    * float algorithm L2-normalizes each half-step; for an
+    * engine-exact trajectory this uses MAX-normalization in Long
+    * ticks (sup-norm — a standard HITS variant) so every round is
+    * floor division on non-negative longs:
+    *
+    *   a_i(v) = (Σ_{u→v} h_{i-1}(u)·wt) · 1e6 div max_v(Σ …)
+    *   h_i(v) = (Σ_{v→u} a_i(u)·wt)     · 1e6 div max_v(Σ …)
+    *
+    * from h_0 = 1e6. Overflow domain: the raw sums stay < 2⁶³ while
+    * Σ_edges wt < ~9e12 per vertex neighborhood — web-host scale.
+    *
+    * Scale shape: per round two (key, partial-agg-sum) shuffles (one
+    * per direction) plus two SCALAR max aggs folded back as 1-row
+    * cross joins (never a driver read). Each raw-sum frame has two
+    * consumers (its max and its normalized projection), so rounds pin
+    * raw frames and release the previous round's — the probe-mode
+    * pattern, two jobs per round.
+    */
+  def hitsTicks(edges: DataFrame, iters: Int): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select($"src", $"dst", $"wt")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
+      .transform(Pin.reuse)
+    val verts = e.select($"src".as("v"))
+      .union(e.select($"dst".as("v"))).distinct()
+      .transform(Pin.reuse)
+    var h = verts.select($"v", lit(1000000L).as("h"))
+    var a = verts.select($"v", lit(0L).as("a"))
+    var pinnedPrev: Seq[DataFrame] = Nil
+    for (_ <- 1 to iters) {
+      val aRaw = Pin.iterative(
+        e.join(h.withColumnRenamed("v", "hv"), $"src" === $"hv")
+          .select($"dst", ($"h" * $"wt").as("x"))
+          .groupBy($"dst").agg(sum($"x").as("xa")))
+      val aMax = aRaw.agg(max($"xa").as("ma"))
+      a = verts.join(aRaw, verts("v") === aRaw("dst"), "left")
+        .crossJoin(aMax)
+        .select($"v", expr("(coalesce(xa, 0) * 1000000) div ma").as("a"))
+      val hRaw = Pin.iterative(
+        e.join(a.withColumnRenamed("v", "av"), $"dst" === $"av")
+          .select($"src", ($"a" * $"wt").as("x"))
+          .groupBy($"src").agg(sum($"x").as("xh")))
+      val hMax = hRaw.agg(max($"xh").as("mh"))
+      h = verts.join(hRaw, verts("v") === hRaw("src"), "left")
+        .crossJoin(hMax)
+        .select($"v", expr("(coalesce(xh, 0) * 1000000) div mh").as("h"))
+      pinnedPrev.foreach(Pin.release)
+      pinnedPrev = Seq(aRaw, hRaw)
+    }
+    h.join(a.withColumnRenamed("v", "va"), $"v" === $"va")
+      .select($"v".as("doc_id"), $"h".as("hub_ticks"), $"a".as("auth_ticks"))
+      .orderBy($"auth_ticks".desc, $"hub_ticks".desc, $"doc_id")
+  }
+
+  /** Q121 — HITS over the q114 link graph: (doc_id, hub_ticks,
+    * auth_ticks), 5 exact-tick rounds.
+    */
+  def q121Hits(spark: SparkSession, dir: String): DataFrame =
+    hitsTicks(linkEdges(spark, dir), iters = 5)
+
+  /** DuckDB oracle for [[q121Hits]] — the same max-normalized
+    * half-steps as chained CTEs. The maxima are GLOBAL WINDOW
+    * functions (`max(x) OVER ()`), not scalar subqueries: a scalar
+    * subquery would reference each raw CTE a second time, and with
+    * CTE inlining that doubles the whole upstream chain per
+    * half-step — 2^(2·iters) plan blowup (measured: the subquery
+    * form never finished at sf0.01). The window form keeps every CTE
+    * single-referenced, so the chain stays linear. `max` ignores the
+    * NULLs the LEFT join introduces for in-link-less vertices, so
+    * the window value equals the raw maximum.
+    */
+  def hitsOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""" a${i}raw AS (SELECT e.dst AS v, CAST(sum(p.h * e.wt) AS BIGINT) AS x
+         |   FROM e JOIN h${i - 1} p ON p.v = e.src GROUP BY e.dst),
+         | a$i AS (SELECT vv.v,
+         |     (coalesce(ar.x, 0) * 1000000) // (max(ar.x) OVER ()) AS a
+         |   FROM verts vv LEFT JOIN a${i}raw ar ON ar.v = vv.v),
+         | h${i}raw AS (SELECT e.src AS v, CAST(sum(p.a * e.wt) AS BIGINT) AS x
+         |   FROM e JOIN a$i p ON p.v = e.dst GROUP BY e.src),
+         | h$i AS (SELECT vv.v,
+         |     (coalesce(hr.x, 0) * 1000000) // (max(hr.x) OVER ()) AS h
+         |   FROM verts vv LEFT JOIN h${i}raw hr ON hr.v = vv.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgeCtesSql,
+       | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed
+       |   GROUP BY src, dst),
+       | verts AS (SELECT DISTINCT v FROM
+       |   (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       | h0 AS (SELECT v, 1000000::BIGINT AS h FROM verts),
+       |$iterCtes
+       |SELECT h.v AS doc_id, h.h AS hub_ticks, a.a AS auth_ticks
+       |FROM h$iters h JOIN a$iters a ON a.v = h.v
+       |ORDER BY auth_ticks DESC, hub_ticks DESC, doc_id""".stripMargin
+  }
+
   /** Jaccard pairs with integer weight ticks at the overflow-safe 1e3
     * scale: (doc_a, doc_b, wt = round(jac·1000)). The round happens on
     * the raw co/union double — the identical dag the oracle evaluates.

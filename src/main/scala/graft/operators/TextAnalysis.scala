@@ -143,4 +143,12 @@ object TextAnalysis {
       .select($"doc_id", fingerprint($"text").as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** The [[fingerprint]] fold as DuckDB SQL over a text column —
+    * shared by the q26 and q122 oracles (one formula text).
+    */
+  def fingerprintSql(textCol: String): String =
+    s"""list_reduce(list_transform(range(1, length($textCol) + 1),
+       |      i -> ascii($textCol[i])::BIGINT),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 }

@@ -299,6 +299,93 @@ object UrlNorm {
       .orderBy($"canonical_url")
   }
 
+  /** MIRROR-SITE detection — the domain-level dedup signal: two
+    * domains serving many byte-identical documents are mirrors (or a
+    * scraper), and web curation keeps one. `domFp` is (domain, fp)
+    * content fingerprints; pairs of domains sharing ≥ `minShared`
+    * DISTINCT fingerprints are reported with their shared count.
+    *
+    * Scale shape: the pair generation is an fp-keyed inverted-index
+    * self-join (the q18 postings shape, never domain-all-pairs), with
+    * the standard frequency cap: a fingerprint present on more than
+    * `maxFpDomains` domains is boilerplate (empty pages, error
+    * templates), contributes O(n²) join rows, and carries no mirror
+    * signal — it is dropped BEFORE the join on both engines.
+    */
+  def mirrorPairs(domFp: DataFrame, minShared: Long = 1L,
+      maxFpDomains: Long = 100L): DataFrame = {
+    import domFp.sparkSession.implicits._
+    // distinct: a domain hosting the same content twice is internal
+    // replication, not cross-domain mirroring
+    val d = domFp.select($"domain", $"fp").distinct()
+      .transform(graft.core.Pin.reuse)
+    val keep = d.join(
+      d.groupBy($"fp").agg(count(lit(1)).as("nd"))
+        .filter($"nd" <= maxFpDomains).select($"fp"),
+      "fp")
+    keep.as("a").join(keep.as("b"),
+        $"a.fp" === $"b.fp" && $"a.domain" < $"b.domain")
+      .groupBy($"a.domain".as("domain_a"), $"b.domain".as("domain_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= minShared)
+  }
+
+  /** Q122 — mirror/scrape domains over the fixture corpus: q115
+    * domains × 8-token SHINGLE fingerprints (the q26 rolling hash
+    * over each shingle). Shingle overlap, not whole-document
+    * identity, is the standard detector — a scraper rewrites the
+    * chrome but copies the prose, so byte-identical matching misses
+    * everything while shared-shingle counting catches it.
+    * (domain_a, domain_b, shared_fps).
+    */
+  def q122MirrorDomains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val doms = canonicalize(
+        docs.select($"doc_id", syntheticUrl($"doc_id").as("url")))
+      .select($"doc_id", $"domain")
+    val toks = split($"text", " ")
+    // 8-token shingles, distinct per doc; sequence() must be guarded —
+    // Spark generates a DESCENDING sequence when stop < start, where
+    // DuckDB's range() is simply empty
+    val fps = docs.select($"doc_id",
+        explode(when(size(toks) >= 8,
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - lit(7)),
+            i => array_join(slice(toks, i, lit(8)), " "))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .select($"doc_id", TextAnalysis.fingerprint($"sh").as("fp"))
+    mirrorPairs(fps.join(doms, "doc_id").select($"domain", $"fp"),
+        minShared = 1L, maxFpDomains = 10L)
+      .orderBy($"shared_fps".desc, $"domain_a", $"domain_b")
+  }
+
+  /** DuckDB oracle for [[q122MirrorDomains]] — shared canonicalization
+    * chain + shared shingle/fingerprint folds, same frequency cap.
+    */
+  def mirrorOracleSql(minShared: Long = 1L, maxFpDomains: Long = 10L): String =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${syntheticUrlSql("doc_id")} AS url
+       |  FROM documents),
+       |$canonCtesSql,
+       | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |     range(1, len(toks) - 6),
+       |     i -> array_to_string(toks[i:i+7], ' ')))) AS s
+       |   FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |     FROM documents)),
+       | fps AS (SELECT doc_id, ${TextAnalysis.fingerprintSql("s")} AS fp
+       |   FROM sh),
+       | dfp AS (SELECT DISTINCT f.domain, p.fp
+       |   FROM fin f JOIN fps p ON p.doc_id = f.doc_id),
+       | freq AS (SELECT fp, count(*) AS nd FROM dfp GROUP BY fp),
+       | keep AS (SELECT dfp.domain, dfp.fp FROM dfp
+       |   JOIN freq ON freq.fp = dfp.fp WHERE freq.nd <= $maxFpDomains)
+       |SELECT a.domain AS domain_a, b.domain AS domain_b,
+       |  count(*)::BIGINT AS shared_fps
+       |FROM keep a JOIN keep b ON a.fp = b.fp AND a.domain < b.domain
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY shared_fps DESC, domain_a, domain_b""".stripMargin
+
   /** DuckDB oracle for [[q118FrontierDedup]]: the q114 link CTEs, the
     * discovery aggregation, the [[syntheticUrlSql]] fixture over the
     * targets, then the SAME canonicalization CTE chain.

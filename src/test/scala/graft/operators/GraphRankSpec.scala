@@ -351,6 +351,55 @@ class GraphRankSpec extends SparkSpec {
     assert(got(1L)._2 > 0L && got(2L)._2 > 0L)
   }
 
+  /** Plain-Scala reference for max-normalized HITS. */
+  private def referenceHits(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = verts.map(_ -> 1000000L).toMap
+    var a = verts.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val aRaw = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => h(u) * w }.sum }
+      val am = aRaw.values.max
+      a = verts.map(v => v -> aRaw.getOrElse(v, 0L) * 1000000L / am).toMap
+      val hRaw = e.groupBy(_._1).map { case (v, es) =>
+        v -> es.map { case (_, u, w) => a(u) * w }.sum }
+      val hm = hRaw.values.max
+      h = verts.map(v => v -> hRaw.getOrElse(v, 0L) * 1000000L / hm).toMap
+    }
+    verts.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long, Long)], iters: Int) =
+    GraphRank.hitsTicks(edges.toDF("src", "dst", "wt"), iters)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, hh, aa) => v -> (hh, aa) }.toMap
+
+  test("hits: seeded random digraph matches the reference") {
+    val rnd = new scala.util.Random(9393)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        1L + rnd.nextInt(3).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    for (iters <- Seq(1, 3, 5))
+      assert(runHits(edges, iters) === referenceHits(edges, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("hits: a pure directory page is the top hub, never an authority") {
+    // 1 links to 2,3,4 (each also interlinked so hubs/auths mix);
+    // vertex 1 receives nothing → authority 0, hub max
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (3L, 4L, 1L))
+    val got = runHits(edges, 4)
+    assert(got(1L)._2 === 0L, "directory page must have zero authority")
+    assert(got.values.map(_._1).max === got(1L)._1,
+      "directory page must be the max hub")
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result

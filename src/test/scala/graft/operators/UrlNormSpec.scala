@@ -96,6 +96,22 @@ class UrlNormSpec extends SparkSpec {
     assert(frontier.filter($"domain".contains(".") === false).count() === 0L)
   }
 
+  test("mirrorPairs: shared-fp counting, frequency cap, within-domain dedup") {
+    val domFp = Seq(
+      // a and b share fps 1,2; c shares fp 1 with both; fp 9 is on
+      // every domain (boilerplate — capped out at maxFpDomains=2);
+      // fp 2 duplicated WITHIN a (internal replication, counts once)
+      ("a", 1L), ("a", 2L), ("a", 2L), ("a", 9L),
+      ("b", 1L), ("b", 2L), ("b", 9L),
+      ("c", 1L), ("c", 9L)).toDF("domain", "fp")
+    val got = UrlNorm.mirrorPairs(domFp, minShared = 1L, maxFpDomains = 2L)
+      .orderBy($"domain_a", $"domain_b")
+      .as[(String, String, Long)].collect().toSeq
+    // fp 1 is on 3 domains > cap 2 → dropped; fp 9 on 3 → dropped;
+    // only fp 2 survives → (a,b) share exactly 1
+    assert(got === Seq(("a", "b", 1L)))
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
