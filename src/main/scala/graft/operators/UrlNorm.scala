@@ -344,17 +344,37 @@ object UrlNorm {
     val doms = canonicalize(
         docs.select($"doc_id", syntheticUrl($"doc_id").as("url")))
       .select($"doc_id", $"domain")
-    val toks = split($"text", " ")
-    // 8-token shingles, distinct per doc; sequence() must be guarded —
-    // Spark generates a DESCENDING sequence when stop < start, where
-    // DuckDB's range() is simply empty
-    val fps = docs.select($"doc_id",
-        explode(when(size(toks) >= 8,
-          array_distinct(transform(
-            sequence(lit(1), size(toks) - lit(7)),
-            i => array_join(slice(toks, i, lit(8)), " "))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
-      .select($"doc_id", TextAnalysis.fingerprint($"sh").as("fp"))
+    // 8-token shingles, distinct per doc, fingerprinted with the q26
+    // polynomial — as a TYPED per-partition loop: the column-HOF form
+    // (transform → explode → aggregate-per-char) is not whole-stage-
+    // codegen'd and ran 3× the whole rank family (5.8 s at sf0.1);
+    // the loop computes identical Long values (ascii(c) = charAt for
+    // the fixtures' ASCII corpus — the same assumption the q26
+    // oracle's text[i] indexing makes) at a fraction of the cost.
+    val fps = docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < 8) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[Long]
+          var i = 0
+          while (i <= toks.length - 8) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < 8) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j)); j += 1
+            }
+            var acc = 0L
+            var k = 0
+            while (k < sb.length) {
+              acc = (acc * 31L + sb.charAt(k).toLong) % 1000000007L; k += 1
+            }
+            seen.add(acc); i += 1
+          }
+          seen.iterator.map(f => (id, f))
+        }
+      }.toDF("doc_id", "fp")
     mirrorPairs(fps.join(doms, "doc_id").select($"domain", $"fp"),
         minShared = 1L, maxFpDomains = 10L)
       .orderBy($"shared_fps".desc, $"domain_a", $"domain_b")

@@ -189,7 +189,10 @@ class CurationExtrasSpec extends SparkSpec {
   }
 
   test("madOutliers sketch form: approx median holds the rank-error bound") {
-    val events = Tables.load(spark, sf, "events").cache()
+    // NOT cached: a cached `events` plan would serve every later
+    // suite's scan from InMemoryRelation and break the parquet
+    // pushdown contracts (the cache manager is session-global)
+    val events = Tables.load(spark, sf, "events")
     val acc = 100
     val exact = Profiling.madOutliers(events, "event_type", "value")
     val approx = Profiling.madOutliers(events, "event_type", "value",
@@ -214,7 +217,7 @@ class CurationExtrasSpec extends SparkSpec {
   }
 
   test("winsorScale sketch form: approx cuts hold the rank-error bound") {
-    val events = Tables.load(spark, sf, "events").cache()
+    val events = Tables.load(spark, sf, "events")
     val acc = 100
     val (lo, hi) = (0.05, 0.95)
     val approx = Profiling.winsorScale(events, "event_type", "value",

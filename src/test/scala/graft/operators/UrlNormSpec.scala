@@ -83,7 +83,8 @@ class UrlNormSpec extends SparkSpec {
   }
 
   test("q118 frontier: discoveries conserve the link count; one row per URL") {
-    val frontier = UrlNorm.q118FrontierDedup(spark, sf).cache()
+    val frontier = UrlNorm.q118FrontierDedup(spark, sf)
+      .localCheckpoint(true) // pin without touching the session cache
     val totalLinks = GraphRank.linkEdges(spark, sf)
       .agg(org.apache.spark.sql.functions.sum($"wt")).head().getLong(0)
     // every link occurrence is exactly one discovery
