@@ -184,6 +184,7 @@ object SparkEntry {
     "q120_trust_rank"    -> (GraphRank.q120TrustRank _),
     "q121_hits"          -> (GraphRank.q121Hits _),
     "q122_mirror_domains" -> (UrlNorm.q122MirrorDomains _),
+    "q123_label_prop"    -> (GraphRank.q123LabelProp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1634,6 +1635,10 @@ object SparkEntry {
     // fp-keyed inverted-index self-join with the same frequency cap
     // on both engines.
     "q122_mirror_domains" -> UrlNorm.mirrorOracleSql(),
+    // q123: label propagation — clamped seeds, weighted-majority vote
+    // with min-label tie-break, carry on silence; exact Long votes so
+    // both engines walk the same label trajectory.
+    "q123_label_prop" -> GraphRank.labelPropOracleSql(iters = 4),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -626,6 +626,110 @@ object GraphRank {
        |ORDER BY auth_ticks DESC, hub_ticks DESC, doc_id""".stripMargin
   }
 
+  /** SEMI-SUPERVISED label propagation over a directed weighted graph
+    * — the label-spreading op of web curation (spam/topic labels flow
+    * along links from a small audited seed set to the whole corpus).
+    * Seeds are CLAMPED (an audited label never flips); every other
+    * vertex takes, per round, the weighted-majority label of its
+    * labeled in-neighbors, keeping its previous label when no vote
+    * arrives. Determinism: vote sums are exact Longs and the argmax
+    * tie-breaks by SMALLEST label id, so the trajectory is
+    * engine-portable like the rank family.
+    *
+    * Scale shape: per round one (dst,label)-keyed partial-agg shuffle
+    * + one per-dst argmax (a max of (votes, −label) structs — no
+    * window over raw votes), then a vertex-keyed 3-way left join.
+    * The round's label frame has two consumers next round (votes and
+    * the carry join) — pinned per round, previous released.
+    */
+  def labelPropagateTicks(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select($"src", $"dst", $"wt")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
+      .transform(Pin.reuse)
+    val verts = e.select($"src".as("v"))
+      .union(e.select($"dst".as("v"))).distinct()
+      .transform(Pin.reuse)
+    val sd = seeds.toDF("sv", "slabel").distinct().transform(Pin.reuse)
+    var labels = Pin.iterative(
+      verts.join(sd, verts("v") === $"sv", "left")
+        .select($"v", $"slabel".as("label")))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.filter($"label".isNotNull)
+          .withColumnRenamed("v", "lv"), $"src" === $"lv")
+        .groupBy($"dst", $"label").agg(sum($"wt").as("votes"))
+      // deterministic argmax: max of (votes, −label) structs ranks by
+      // votes then by SMALLEST label on ties
+      val winners = votes.groupBy($"dst")
+        .agg(max(struct($"votes", (lit(0L) - $"label").as("nl"))).as("m"))
+        .select($"dst", (lit(0L) - $"m.nl").as("wlabel"))
+      val next = verts
+        .join(sd, verts("v") === $"sv", "left")
+        .join(winners, verts("v") === winners("dst"), "left")
+        .join(labels.withColumnRenamed("v", "pv")
+          .withColumnRenamed("label", "plabel"),
+          verts("v") === $"pv", "left")
+        .select(verts("v"),
+          coalesce($"slabel", $"wlabel", $"plabel").as("label"))
+      val pinned = Pin.iterative(next)
+      Pin.release(labels) // always pinned here (the l0 frame is too)
+      labels = pinned
+    }
+    labels.select($"v".as("doc_id"), $"label").orderBy($"doc_id")
+  }
+
+  /** Q123 — label propagation over the q114 link graph: every 17th
+    * doc is an audited seed labeled doc_id mod 2 (two classes),
+    * 4 rounds. (doc_id, label) with label NULL where no label ever
+    * arrived.
+    */
+  def q123LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    labelPropagateTicks(
+      linkEdges(spark, dir),
+      Tables.load(spark, dir, "documents")
+        .filter($"doc_id" % 17 === 0)
+        .select($"doc_id".as("v"), ($"doc_id" % 2).as("label")),
+      iters = 4)
+  }
+
+  /** DuckDB oracle for [[q123LabelProp]] — same clamp/vote/carry
+    * rounds as chained CTEs, argmax via `row_number` over
+    * (votes DESC, label ASC).
+    */
+  def labelPropOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""" v$i AS (SELECT e.dst, p.label, CAST(sum(e.wt) AS BIGINT) AS votes
+         |   FROM e JOIN l${i - 1} p ON p.v = e.src
+         |   WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
+         | w$i AS (SELECT dst, label FROM (
+         |     SELECT dst, label, row_number() OVER
+         |       (PARTITION BY dst ORDER BY votes DESC, label ASC) AS rn
+         |     FROM v$i) WHERE rn = 1),
+         | l$i AS (SELECT vv.v, coalesce(s.slabel, w.label, p.label) AS label
+         |   FROM verts vv
+         |   LEFT JOIN seeds s ON s.sv = vv.v
+         |   LEFT JOIN w$i w ON w.dst = vv.v
+         |   LEFT JOIN l${i - 1} p ON p.v = vv.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgeCtesSql,
+       | e AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed
+       |   GROUP BY src, dst),
+       | verts AS (SELECT DISTINCT v FROM
+       |   (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       | seeds AS (SELECT DISTINCT doc_id AS sv, doc_id % 2 AS slabel
+       |   FROM documents WHERE doc_id % 17 = 0),
+       | l0 AS (SELECT vv.v, s.slabel AS label FROM verts vv
+       |   LEFT JOIN seeds s ON s.sv = vv.v),
+       |$iterCtes
+       |SELECT v AS doc_id, label FROM l$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** Jaccard pairs with integer weight ticks at the overflow-safe 1e3
     * scale: (doc_a, doc_b, wt = round(jac·1000)). The round happens on
     * the raw co/union double — the identical dag the oracle evaluates.

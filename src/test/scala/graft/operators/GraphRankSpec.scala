@@ -400,6 +400,63 @@ class GraphRankSpec extends SparkSpec {
       "directory page must be the max hub")
   }
 
+  /** Plain-Scala reference for clamped weighted-majority label
+    * propagation with min-label tie-break and carry-on-silence.
+    */
+  private def referenceLabelProp(edges: Seq[(Long, Long, Long)],
+      seeds: Map[Long, Long], iters: Int): Map[Long, Option[Long]] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+    var l: Map[Long, Option[Long]] = verts.map(v => v -> seeds.get(v)).toMap
+    for (_ <- 1 to iters) {
+      val votes = e.flatMap { case (u, v, w) => l(u).map(lb => (v, lb, w)) }
+        .groupBy(t => (t._1, t._2))
+        .map { case ((v, lb), ts) => (v, lb, ts.map(_._3).sum) }
+      val win = votes.groupBy(_._1).map { case (v, vs) =>
+        v -> vs.minBy(t => (-t._3, t._2))._2
+      }
+      l = verts.map(v =>
+        v -> seeds.get(v).orElse(win.get(v)).orElse(l(v))).toMap
+    }
+    l
+  }
+
+  private def runLabelProp(edges: Seq[(Long, Long, Long)],
+      seeds: Seq[(Long, Long)], iters: Int): Map[Long, Option[Long]] =
+    GraphRank.labelPropagateTicks(edges.toDF("src", "dst", "wt"),
+        seeds.toDF("v", "label"), iters)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("labelprop: seeded random digraph matches the reference") {
+    val rnd = new scala.util.Random(1212)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+        1L + rnd.nextInt(3).toLong)
+    }.filter(t => t._1 != t._2).distinct
+    val seeds = Seq(0L -> 0L, 7L -> 1L, 14L -> 0L, 21L -> 1L).toMap
+    for (iters <- Seq(1, 3, 5))
+      assert(runLabelProp(edges, seeds.toSeq, iters) ===
+        referenceLabelProp(edges, seeds, iters),
+        s"divergence at iters=$iters")
+  }
+
+  test("labelprop: seeds clamp, ties take the smaller label, silence carries") {
+    // 1(seed:1) -> 3 <- 2(seed:0) with equal weight: tie → label 0;
+    // 3 -> 4 gets 3's label one round later; 5 -> 1 cannot flip the
+    // clamped seed; 6 is isolated-from-labels and stays null
+    val edges = Seq((1L, 3L, 5L), (2L, 3L, 5L), (3L, 4L, 1L),
+      (5L, 1L, 9L), (6L, 5L, 1L))
+    val got = runLabelProp(edges, Seq(1L -> 1L, 2L -> 0L), 3)
+    assert(got(3L) === Some(0L), "tie must take the smaller label")
+    assert(got(4L) === Some(0L), "label must propagate a second hop")
+    assert(got(1L) === Some(1L), "seed label is clamped")
+    assert(got(5L) === None && got(6L) === None,
+      "vertices no label ever reaches stay null")
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result
