@@ -457,6 +457,37 @@ class GraphRankSpec extends SparkSpec {
       "vertices no label ever reaches stay null")
   }
 
+  test("randomized band: every directed variant matches its reference " +
+      "across seeds") {
+    // the per-variant tests above each use one seed; this band sweeps
+    // four more through ALL six variants — 24 differential cases —
+    // so a tie-break or floor-order bug that one topology happens to
+    // mask still gets caught
+    for (seed <- Seq(1101, 2202, 3303, 4404)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 120).map { _ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong,
+          1L + rnd.nextInt(5).toLong)
+      }.filter(t => t._1 != t._2).distinct
+      val undirected = edges.map { case (a, b, w) =>
+        (math.min(a, b), math.max(a, b), w) }.distinct
+      assert(runDirected(edges, 3) === referenceDirected(edges, 3),
+        s"directed seed=$seed")
+      assert(runRedistributed(edges, 3) === referenceRedistributed(edges, 3),
+        s"redistribute seed=$seed")
+      val sd = edges.map(_._1).distinct.sorted.take(3)
+      assert(runSeeded(edges, 3, sd) === referenceSeeded(edges, 3, sd.toSet),
+        s"seeded seed=$seed")
+      assert(runHits(edges, 3) === referenceHits(edges, 3), s"hits seed=$seed")
+      val ls = edges.map(_._1).distinct.sorted.take(4)
+        .zipWithIndex.map { case (v, i) => v -> (i % 2).toLong }
+      assert(runLabelProp(edges, ls, 3) ===
+        referenceLabelProp(edges, ls.toMap, 3), s"labelprop seed=$seed")
+      assert(runWeighted(undirected, 3) ===
+        referenceWeighted(undirected, 3), s"weighted seed=$seed")
+    }
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result

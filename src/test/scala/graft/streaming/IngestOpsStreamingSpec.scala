@@ -52,6 +52,10 @@ class IngestOpsStreamingSpec extends SparkSpec {
 
     val urls = (1L to 30L).map(i =>
       (i, s"HTTP://Example$i.COM:80/p/$i?utm_s=x&b=$i&a=1#f"))
+    runUrlLeg(urls)
+  }
+
+  private def runUrlLeg(urls: Seq[(Long, String)]): Unit = {
     val (_, sdf3) = streamOf(urls, ("doc_id", "url"))
     val gotUrls = drain(UrlNorm.canonicalize(sdf3), "s_urls")
       .select($"doc_id", $"canonical_url", $"domain")
@@ -59,5 +63,30 @@ class IngestOpsStreamingSpec extends SparkSpec {
       .select($"doc_id", $"canonical_url", $"domain")
     assert(gotUrls.exceptAll(expUrls).isEmpty &&
       expUrls.exceptAll(gotUrls).isEmpty)
+  }
+
+  test("frontier discovery counts maintain themselves over a link stream") {
+    // the q118 aggregation leg as a STREAMING aggregation (complete
+    // mode): discovery counts and earliest discoverer stay correct as
+    // link batches arrive — the live-crawl-scheduler shape
+    val pages = (1L to 40L).map(i =>
+      (i, s"""<p><a href="/doc/${i % 7}">see ${i % 7}</a> and """ +
+        s"""<a href="/doc/${(i * 3) % 7}">see ${(i * 3) % 7}</a></p>"""))
+    def frontier(links: org.apache.spark.sql.DataFrame) = links
+      .select($"doc_id".as("src"),
+        expr("try_cast(regexp_extract(href, '/doc/([0-9]+)', 1) " +
+          "as bigint)").as("dst"))
+      .filter($"dst".isNotNull)
+      .groupBy($"dst")
+      .agg(count(lit(1)).as("n_discoveries"),
+        min($"src").as("first_discoverer"))
+    val (_, sdf) = streamOf(pages, ("doc_id", "html"))
+    val q = frontier(HtmlExtract.extractLinks(sdf))
+      .writeStream.format("memory").queryName("s_frontier")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s_frontier")
+    val exp = frontier(HtmlExtract.extractLinks(pages.toDF("doc_id", "html")))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 }
