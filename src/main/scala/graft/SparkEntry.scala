@@ -185,6 +185,7 @@ object SparkEntry {
     "q121_hits"          -> (GraphRank.q121Hits _),
     "q122_mirror_domains" -> (UrlNorm.q122MirrorDomains _),
     "q123_label_prop"    -> (GraphRank.q123LabelProp _),
+    "q124_redirects"     -> (UrlNorm.q124Redirects _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1639,6 +1640,10 @@ object SparkEntry {
     // with min-label tie-break, carry on silence; exact Long votes so
     // both engines walk the same label trajectory.
     "q123_label_prop" -> GraphRank.labelPropOracleSql(iters = 4),
+    // q124: redirect resolution — pointer doubling on the Spark side
+    // vs a straight-line recursive-CTE walk in DuckDB, same
+    // chain-length bound, cycles report unresolved.
+    "q124_redirects" -> UrlNorm.redirectsOracleSql(maxRounds = 4),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

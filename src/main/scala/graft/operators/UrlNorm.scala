@@ -406,6 +406,105 @@ object UrlNorm {
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY shared_fps DESC, domain_a, domain_b""".stripMargin
 
+  /** REDIRECT-CHAIN resolution by POINTER DOUBLING — the crawl op
+    * that collapses `301` chains to their terminal URL before
+    * fetching or grouping (a → b → c → final; every hop wastes a
+    * fetch and splits the page's identity). Each node's pointer jumps
+    * to its pointer's pointer per round, so a chain of length L
+    * resolves in ⌈log₂ L⌉ rounds — `maxRounds` rounds resolve chains
+    * up to 2^maxRounds; anything still unterminated (a redirect
+    * CYCLE, or a chain past the bound) reports `resolved = false`
+    * with NULL target, never an infinite loop.
+    *
+    * Scale shape: per round ONE self-join of the pointer table keyed
+    * on the jump target + the 4-column projection — O(log maxChain)
+    * rounds total, each O(|nodes|), the textbook list-ranking shape
+    * (vs. the naive walk's O(maxChain) sequential rounds). Loop state
+    * pins per round and releases the previous (the probe-mode
+    * pattern).
+    *
+    * `redirects` is (src, dst) with src unique (HTTP gives one
+    * Location per URL); duplicates are collapsed defensively.
+    */
+  def resolveRedirects(redirects: DataFrame, maxRounds: Int = 4): DataFrame = {
+    import redirects.sparkSession.implicits._
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val r = redirects.select($"src", $"dst").distinct()
+      .transform(graft.core.Pin.reuse)
+    val nodes = r.select($"src".as("v"))
+      .union(r.select($"dst".as("v"))).distinct()
+    // pointer state: terminal nodes (no outgoing redirect) point at
+    // themselves with distance 0; redirecting nodes at their target
+    // with distance 1. `term` must mean "my POINTER already rests on
+    // the final target" — so a length-1 chain (target is not itself a
+    // redirect source) starts term — or resolution lags the 2^R reach
+    // by a round and a length-2^R chain fails to resolve.
+    var ptr = graft.core.Pin.iterative(
+      nodes.join(r.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .join(r.select($"src".as("rsrc")).distinct(),
+          $"dst" === $"rsrc", "left")
+        .select($"v",
+          coalesce($"dst", $"v").as("p"),
+          when($"dst".isNotNull, 1L).otherwise(0L).as("d"),
+          ($"dst".isNull || $"rsrc".isNull).as("term")))
+    for (_ <- 1 to maxRounds) {
+      val m = ptr.select($"v".as("mv"), $"p".as("mp"),
+        $"d".as("md"), $"term".as("mterm"))
+      val next = ptr.join(m, ptr("p") === $"mv")
+        .select(ptr("v"),
+          when(ptr("term"), ptr("p")).otherwise($"mp").as("p"),
+          when(ptr("term"), ptr("d")).otherwise(ptr("d") + $"md").as("d"),
+          (ptr("term") || $"mterm").as("term"))
+      val pinned = graft.core.Pin.iterative(next)
+      graft.core.Pin.release(ptr)
+      ptr = pinned
+    }
+    r.select($"src").join(ptr.withColumnRenamed("v", "src"), "src")
+      .select($"src",
+        when($"term", $"p").as("final_id"),
+        when($"term", $"d").as("hops"),
+        $"term".as("resolved"))
+  }
+
+  /** Q124 — resolve the fixture redirect graph: every non-multiple-
+    * of-10 doc redirects one id down (chains of length ≤ 9 ending at
+    * the multiples of 10) plus one planted 2-cycle outside the corpus
+    * that must report unresolved. (src, final_id, hops, resolved).
+    */
+  def q124Redirects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rd = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id".as("src"), ($"doc_id" - 1).as("dst"))
+      .union(Seq((1000001L, 1000002L), (1000002L, 1000001L))
+        .toDF("src", "dst"))
+    resolveRedirects(rd, maxRounds = 4).orderBy($"src")
+  }
+
+  /** DuckDB oracle for [[q124Redirects]] — a recursive-CTE WALK with
+    * the same resolution bound (chain length ≤ 2^maxRounds): the
+    * oracle verifies the doubling against straight-line semantics.
+    */
+  def redirectsOracleSql(maxRounds: Int = 4): String = {
+    val bound = 1 << maxRounds
+    s"""WITH RECURSIVE
+       | rd AS (SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+       |     WHERE doc_id % 10 <> 0
+       |   UNION ALL SELECT 1000001::BIGINT, 1000002::BIGINT
+       |   UNION ALL SELECT 1000002::BIGINT, 1000001::BIGINT),
+       | walk(src, cur, hops) AS (
+       |   SELECT src, dst, 1::BIGINT FROM rd
+       |   UNION ALL
+       |   SELECT w.src, r.dst, w.hops + 1 FROM walk w
+       |   JOIN rd r ON r.src = w.cur WHERE w.hops <= $bound),
+       | term AS (SELECT src, cur, hops FROM walk
+       |   WHERE hops <= $bound AND cur NOT IN (SELECT src FROM rd))
+       |SELECT rd.src AS src, t.cur AS final_id, t.hops,
+       |  t.cur IS NOT NULL AS resolved
+       |FROM rd LEFT JOIN term t ON t.src = rd.src
+       |ORDER BY rd.src""".stripMargin
+  }
+
   /** DuckDB oracle for [[q118FrontierDedup]]: the q114 link CTEs, the
     * discovery aggregation, the [[syntheticUrlSql]] fixture over the
     * targets, then the SAME canonicalization CTE chain.

@@ -113,6 +113,34 @@ class UrlNormSpec extends SparkSpec {
     assert(got === Seq(("a", "b", 1L)))
   }
 
+  test("resolveRedirects: chains resolve with exact hops, cycles never") {
+    // 5→4→3→2→1→0 (terminal), a planted 3-cycle, and a self-contained
+    // short chain into the cycle (enters the cycle → unresolved too)
+    val rd = Seq(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L, 1L -> 0L,
+      20L -> 21L, 21L -> 22L, 22L -> 20L, 30L -> 20L)
+      .toDF("src", "dst")
+    val got = UrlNorm.resolveRedirects(rd, maxRounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(got(5L) === Some((0L, 5L)) && got(1L) === Some((0L, 1L)))
+    assert(got(3L) === Some((0L, 3L)))
+    assert(got(20L) === None && got(21L) === None && got(22L) === None)
+    assert(got(30L) === None, "a chain entering a cycle is unresolved")
+  }
+
+  test("resolveRedirects: maxRounds bounds the resolvable chain at 2^R") {
+    // straight chain 17→16→…→0: length-16 suffix resolves at R=4,
+    // the length-17 head does not (and does at R=5)
+    val rd = (1L to 17L).map(i => i -> (i - 1L)).toDF("src", "dst")
+    val r4 = UrlNorm.resolveRedirects(rd, maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+    assert(r4(16L) && !r4(17L))
+    val r5 = UrlNorm.resolveRedirects(rd, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+    assert(r5(17L))
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
