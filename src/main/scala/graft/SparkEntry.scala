@@ -186,6 +186,9 @@ object SparkEntry {
     "q122_mirror_domains" -> (UrlNorm.q122MirrorDomains _),
     "q123_label_prop"    -> (GraphRank.q123LabelProp _),
     "q124_redirects"     -> (UrlNorm.q124Redirects _),
+    "q125_mirror_clusters" -> (UrlNorm.q125MirrorClusters _),
+    "q126_crawl_waves"   -> (UrlNorm.q126CrawlWaves _),
+    "q127_inlink_features" -> (GraphRank.q127InlinkFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1644,6 +1647,18 @@ object SparkEntry {
     // vs a straight-line recursive-CTE walk in DuckDB, same
     // chain-length bound, cycles report unresolved.
     "q124_redirects" -> UrlNorm.redirectsOracleSql(maxRounds = 4),
+    // q125: mirror clusters — q122 pairs → connected components →
+    // canonical representative = min(domain) per component, a pure
+    // function of the member set so both engines elect identically.
+    "q125_mirror_clusters" -> UrlNorm.mirrorClustersOracleSql(),
+    // q126: crawl waves — per-domain priority ranking dealt into
+    // fixed-size politeness waves; the within-domain order key is
+    // unique so row_number is deterministic on both engines.
+    "q126_crawl_waves" -> UrlNorm.crawlWavesOracleSql(perWave = 3),
+    // q127: in-link context features — dst-keyed aggregation of the
+    // link graph joined with registered domains; the diversity ratio
+    // is exact integer division on both engines.
+    "q127_inlink_features" -> GraphRank.inlinkOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

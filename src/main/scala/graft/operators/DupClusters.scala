@@ -102,6 +102,56 @@ object DupClusters {
     labels.select($"id", $"label".as("cluster_id"))
   }
 
+  /** [[connectedComponents]] for vertices of ANY ordered type
+    * (strings — domains, URLs — as well as numerics): the same
+    * min-label propagation, but the convergence probe counts CHANGED
+    * labels this round (`sum(chg)`, one agg on the already-pinned
+    * frame — identical per-round cost) instead of summing the labels
+    * themselves, which only works when labels are numeric. The
+    * fixpoint label is the component's MINIMUM vertex key, so for
+    * string graphs the label doubles as the component's canonical
+    * representative with no second election pass.
+    */
+  def connectedComponentsOrdered(edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.toDF("src", "dst")
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .transform(Pin.reuse)
+    var labels = sym.groupBy($"src")
+      .agg(min(least($"dst", $"src")).as("label"))
+      .withColumnRenamed("src", "id")
+      .transform(Pin.iterative(_, eager = false))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // chg marks vertices whose label shrank this round; the probe
+      // is one agg over the pinned frame (materialize + count fused
+      // into one job, the lazy-pin idiom of connectedComponents)
+      val next = labels
+        .join(
+          sym.join(labels.select($"id".as("dst"), $"label".as("nl")), "dst")
+            .groupBy($"src").agg(min($"nl").as("nl"))
+            .withColumnRenamed("src", "id"),
+          Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"),
+          (coalesce($"nl", $"label") < $"label").cast("long").as("chg"))
+        .transform(Pin.iterative(_, eager = false))
+      val changed = next.agg(coalesce(sum($"chg"), lit(0L))).head().getLong(0)
+      Pin.release(labels)
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsOrdered did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the propagation budget; raise maxIter " +
+          "or use a diameter-halving scheme (large-star/small-star)")
+    labels.select($"id", $"label".as("cluster_id"))
+  }
+
   /** Components via alternating large-star/small-star rounds
     * [Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14] — the diameter-halving escalation for graphs

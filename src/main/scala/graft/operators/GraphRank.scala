@@ -326,6 +326,74 @@ object GraphRank {
       .orderBy($"rank_ticks".desc, $"domain")
   }
 
+  /** IN-LINK CONTEXT features — the per-page authority signals a
+    * curation ranker consumes directly: total in-link weight,
+    * distinct linking pages, distinct linking REGISTERED DOMAINS
+    * (the spam-resistant diversity signal: a link farm on one domain
+    * inflates `n_inlinks` but cannot move `n_linking_domains`), the
+    * heaviest single-page contribution, and the domain-diversity
+    * ratio in 1e-6 ticks (exact integer division — engine-portable,
+    * no float drift). `edges` is (src, dst, wt) with parallel edges
+    * pre-aggregated (the [[linkEdges]] contract) and self-loops
+    * dropped here (a page linking itself is navigation chrome, not
+    * an authority signal); `mapping` is (vertex → domain).
+    *
+    * Scale shape: one equi-join of the edge set against the
+    * |V|-sized mapping (AQE broadcasts it while it fits, degrades to
+    * a shuffle join beyond) + ONE dst-keyed partial-agg — no window,
+    * no all-pairs, no driver state. The distinct-count shuffles the
+    * (dst, domain) pairs exactly once.
+    */
+  def inlinkFeatures(edges: DataFrame, mapping: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.filter($"src" =!= $"dst")
+      .join(mapping.toDF("src", "src_domain"), "src")
+      .groupBy($"dst")
+      .agg(sum($"wt").as("n_inlinks"),
+        count(lit(1)).as("n_linkers"),
+        countDistinct($"src_domain").as("n_linking_domains"),
+        max($"wt").as("max_from_one_page"))
+      .withColumn("diversity_ticks",
+        expr("(n_linking_domains * 1000000) div n_linkers"))
+  }
+
+  /** Q127 — in-link features of the q113/q114 link graph with q115's
+    * registered-domain mapping. (doc_id, n_inlinks, n_linkers,
+    * n_linking_domains, max_from_one_page, diversity_ticks).
+    */
+  def q127InlinkFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val doms = UrlNorm.canonicalize(
+        Tables.load(spark, dir, "documents")
+          .select($"doc_id", UrlNorm.syntheticUrl($"doc_id").as("url")))
+      .select($"doc_id", $"domain")
+    inlinkFeatures(linkEdges(spark, dir), doms)
+      .select($"dst".as("doc_id"), $"n_inlinks", $"n_linkers",
+        $"n_linking_domains", $"max_from_one_page", $"diversity_ticks")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q127InlinkFeatures]] — the link CTEs
+    * re-aggregated to (src, dst, wt), the canonicalization chain for
+    * source domains, one grouped select with the same integer
+    * division.
+    */
+  def inlinkOracleSql: String =
+    s"""WITH $linkEdgeCtesSql,
+       | m AS (SELECT src, dst, count(*)::BIGINT AS wt FROM ed
+       |   GROUP BY 1, 2),
+       | u AS (SELECT doc_id, ${UrlNorm.syntheticUrlSql("doc_id")} AS url
+       |   FROM documents),
+       |${UrlNorm.canonCtesSql}
+       |SELECT m.dst AS doc_id, sum(m.wt)::BIGINT AS n_inlinks,
+       |  count(*)::BIGINT AS n_linkers,
+       |  count(DISTINCT f.domain)::BIGINT AS n_linking_domains,
+       |  max(m.wt)::BIGINT AS max_from_one_page,
+       |  ((count(DISTINCT f.domain) * 1000000) // count(*))::BIGINT
+       |    AS diversity_ticks
+       |FROM m JOIN fin f ON f.doc_id = m.src
+       |GROUP BY m.dst ORDER BY doc_id""".stripMargin
+
   /** Q117 — directed PageRank WITH dangling-mass redistribution over
     * a sink-bearing graph: the q114 edge set minus the out-links of
     * every 5th doc (fetched-but-unparsed frontier pages — they

@@ -406,6 +406,88 @@ object UrlNorm {
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY shared_fps DESC, domain_a, domain_b""".stripMargin
 
+  /** Q125 — MIRROR-DOMAIN CLUSTERS, the step after q122's pair
+    * detection: mirror pairs form a graph (a mirrors b, b mirrors c —
+    * a scraper of a scraper), each connected component is ONE site
+    * served under several domains, and curation keeps exactly one
+    * representative per component. Canonical representative = the
+    * lexicographically smallest domain in the component — a pure
+    * function of the component's member SET, so the election is
+    * independent of how component ids were assigned.
+    *
+    * Scale shape: the pair graph is domain-sized (≪ corpus-sized) and
+    * mirror clusters are dense and shallow, so min-label propagation
+    * converges in 2–3 rounds. Components run DIRECTLY on domain
+    * strings ([[DupClusters.connectedComponentsOrdered]] — its
+    * changed-count probe is type-agnostic), and the fixpoint label is
+    * the component's minimum domain, so the canonical election falls
+    * out of the propagation itself — no numeric vertex ids, no second
+    * election pass. (domain, canonical_domain, cluster_size,
+    * is_keeper), ordered by (canonical_domain, domain).
+    */
+  def q125MirrorClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mirrorClusters(q122MirrorDomains(spark, dir)
+      .select($"domain_a", $"domain_b"))
+  }
+
+  /** Cluster assignment + canonical election over any (a, b) mirror
+    * pair set — see [[q125MirrorClusters]].
+    */
+  def mirrorClusters(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val cc = graft.core.Pin.reuse(
+      DupClusters.connectedComponentsOrdered(pairs))
+    cc.join(cc.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select($"id".as("domain"), $"cluster_id".as("canonical_domain"),
+        $"cluster_size", ($"id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"canonical_domain", $"domain")
+  }
+
+  /** DuckDB oracle for [[q125MirrorClusters]] — the q122 pair chain,
+    * then components via the q41 recursive transitive-closure CTE
+    * (tractable: the pair graph is tiny) directly over domain
+    * STRINGS; component label = min(domain), which IS the canonical
+    * representative, so the oracle never needs the Spark side's
+    * numeric vertex ids.
+    */
+  def mirrorClustersOracleSql(minShared: Long = 1L,
+      maxFpDomains: Long = 10L): String =
+    s"""WITH RECURSIVE u AS (
+       |  SELECT doc_id, ${syntheticUrlSql("doc_id")} AS url
+       |  FROM documents),
+       |$canonCtesSql,
+       | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |     range(1, len(toks) - 6),
+       |     i -> array_to_string(toks[i:i+7], ' ')))) AS s
+       |   FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |     FROM documents)),
+       | fps AS (SELECT doc_id, ${TextAnalysis.fingerprintSql("s")} AS fp
+       |   FROM sh),
+       | dfp AS (SELECT DISTINCT f.domain, p.fp
+       |   FROM fin f JOIN fps p ON p.doc_id = f.doc_id),
+       | freq AS (SELECT fp, count(*) AS nd FROM dfp GROUP BY fp),
+       | keep AS (SELECT dfp.domain, dfp.fp FROM dfp
+       |   JOIN freq ON freq.fp = dfp.fp WHERE freq.nd <= $maxFpDomains),
+       | prs AS (SELECT a.domain AS da, b.domain AS db
+       |   FROM keep a JOIN keep b ON a.fp = b.fp AND a.domain < b.domain
+       |   GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       | e AS (SELECT da AS s, db AS d FROM prs
+       |       UNION ALL SELECT db, da FROM prs),
+       | reach AS (
+       |   SELECT s AS id, s AS r FROM e
+       |   UNION
+       |   SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+       | lab AS (SELECT id, min(r) AS canon FROM reach GROUP BY id),
+       | cl AS (SELECT canon, count(*)::BIGINT AS cluster_size
+       |   FROM lab GROUP BY canon)
+       |SELECT l.id AS domain, l.canon AS canonical_domain,
+       |  c.cluster_size, (l.id = l.canon) AS is_keeper
+       |FROM lab l JOIN cl c ON c.canon = l.canon
+       |ORDER BY canonical_domain, domain""".stripMargin
+
   /** REDIRECT-CHAIN resolution by POINTER DOUBLING — the crawl op
     * that collapses `301` chains to their terminal URL before
     * fetching or grouping (a → b → c → final; every hop wastes a
@@ -505,22 +587,85 @@ object UrlNorm {
        |ORDER BY rd.src""".stripMargin
   }
 
-  /** DuckDB oracle for [[q118FrontierDedup]]: the q114 link CTEs, the
-    * discovery aggregation, the [[syntheticUrlSql]] fixture over the
-    * targets, then the SAME canonicalization CTE chain.
+  /** The q118 frontier as a CTE chain ending in `fr(canonical_url,
+    * domain, target_doc_id, n_discoveries, first_discoverer)` — the
+    * q114 link CTEs, the discovery aggregation, the
+    * [[syntheticUrlSql]] fixture over the targets, then the SAME
+    * canonicalization CTE chain. Shared by the q118 and q126 oracles.
     */
-  def frontierOracleSql: String =
-    s"""WITH ${GraphRank.linkEdgeCtesSql},
+  def frontierCtesSql: String =
+    s"""${GraphRank.linkEdgeCtesSql},
        | disc AS (SELECT dst, count(*)::BIGINT AS nd, min(src)::BIGINT AS fd
        |   FROM ed GROUP BY dst),
        | u AS (SELECT dst AS doc_id, ${syntheticUrlSql("dst")} AS url
        |   FROM disc),
-       |$canonCtesSql
-       |SELECT f.canonical_url, f.domain,
-       |  min(d.dst)::BIGINT AS target_doc_id,
-       |  sum(d.nd)::BIGINT AS n_discoveries,
-       |  min(d.fd)::BIGINT AS first_discoverer
-       |FROM fin f JOIN disc d ON d.dst = f.doc_id
-       |GROUP BY 1, 2
-       |ORDER BY canonical_url""".stripMargin
+       |$canonCtesSql,
+       | fr AS (SELECT f.canonical_url, f.domain,
+       |   min(d.dst)::BIGINT AS target_doc_id,
+       |   sum(d.nd)::BIGINT AS n_discoveries,
+       |   min(d.fd)::BIGINT AS first_discoverer
+       |  FROM fin f JOIN disc d ON d.dst = f.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB oracle for [[q118FrontierDedup]]. */
+  def frontierOracleSql: String =
+    s"""WITH $frontierCtesSql
+       |SELECT canonical_url, domain, target_doc_id, n_discoveries,
+       |  first_discoverer
+       |FROM fr ORDER BY canonical_url""".stripMargin
+
+  /** CRAWL-WAVE scheduling — the politeness step after frontier
+    * dedup: a crawler may hold at most `perWave` in-flight fetches
+    * against one registered domain (hammering a host gets the
+    * crawler blocked), so each domain's URLs are ranked by priority
+    * (in-link pressure, URL tie-break) and dealt into consecutive
+    * WAVES of `perWave`; wave k fetches nothing from a domain until
+    * wave k-1 for that domain is done. Returns (canonical_url,
+    * domain, prio_rank, wave).
+    *
+    * Scale shape: ONE hash shuffle on domain + a per-domain sorted
+    * window — no global ordering anywhere (a global row_number would
+    * serialize on one partition; per-domain windows parallelize over
+    * the domain count, which at web scale is millions). Per-domain
+    * frontier size is bounded by the crawl budget, not the corpus,
+    * so partition skew is capped by policy; a domain whose frontier
+    * still dominates its partition is exactly the domain a crawler
+    * must throttle anyway.
+    */
+  def crawlWaves(frontier: DataFrame, perWave: Int = 3): DataFrame = {
+    import frontier.sparkSession.implicits._
+    require(perWave >= 1, "perWave must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"domain")
+      .orderBy($"n_discoveries".desc, $"canonical_url")
+    frontier
+      .withColumn("prio_rank", row_number().over(w).cast("long"))
+      // `div`: exact integer division (ANSI-safe; `/` would detour
+      // through double)
+      .withColumn("wave", expr(s"(prio_rank - 1) div $perWave"))
+      .select($"canonical_url", $"domain", $"prio_rank", $"wave")
+      .orderBy($"domain", $"prio_rank")
+  }
+
+  /** Q126 — wave scheduling of the q118 frontier at 3 fetches per
+    * domain per wave.
+    */
+  def q126CrawlWaves(spark: SparkSession, dir: String): DataFrame =
+    crawlWaves(q118FrontierDedup(spark, dir), perWave = 3)
+
+  /** DuckDB oracle for [[q126CrawlWaves]] — the shared frontier
+    * chain, the same (pressure DESC, url) per-domain ranking, the
+    * same integer division. The within-domain order key is UNIQUE
+    * (canonical_url), so row_number is deterministic on both engines.
+    */
+  def crawlWavesOracleSql(perWave: Int = 3): String =
+    s"""WITH $frontierCtesSql,
+       | rn AS (SELECT canonical_url, domain,
+       |     row_number() OVER (PARTITION BY domain
+       |       ORDER BY n_discoveries DESC, canonical_url)::BIGINT
+       |       AS prio_rank
+       |   FROM fr)
+       |SELECT canonical_url, domain, prio_rank,
+       |  ((prio_rank - 1) // $perWave)::BIGINT AS wave
+       |FROM rn ORDER BY domain, prio_rank""".stripMargin
 }

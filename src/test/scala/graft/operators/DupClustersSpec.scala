@@ -34,6 +34,33 @@ class DupClustersSpec extends SparkSpec {
     assert(a == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
   }
 
+  test("connectedComponentsOrdered: string vertices, numeric agreement") {
+    // string graph: label = lexicographic min of the component
+    val s = DupClusters.connectedComponentsOrdered(Seq(
+        ("m.com", "b.com"), ("b.com", "z.com"), ("q.io", "p.io"))
+        .toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s == Map("b.com" -> "b.com", "m.com" -> "b.com",
+      "z.com" -> "b.com", "p.io" -> "p.io", "q.io" -> "p.io"))
+    // on numeric graphs it must agree exactly with connectedComponents
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val ordered = DupClusters.connectedComponentsOrdered(
+        edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ordered == cc(edges))
+  }
+
+  test("connectedComponentsOrdered: long path needs diameter rounds") {
+    // a 12-chain of zero-padded strings — sorts like the numbers, and
+    // forces the changed-count probe through ~diameter true rounds
+    val got = DupClusters.connectedComponentsOrdered(
+        (1 until 12).map(i => (f"v$i%03d", f"v${i + 1}%03d"))
+          .toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == (1 to 12).map(i => f"v$i%03d" -> "v001").toMap)
+  }
+
   test("q41 shape: keeper iff min of cluster; clusters are q18 pairs' closure") {
     val q = DupClusters.q41DupClusters(spark, sf).cache()
     val rows = q.collect()

@@ -488,6 +488,24 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("inlinkFeatures: weights, diversity, self-loops dropped") {
+    import org.apache.spark.sql.functions.col
+    // doc 10: 3 inlinks (wt 2+1+1) from 3 pages on 2 domains (1,2 on
+    // dA — the "link farm" shape: many pages, one domain); doc 20:
+    // one inlink plus a SELF-LOOP that must not count
+    val edges = Seq((1L, 10L, 2L), (2L, 10L, 1L), (3L, 10L, 1L),
+      (3L, 20L, 4L), (20L, 20L, 9L)).toDF("src", "dst", "wt")
+    val mapping = Seq((1L, "dA"), (2L, "dA"), (3L, "dB"), (20L, "dC"))
+      .toDF("doc_id", "domain")
+    val got = GraphRank.inlinkFeatures(edges, mapping)
+      .orderBy(col("dst"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // 2 domains over 3 linkers → 666666 ticks (floor division)
+      (10L, 4L, 3L, 2L, 2L, 666666L),
+      (20L, 4L, 1L, 1L, 4L, 1000000L)))
+  }
+
   test("weighted: convergence probe stops only at the exact fixpoint") {
     // a triangle reaches its symmetric fixpoint quickly; tolTicks=0
     // must stop early with EXACTLY the fixed-count result

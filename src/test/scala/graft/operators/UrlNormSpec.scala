@@ -141,6 +141,54 @@ class UrlNormSpec extends SparkSpec {
     assert(r5(17L))
   }
 
+  test("mirrorClusters: transitive merge, canonical election, sizes") {
+    // a~b, b~c chain (a scraper of a scraper) merges into one cluster
+    // canonically labeled by its lexicographic min; (x,y) stays its
+    // own 2-cluster; ordering is (canonical_domain, domain)
+    val pairs = Seq(("b.com", "c.com"), ("a.com", "b.com"),
+      ("x.org", "y.org")).toDF("domain_a", "domain_b")
+    val got = UrlNorm.mirrorClusters(pairs)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("a.com", "a.com", 3L, true),
+      ("b.com", "a.com", 3L, false),
+      ("c.com", "a.com", 3L, false),
+      ("x.org", "x.org", 2L, true),
+      ("y.org", "x.org", 2L, false)))
+  }
+
+  test("mirrorClusters: exactly one keeper per cluster; empty pairs ok") {
+    val pairs = Seq(("d2", "d1"), ("d3", "d1"), ("d5", "d4"),
+      ("d2", "d3")).toDF("a", "b")
+    val keepers = UrlNorm.mirrorClusters(pairs)
+      .groupBy($"canonical_domain")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"is_keeper", 1L)
+          .otherwise(0L)).as("nk"))
+      .as[(String, Long)].collect().toMap
+    assert(keepers === Map("d1" -> 1L, "d4" -> 1L))
+    assert(UrlNorm.mirrorClusters(
+      Seq.empty[(String, String)].toDF("a", "b")).count() === 0L)
+  }
+
+  test("crawlWaves: per-domain deal, pressure priority, url tie-break") {
+    val frontier = Seq(
+      // d1: 4 urls — pressure ranks u9 first, then the 5-tie breaks
+      // by url; perWave=2 deals ranks 1-2 into wave 0, ranks 3-4 into 1
+      ("http://d1/u9", "d1", 9L), ("http://d1/ua", "d1", 5L),
+      ("http://d1/ub", "d1", 5L), ("http://d1/uc", "d1", 1L),
+      // d2: independent ranking — its single url is wave 0 regardless
+      // of d1's queue depth
+      ("http://d2/only", "d2", 2L))
+      .toDF("canonical_url", "domain", "n_discoveries")
+    val got = UrlNorm.crawlWaves(frontier, perWave = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("http://d1/u9", "d1", 1L, 0L), ("http://d1/ua", "d1", 2L, 0L),
+      ("http://d1/ub", "d1", 3L, 1L), ("http://d1/uc", "d1", 4L, 1L),
+      ("http://d2/only", "d2", 1L, 0L)))
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
