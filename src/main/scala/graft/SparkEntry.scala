@@ -189,6 +189,8 @@ object SparkEntry {
     "q125_mirror_clusters" -> (UrlNorm.q125MirrorClusters _),
     "q126_crawl_waves"   -> (UrlNorm.q126CrawlWaves _),
     "q127_inlink_features" -> (GraphRank.q127InlinkFeatures _),
+    "q128_robots_gate"   -> (UrlNorm.q128RobotsGate _),
+    "q129_containment"   -> (NearDup.q129Containment _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1659,6 +1661,12 @@ object SparkEntry {
     // link graph joined with registered domains; the diversity ratio
     // is exact integer division on both engines.
     "q127_inlink_features" -> GraphRank.inlinkOracleSql,
+    // q128: robots gating — shared frontier chain + the same rule
+    // constants as a VALUES list, same suffix/prefix predicate.
+    "q128_robots_gate" -> UrlNorm.robotsOracleSql,
+    // q129: asymmetric containment — directed postings co-counts
+    // over string shingles, exact floor-division ticks.
+    "q129_containment" -> NearDup.containmentOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -179,6 +179,72 @@ object NearDup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** ASYMMETRIC shingle CONTAINMENT — the excerpt/quote detector
+    * symmetric Jaccard misses: a short doc fully copied inside a
+    * long one scores Jaccard ≈ |A|/|B| (tiny) but containment
+    * |A∩B|/|A| ≈ 1. Emits DIRECTED pairs (doc_id contained in
+    * container_id) with containment ≥ `tauTicks` in exact 1e-6
+    * integer ticks (floor division — engine-portable, no float
+    * drift). Both directions of a mutual near-dup appear; a strict
+    * excerpt appears once.
+    *
+    * Scale shape: the same inverted postings self-join as
+    * [[jaccardPairs]] (only pairs sharing ≥ 1 shingle materialize;
+    * the stop-shingling df-cut applies identically at corpus
+    * scale), one (pair)-keyed partial agg, then a per-doc-count
+    * join that AQE broadcasts while it fits.
+    */
+  def containmentPairs(docs: DataFrame,
+      tauTicks: Long = 600000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sets = shingleHashSets(docs).transform(Pin.reuse)
+    val sh = sets.select($"doc_id", explode($"shs").as("sh"))
+    sh.join(sh.select($"sh", $"doc_id".as("container_id")), "sh")
+      .filter($"doc_id" =!= $"container_id")
+      .groupBy($"doc_id", $"container_id")
+      .agg(count(lit(1)).as("co_shingles"))
+      .join(sets.select($"doc_id", size($"shs").cast("long").as("na")),
+        "doc_id")
+      .withColumn("containment_ticks",
+        expr("(co_shingles * 1000000) div na"))
+      .filter($"containment_ticks" >= tauTicks)
+      .select($"doc_id", $"container_id", $"co_shingles",
+        $"containment_ticks")
+  }
+
+  /** Q129 — containment pairs over `documents` at τ = 0.6 (an
+    * equal-size near-dup pair needs Jaccard ≥ 0.43 to reach 0.6
+    * containment, so the q18 τ=0.5 pairs appear in both directions
+    * plus any asymmetric excerpts Jaccard filtered out).
+    */
+  def q129Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    containmentPairs(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_id", $"container_id")
+  }
+
+  /** DuckDB oracle for [[q129Containment]] — string shingles (the
+    * q41 chain shape), directed co-counts, the same floor division.
+    */
+  def containmentOracleSql(tauTicks: Long = 600000L): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |    FROM documents)),
+       | counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | prs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |     count(*)::BIGINT AS co
+       |   FROM sh a JOIN sh b
+       |     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |   GROUP BY 1, 2)
+       |SELECT da AS doc_id, db AS container_id, co AS co_shingles,
+       |  ((co * 1000000) // c.n)::BIGINT AS containment_ticks
+       |FROM prs JOIN counts c ON c.doc_id = da
+       |WHERE (co * 1000000) // c.n >= $tauTicks
+       |ORDER BY doc_id, container_id""".stripMargin
+
   /** INCREMENTAL near-dup ingest gate — the near-dup sibling of
     * [[Dedup.incrementalNew]] (q55): cross pairs (batch doc, corpus
     * doc) with shingle Jaccard ≥ τ, so an arriving batch is vetted

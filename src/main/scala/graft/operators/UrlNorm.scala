@@ -668,4 +668,72 @@ object UrlNorm {
        |SELECT canonical_url, domain, prio_rank,
        |  ((prio_rank - 1) // $perWave)::BIGINT AS wave
        |FROM rn ORDER BY domain, prio_rank""".stripMargin
+
+  /** Fixture exclusion rules for [[q128RobotsGate]] — (domain
+    * suffix, path prefix): `*` matches every domain; a rule fires
+    * when the domain matches AND the URL path starts with the
+    * prefix. The three rules exercise every matching shape: a
+    * global path rule, a domain-scoped subtree rule, and a
+    * domain-wide `/` block.
+    */
+  val RobotsRules: Seq[(String, String)] = Seq(
+    ("*", "/articles/item-1"),
+    (".com.au", "/articles/"),
+    (".k12.ca.us", "/"))
+
+  /** ROBOTS-style URL gating — the compliance filter between
+    * frontier dedup and fetch: publishers exclude subtrees
+    * (robots.txt Disallow) and a crawler that ignores them gets
+    * blocked or sued. `rules` are (domain-suffix, path-prefix)
+    * disallow patterns; a URL is `allowed` iff NO rule matches.
+    * Returns (canonical_url, domain, n_rules_matched, allowed).
+    *
+    * Scale shape: the rule table is tiny (robots rules number
+    * thousands, not millions) and explicitly `broadcast` — the
+    * suffix/prefix match is non-equi, so Spark plans a
+    * BroadcastNestedLoopJoin: |frontier| × |rules| comparisons
+    * streamed through codegen, zero shuffles for the match itself,
+    * one partial-agg for the per-URL rule count. A rule set too big
+    * to broadcast would instead pre-expand listed domains to an
+    * equi-join key; documented, not needed at robots scale.
+    */
+  def robotsGate(frontier: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    import frontier.sparkSession.implicits._
+    val r = rules.toDF("dom_suffix", "path_prefix")
+    frontier.select($"canonical_url", $"domain")
+      .withColumn("_path", regexp_extract($"canonical_url", PathRe, 1))
+      .join(broadcast(r),
+        ($"dom_suffix" === "*" || $"domain".endsWith($"dom_suffix")) &&
+          $"_path".startsWith($"path_prefix"),
+        "left")
+      .groupBy($"canonical_url", $"domain")
+      .agg(count($"path_prefix").as("n_rules_matched"))
+      .withColumn("allowed", $"n_rules_matched" === 0L)
+      .orderBy($"canonical_url")
+  }
+
+  /** Q128 — gate the q118 frontier through [[RobotsRules]]. */
+  def q128RobotsGate(spark: SparkSession, dir: String): DataFrame =
+    robotsGate(q118FrontierDedup(spark, dir), RobotsRules)
+
+  /** DuckDB oracle for [[q128RobotsGate]] — the shared frontier
+    * chain, the SAME rule constants as a VALUES list, the same
+    * suffix/prefix predicate.
+    */
+  def robotsOracleSql: String = {
+    val values = RobotsRules
+      .map { case (ds, pre) => s"('$ds', '$pre')" }.mkString(", ")
+    s"""WITH $frontierCtesSql,
+       | rules(ds, pre) AS (VALUES $values)
+       |SELECT f.canonical_url, f.domain,
+       |  count(r.pre)::BIGINT AS n_rules_matched,
+       |  count(r.pre) = 0 AS allowed
+       |FROM fr f LEFT JOIN rules r
+       |  ON (r.ds = '*' OR ends_with(f.domain, r.ds))
+       | AND starts_with(regexp_extract(f.canonical_url, '$PathRe', 1),
+       |       r.pre)
+       |GROUP BY 1, 2
+       |ORDER BY canonical_url""".stripMargin
+  }
 }

@@ -65,6 +65,27 @@ class ShinglingSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 0.6)))
   }
 
+  test("containmentPairs: strict excerpt one-way, mutual dup both ways") {
+    val docs = Seq(
+      // 20 is a verbatim excerpt of 1 (all 4 of its shingles inside
+      // 1's 8) → contained 20→1 at 1000000 ticks; 1 in 20 is only
+      // 4/8 = 500000 → below τ, direction filtered
+      (1L, "a b c d e f g h i j"),
+      (20L, "c d e f g h"),
+      // 30/31 mutual near-dups: 5 of 6 shingles shared → 833333 both
+      // ways
+      (30L, "p q r s t u v w"),
+      (31L, "p q r s t u v x"),
+      (40L, "totally disjoint words only here")).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(docs, tauTicks = 600000L)
+      .orderBy($"doc_id", $"container_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (20L, 1L, 4L, 1000000L),
+      (30L, 31L, 5L, 833333L),
+      (31L, 30L, 5L, 833333L)))
+  }
+
   test("jaccardPairsAgainst ≡ full jaccardPairs restricted to cross pairs") {
     val docs = graft.core.Tables.load(spark, sf, "documents")
     val cut = (docs.agg(max($"doc_id")).head().getLong(0) + 1L) / 2L

@@ -189,6 +189,29 @@ class UrlNormSpec extends SparkSpec {
       ("http://d2/only", "d2", 1L, 0L)))
   }
 
+  test("robotsGate: wildcard, domain-scoped, and / rules; multi-match count") {
+    val frontier = Seq(
+      // matches the global item-1 rule only
+      ("http://a.example.com/articles/item-10", "example.com"),
+      // item-2 escapes the item-1 prefix
+      ("http://a.example.com/articles/item-2", "example.com"),
+      // .com.au domain: /articles/ rule AND the global item-1 rule
+      ("http://b.example.com.au/articles/item-12", "example.com.au"),
+      // .com.au but outside /articles/
+      ("http://b.example.com.au/about", "example.com.au"),
+      // k12: the bare / rule blocks everything
+      ("http://s.district.k12.ca.us/anything", "district.k12.ca.us"))
+      .toDF("canonical_url", "domain")
+    val got = UrlNorm.robotsGate(frontier, UrlNorm.RobotsRules)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got("http://a.example.com/articles/item-10") === ((1L, false)))
+    assert(got("http://a.example.com/articles/item-2") === ((0L, true)))
+    assert(got("http://b.example.com.au/articles/item-12") === ((2L, false)))
+    assert(got("http://b.example.com.au/about") === ((0L, true)))
+    assert(got("http://s.district.k12.ca.us/anything") === ((1L, false)))
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
