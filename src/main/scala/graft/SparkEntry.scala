@@ -191,6 +191,7 @@ object SparkEntry {
     "q127_inlink_features" -> (GraphRank.q127InlinkFeatures _),
     "q128_robots_gate"   -> (UrlNorm.q128RobotsGate _),
     "q129_containment"   -> (NearDup.q129Containment _),
+    "q130_crawl_depth"   -> (GraphRank.q130CrawlDepth _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1667,6 +1668,9 @@ object SparkEntry {
     // q129: asymmetric containment — directed postings co-counts
     // over string shingles, exact floor-division ticks.
     "q129_containment" -> NearDup.containmentOracleSql(),
+    // q130: BFS crawl depth — bounded recursive-CTE walk, min(d)
+    // collapses walk depths to min-hop (frontier vs walk semantics).
+    "q130_crawl_depth" -> GraphRank.crawlDepthOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

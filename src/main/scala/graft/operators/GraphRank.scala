@@ -895,4 +895,93 @@ object GraphRank {
        |FROM r$iters f JOIN ws ON ws.v = f.v
        |ORDER BY rank_ticks DESC, doc_id""".stripMargin
   }
+
+  /** BFS MIN-HOP depth from a seed set over directed edges — the
+    * crawl-depth label of web curation: pages few clicks from a
+    * trusted seed list are kept at higher priority (crawl-depth
+    * quotas are a standard corpus-quality knob, and depth is the
+    * scheduling tier a BFS crawler actually fetches in). Returns
+    * (v, depth) for every vertex reachable within `maxRounds` hops
+    * (seeds at depth 0); unreachable vertices are absent — depth is
+    * a property of the reachable set, not a default.
+    *
+    * Frontier algorithm (the textbook distributed BFS): per round,
+    * one src-keyed join of the CURRENT FRONTIER against the edge set
+    * (never the full visited set — work per round is O(edges out of
+    * the frontier), so total work is O(|E|) across all rounds, not
+    * O(|E|·rounds)), one distinct, one anti-join against the visited
+    * set. First touch IS min-hop because exploration is strictly
+    * round-ordered. The loop exits early on an empty frontier (one
+    * cheap existence probe per round on a pinned frame); both the
+    * visited set and the frontier pin per round and release their
+    * predecessors — O(1) rounds of storage, not O(rounds).
+    *
+    * Self-loops are dropped (they never change a depth); parallel
+    * edges collapse in the distinct.
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val e = edges.select($"src", $"dst")
+      .filter($"src" =!= $"dst").distinct()
+      .transform(Pin.reuse)
+    var dist = Pin.iterative(
+      seeds.toDF("v").distinct().select($"v", lit(0L).as("depth")))
+    var frontier = dist
+    var exhausted = false
+    for (r <- 1 to maxRounds if !exhausted) {
+      val nxt = Pin.iterative(
+        frontier.join(e, frontier("v") === e("src"))
+          .select(e("dst").as("v")).distinct()
+          .join(dist, Seq("v"), "left_anti")
+          .select($"v", lit(r.toLong).as("depth")))
+      if (nxt.isEmpty) { Pin.release(nxt); exhausted = true }
+      else {
+        val grown = Pin.iterative(dist.unionByName(nxt))
+        if (!(frontier eq dist)) Pin.release(frontier)
+        Pin.release(dist)
+        dist = grown
+        frontier = nxt
+      }
+    }
+    if (!(frontier eq dist)) Pin.release(frontier)
+    dist.orderBy($"v")
+  }
+
+  /** Q130 — crawl depth over the q113/q114 link graph from every 13th
+    * doc as a seed (a small audited seed list, disjoint from the q120
+    * trust seeds' rule): (doc_id, depth), reachable set only.
+    */
+  def q130CrawlDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bfsDepth(
+      linkEdges(spark, dir),
+      Tables.load(spark, dir, "documents")
+        .select($"doc_id").filter($"doc_id" % 13 === 0),
+      maxRounds = 8)
+      .select($"v".as("doc_id"), $"depth")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q130CrawlDepth]] — a recursive-CTE walk
+    * bounded at the same hop count; `UNION` (not `UNION ALL`) dedups
+    * (v, d) states so the recursion terminates on cycles, and the
+    * final `min(d)` collapses walk depths to min-hop — the oracle
+    * checks the frontier algorithm against straight walk semantics,
+    * the same adversarial pairing as the q124 doubling-vs-walk check.
+    */
+  def crawlDepthOracleSql(maxRounds: Int = 8): String =
+    s"""WITH RECURSIVE $linkEdgeCtesSql,
+       | e AS (SELECT DISTINCT src, dst FROM ed),
+       | seeds AS (SELECT DISTINCT doc_id AS sv FROM documents
+       |   WHERE doc_id % 13 = 0),
+       | bfs(v, d) AS (
+       |   SELECT sv, 0::BIGINT FROM seeds
+       |   UNION
+       |   SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.v
+       |   WHERE bfs.d < $maxRounds)
+       |SELECT v AS doc_id, min(d)::BIGINT AS depth FROM bfs
+       |GROUP BY v ORDER BY doc_id""".stripMargin
 }

@@ -457,6 +457,68 @@ class GraphRankSpec extends SparkSpec {
       "vertices no label ever reaches stay null")
   }
 
+  /** Plain-Scala reference BFS: round-synchronous frontier expansion,
+    * first touch = min-hop, bounded rounds.
+    */
+  private def referenceBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      maxR: Int): Map[Long, Long] = {
+    val adj = edges.filter(t => t._1 != t._2).distinct
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).distinct }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to maxR if frontier.nonEmpty) {
+      val nxt = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+        .filterNot(dist.contains)
+      dist ++= nxt.map(_ -> r.toLong)
+      frontier = nxt
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxR: Int): Map[Long, Long] =
+    GraphRank.bfsDepth(edges.map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "wt"),
+      seeds.toDF("v"), maxR)
+      .as[(Long, Long)].collect().toMap
+
+  test("bfs: diamond takes the min path; cycles terminate; " +
+      "unreachable vertices are absent") {
+    // 1 → 2 → 4 and 1 → 4 (diamond: depth(4) = 1, not 2);
+    // 4 → 5 → 6 → 4 (cycle reached from the seed side);
+    // 8 → 9 unreachable from seed 1
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (8L, 9L))
+    val got = runBfs(edges, Seq(1L), maxR = 10)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    assert(got === referenceBfs(edges, Set(1L), 10))
+  }
+
+  test("bfs: maxRounds truncates depth; a seed inside a chain wins") {
+    val chain = (1L to 9L).sliding(2).map(p => (p(0), p(1))).toSeq
+    // from vertex 1, rounds=3 reaches only depths ≤ 3
+    assert(runBfs(chain, Seq(1L), 3) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // a second seed mid-chain caps depths from its side
+    val two = runBfs(chain, Seq(1L, 7L), 8)
+    assert(two(7L) === 0L && two(8L) === 1L && two(6L) === 5L)
+    assert(two === referenceBfs(chain, Set(1L, 7L), 8))
+  }
+
+  test("bfs: seeded random digraphs match the reference across seeds") {
+    for (seed <- Seq(4511, 4522, 4533)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 140).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter(t => t._1 != t._2).distinct
+      val seeds = edges.map(_._1).distinct.sorted.take(2)
+      for (maxR <- Seq(0, 2, 6))
+        assert(runBfs(edges, seeds, maxR) ===
+          referenceBfs(edges, seeds.toSet, maxR),
+          s"divergence at seed=$seed maxR=$maxR")
+    }
+  }
+
   test("randomized band: every directed variant matches its reference " +
       "across seeds") {
     // the per-variant tests above each use one seed; this band sweeps
