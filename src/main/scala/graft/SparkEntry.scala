@@ -192,6 +192,7 @@ object SparkEntry {
     "q128_robots_gate"   -> (UrlNorm.q128RobotsGate _),
     "q129_containment"   -> (NearDup.q129Containment _),
     "q130_crawl_depth"   -> (GraphRank.q130CrawlDepth _),
+    "q131_triangles"     -> (GraphRank.q131Triangles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1671,6 +1672,10 @@ object SparkEntry {
     // q130: BFS crawl depth — bounded recursive-CTE walk, min(d)
     // collapses walk depths to min-hop (frontier vs walk semantics).
     "q130_crawl_depth" -> GraphRank.crawlDepthOracleSql(),
+    // q131: triangles — ID-ordered three-way join in the oracle vs
+    // the degree-ordered oriented plan in Spark; the count is
+    // orientation-invariant, so they hash-match.
+    "q131_triangles" -> GraphRank.trianglesOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

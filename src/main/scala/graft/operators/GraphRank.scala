@@ -984,4 +984,109 @@ object GraphRank {
        |   WHERE bfs.d < $maxRounds)
        |SELECT v AS doc_id, min(d)::BIGINT AS depth FROM bfs
        |GROUP BY v ORDER BY doc_id""".stripMargin
+
+  /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT per vertex — the
+    * community-structure signals of web/graph curation: a page whose
+    * neighbors also link each other sits inside a genuine topical
+    * community; a link-farm hub has thousands of neighbors that never
+    * interlink (clustering ≈ 0) — the classic spam-vs-community
+    * discriminator. Directed edges are symmetrized to a canonical
+    * undirected edge set first. Returns (v, degree, n_triangles,
+    * clustering_ticks) with clustering = 2·T·1e6 div (deg·(deg−1))
+    * in exact integer ticks (0 when deg < 2).
+    *
+    * Scale shape — DEGREE-ORDERED ORIENTATION, the standard
+    * distributed-triangle trick: orient every undirected edge from
+    * the endpoint lower in the (degree, id) total order to the
+    * higher, enumerate wedges by self-joining oriented edges on
+    * their source, and close each wedge with one more oriented-edge
+    * join. Each triangle a≺b≺c is counted exactly once (at its
+    * minimum vertex). The payoff at 100 TB: a vertex's ORIENTED
+    * out-degree is O(√|E|) regardless of its real degree — a
+    * 10M-degree hub contributes no wedges from its low side — so the
+    * wedge join is O(Σ d⁺(v)²) = O(|E|^1.5) worst case instead of
+    * the unoriented Σ deg² blow-up, and the count is
+    * orientation-invariant so the oracle's id-ordered SQL matches
+    * bit-for-bit. Three shuffles total (degree agg, wedge join,
+    * closing join) + one per-vertex partial agg; no windows, no
+    * driver state.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val ue = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .transform(Pin.reuse)
+    val deg = ue.select($"a".as("v"))
+      .unionByName(ue.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .transform(Pin.reuse)
+    // (deg, v) is a TOTAL order (v unique), so ka ≠ kb always and the
+    // orientation below is well-defined
+    val o = ue
+      .join(deg.select($"v".as("a"), struct($"deg", $"v").as("ka")), "a")
+      .join(deg.select($"v".as("b"), struct($"deg", $"v").as("kb")), "b")
+      .select(
+        when($"ka" < $"kb", $"a").otherwise($"b").as("u"),
+        when($"ka" < $"kb", $"b").otherwise($"a").as("w"),
+        when($"ka" < $"kb", $"kb").otherwise($"ka").as("kw"))
+      .transform(Pin.reuse)
+    // wedge (x, y) out of u with kx < ky: the closing edge, if any,
+    // is oriented x → y by transitivity of the total order
+    val wedges = o.select($"u", $"w".as("x"), $"kw".as("kx"))
+      .join(o.select($"u", $"w".as("y"), $"kw".as("ky")), Seq("u"))
+      .filter($"kx" < $"ky")
+      .select($"u", $"x", $"y")
+    val tris = wedges
+      .join(o.select($"u".as("x"), $"w".as("y")), Seq("x", "y"))
+      .select($"u", $"x", $"y")
+    val tc = tris.select($"u".as("v"))
+      .unionByName(tris.select($"x".as("v")))
+      .unionByName(tris.select($"y".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tc, Seq("v"), "left")
+      .select($"v", $"deg".as("degree"),
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ticks",
+        when($"degree" >= 2,
+          expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Q131 — triangle/clustering profile of the symmetrized q113/q114
+    * link graph: (doc_id, degree, n_triangles, clustering_ticks).
+    */
+  def q131Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    triangleStats(linkEdges(spark, dir))
+      .select($"v".as("doc_id"), $"degree", $"n_triangles",
+        $"clustering_ticks")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q131Triangles]] — ID-ordered orientation
+    * (a < b < c), which the count is invariant to, so the SQL is the
+    * three-way canonical-edge join a textbook writes while Spark runs
+    * the degree-ordered plan; same tick division.
+    */
+  def trianglesOracleSql: String =
+    s"""WITH $linkEdgeCtesSql,
+       | ue AS (SELECT DISTINCT least(src, dst) AS a,
+       |     greatest(src, dst) AS b FROM ed WHERE src <> dst),
+       | deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+       |     SELECT a AS v FROM ue UNION ALL SELECT b FROM ue)
+       |   GROUP BY v),
+       | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |   FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+       |   JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+       | tv AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+       |   UNION ALL SELECT z FROM tri),
+       | tc AS (SELECT v, count(*)::BIGINT AS nt FROM tv GROUP BY v)
+       |SELECT d.v AS doc_id, d.deg AS degree,
+       |  coalesce(tc.nt, 0)::BIGINT AS n_triangles,
+       |  (CASE WHEN d.deg >= 2
+       |    THEN (2 * coalesce(tc.nt, 0) * 1000000) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END)::BIGINT AS clustering_ticks
+       |FROM deg d LEFT JOIN tc ON tc.v = d.v
+       |ORDER BY doc_id""".stripMargin
 }

@@ -519,6 +519,73 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala reference triangle profile: brute-force over the
+    * canonical undirected edge set — every a < b < c combination.
+    */
+  private def referenceTriangles(
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val ue = edges.filter(t => t._1 != t._2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val es = ue.toSet
+    val deg = (ue.map(_._1) ++ ue.map(_._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val verts = deg.keys.toSeq.sorted
+    val triCount = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for {
+      (a, b) <- ue
+      c <- verts if c > b && es((a, c)) && es((b, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    deg.map { case (v, d) =>
+      val t = triCount(v)
+      val cl = if (d >= 2) (2 * t * 1000000L) / (d * (d - 1)) else 0L
+      v -> (d, t, cl)
+    }
+  }
+
+  private def runTriangles(
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    GraphRank.triangleStats(edges.map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "wt"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (v, d, t, c) => v -> (d, t, c) }.toMap
+
+  test("triangles: K3 + pendant, K4, and a square hand-check") {
+    // K3 {1,2,3} with pendant 3—4: each K3 vertex in 1 triangle;
+    // clustering 1 for deg-2 vertices, 1/3 for vertex 3 (deg 3)
+    val got = runTriangles(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got === Map(
+      1L -> (2L, 1L, 1000000L), 2L -> (2L, 1L, 1000000L),
+      3L -> (3L, 1L, 333333L), 4L -> (1L, 0L, 0L)))
+    // K4: every vertex in C(3,2) = 3 triangles, clustering exactly 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(runTriangles(k4) ===
+      (1L to 4L).map(v => v -> (3L, 3L, 1000000L)).toMap)
+    // 4-cycle: no triangles anywhere
+    val sq = runTriangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sq.values.forall { case (_, t, c) => t == 0L && c == 0L })
+  }
+
+  test("triangles: direction, duplicates, and self-loops are " +
+      "symmetrized away") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val dirty = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 3L))
+    assert(runTriangles(dirty) === runTriangles(clean))
+  }
+
+  test("triangles: seeded random graphs match the brute-force " +
+      "reference across seeds") {
+    for (seed <- Seq(6101, 6202, 6303)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 160).map { _ =>
+        (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong)
+      }.filter(t => t._1 != t._2).distinct
+      assert(runTriangles(edges) === referenceTriangles(edges),
+        s"divergence at seed=$seed")
+    }
+  }
+
   test("randomized band: every directed variant matches its reference " +
       "across seeds") {
     // the per-variant tests above each use one seed; this band sweeps
