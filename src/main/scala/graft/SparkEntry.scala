@@ -193,6 +193,7 @@ object SparkEntry {
     "q129_containment"   -> (NearDup.q129Containment _),
     "q130_crawl_depth"   -> (GraphRank.q130CrawlDepth _),
     "q131_triangles"     -> (GraphRank.q131Triangles _),
+    "q132_path_hierarchy" -> (UrlNorm.q132PathHierarchy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1676,6 +1677,9 @@ object SparkEntry {
     // the degree-ordered oriented plan in Spark; the count is
     // orientation-invariant, so they hash-match.
     "q131_triangles" -> GraphRank.trianglesOracleSql,
+    // q132: path hierarchy — shared frontier chain + the same
+    // split/filter/prefix fold; range-unnest mirrors the explode.
+    "q132_path_hierarchy" -> UrlNorm.pathHierarchyOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

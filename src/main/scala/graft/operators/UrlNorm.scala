@@ -736,4 +736,62 @@ object UrlNorm {
        |GROUP BY 1, 2
        |ORDER BY canonical_url""".stripMargin
   }
+
+  /** PATH-HIERARCHY rollup — the site-structure profile a crawl
+    * planner and a template-detector both consume: per domain, how
+    * many frontier URLs live under each path prefix at each depth
+    * (a filesystem-`du` over URL space). `/a/b/c` contributes
+    * `/a` (depth 1), `/a/b` (depth 2), `/a/b/c` (depth 3, capped at
+    * `maxDepth`); the root path contributes nothing — hierarchy is a
+    * property of non-trivial paths.
+    *
+    * Scale shape: a pure per-row projection (split + ≤ `maxDepth`
+    * generated prefixes — explode fan-out bounded by the cap, not by
+    * path length) followed by ONE (domain, depth, prefix)-keyed
+    * partial agg. No windows, no joins, no driver state; prefix
+    * counts partial-aggregate map-side, so a domain with a million
+    * URLs under `/articles` ships one partial row per task, not a
+    * million.
+    */
+  def pathHierarchy(frontier: DataFrame, maxDepth: Int = 3): DataFrame = {
+    import frontier.sparkSession.implicits._
+    frontier.select($"canonical_url", $"domain")
+      .withColumn("_path", regexp_extract($"canonical_url", PathRe, 1))
+      .withColumn("_segs", expr("filter(split(_path, '/'), s -> s <> '')"))
+      // sequence(1, n) with n < 1 generates a DESCENDING sequence in
+      // Spark — the empty-path case must short-circuit to an empty
+      // array before the transform
+      .withColumn("_prefixes", expr(
+        s"""CASE WHEN size(_segs) < 1 THEN cast(array() as array<string>)
+           | ELSE transform(sequence(1, least(size(_segs), $maxDepth)),
+           |   k -> concat('/', array_join(slice(_segs, 1, k), '/')))
+           | END""".stripMargin))
+      .select($"domain", posexplode($"_prefixes"))
+      .groupBy($"domain", ($"pos" + 1).cast("long").as("depth"),
+        $"col".as("path_prefix"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy($"domain", $"depth", $"path_prefix")
+  }
+
+  /** Q132 — path hierarchy of the q118 crawl frontier at depth ≤ 3. */
+  def q132PathHierarchy(spark: SparkSession, dir: String): DataFrame =
+    pathHierarchy(q118FrontierDedup(spark, dir))
+
+  /** DuckDB oracle for [[q132PathHierarchy]] — the shared frontier
+    * chain, the same split/filter, prefixes via an unnested `range`
+    * (empty when the path is bare, mirroring the explode drop).
+    */
+  def pathHierarchyOracleSql(maxDepth: Int = 3): String =
+    s"""WITH $frontierCtesSql,
+       | pth AS (SELECT domain, list_filter(
+       |     string_split(regexp_extract(canonical_url, '$PathRe', 1), '/'),
+       |     s -> s <> '') AS segs
+       |   FROM fr),
+       | pre AS (SELECT domain, k::BIGINT AS depth,
+       |     '/' || array_to_string(segs[1:k], '/') AS path_prefix
+       |   FROM pth, unnest(range(1, least(len(segs), $maxDepth) + 1))
+       |     AS t(k))
+       |SELECT domain, depth, path_prefix, count(*)::BIGINT AS n_urls
+       |FROM pre GROUP BY 1, 2, 3
+       |ORDER BY domain, depth, path_prefix""".stripMargin
 }

@@ -212,6 +212,24 @@ class UrlNormSpec extends SparkSpec {
     assert(got("http://s.district.k12.ca.us/anything") === ((1L, false)))
   }
 
+  test("pathHierarchy: prefixes roll up, depth caps, bare paths drop") {
+    val frontier = Seq(
+      ("http://a/x/y/z/w", "a"),   // 4 segs: only depths 1..3 emit
+      ("http://a/x/y/q", "a"),
+      ("http://a/x", "a"),
+      ("http://a/", "a"),          // bare path: contributes nothing
+      ("http://b/x", "b"))         // same path, other domain: separate
+      .toDF("canonical_url", "domain")
+    val got = UrlNorm.pathHierarchy(frontier, maxDepth = 3)
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 1L, "/x", 3L),
+      ("a", 2L, "/x/y", 2L),
+      ("a", 3L, "/x/y/q", 1L),
+      ("a", 3L, "/x/y/z", 1L),
+      ("b", 1L, "/x", 1L)))
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
