@@ -194,6 +194,7 @@ object SparkEntry {
     "q130_crawl_depth"   -> (GraphRank.q130CrawlDepth _),
     "q131_triangles"     -> (GraphRank.q131Triangles _),
     "q132_path_hierarchy" -> (UrlNorm.q132PathHierarchy _),
+    "q133_cocitation"    -> (GraphRank.q133Cocitation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1680,6 +1681,9 @@ object SparkEntry {
     // q132: path hierarchy — shared frontier chain + the same
     // split/filter/prefix fold; range-unnest mirrors the explode.
     "q132_path_hierarchy" -> UrlNorm.pathHierarchyOracleSql(),
+    // q133: co-citation — cap-first inverted self-join on the citing
+    // page, Jaccard over in-link sets in floor-division ticks.
+    "q133_cocitation" -> GraphRank.cocitationOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

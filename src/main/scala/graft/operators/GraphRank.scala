@@ -1089,4 +1089,70 @@ object GraphRank {
        |    ELSE 0 END)::BIGINT AS clustering_ticks
        |FROM deg d LEFT JOIN tc ON tc.v = d.v
        |ORDER BY doc_id""".stripMargin
+
+  /** CO-CITATION similarity — the "related pages" signal of classic
+    * web IR: two pages repeatedly linked BY the same sources are
+    * about the same thing, whether or not they link each other (the
+    * graph dual of the q129 content containment — similarity from how
+    * the web CITES, not what the page says). Pairs (doc_a < doc_b)
+    * share ≥ `minCoCiters` distinct citing pages; Jaccard over the
+    * two in-link source sets in exact 1e-6 floor-division ticks.
+    *
+    * Scale shape: the inverted-index self-join keyed on the CITING
+    * page (the q18/q122 postings shape — only pairs sharing a citer
+    * materialize, never all-pairs), with the standard frequency cap
+    * applied FIRST: a source citing more than `maxOutDeg` pages is a
+    * directory/boilerplate navigation page — it contributes
+    * O(outdeg²) join rows and near-zero signal, so it is dropped
+    * before the join on both engines (the q122 `maxFpDomains` / df-
+    * cut rationale). In-set sizes are computed on the capped edge
+    * set, so the Jaccard is exactly the capped-universe Jaccard.
+    * One pair-keyed partial agg; the per-doc in-count join AQE-
+    * broadcasts while it fits.
+    */
+  def cocitationPairs(edges: DataFrame, maxOutDeg: Long = 10L,
+      minCoCiters: Long = 2L): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst")
+      .filter($"src" =!= $"dst").distinct()
+    val od = e.groupBy($"src").agg(count(lit(1)).as("d"))
+    val ke = e.join(od.filter($"d" <= maxOutDeg).select($"src"), "src")
+      .transform(Pin.reuse)
+    val nin = ke.groupBy($"dst").agg(count(lit(1)).as("n"))
+    ke.select($"src", $"dst".as("doc_a"))
+      .join(ke.select($"src", $"dst".as("doc_b")), "src")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("co_citers"))
+      .filter($"co_citers" >= minCoCiters)
+      .join(nin.select($"dst".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(nin.select($"dst".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"co_citers",
+        expr("(co_citers * 1000000) div (na + nb - co_citers)")
+          .as("jaccard_ticks"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Q133 — co-citation pairs over the q113/q114 link graph. */
+  def q133Cocitation(spark: SparkSession, dir: String): DataFrame =
+    cocitationPairs(linkEdges(spark, dir))
+
+  /** DuckDB oracle for [[q133Cocitation]] — same cap-first chain,
+    * same directed co-counts, same floor division.
+    */
+  def cocitationOracleSql(maxOutDeg: Long = 10L,
+      minCoCiters: Long = 2L): String =
+    s"""WITH $linkEdgeCtesSql,
+       | e AS (SELECT DISTINCT src, dst FROM ed),
+       | od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       | ke AS (SELECT e.src, e.dst FROM e JOIN od ON od.src = e.src
+       |   WHERE od.d <= $maxOutDeg),
+       | nin AS (SELECT dst, count(*)::BIGINT AS n FROM ke GROUP BY dst),
+       | prs AS (SELECT a.dst AS da, b.dst AS db, count(*)::BIGINT AS co
+       |   FROM ke a JOIN ke b ON a.src = b.src AND a.dst < b.dst
+       |   GROUP BY 1, 2 HAVING count(*) >= $minCoCiters)
+       |SELECT da AS doc_a, db AS doc_b, co AS co_citers,
+       |  ((co * 1000000) // (na.n + nb.n - co))::BIGINT AS jaccard_ticks
+       |FROM prs JOIN nin na ON na.dst = da JOIN nin nb ON nb.dst = db
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

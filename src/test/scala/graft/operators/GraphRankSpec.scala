@@ -586,6 +586,31 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("cocitation: shared citers pair, the out-degree cap drops " +
+      "directory pages, jaccard is capped-universe") {
+    // citers 1,2,3 each cite {10, 20}; citer 4 cites {10, 30};
+    // citer 99 is a DIRECTORY page citing 12 targets — capped out,
+    // so its co-citations (including 20–30) never materialize
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L), (4L, 30L))
+    val dir99 = (10L to 21L).map(t => (99L, t))
+    val edges = (base ++ dir99).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "wt")
+    val got = GraphRank.cocitationPairs(edges, maxOutDeg = 10L,
+        minCoCiters = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // in capped universe: in(10) = {1,2,3,4}, in(20) = {1,2,3};
+    // (10,20): co=3, jaccard = 3/(4+3-3) = 750000 ticks;
+    // (10,30): co=1 < minCoCiters — filtered
+    assert(got === Seq((10L, 20L, 3L, 750000L)))
+    // raising the cap admits the directory page: (20,21) and friends
+    // still need >= 2 citers, but (10,20) gains citer 99
+    val loose = GraphRank.cocitationPairs(edges, maxOutDeg = 20L,
+        minCoCiters = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(loose.contains((10L, 20L, 4L, 1000000L * 4L / 5L)))
+  }
+
   test("randomized band: every directed variant matches its reference " +
       "across seeds") {
     // the per-variant tests above each use one seed; this band sweeps
