@@ -195,6 +195,7 @@ object SparkEntry {
     "q131_triangles"     -> (GraphRank.q131Triangles _),
     "q132_path_hierarchy" -> (UrlNorm.q132PathHierarchy _),
     "q133_cocitation"    -> (GraphRank.q133Cocitation _),
+    "q134_kcore"         -> (GraphRank.q134KCore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1684,6 +1685,10 @@ object SparkEntry {
     // q133: co-citation — cap-first inverted self-join on the citing
     // page, Jaccard over in-link sets in floor-division ticks.
     "q133_cocitation" -> GraphRank.cocitationOracleSql(),
+    // q134: k-core — synchronous peeling as chained CTEs; degrees
+    // via window counts so each round references its predecessor
+    // exactly once (no 3^rounds CTE inlining).
+    "q134_kcore" -> GraphRank.kCoreOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -1155,4 +1155,91 @@ object GraphRank {
        |  ((co * 1000000) // (na.n + nb.n - co))::BIGINT AS jaccard_ticks
        |FROM prs JOIN nin na ON na.dst = da JOIN nin nb ON nb.dst = db
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** K-CORE decomposition by synchronous peeling — the density prior
+    * of graph curation: the k-core is the maximal subgraph where
+    * every vertex keeps ≥ k neighbors, so tree-like tendrils and
+    * weakly-attached pages peel away while genuinely interlinked
+    * communities survive (link farms are notoriously core-dense,
+    * isolated spam pages never reach the 2-core — both directions of
+    * the signal matter). Synchronous rounds on the SYMMETRIZED edge
+    * set: each round drops every edge with an endpoint of current
+    * degree < k; exactly `rounds` rounds run on both engines (the
+    * peeling is monotone, so a round after the fixpoint is a no-op —
+    * the loop exits early when the edge count stops falling, which
+    * cannot change the result). Returns (v, core_degree): vertices
+    * still present after peeling with their within-core degree.
+    *
+    * Scale shape: per round ONE degree partial-agg + one semi-join
+    * of the edge set against survivors (src side; the dst side rides
+    * the same frame because the edge set is kept symmetric). Edge
+    * frame pins per round, predecessor released — O(1) rounds of
+    * storage. Rounds needed = peeling depth, O(log n) on real web
+    * graphs (worst case a path peels from both ends).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    // canonical undirected, then SYMMETRIC representation: each
+    // undirected edge appears in both orientations, so degree(v) is
+    // a plain count over src = v and one survivor semi-join filters
+    // both endpoints
+    val ue = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    var e = Pin.iterative(
+      ue.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(ue.select($"b".as("src"), $"a".as("dst"))))
+    var nEdges = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val surv = e.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"v")
+      val next = Pin.iterative(
+        e.join(surv.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+          .join(surv.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .select($"src", $"dst"))
+      val n = next.count()
+      if (n == nEdges) { Pin.release(next); converged = true }
+      else { Pin.release(e); e = next; nEdges = n }
+    }
+    e.groupBy($"src".as("v")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Q134 — the 2-core of the symmetrized q113/q114 link graph after
+    * 8 peeling rounds: (doc_id, core_degree).
+    */
+  def q134KCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kCore(linkEdges(spark, dir), k = 2, rounds = 8)
+      .select($"v".as("doc_id"), $"core_degree")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q134KCore]] — the same synchronous peeling
+    * as chained CTEs. Degrees come from WINDOW counts over the
+    * symmetric edge list, so each round's CTE references its
+    * predecessor exactly ONCE (a separate degree CTE would be a
+    * second reference and CTE inlining would grow the plan 3^rounds —
+    * the q121 scalar-subquery lesson applied here).
+    */
+  def kCoreOracleSql(k: Int = 2, rounds: Int = 8): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s""" e$i AS (SELECT src, dst FROM (
+         |   SELECT src, dst,
+         |     count(*) OVER (PARTITION BY src) AS ds,
+         |     count(*) OVER (PARTITION BY dst) AS dd
+         |   FROM e${i - 1})
+         |  WHERE ds >= $k AND dd >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgeCtesSql,
+       | ue AS (SELECT DISTINCT least(src, dst) AS a,
+       |     greatest(src, dst) AS b FROM ed WHERE src <> dst),
+       | e0 AS (SELECT a AS src, b AS dst FROM ue
+       |   UNION ALL SELECT b, a FROM ue),
+       |$iterCtes
+       |SELECT src AS doc_id, count(*)::BIGINT AS core_degree
+       |FROM e$rounds GROUP BY src ORDER BY doc_id""".stripMargin
+  }
 }

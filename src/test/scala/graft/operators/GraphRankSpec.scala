@@ -611,6 +611,56 @@ class GraphRankSpec extends SparkSpec {
     assert(loose.contains((10L, 20L, 4L, 1000000L * 4L / 5L)))
   }
 
+  /** Plain-Scala reference peeling: synchronous rounds until the
+    * round budget or the fixpoint, then per-vertex core degree.
+    */
+  private def referenceKCore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    var ue = edges.filter(t => t._1 != t._2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    for (_ <- 1 to rounds) {
+      val deg = (ue.map(_._1) ++ ue.map(_._2))
+        .groupBy(identity).map { case (v, vs) => v -> vs.size }
+      ue = ue.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+    }
+    (ue.map(_._1) ++ ue.map(_._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    GraphRank.kCore(edges.map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "wt"), k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kcore: tendrils peel, the core survives, peeling cascades") {
+    // triangle {1,2,3} + path 3—4—5: round 1 peels 5 (deg 1), round
+    // 2 peels 4 (its degree FELL to 1) — the cascade — leaving the
+    // triangle as the whole 2-core
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(runKCore(edges, 2, 8) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 empties it entirely (no vertex has 3 core neighbors)
+    assert(runKCore(edges, 3, 8) === Map.empty[Long, Long])
+    // a round budget too small stops mid-cascade, deterministically
+    assert(runKCore(edges, 2, 1) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("kcore: seeded random graphs match the reference at several " +
+      "k and round budgets") {
+    for (seed <- Seq(7101, 7202)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 130).map { _ =>
+        (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong)
+      }.filter(t => t._1 != t._2).distinct
+      for (k <- Seq(2, 3); rounds <- Seq(1, 3, 8))
+        assert(runKCore(edges, k, rounds) ===
+          referenceKCore(edges, k, rounds),
+          s"divergence at seed=$seed k=$k rounds=$rounds")
+    }
+  }
+
   test("randomized band: every directed variant matches its reference " +
       "across seeds") {
     // the per-variant tests above each use one seed; this band sweeps
