@@ -196,6 +196,7 @@ object SparkEntry {
     "q132_path_hierarchy" -> (UrlNorm.q132PathHierarchy _),
     "q133_cocitation"    -> (GraphRank.q133Cocitation _),
     "q134_kcore"         -> (GraphRank.q134KCore _),
+    "q135_reciprocity"   -> (GraphRank.q135Reciprocity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1689,6 +1690,9 @@ object SparkEntry {
     // via window counts so each round references its predecessor
     // exactly once (no 3^rounds CTE inlining).
     "q134_kcore" -> GraphRank.kCoreOracleSql(),
+    // q135: reciprocity — distinct edges semi-joined against their
+    // own reversal, per-source ratio in floor-division ticks.
+    "q135_reciprocity" -> GraphRank.reciprocityOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -1242,4 +1242,64 @@ object GraphRank {
        |SELECT src AS doc_id, count(*)::BIGINT AS core_degree
        |FROM e$rounds GROUP BY src ORDER BY doc_id""".stripMargin
   }
+
+  /** LINK RECIPROCITY per page — the link-exchange detector: organic
+    * links are overwhelmingly one-way (a page cites an authority; the
+    * authority doesn't cite back), while "you link me, I link you"
+    * schemes produce reciprocated edges, so a page whose out-links
+    * are mostly reciprocated is a strong spam-farm candidate. Per
+    * source page: distinct out-links, how many are reciprocated
+    * (the reverse edge exists), and the reciprocity ratio in exact
+    * 1e-6 floor-division ticks.
+    *
+    * Scale shape: ONE self-semi-join of the distinct edge set
+    * against its own reversal (equi-keyed on (src, dst) — a plain
+    * hash join, no inequality, no all-pairs) + two src-keyed partial
+    * aggs that reuse the same shuffle key. No windows, no driver
+    * state.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst")
+      .filter($"src" =!= $"dst").distinct()
+      .transform(Pin.reuse)
+    val recip = e.join(
+      e.select($"dst".as("src"), $"src".as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.groupBy($"src").agg(count(lit(1)).as("n_out"))
+      .join(recip.groupBy($"src").agg(count(lit(1)).as("n_recip")),
+        Seq("src"), "left")
+      .select($"src", $"n_out",
+        coalesce($"n_recip", lit(0L)).as("n_recip"))
+      .withColumn("reciprocity_ticks",
+        expr("(n_recip * 1000000) div n_out"))
+  }
+
+  /** Q135 — reciprocity profile of the q113/q114 link graph:
+    * (doc_id, n_out, n_recip, reciprocity_ticks).
+    */
+  def q135Reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    reciprocity(linkEdges(spark, dir))
+      .select($"src".as("doc_id"), $"n_out", $"n_recip",
+        $"reciprocity_ticks")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q135Reciprocity]] — same distinct edge set,
+    * reversal via an IN-pair semi join, same floor division.
+    */
+  def reciprocityOracleSql: String =
+    s"""WITH $linkEdgeCtesSql,
+       | e AS (SELECT DISTINCT src, dst FROM ed),
+       | rc AS (SELECT a.src, count(*)::BIGINT AS nr
+       |   FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+       |   GROUP BY a.src),
+       | no AS (SELECT src, count(*)::BIGINT AS n FROM e GROUP BY src)
+       |SELECT no.src AS doc_id, no.n AS n_out,
+       |  coalesce(rc.nr, 0)::BIGINT AS n_recip,
+       |  ((coalesce(rc.nr, 0) * 1000000) // no.n)::BIGINT
+       |    AS reciprocity_ticks
+       |FROM no LEFT JOIN rc ON rc.src = no.src
+       |ORDER BY doc_id""".stripMargin
 }

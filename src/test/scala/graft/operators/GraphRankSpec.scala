@@ -661,6 +661,22 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("reciprocity: mutual pairs count, one-way links don't, " +
+      "parallel edges collapse") {
+    // 1↔2 mutual; 1→3 one-way; 3→4 one-way; duplicate 1→2 edges and
+    // a self-loop must not inflate anything
+    val edges = Seq((1L, 2L, 1L), (1L, 2L, 5L), (2L, 1L, 1L),
+      (1L, 3L, 1L), (3L, 4L, 1L), (4L, 4L, 9L))
+      .toDF("src", "dst", "wt")
+    val got = GraphRank.reciprocity(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 500000L)),   // 2 out, 1 reciprocated
+      2L -> ((1L, 1L, 1000000L)),  // its single out-link is mutual
+      3L -> ((1L, 0L, 0L))))       // 4 has no real out-links
+  }
+
   test("randomized band: every directed variant matches its reference " +
       "across seeds") {
     // the per-variant tests above each use one seed; this band sweeps
