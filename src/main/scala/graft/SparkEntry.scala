@@ -197,6 +197,7 @@ object SparkEntry {
     "q133_cocitation"    -> (GraphRank.q133Cocitation _),
     "q134_kcore"         -> (GraphRank.q134KCore _),
     "q135_reciprocity"   -> (GraphRank.q135Reciprocity _),
+    "q136_kmv_distinct"  -> (Profiling.q136KmvDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1693,6 +1694,10 @@ object SparkEntry {
     // q135: reciprocity — distinct edges semi-joined against their
     // own reversal, per-source ratio in floor-division ticks.
     "q135_reciprocity" -> GraphRank.reciprocityOracleSql,
+    // q136: KMV distinct sketch — set-of-k-minima is order-
+    // independent, so the ESTIMATE itself is oracle-checkable; the
+    // oracle takes the k minima via a window over distinct hashes.
+    "q136_kmv_distinct" -> Profiling.kmvOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -406,4 +406,104 @@ object Profiling {
       .select($"event_id", $"event_type", $"value", $"winsorized", $"scaled")
       .orderBy($"event_id")
   }
+
+  /** GROUPED DISTINCT-COUNT SKETCH (KMV) — the cardinality sibling of
+    * the `approx_percentile` switch above: exact `countDistinct`
+    * shuffles one row per distinct value per group (unbounded at
+    * 100 TB URL/user/token cardinality), while the
+    * [[graft.functions.KmvDistinctAgg]] sketch's partial state is the
+    * k smallest distinct values of the engine-portable
+    * [[TextAnalysis.fingerprint]] hash — k longs per partition per
+    * group on the exchange, whatever the true cardinality, and the
+    * estimate is (k−1)·M div h₍ₖ₎ in exact integer arithmetic.
+    *
+    * Because the sketch state is a SET (order-independent), the
+    * estimate is bit-identical under any partitioning or merge tree —
+    * so unlike a float sketch it is DIRECTLY oracle-checkable, and
+    * [[q136KmvDistinct]] also carries the exact count so every row
+    * exhibits the real estimation error (spec'd ≤ ~3/√k relative).
+    * Returns (group, n_exact, n_kept, kth_min, est_distinct).
+    */
+  /** KMV hash space: [1, 2³¹−1]. The polynomial fold alone clusters
+    * on templated URL families (shared prefixes/suffixes shift the
+    * fold structurally), so two Lehmer-LCG scramble steps mod the
+    * Mersenne prime decorrelate it — every product stays < 2⁶³, so
+    * the arithmetic is exact BIGINT on both engines.
+    */
+  private val KmvM = 2147483647L
+
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val sketch = udaf(new graft.functions.KmvDistinctAgg(k))
+    val fp = TextAnalysis.fingerprint(col(valueCol))
+    val h = lit(1L) +
+      ((((fp * lit(48271L)) % KmvM) * lit(48271L)) % KmvM)
+    df.select(col(groupCol).as("grp"),
+        col(valueCol).as("_v"),
+        h.as("_h"))
+      .groupBy($"grp")
+      .agg(countDistinct($"_v").as("n_exact"),
+        sketch($"_h").as("_kept"))
+      .select($"grp", $"n_exact",
+        size($"_kept").cast("long").as("n_kept"),
+        element_at($"_kept", -1).as("kth_min"))
+      .withColumn("est_distinct",
+        when($"n_kept" < k, $"n_kept")
+          // (k−1)·M precomputed as a Long literal: the Int product
+          // overflows under ANSI arithmetic
+          .otherwise(expr(s"${(k - 1).toLong * KmvM}L div kth_min")))
+  }
+
+  /** Q136 — distinct canonical URLs per PUBLIC-SUFFIX class (the
+    * domain tail after the registered domain's own label: `co.uk`,
+    * `com.au`, `k12.ca.us`, `com`) estimated by a k=16 KMV sketch
+    * next to the exact count — 4 groups of ~125 distinct URLs at
+    * sf0.01, so the estimation path (not the exact-small-set path)
+    * is what the oracle locks.
+    */
+  def q136KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = UrlNorm.canonicalize(
+        Tables.load(spark, dir, "documents")
+          .select($"doc_id", UrlNorm.syntheticUrl($"doc_id").as("url")))
+      .select(regexp_extract($"domain", "^[^.]+[.](.*)$", 1).as("suffix"),
+        $"canonical_url")
+    kmvDistinct(urls, "suffix", "canonical_url", k = 16)
+      .select($"grp".as("suffix"), $"n_exact", $"n_kept", $"kth_min",
+        $"est_distinct")
+      .orderBy($"suffix")
+  }
+
+  /** DuckDB oracle for [[q136KmvDistinct]] — the canonicalization
+    * chain, the shared fingerprint fold, then the k smallest distinct
+    * hashes per group via one window (the oracle pays the full
+    * shuffle the sketch exists to avoid); same estimate arithmetic.
+    */
+  def kmvOracleSql(k: Int = 16): String =
+    s"""WITH u AS (SELECT doc_id, ${UrlNorm.syntheticUrlSql("doc_id")} AS url
+       |   FROM documents),
+       |${UrlNorm.canonCtesSql},
+       | su AS (SELECT DISTINCT
+       |     regexp_extract(domain, '^[^.]+\\.(.*)$$', 1) AS suffix,
+       |     canonical_url
+       |   FROM fin),
+       | hs AS (SELECT DISTINCT suffix,
+       |     1 + ((((${TextAnalysis.fingerprintSql("canonical_url")})
+       |       * 48271) % $KmvM) * 48271) % $KmvM AS h
+       |   FROM su),
+       | rk AS (SELECT suffix, h,
+       |     row_number() OVER (PARTITION BY suffix ORDER BY h) AS r
+       |   FROM hs),
+       | kp AS (SELECT suffix, count(*)::BIGINT AS n_kept,
+       |     max(h)::BIGINT AS kth_min
+       |   FROM rk WHERE r <= $k GROUP BY suffix),
+       | ex AS (SELECT suffix, count(DISTINCT canonical_url)::BIGINT
+       |     AS n_exact FROM su GROUP BY suffix)
+       |SELECT ex.suffix, ex.n_exact, kp.n_kept, kp.kth_min,
+       |  (CASE WHEN kp.n_kept < $k THEN kp.n_kept
+       |   ELSE ${(k - 1).toLong * KmvM} // kp.kth_min END)::BIGINT
+       |    AS est_distinct
+       |FROM ex JOIN kp ON kp.suffix = ex.suffix
+       |ORDER BY ex.suffix""".stripMargin
 }
