@@ -197,4 +197,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"no shuffled join on (s, code) rows:\n$p")
   }
+
+  test("q132: no inferred generator filter re-evaluates the " +
+      "canonicalization below the frontier aggregates") {
+    // an INNER posexplode makes InferFiltersFromGenerate synthesize
+    // `size(_prefixes) > 0`; since _prefixes derives from the group
+    // key, the predicate pushes below both aggregations and re-runs
+    // the whole interpreted canonicalization chain once per raw LINK
+    // row (measured 15× the extraction stage's task time at sf0.1).
+    // pathHierarchy uses posexplode_outer + a generated-column filter
+    // precisely to keep every Filter below the Generate free of the
+    // canonicalization expressions.
+    val p = plan(UrlNorm.q132PathHierarchy(spark, sf))
+    val filterLines = p.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(filterLines.nonEmpty)
+    assert(!filterLines.exists(l =>
+        l.contains("array_join") || l.contains("size(CASE WHEN")),
+      s"canonicalization leaked into a pushed filter:\n$p")
+  }
 }
