@@ -432,20 +432,25 @@ object Profiling {
     */
   private val KmvM = 2147483647L
 
-  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+  /** The sketch-only core: (grp, n_kept, kth_min, est_distinct). No
+    * exact column — which is what lets the SAME call run as a
+    * Structured Streaming complete-mode aggregation (`countDistinct`
+    * is unsupported on streams for exactly the reason the sketch
+    * exists: unbounded state); the set-typed buffer makes the
+    * streamed estimate bit-identical to the batch one under any
+    * micro-batch split (IngestOpsStreamingSpec).
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     import df.sparkSession.implicits._
     val sketch = udaf(new graft.functions.KmvDistinctAgg(k))
     val fp = TextAnalysis.fingerprint(col(valueCol))
     val h = lit(1L) +
       ((((fp * lit(48271L)) % KmvM) * lit(48271L)) % KmvM)
-    df.select(col(groupCol).as("grp"),
-        col(valueCol).as("_v"),
-        h.as("_h"))
+    df.select(col(groupCol).as("grp"), h.as("_h"))
       .groupBy($"grp")
-      .agg(countDistinct($"_v").as("n_exact"),
-        sketch($"_h").as("_kept"))
-      .select($"grp", $"n_exact",
+      .agg(sketch($"_h").as("_kept"))
+      .select($"grp",
         size($"_kept").cast("long").as("n_kept"),
         element_at($"_kept", -1).as("kth_min"))
       .withColumn("est_distinct",
@@ -453,6 +458,16 @@ object Profiling {
           // (k−1)·M precomputed as a Long literal: the Int product
           // overflows under ANSI arithmetic
           .otherwise(expr(s"${(k - 1).toLong * KmvM}L div kth_min")))
+  }
+
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    kmvSketch(df, groupCol, valueCol, k)
+      .join(exact, "grp")
+      .select($"grp", $"n_exact", $"n_kept", $"kth_min", $"est_distinct")
   }
 
   /** Q136 — distinct canonical URLs per PUBLIC-SUFFIX class (the

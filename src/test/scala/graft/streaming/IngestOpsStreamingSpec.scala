@@ -65,6 +65,58 @@ class IngestOpsStreamingSpec extends SparkSpec {
       expUrls.exceptAll(gotUrls).isEmpty)
   }
 
+  test("robots gating runs unchanged over a streaming frontier " +
+      "(complete mode)") {
+    val rows = Seq(
+      ("http://a.example.com/articles/item-10", "example.com"),
+      ("http://a.example.com/articles/item-2", "example.com"),
+      ("http://b.example.com.au/articles/item-12", "example.com.au"),
+      ("http://b.example.com.au/about", "example.com.au"),
+      ("http://s.district.k12.ca.us/x", "district.k12.ca.us"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData(rows: _*)
+    val sdf = ms.toDF().toDF("canonical_url", "domain")
+    val q = UrlNorm.robotsGate(sdf, UrlNorm.RobotsRules)
+      .writeStream.format("memory").queryName("s_robots")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s_robots")
+    val exp = UrlNorm.robotsGate(
+      rows.toDF("canonical_url", "domain"), UrlNorm.RobotsRules)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
+  test("KMV distinct sketch maintains itself over a stream and lands " +
+      "on the batch estimate exactly") {
+    // the sketch's set-typed state is what makes this work: the
+    // streaming agg merges per-batch partial sketches in whatever
+    // order micro-batches arrive, and the k-minima SET is merge-order
+    // independent — so the final streamed estimate must be
+    // bit-identical to the one-shot batch estimate
+    val rows = Seq.tabulate(600)(i => (s"g${i % 3}", s"url-$i/page"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val sdf = ms.toDF().toDF("g", "v")
+    // the sketch-only form: countDistinct is unsupported on streams
+    // for exactly the reason the sketch exists (unbounded state)
+    val q = graft.operators.Profiling.kmvSketch(sdf, "g", "v", k = 16)
+      .writeStream.format("memory").queryName("s_kmv")
+      .outputMode("complete").start()
+    try {
+      // three micro-batches so cross-batch state MERGE is exercised,
+      // not just one batch's fold
+      rows.grouped(200).foreach { chunk =>
+        ms.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s_kmv")
+    val exp = graft.operators.Profiling.kmvSketch(
+      rows.toDF("g", "v"), "g", "v", k = 16)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
   test("frontier discovery counts maintain themselves over a link stream") {
     // the q118 aggregation leg as a STREAMING aggregation (complete
     // mode): discovery counts and earliest discoverer stay correct as
