@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarityExpr, SortedIntersectSizeExpr}
+import org.apache.spark.sql.graft.{CosineSimilarityExpr, FingerprintExpr, SortedIntersectSizeExpr}
 
 /** Standard Spark extensions entry point — lets any deployment load
   * graft's native SQL functions without code changes:
@@ -13,9 +13,10 @@ import org.apache.spark.sql.graft.{CosineSimilarityExpr, SortedIntersectSizeExpr
   * }}}
   *
   * Injects the same functions `graft.functions.registerAll` installs
-  * programmatically (`graft_cosine_sim`, `graft_sorted_intersect_size`)
-  * into every session built with these extensions — including pure-SQL
-  * clients that never touch the Scala API.
+  * programmatically (`graft_cosine_sim`, `graft_sorted_intersect_size`,
+  * `graft_fingerprint`) into every session built with these
+  * extensions — including pure-SQL clients that never touch the Scala
+  * API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           "graft_sorted_intersect_size takes 2 arguments")
         SortedIntersectSizeExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName,
+        "graft_fingerprint"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_fingerprint takes 1 argument")
+        FingerprintExpr(exprs.head)
       }))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarityExpr, SortedIntersectSizeExpr}
+import org.apache.spark.sql.graft.{CosineSimilarityExpr, FingerprintExpr, SortedIntersectSizeExpr}
 
 /** Public surface for graft's native Catalyst expressions. */
 package object functions {
@@ -19,11 +19,19 @@ package object functions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     SortedIntersectSizeExpr.column(a, b)
 
+  /** Engine-portable polynomial string fingerprint
+    * (`(acc·31 + ascii(char)) mod 1e9+7`) — codegen'd byte scan,
+    * bit-identical to the Column HOF fold it replaces.
+    */
+  def fingerprintNative(s: Column): Column = FingerprintExpr.column(s)
+
   /** Register graft's SQL functions (`graft_cosine_sim`,
-    * `graft_sorted_intersect_size`) in a session.
+    * `graft_sorted_intersect_size`, `graft_fingerprint`) in a
+    * session.
     */
   def registerAll(spark: SparkSession): Unit = {
     CosineSimilarityExpr.register(spark)
     SortedIntersectSizeExpr.register(spark)
+    FingerprintExpr.register(spark)
   }
 }

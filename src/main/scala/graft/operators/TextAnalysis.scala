@@ -125,8 +125,23 @@ object TextAnalysis {
     * character stream, mod 1e9+7 (engine-independent arithmetic — the
     * same fold runs in any engine, unlike builtin hash functions).
     * Used for cheap dedup keys and shard-stable sampling.
+    *
+    * Backed by the NATIVE codegen'd byte scan
+    * ([[org.apache.spark.sql.graft.FingerprintExpr]]) — the original
+    * HOF formulation ([[fingerprintHof]]) allocated a boxed
+    * per-character array per row through three non-codegen lambda
+    * closures; the two are spec'd bit-identical (ASCII, multibyte,
+    * empty) and every fingerprint oracle (q26/q122/q125/q136) is
+    * unchanged.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    graft.functions.fingerprintNative(text)
+
+  /** The Column HOF formulation of [[fingerprint]] — kept as the
+    * differential reference the native expression is spec'd against
+    * (and as documentation of the arithmetic in Catalyst terms).
+    */
+  def fingerprintHof(text: Column): Column = {
     // explicit 1-based position indexing: split-on-empty-string
     // trailing-empty semantics differ between engines
     val chars = transform(

@@ -24,6 +24,8 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 9L)) AS c")
       .head().getInt(0)
     assert(co == 2)
+    val fp = s.sql("SELECT graft_fingerprint('x') AS f").head().getLong(0)
+    assert(fp == 120L)
     // a plain session over the same context does NOT see the
     // functions — they came from the extensions, not global state
     val plain = spark.newSession()
