@@ -198,6 +198,7 @@ object SparkEntry {
     "q134_kcore"         -> (GraphRank.q134KCore _),
     "q135_reciprocity"   -> (GraphRank.q135Reciprocity _),
     "q136_kmv_distinct"  -> (Profiling.q136KmvDistinct _),
+    "q137_crawl_budget"  -> (GraphRank.q137CrawlBudget _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1698,6 +1699,9 @@ object SparkEntry {
     // independent, so the ESTIMATE itself is oracle-checkable; the
     // oracle takes the k minima via a window over distinct hashes.
     "q136_kmv_distinct" -> Profiling.kmvOracleSql(),
+    // q137: largest-remainder apportionment — the q116 oracle as a
+    // subquery, then the same integer base/remainder/window.
+    "q137_crawl_budget" -> GraphRank.crawlBudgetOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -1302,4 +1302,71 @@ object GraphRank {
        |    AS reciprocity_ticks
        |FROM no LEFT JOIN rc ON rc.src = no.src
        |ORDER BY doc_id""".stripMargin
+
+  /** CRAWL-BUDGET allocation by LARGEST-REMAINDER apportionment — the
+    * step that turns a quality prior into a fetch schedule: a crawler
+    * has `budget` fetch slots per cycle and every domain deserves a
+    * share proportional to its rank. Floats would drift and rounding
+    * naively breaks Σquota = budget; the largest-remainder method
+    * (Hamilton apportionment) is exact in integers: base_i =
+    * ⌊B·wᵢ/W⌋, then the B − Σbase leftover slots go to the largest
+    * remainders (domain asc tie-break). Invariants (spec'd): quotas
+    * sum to EXACTLY the budget, and every quota is the floor or
+    * ceiling of the exact proportional share. Zero/negative-weight
+    * rows are excluded by contract.
+    *
+    * Scale shape: one scalar total (1-row cross join, plan-side),
+    * one partial-agg leftover scalar, ONE global window — over
+    * DOMAINS, not URLs (millions of rows, not billions; the q126
+    * per-domain-window contrast is deliberate: apportionment is
+    * inherently a global order over remainders). At 100M+ domains
+    * the documented refinement is a distributed selection of the
+    * L-th remainder, filtering to the tie boundary before ranking.
+    * The weight table is pinned: it feeds the total, the leftover,
+    * and the ranked output.
+    */
+  def crawlBudget(weights: DataFrame, budget: Long): DataFrame = {
+    import weights.sparkSession.implicits._
+    require(budget >= 0, "budget must be >= 0")
+    val w = weights.toDF("domain", "wt").filter($"wt" > 0)
+    val tot = w.agg(sum($"wt").as("W"))
+    val based = w.crossJoin(tot)
+      .withColumn("base", expr(s"($budget * wt) div W"))
+      .withColumn("rem", expr(s"($budget * wt) % W"))
+      .transform(Pin.reuse)
+    val leftover = based.agg((lit(budget) - sum($"base")).as("L"))
+    based.crossJoin(leftover)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"rem".desc, $"domain")))
+      .select($"domain", $"wt".as("weight"), $"base".as("base_quota"),
+        when($"rk" <= $"L", 1L).otherwise(0L).as("extra"))
+      .withColumn("quota", $"base_quota" + $"extra")
+      .orderBy($"domain")
+  }
+
+  /** Q137 — 1000 fetch slots apportioned over the q116 domain rank. */
+  def q137CrawlBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    crawlBudget(
+      q116DomainRank(spark, dir).select($"domain", $"rank_ticks"),
+      budget = 1000L)
+  }
+
+  /** DuckDB oracle for [[q137CrawlBudget]] — the full q116 oracle as
+    * a subquery, then the same integer apportionment and window.
+    */
+  def crawlBudgetOracleSql(iters: Int = 5, budget: Long = 1000L): String =
+    s"""WITH src AS (SELECT * FROM (${domainOracleSql(iters)}) _q116),
+       | w AS (SELECT domain, rank_ticks AS wt FROM src WHERE rank_ticks > 0),
+       | tot AS (SELECT sum(wt)::BIGINT AS W FROM w),
+       | b AS (SELECT domain, wt, ($budget * wt) // W AS base,
+       |     ($budget * wt) % W AS rem FROM w, tot),
+       | l AS (SELECT $budget - sum(base)::BIGINT AS L FROM b),
+       | r AS (SELECT domain, wt, base, rem,
+       |     row_number() OVER (ORDER BY rem DESC, domain) AS rk FROM b)
+       |SELECT domain, wt AS weight, base::BIGINT AS base_quota,
+       |  (CASE WHEN rk <= l.L THEN 1 ELSE 0 END)::BIGINT AS extra,
+       |  (base + CASE WHEN rk <= l.L THEN 1 ELSE 0 END)::BIGINT AS quota
+       |FROM r, l ORDER BY domain""".stripMargin
 }

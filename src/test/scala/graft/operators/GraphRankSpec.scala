@@ -677,6 +677,36 @@ class GraphRankSpec extends SparkSpec {
       3L -> ((1L, 0L, 0L))))       // 4 has no real out-links
   }
 
+  test("crawlBudget: hand-traced apportionment with a remainder tie") {
+    // B=10, weights 5/3/2/2 (W=12): exact shares 4.166/2.5/1.666/1.666
+    // → bases 4/2/1/1 (Σ8), leftover 2; remainders 2/6/8/8 → the two
+    // ties at 8 rank first by domain asc ⇒ c and d get the extras
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L), ("d", 2L))
+      .toDF("domain", "wt")
+    val got = GraphRank.crawlBudget(w, budget = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 5L, 4L, 0L, 4L), ("b", 3L, 2L, 0L, 2L),
+      ("c", 2L, 1L, 1L, 2L), ("d", 2L, 1L, 1L, 2L)))
+  }
+
+  test("crawlBudget: quotas always sum to the budget and stay within " +
+      "one of the exact share, across random weight sets") {
+    for (seed <- Seq(9101, 9202, 9303); budget <- Seq(0L, 3L, 97L, 1000L)) {
+      val rnd = new scala.util.Random(seed)
+      val w = (1 to 40).map(i => (f"d$i%02d", 1L + rnd.nextInt(1000).toLong))
+      val ww = w.map(_._2).sum
+      val got = GraphRank.crawlBudget(w.toDF("domain", "wt"), budget)
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(got.map(_._5).sum === budget, s"sum seed=$seed B=$budget")
+      val wm = w.toMap
+      got.foreach { case (d, _, _, _, q) =>
+        val lo = budget * wm(d) / ww
+        assert(q == lo || q == lo + 1, s"$d quota $q vs floor $lo")
+      }
+    }
+  }
+
   test("randomized band: every directed variant matches its reference " +
       "across seeds") {
     // the per-variant tests above each use one seed; this band sweeps
