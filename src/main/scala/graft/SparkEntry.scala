@@ -199,6 +199,7 @@ object SparkEntry {
     "q135_reciprocity"   -> (GraphRank.q135Reciprocity _),
     "q136_kmv_distinct"  -> (Profiling.q136KmvDistinct _),
     "q137_crawl_budget"  -> (GraphRank.q137CrawlBudget _),
+    "q138_url_templates" -> (UrlNorm.q138UrlTemplates _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1702,6 +1703,9 @@ object SparkEntry {
     // q137: largest-remainder apportionment — the q116 oracle as a
     // subquery, then the same integer base/remainder/window.
     "q137_crawl_budget" -> GraphRank.crawlBudgetOracleSql(),
+    // q138: URL templates — digit runs collapsed to {n}; DuckDB
+    // regexp_replace needs the 'g' flag Spark applies by default.
+    "q138_url_templates" -> UrlNorm.urlTemplatesOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

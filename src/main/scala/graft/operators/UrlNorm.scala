@@ -788,6 +788,67 @@ object UrlNorm {
   def q132PathHierarchy(spark: SparkSession, dir: String): DataFrame =
     pathHierarchy(q118FrontierDedup(spark, dir))
 
+  /** URL TEMPLATE mining — the generated-page-family detector: a
+    * site's `/product/8231/review-4` pages differ only in their
+    * numeric IDs, so replacing every digit run with `{n}` collapses a
+    * page FAMILY onto one template. A template with thousands of
+    * instances is machine-generated structure (product grids,
+    * calendars — the classic crawler-trap shape) and a unit of
+    * dedup/quota policy: crawl caps and boilerplate priors apply per
+    * TEMPLATE, not per URL. Returns (domain, template, depth,
+    * n_urls, sample_url) with `sample_url` = lexicographic min (a
+    * deterministic representative), depth = segment count, the bare
+    * path as template `/` at depth 0.
+    *
+    * Scale shape: a pure per-row projection (split + one
+    * digit-run regexp per segment) + ONE (domain, template)-keyed
+    * partial agg — map-side combine collapses each family to one
+    * partial row per task, the same economics as [[pathHierarchy]].
+    * No generator ⇒ no inferred-filter trap (q132's lesson).
+    */
+  def urlTemplates(frontier: DataFrame): DataFrame = {
+    import frontier.sparkSession.implicits._
+    frontier.select($"canonical_url", $"domain")
+      .withColumn("_path", regexp_extract($"canonical_url", PathRe, 1))
+      .withColumn("_segs", expr("filter(split(_path, '/'), s -> s <> '')"))
+      .withColumn("template", expr(
+        """concat('/', array_join(
+          |  transform(_segs, s -> regexp_replace(s, '[0-9]+', '{n}')),
+          |  '/'))""".stripMargin))
+      .groupBy($"domain", $"template",
+        size($"_segs").cast("long").as("depth"))
+      .agg(count(lit(1)).as("n_urls"),
+        min($"canonical_url").as("sample_url"))
+      .orderBy($"domain", $"template")
+  }
+
+  /** Q138 — URL templates of the q118 crawl frontier. */
+  def q138UrlTemplates(spark: SparkSession, dir: String): DataFrame =
+    urlTemplates(q118FrontierDedup(spark, dir))
+
+  /** DuckDB oracle for [[q138UrlTemplates]] — the shared frontier
+    * chain, the same split/filter/digit-run replacement.
+    */
+  def urlTemplatesOracleSql: String =
+    s"""WITH $frontierCtesSql,
+       | t AS (SELECT domain, canonical_url,
+       |     -- coalesce: DuckDB array_to_string([]) is NULL where
+       |     -- Spark array_join([]) is '' — the bare-path '/' case
+       |     '/' || coalesce(array_to_string(list_transform(
+       |       list_filter(string_split(
+       |         regexp_extract(canonical_url, '$PathRe', 1), '/'),
+       |         s -> s <> ''),
+       |       s -> regexp_replace(s, '[0-9]+', '{n}', 'g')), '/'), '')
+       |       AS template,
+       |     len(list_filter(string_split(
+       |       regexp_extract(canonical_url, '$PathRe', 1), '/'),
+       |       s -> s <> ''))::BIGINT AS depth
+       |   FROM fr)
+       |SELECT domain, template, depth, count(*)::BIGINT AS n_urls,
+       |  min(canonical_url) AS sample_url
+       |FROM t GROUP BY 1, 2, 3
+       |ORDER BY domain, template""".stripMargin
+
   /** DuckDB oracle for [[q132PathHierarchy]] — the shared frontier
     * chain, the same split/filter, prefixes via an unnested `range`
     * (empty when the path is bare, mirroring the explode drop).

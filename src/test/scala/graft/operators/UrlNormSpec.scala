@@ -230,6 +230,26 @@ class UrlNormSpec extends SparkSpec {
       ("b", 1L, "/x", 1L)))
   }
 
+  test("urlTemplates: digit runs collapse, families merge, sample is " +
+      "the lexicographic min") {
+    val frontier = Seq(
+      ("http://a/product/123/review-4", "a"),
+      ("http://a/product/9/review-12", "a"),
+      ("http://a/about", "a"),
+      ("http://a/", "a"),                  // bare path → '/', depth 0
+      ("http://b/product/123/review-4", "b"))
+      .toDF("canonical_url", "domain")
+    val got = UrlNorm.urlTemplates(frontier)
+      .as[(String, String, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      ("a", "/", 0L, 1L, "http://a/"),
+      ("a", "/about", 1L, 1L, "http://a/about"),
+      ("a", "/product/{n}/review-{n}", 3L, 2L,
+        "http://a/product/123/review-4"),
+      ("b", "/product/{n}/review-{n}", 3L, 1L,
+        "http://b/product/123/review-4")))
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
