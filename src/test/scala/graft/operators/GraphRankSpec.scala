@@ -735,8 +735,67 @@ class GraphRankSpec extends SparkSpec {
         referenceLabelProp(edges, ls.toMap, 3), s"labelprop seed=$seed")
       assert(runWeighted(undirected, 3) ===
         referenceWeighted(undirected, 3), s"weighted seed=$seed")
+      // the r11 structural family sweeps the same topologies: BFS
+      // depth, triangles, k-core, reciprocity, co-citation
+      val plain = edges.map(t => (t._1, t._2))
+      assert(runBfs(plain, sd, 3) === referenceBfs(plain, sd.toSet, 3),
+        s"bfs seed=$seed")
+      assert(runTriangles(plain) === referenceTriangles(plain),
+        s"triangles seed=$seed")
+      assert(runKCore(plain, 2, 6) === referenceKCore(plain, 2, 6),
+        s"kcore seed=$seed")
+      assert(runReciprocity(plain) === referenceReciprocity(plain),
+        s"reciprocity seed=$seed")
+      assert(runCocitation(plain, 10L, 2L) ===
+        referenceCocitation(plain, 10L, 2L), s"cocitation seed=$seed")
     }
   }
+
+  /** Plain-Scala reciprocity reference. */
+  private def referenceReciprocity(
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2).distinct.toSet
+    e.groupBy(_._1).map { case (s, out) =>
+      val n = out.size.toLong
+      val r = out.count { case (_, d) => e((d, s)) }.toLong
+      s -> (n, r, r * 1000000L / n)
+    }
+  }
+
+  private def runReciprocity(
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    GraphRank.reciprocity(edges.map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "wt"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  /** Plain-Scala co-citation reference (cap-first, capped-universe
+    * Jaccard, floor ticks).
+    */
+  private def referenceCocitation(edges: Seq[(Long, Long)],
+      maxOut: Long, minCo: Long): Map[(Long, Long), (Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2).distinct
+    val keep = e.groupBy(_._1).filter(_._2.size <= maxOut)
+      .values.flatten.toSeq
+    val nin = keep.groupBy(_._2).map { case (d, es) => d -> es.size.toLong }
+    keep.groupBy(_._1).values.toSeq
+      .flatMap { out =>
+        val ds = out.map(_._2).distinct.sorted
+        for (a <- ds; b <- ds if a < b) yield (a, b)
+      }
+      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+      .filter(_._2 >= minCo)
+      .map { case ((a, b), co) =>
+        (a, b) -> (co, co * 1000000L / (nin(a) + nin(b) - co))
+      }
+  }
+
+  private def runCocitation(edges: Seq[(Long, Long)], maxOut: Long,
+      minCo: Long): Map[(Long, Long), (Long, Long)] =
+    GraphRank.cocitationPairs(edges.map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "wt"), maxOut, minCo)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
 
   test("inlinkFeatures: weights, diversity, self-loops dropped") {
     import org.apache.spark.sql.functions.col
