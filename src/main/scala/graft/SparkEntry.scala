@@ -200,6 +200,7 @@ object SparkEntry {
     "q136_kmv_distinct"  -> (Profiling.q136KmvDistinct _),
     "q137_crawl_budget"  -> (GraphRank.q137CrawlBudget _),
     "q138_url_templates" -> (UrlNorm.q138UrlTemplates _),
+    "q139_domain_profile" -> (UrlNorm.q139DomainProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1706,6 +1707,9 @@ object SparkEntry {
     // q138: URL templates — digit runs collapsed to {n}; DuckDB
     // regexp_replace needs the 'g' flag Spark applies by default.
     "q138_url_templates" -> UrlNorm.urlTemplatesOracleSql,
+    // q139: domain profile — one frontier chain feeding the template
+    // expression and the robots gate, one grouped select.
+    "q139_domain_profile" -> UrlNorm.domainProfileOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

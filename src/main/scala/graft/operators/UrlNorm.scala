@@ -826,6 +826,85 @@ object UrlNorm {
   def q138UrlTemplates(spark: SparkSession, dir: String): DataFrame =
     urlTemplates(q118FrontierDedup(spark, dir))
 
+  /** Q139 — the per-DOMAIN curation profile: the one-row-per-domain
+    * feature vector a crawl planner ranks and caps with, composed
+    * from the frontier (URL counts, in-link discovery pressure), the
+    * template miner (structural diversity — low
+    * templates-per-URL means a generated site), and the robots gate
+    * (what fraction is even fetchable). Columns: (domain, n_urls,
+    * n_templates, max_depth, total_discoveries, n_allowed,
+    * allowed_ticks).
+    *
+    * Scale shape: the frontier is PINNED once and feeds both the
+    * template projection and the gate (the gate's
+    * BroadcastNestedLoopJoin stays zero-shuffle); one
+    * canonical-URL-keyed join brings `allowed` back; ONE
+    * domain-keyed agg ends it. The `countDistinct` shuffles
+    * (domain, template) pairs — template cardinality, already
+    * family-collapsed, not URL cardinality.
+    */
+  def q139DomainProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fr = graft.core.Pin.reuse(q118FrontierDedup(spark, dir))
+    val gate = robotsGate(fr, RobotsRules)
+      .select($"canonical_url", $"allowed")
+    fr.select($"canonical_url", $"domain", $"n_discoveries")
+      .withColumn("_path", regexp_extract($"canonical_url", PathRe, 1))
+      .withColumn("_segs", expr("filter(split(_path, '/'), s -> s <> '')"))
+      .withColumn("template", expr(
+        """concat('/', array_join(
+          |  transform(_segs, s -> regexp_replace(s, '[0-9]+', '{n}')),
+          |  '/'))""".stripMargin))
+      .join(gate, "canonical_url")
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"template").as("n_templates"),
+        max(size($"_segs").cast("long")).as("max_depth"),
+        sum($"n_discoveries").as("total_discoveries"),
+        sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"))
+      .withColumn("allowed_ticks",
+        expr("(n_allowed * 1000000) div n_urls"))
+      .orderBy($"domain")
+  }
+
+  /** DuckDB oracle for [[q139DomainProfile]] — one frontier chain,
+    * the q138 template expression, the q128 rule predicate as a
+    * per-URL gate CTE, one grouped select.
+    */
+  def domainProfileOracleSql: String = {
+    val values = RobotsRules
+      .map { case (ds, pre) => s"('$ds', '$pre')" }.mkString(", ")
+    s"""WITH $frontierCtesSql,
+       | rules(ds, pre) AS (VALUES $values),
+       | gate AS (SELECT f.canonical_url,
+       |     count(r.pre) = 0 AS allowed
+       |   FROM fr f LEFT JOIN rules r
+       |     ON (r.ds = '*' OR ends_with(f.domain, r.ds))
+       |    AND starts_with(
+       |          regexp_extract(f.canonical_url, '$PathRe', 1), r.pre)
+       |   GROUP BY 1),
+       | t AS (SELECT f.canonical_url, f.domain, f.n_discoveries,
+       |     '/' || coalesce(array_to_string(list_transform(
+       |       list_filter(string_split(
+       |         regexp_extract(f.canonical_url, '$PathRe', 1), '/'),
+       |         s -> s <> ''),
+       |       s -> regexp_replace(s, '[0-9]+', '{n}', 'g')), '/'), '')
+       |       AS template,
+       |     len(list_filter(string_split(
+       |       regexp_extract(f.canonical_url, '$PathRe', 1), '/'),
+       |       s -> s <> ''))::BIGINT AS depth
+       |   FROM fr f)
+       |SELECT t.domain, count(*)::BIGINT AS n_urls,
+       |  count(DISTINCT t.template)::BIGINT AS n_templates,
+       |  max(t.depth)::BIGINT AS max_depth,
+       |  sum(t.n_discoveries)::BIGINT AS total_discoveries,
+       |  sum(CASE WHEN g.allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       |  ((sum(CASE WHEN g.allowed THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*))::BIGINT AS allowed_ticks
+       |FROM t JOIN gate g ON g.canonical_url = t.canonical_url
+       |GROUP BY t.domain ORDER BY t.domain""".stripMargin
+  }
+
   /** DuckDB oracle for [[q138UrlTemplates]] — the shared frontier
     * chain, the same split/filter/digit-run replacement.
     */

@@ -250,6 +250,23 @@ class UrlNormSpec extends SparkSpec {
         "http://b/product/123/review-4")))
   }
 
+  test("q139 domain profile is consistent with its component queries") {
+    val prof = UrlNorm.q139DomainProfile(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(prof.nonEmpty)
+    prof.foreach { case (d, nUrls, nTpl, _, _, nAllowed, ticks) =>
+      assert(nTpl >= 1L && nTpl <= nUrls, s"$d templates out of range")
+      assert(nAllowed >= 0L && nAllowed <= nUrls, s"$d allowed range")
+      assert(ticks === nAllowed * 1000000L / nUrls, s"$d ticks")
+    }
+    // cross-check against q118 (row budget) and q128 (allowed count)
+    val frontierRows = UrlNorm.q118FrontierDedup(spark, sf).count()
+    assert(prof.map(_._2).sum === frontierRows)
+    val allowed128 = UrlNorm.q128RobotsGate(spark, sf)
+      .filter($"allowed").count()
+    assert(prof.map(_._6).sum === allowed128)
+  }
+
   test("q115 fixture fires every rule somewhere") {
     val rows = UrlNorm.q115UrlCanon(spark, sf)
       .select($"canonical_url").as[String].collect()
