@@ -201,6 +201,8 @@ object SparkEntry {
     "q137_crawl_budget"  -> (GraphRank.q137CrawlBudget _),
     "q138_url_templates" -> (UrlNorm.q138UrlTemplates _),
     "q139_domain_profile" -> (UrlNorm.q139DomainProfile _),
+    "q140_cms_heavy"     -> ((s: SparkSession, d: String) =>
+      Profiling.q140CmsHeavy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1710,6 +1712,11 @@ object SparkEntry {
     // q139: domain profile — one frontier chain feeding the template
     // expression and the robots gate, one grouped select.
     "q139_domain_profile" -> UrlNorm.domainProfileOracleSql,
+    // q140: Count-Min sketch — additive merge makes the counter
+    // matrix partitioning-independent, so the ESTIMATES themselves
+    // are oracle-checkable; the oracle computes every cell as a
+    // (row, cell)-grouped sum and probes with the shared formula.
+    "q140_cms_heavy" -> Profiling.cmsOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

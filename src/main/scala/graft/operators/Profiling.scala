@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -521,4 +521,120 @@ object Profiling {
        |    AS est_distinct
        |FROM ex JOIN kp ON kp.suffix = ex.suffix
        |ORDER BY ex.suffix""".stripMargin
+
+  // ---------------------------------------------------------------
+  // COUNT-MIN frequency sketch (q140) — the point-frequency sibling
+  // of the KMV sketch above: fixed d×w counter matrix, element-wise
+  // additive merge, answers an (over)estimate for ANY probed item.
+  // ---------------------------------------------------------------
+
+  /** CMS hash space: the same Mersenne prime the KMV scramble uses. */
+  private val CmsM = 2147483647L
+
+  /** Cell index of base-hash column `h` in sketch row `i` — the
+    * Column twin of `CountMinAgg.cell` (one formula, three texts:
+    * Scala reduce, Catalyst Column, oracle SQL via [[cmsCellSql]]).
+    * `h + i` < 2³¹ + depth and every product < 2⁶³: exact BIGINT.
+    */
+  private def cmsCell(h: Column, i: Int, width: Int): Column =
+    ((((h + lit(i.toLong)) * lit(48271L)) % CmsM) * lit(48271L)) %
+      CmsM % lit(width.toLong)
+
+  /** The same cell formula as DuckDB SQL text (`i` is a SQL
+    * expression so oracles can range-join over rows).
+    */
+  def cmsCellSql(h: String, i: String, width: Int): String =
+    s"(((($h + $i) * 48271) % $CmsM) * 48271) % $CmsM % $width"
+
+  /** One-pass CMS over `df(valueCol)` (string items): returns a
+    * single-row DataFrame `(_cms: array<long>)` of the flattened
+    * depth×width matrix. The exchange carries depth·width longs per
+    * partition — at 100 TB token cardinality this replaces the
+    * unbounded `groupBy(token).count()` shuffle for frequency
+    * PROBES the way the KMV sketch replaces `countDistinct` for
+    * cardinality. Additive merge ⇒ bit-identical under any
+    * partitioning or merge tree (spec'd), and the SAME call runs as
+    * a streaming complete-mode aggregation.
+    */
+  def cmsSketch(df: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val agg = udaf(new graft.functions.CountMinAgg(depth, width))
+    df.select(TextAnalysis.fingerprint(col(valueCol)).as("_h"))
+      .agg(agg(col("_h")).as("_cms"))
+  }
+
+  /** Probe the sketch for each row of `items(itemCol)`: adds
+    * `cms_est = min over rows i of matrix[i·width + cellᵢ(h)]`. The
+    * 1-row sketch rides a broadcast cross join; the probe is a pure
+    * projection (depth `element_at`s + `least`) — zero shuffles.
+    */
+  def cmsProbe(items: DataFrame, itemCol: String, cms: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val h = TextAnalysis.fingerprint(col(itemCol))
+    val est = least((0 until depth).map(i =>
+      element_at(col("_cms"),
+        (lit(i * width) + cmsCell(h, i, width) + lit(1L)).cast("int"))): _*)
+    items.crossJoin(broadcast(cms))
+      .withColumn("cms_est", est)
+      .drop("_cms")
+  }
+
+  /** Q140 — CMS frontier-pressure probe: frequency estimates for the
+    * exact top-`topN` link targets of the q113 link extraction, next
+    * to their exact in-link counts so every row exhibits the real
+    * (over)estimation error. This is the crawl-scheduler's "how hot
+    * is this URL?" probe answered from a depth×width matrix instead
+    * of the per-URL `groupBy(href).count()` shuffle (unbounded at
+    * 100 TB frontier cardinality). depth×width is SMALL on purpose
+    * (4×64 against 500 distinct targets, ~8 targets per cell per
+    * row) so hash collisions are REAL and the overcount path — not a
+    * trivially-exact sketch — is what the oracle locks.
+    */
+  def q140CmsHeavy(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 64, topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        HtmlExtract.syntheticLinkedHtml($"doc_id", $"text").as("html"))
+    val hrefs = HtmlExtract.extractLinks(pages)
+      .select($"href").filter($"href" =!= "")
+    val top = hrefs.groupBy($"href").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"href".asc).limit(topN)
+    cmsProbe(top, "href", cmsSketch(hrefs, "href", depth, width),
+        depth, width)
+      .select($"href", $"n_exact", $"cms_est")
+      .orderBy($"n_exact".desc, $"href".asc)
+  }
+
+  /** DuckDB oracle for [[q140CmsHeavy]] — the oracle pays the full
+    * per-target shuffle the sketch exists to avoid, computes every
+    * cell of the matrix as a (row, cell)-grouped sum, then probes it
+    * with the same shared cell formula and `min` over rows.
+    */
+  def cmsOracleSql(depth: Int = 4, width: Int = 64,
+      topN: Int = 20): String =
+    s"""WITH ${HtmlExtract.linkedCtesSql},
+       | hr AS (SELECT unnest(list_transform(l,
+       |       a -> regexp_extract(a, '${HtmlExtract.AnchorRe}', 1)))
+       |     AS href FROM lk),
+       | hf AS (SELECT href FROM hr WHERE href <> ''),
+       | tc AS (SELECT href, count(*)::BIGINT AS n_exact
+       |   FROM hf GROUP BY href),
+       | hs AS (SELECT href, ${TextAnalysis.fingerprintSql("href")} AS h
+       |   FROM (SELECT DISTINCT href FROM tc)),
+       | cells AS (SELECT r.i,
+       |     ${cmsCellSql("hs.h", "r.i", width)} AS cell,
+       |     sum(tc.n_exact)::BIGINT AS cnt
+       |   FROM tc JOIN hs USING (href) CROSS JOIN range($depth) AS r(i)
+       |   GROUP BY 1, 2),
+       | top AS (SELECT href, n_exact FROM tc
+       |   ORDER BY n_exact DESC, href LIMIT $topN),
+       | probe AS (SELECT top.href, top.n_exact, r.i,
+       |     ${cmsCellSql("hs.h", "r.i", width)} AS cell
+       |   FROM top JOIN hs USING (href) CROSS JOIN range($depth) AS r(i))
+       |SELECT p.href, any_value(p.n_exact) AS n_exact,
+       |  min(c.cnt) AS cms_est
+       |FROM probe p JOIN cells c ON c.i = p.i AND c.cell = p.cell
+       |GROUP BY p.href
+       |ORDER BY n_exact DESC, href""".stripMargin
 }
