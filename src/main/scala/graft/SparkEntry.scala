@@ -203,6 +203,7 @@ object SparkEntry {
     "q139_domain_profile" -> (UrlNorm.q139DomainProfile _),
     "q140_cms_heavy"     -> ((s: SparkSession, d: String) =>
       Profiling.q140CmsHeavy(s, d)),
+    "q141_boilerplate_lines" -> (HtmlExtract.q141BoilerplateLines _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1717,6 +1718,10 @@ object SparkEntry {
     // are oracle-checkable; the oracle computes every cell as a
     // (row, cell)-grouped sum and probes with the shared formula.
     "q140_cms_heavy" -> Profiling.cmsOracleSql(),
+    // q141: domain-boilerplate removal — presence via DISTINCT doc
+    // counts per (domain, line), integer share threshold, reassembly
+    // by string_agg ORDER BY pos (null-skipping on both engines).
+    "q141_boilerplate_lines" -> HtmlExtract.boilerplateOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -332,8 +332,11 @@ object HtmlExtract {
     * empty fragments exactly like Java's `split(…, -1)`, checked in
     * HtmlExtractSpec.
     */
-  def oracleSql(minChars: Int = 10, minDensityPct: Int = 50): String =
-    s"""WITH h AS (
+  /** The [[syntheticHtml]] fixture as the `h(doc_id, html)` CTE —
+    * shared by the q111 and q141 oracles (one fixture text).
+    */
+  def syntheticHtmlCteSql: String =
+    s"""h AS (
        |  SELECT doc_id,
        |    '<html><head><title>d</title><style>p{margin:0}</style>' ||
        |    '<script>var t=1;</script></head><body>' ||
@@ -346,7 +349,10 @@ object HtmlExtract {
        |      THEN '<div><a href="/buy">Buy now</a> <a href="/x">Click</a></div>'
        |      ELSE '' END) ||
        |    '<footer>Copyright 2026 Example</footer></body></html>' AS html
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  def oracleSql(minChars: Int = 10, minDensityPct: Int = 50): String =
+    s"""WITH $syntheticHtmlCteSql,
        | c AS (SELECT doc_id, ${stripSql("html")} AS x FROM h),
        | b AS (SELECT doc_id,
        |    string_split_regex(x, '$BlockBoundaryRe') AS blocks FROM c),
@@ -365,4 +371,144 @@ object HtmlExtract {
        |  len(array_to_string(list_transform(kept, ss -> ss.t), chr(10)))::BIGINT
        |    AS content_chars
        |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // DOMAIN-frequent boilerplate removal (q141) — cross-page evidence
+  // where `extract`'s density rule is per-page.
+  // ---------------------------------------------------------------
+
+  /** Block stream of every page: (doc_id, pos 1-based, line) with
+    * `line` the normalized block text, empty blocks dropped. The
+    * per-row half of [[domainBoilerplate]] — same strip + split +
+    * normalize chain as [[extract]], but NO density/length rule:
+    * which blocks to drop is decided by cross-page frequency, not
+    * per-page heuristics.
+    */
+  def blockLines(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val cleaned = StripRes.foldLeft(col(htmlCol))(regexp_replace(_, _, " "))
+    pages
+      .withColumn("_bl", split(cleaned, BlockBoundaryRe))
+      .select(col("doc_id"), posexplode(col("_bl")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        blockText(col("col")).as("line"))
+      .filter(col("line") =!= "")
+  }
+
+  /** DOMAIN-scoped boilerplate-line removal — the line-level dedup of
+    * the CCNet/RefinedWeb family: a block whose normalized text
+    * appears on ≥ `minSharePct`% of a registered domain's pages is
+    * site chrome (cookie banners, category menus, footers survive
+    * tag-rule stripping when sites render them as plain `div`s);
+    * content is what remains, reassembled in document order. The
+    * cross-page FREQUENCY rule is the complement of [[extract]]'s
+    * per-page density rule: density catches markup-heavy chrome on
+    * one page, frequency catches prose-like chrome repeated across a
+    * site (which density scores as content — and conversely a 33%-
+    * share ad block sails under a 50% frequency threshold but not
+    * under the density rule; a production pipeline composes both).
+    *
+    * Exactness contract: presence is `countDistinct(doc)` per
+    * (domain, line) — multiplicity within a page does not inflate
+    * share — and the threshold test is pure integer arithmetic
+    * (`n_docs·100 ≥ pct·n_pages`). Docs whose every block is
+    * boilerplate survive with empty content (LEFT join + null-skip
+    * aggregation, never an anti-join that would drop the doc row).
+    * Small-domain caveat (spec'd): on a 2-page domain every unique
+    * line is 50% share and drops at the default threshold — callers
+    * curating long-tail domains raise `minSharePct` or pre-filter
+    * domains below a page floor, exactly as the public pipelines do.
+    *
+    * Scale shape: one per-row projection (strip/split/normalize),
+    * one (domain, line)-keyed partial-agg shuffle for presence
+    * counts, a small frequent-line frame joined back (AQE broadcasts
+    * it — boilerplate inventories are tiny by definition), one
+    * doc-keyed agg to reassemble. The presence shuffle ships block
+    * TEXT; at 100 TB the refinement is to key the frequency pass on
+    * the 64-bit [[TextAnalysis.fingerprint]] of the line and join
+    * back on the fingerprint, shipping 8 bytes per block — same plan
+    * shape, collision probability bounded by the corpus line count
+    * over 2⁶³.
+    *
+    * `pages` = (doc_id, html); `domains` = (doc_id, domain).
+    * Returns (doc_id, domain, content, n_kept, n_dropped).
+    */
+  def domainBoilerplate(pages: DataFrame, domains: DataFrame,
+      minSharePct: Int = 50): DataFrame = {
+    import pages.sparkSession.implicits._
+    val blocks = blockLines(pages).join(domains, "doc_id")
+    val perDomainPages = domains.groupBy($"domain")
+      .agg(countDistinct($"doc_id").as("n_pages"))
+    val frequent = blocks.groupBy($"domain", $"line")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .join(perDomainPages, "domain")
+      .filter($"n_docs" * 100 >= lit(minSharePct) * $"n_pages")
+      .select($"domain", $"line", lit(true).as("_bp"))
+    blocks.join(frequent, Seq("domain", "line"), "left")
+      .groupBy($"doc_id", $"domain")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when($"_bp".isNull,
+            struct($"pos", $"line")))),
+          _.getField("line")), "\n").as("content"),
+        count(when($"_bp".isNull, lit(1))).as("n_kept"),
+        count($"_bp").as("n_dropped"))
+  }
+
+  /** Q141 — boilerplate-line removal over the q111 chrome fixture
+    * pages, domains from the q115 canonicalization (28 registered
+    * domains × ~18 pages each at sf0.01): the all-pages title /
+    * share-farm lines drop, the 33%-share ad block and the unique
+    * heading/body lines survive.
+    */
+  def q141BoilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val pages = docs.select($"doc_id", syntheticHtml($"doc_id", $"text").as("html"))
+    val domains = UrlNorm.canonicalize(
+        docs.select($"doc_id", UrlNorm.syntheticUrl($"doc_id").as("url")))
+      .select($"doc_id", $"domain")
+    domainBoilerplate(pages, domains)
+      .select($"doc_id", $"domain", $"content", $"n_kept", $"n_dropped")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q141BoilerplateLines]] — same fixture CTE,
+    * same strip/split/normalize chain, presence via DISTINCT doc
+    * counts, the same integer threshold, `string_agg ORDER BY pos`
+    * for the reassembly (null-skipping on both engines).
+    */
+  def boilerplateOracleSql(minSharePct: Int = 50): String =
+    s"""WITH $syntheticHtmlCteSql,
+       | u AS (SELECT doc_id, ${UrlNorm.syntheticUrlSql("doc_id")} AS url
+       |   FROM documents),
+       |${UrlNorm.canonCtesSql},
+       | c AS (SELECT doc_id, ${stripSql("html")} AS x FROM h),
+       | bl AS (SELECT doc_id,
+       |     string_split_regex(x, '$BlockBoundaryRe') AS blocks FROM c),
+       | eb AS (SELECT doc_id, u.p AS pos, u.t AS line FROM (
+       |     SELECT doc_id, unnest(list_transform(range(1, len(blocks) + 1),
+       |       i -> struct_pack(p := i,
+       |         t := trim(regexp_replace(regexp_replace(blocks[i],
+       |           '$InlineTagRe', ' ', 'g'), '$WsRe', ' ', 'g'))))) AS u
+       |     FROM bl)
+       |   WHERE u.t <> ''),
+       | db AS (SELECT e.doc_id, f.domain, e.pos, e.line
+       |   FROM eb e JOIN fin f USING (doc_id)),
+       | np AS (SELECT domain, count(DISTINCT doc_id) AS n_pages
+       |   FROM fin GROUP BY domain),
+       | bp AS (SELECT d.domain, d.line
+       |   FROM (SELECT domain, line, count(DISTINCT doc_id) AS n_docs
+       |       FROM db GROUP BY domain, line) d
+       |     JOIN np USING (domain)
+       |   WHERE d.n_docs * 100 >= $minSharePct * np.n_pages),
+       | fl AS (SELECT db.doc_id, db.domain, db.pos, db.line,
+       |     (bp.line IS NOT NULL) AS is_bp
+       |   FROM db LEFT JOIN bp
+       |     ON bp.domain = db.domain AND bp.line = db.line)
+       |SELECT doc_id, any_value(domain) AS domain,
+       |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+       |    chr(10) ORDER BY pos), '') AS content,
+       |  count(CASE WHEN NOT is_bp THEN 1 END)::BIGINT AS n_kept,
+       |  count(CASE WHEN is_bp THEN 1 END)::BIGINT AS n_dropped
+       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
