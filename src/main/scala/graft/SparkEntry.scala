@@ -204,6 +204,7 @@ object SparkEntry {
     "q140_cms_heavy"     -> ((s: SparkSession, d: String) =>
       Profiling.q140CmsHeavy(s, d)),
     "q141_boilerplate_lines" -> (HtmlExtract.q141BoilerplateLines _),
+    "q142_crawl_delta"   -> (UrlNorm.q142CrawlDelta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1722,6 +1723,10 @@ object SparkEntry {
     // counts per (domain, line), integer share threshold, reassembly
     // by string_agg ORDER BY pos (null-skipping on both engines).
     "q141_boilerplate_lines" -> HtmlExtract.boilerplateOracleSql(),
+    // q142: crawl snapshot delta — one canonicalization chain over
+    // the key union, min_by snapshot election, outer-join status
+    // classification, per-domain churn in floor-division ticks.
+    "q142_crawl_delta" -> UrlNorm.crawlDeltaOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -945,4 +945,160 @@ object UrlNorm {
        |SELECT domain, depth, path_prefix, count(*)::BIGINT AS n_urls
        |FROM pre GROUP BY 1, 2, 3
        |ORDER BY domain, depth, path_prefix""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Crawl-over-crawl snapshot delta (q142) — the incremental-crawl
+  // planning op: what changed between two crawls of the same web.
+  // ---------------------------------------------------------------
+
+  /** Normalize one crawl snapshot to one row per canonical URL: a
+    * real crawl fetches the same canonical URL through several raw
+    * URLs (and refetches), so identity must be resolved BEFORE any
+    * cross-snapshot compare. Deterministic election: the row with
+    * the smallest `ord` (fetch order / doc id — unique by contract)
+    * provides both fingerprint and domain, via `min_by` — one
+    * URL-keyed partial agg, no window.
+    */
+  def snapshotByUrl(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.groupBy($"canonical_url")
+      .agg(min_by($"domain", $"ord").as("domain"),
+        min_by($"fp", $"ord").as("fp"))
+  }
+
+  /** CRAWL DELTA — classify every canonical URL across two snapshot
+    * frames (`canonical_url`, `domain`, `fp`): `new` (current only),
+    * `vanished` (previous only), `changed` (both, fingerprint
+    * differs), `unchanged`; then roll up per registered domain with
+    * an exact churn ratio in 1e-6 floor-division ticks — the
+    * re-crawl scheduling prior (high-churn domains get short revisit
+    * intervals, dead domains get dropped from the frontier).
+    *
+    * Scale shape: ONE full-outer join keyed on canonical URL (the
+    * only shuffle of URL cardinality — both sides hash-partition on
+    * the same key) + one domain-keyed partial agg. A vanished or
+    * newborn URL is exactly the signal, so the outer join is the
+    * operator, not a defensive choice (the q72 reconcile argument).
+    * At 100 TB, snapshots arrive partitioned by crawl output layout;
+    * bucketing both stores by canonical URL makes the join
+    * shuffle-free, and the delta is embarrassingly incremental per
+    * bucket.
+    */
+  def crawlDelta(prev: DataFrame, curr: DataFrame): DataFrame = {
+    import prev.sparkSession.implicits._
+    val p = prev.select($"canonical_url", $"domain".as("p_dom"),
+      $"fp".as("p_fp"))
+    val c = curr.select($"canonical_url", $"domain".as("c_dom"),
+      $"fp".as("c_fp"))
+    val tagged = p.join(c, Seq("canonical_url"), "full_outer")
+      .select(
+        coalesce($"c_dom", $"p_dom").as("domain"),
+        when($"p_fp".isNull, lit("new"))
+          .when($"c_fp".isNull, lit("vanished"))
+          .when($"p_fp" =!= $"c_fp", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    tagged.groupBy($"domain")
+      .agg(
+        count(when($"status" === "new", 1)).as("n_new"),
+        count(when($"status" === "vanished", 1)).as("n_vanished"),
+        count(when($"status" === "changed", 1)).as("n_changed"),
+        count(when($"status" === "unchanged", 1)).as("n_unchanged"))
+      .withColumn("churn_ticks",
+        expr("""(n_new + n_vanished + n_changed) * 1000000L div
+                (n_new + n_vanished + n_changed + n_unchanged)"""))
+  }
+
+  /** Q142 — delta between two synthetic crawls of the q115 URL
+    * space. Previous crawl: every doc, fingerprint of its text.
+    * Current crawl: every 13th URL vanished (13 is coprime to the
+    * fixture's domain modulus 7, so vanishes spread across domains), every 5th page's text
+    * revised (new fingerprint), every 11th doc contributes a brand-
+    * new URL (id offset by 1e6 so the fixture generator yields fresh
+    * paths). Canonicalization runs ONCE over the key union — the
+    * snapshots then split from the one canonical frame, exactly the
+    * shared-scan shape a two-snapshot store comparison plans to.
+    */
+  def q142CrawlDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val keys = docs.select($"doc_id".as("key")).union(
+      docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000L).as("key")))
+    val canon = canonicalize(
+        keys.select($"key".as("doc_id"), syntheticUrl($"key").as("url")))
+      .select($"doc_id".as("key"), $"canonical_url", $"domain")
+    def snap(rows: DataFrame) = snapshotByUrl(
+      rows.select($"canonical_url", $"domain", $"fp", $"key".as("ord")))
+    val prevRows = canon.filter($"key" < 1000000L)
+      .join(docs, canon("key") === docs("doc_id"))
+      .select($"canonical_url", $"domain", $"key",
+        TextAnalysis.fingerprint($"text").as("fp"))
+    val currOld = canon.filter($"key" < 1000000L && $"key" % 13 =!= 0)
+      .join(docs, canon("key") === docs("doc_id"))
+      .select($"canonical_url", $"domain", $"key",
+        TextAnalysis.fingerprint(
+          when($"key" % 5 === 0, concat($"text", lit(" rev2")))
+            .otherwise($"text")).as("fp"))
+    val currNew = canon.filter($"key" >= 1000000L)
+      .join(docs, canon("key") - 1000000L === docs("doc_id"))
+      .select($"canonical_url", $"domain", $"key",
+        TextAnalysis.fingerprint(concat(lit("new "), $"text")).as("fp"))
+    crawlDelta(snap(prevRows), snap(currOld.union(currNew)))
+      .orderBy($"domain")
+  }
+
+  /** DuckDB oracle for [[q142CrawlDelta]] — one canonicalization
+    * chain over the key union, the same snapshot election via
+    * `min_by`, the same outer-join classification and tick churn.
+    */
+  def crawlDeltaOracleSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${syntheticUrlSql("doc_id")} AS url FROM (
+       |    SELECT doc_id FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 1000000 AS doc_id FROM documents
+       |    WHERE doc_id % 11 = 0) k),
+       |$canonCtesSql,
+       | cn AS (SELECT doc_id AS key, canonical_url, domain FROM fin),
+       | pv AS (SELECT canonical_url,
+       |     min_by(domain, key) AS domain, min_by(fp, key) AS p_fp
+       |   FROM (SELECT cn.canonical_url, cn.domain, cn.key,
+       |       ${TextAnalysis.fingerprintSql("d.text")} AS fp
+       |     FROM cn JOIN documents d ON d.doc_id = cn.key
+       |     WHERE cn.key < 1000000) t GROUP BY canonical_url),
+       | cr AS (SELECT canonical_url,
+       |     min_by(domain, key) AS domain, min_by(fp, key) AS c_fp
+       |   FROM (
+       |     SELECT cn.canonical_url, cn.domain, cn.key,
+       |       ${TextAnalysis.fingerprintSql(
+                  "(CASE WHEN cn.key % 5 = 0 THEN d.text || ' rev2' " +
+                  "ELSE d.text END)")} AS fp
+       |     FROM cn JOIN documents d ON d.doc_id = cn.key
+       |     WHERE cn.key < 1000000 AND cn.key % 13 <> 0
+       |     UNION ALL
+       |     SELECT cn.canonical_url, cn.domain, cn.key,
+       |       ${TextAnalysis.fingerprintSql("('new ' || d.text)")} AS fp
+       |     FROM cn JOIN documents d ON d.doc_id = cn.key - 1000000
+       |     WHERE cn.key >= 1000000) t GROUP BY canonical_url),
+       | tg AS (SELECT coalesce(cr.domain, pv.domain) AS domain,
+       |     CASE WHEN pv.p_fp IS NULL THEN 'new'
+       |          WHEN cr.c_fp IS NULL THEN 'vanished'
+       |          WHEN pv.p_fp <> cr.c_fp THEN 'changed'
+       |          ELSE 'unchanged' END AS status
+       |   FROM pv FULL OUTER JOIN cr
+       |     ON cr.canonical_url = pv.canonical_url),
+       | ag AS (SELECT domain,
+       |     count(CASE WHEN status = 'new' THEN 1 END)::BIGINT AS n_new,
+       |     count(CASE WHEN status = 'vanished' THEN 1 END)::BIGINT
+       |       AS n_vanished,
+       |     count(CASE WHEN status = 'changed' THEN 1 END)::BIGINT
+       |       AS n_changed,
+       |     count(CASE WHEN status = 'unchanged' THEN 1 END)::BIGINT
+       |       AS n_unchanged
+       |   FROM tg GROUP BY domain)
+       |SELECT domain, n_new, n_vanished, n_changed, n_unchanged,
+       |  ((n_new + n_vanished + n_changed) * 1000000 //
+       |   (n_new + n_vanished + n_changed + n_unchanged))::BIGINT
+       |    AS churn_ticks
+       |FROM ag ORDER BY domain""".stripMargin
 }

@@ -141,4 +141,30 @@ class IngestOpsStreamingSpec extends SparkSpec {
     val exp = frontier(HtmlExtract.extractLinks(pages.toDF("doc_id", "html")))
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
+
+  test("Count-Min sketch maintains itself over a stream: the streamed " +
+      "matrix is bit-identical to the batch matrix under any " +
+      "micro-batch split") {
+    // additive merge (commutative, associative) is what makes this
+    // work: per-batch partial matrices add in arrival order and the
+    // result cannot depend on the split — the exact-frequency
+    // groupBy(item).count() alternative would hold unbounded state
+    val rows = Seq.tabulate(900)(i => s"item-${i % 57}")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val sdf = ms.toDF().toDF("v")
+    val q = graft.operators.Profiling.cmsSketch(sdf, "v", 4, 64)
+      .writeStream.format("memory").queryName("s_cms")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(300).foreach { chunk =>
+        ms.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("s_cms").as[Array[Long]].head().toSeq
+    val exp = graft.operators.Profiling.cmsSketch(
+      rows.toDF("v"), "v", 4, 64).as[Array[Long]].head().toSeq
+    assert(got === exp)
+  }
 }
