@@ -158,4 +158,152 @@ object Layout {
       .withColumn("_salt", $"_salt".cast("long"))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  // ---------------------------------------------------------------
+  // Z-ORDER (Morton) layout clustering (q143) — multi-dimensional
+  // scan pruning: the lakehouse OPTIMIZE ZORDER op.
+  // ---------------------------------------------------------------
+
+  /** Bit-spread steps for Morton interleaving (the parallel-bit-
+    * deposit idiom): after the fold, bit i of the input sits at bit
+    * 2i. One constants list, two texts — the Column twin and the
+    * oracle SQL builder fold over the SAME pairs.
+    */
+  private val MortonSpreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 281470681808895L,      // 0x0000FFFF0000FFFF
+    8  -> 71777214294589695L,    // 0x00FF00FF00FF00FF
+    4  -> 1085102592571150095L,  // 0x0F0F0F0F0F0F0F0F
+    2  -> 3689348814741910323L,  // 0x3333333333333333
+    1  -> 6148914691236517205L)  // 0x5555555555555555
+
+  /** One spread step as a Column; callers MUST layer steps through
+    * named intermediate columns (`withColumn` per step) — folding all
+    * five into one expression re-inlines the accumulator 3× per step
+    * (3⁵ copies of the quantization chain: the UrlNorm 64 KB-codegen
+    * lesson).
+    */
+  private def spreadStep(x: Column, step: (Int, Long)): Column =
+    x.bitwiseOR(shiftleft(x, step._1)).bitwiseAND(lit(step._2))
+
+  /** The same step as DuckDB SQL text over a COLUMN NAME (layered
+    * through CTE columns oracle-side for the same reason).
+    */
+  def spreadStepSql(x: String, i: Int): String = {
+    val (sh, mask) = MortonSpreadSteps(i)
+    s"(($x | ($x << $sh)) & $mask)"
+  }
+
+  def mortonSteps: Int = MortonSpreadSteps.size
+
+  /** Z-ORDER CLUSTERING PROFILE — quantize two numeric dimensions to
+    * `qbits` each (exact integer rescale against the broadcast
+    * global min/max), interleave the bits into a Morton key, deal
+    * rows into `nBuckets` equal z-ranges, and report each bucket's
+    * row count and BOTH dimensions' min/max. The per-bucket ranges
+    * ARE the layout contract: consecutive z-ranges are axis-aligned
+    * tiles, so every bucket is narrow in BOTH dimensions at once —
+    * which is exactly what per-file min/max pruning needs when
+    * queries filter on either dimension (a single-key sort makes
+    * files narrow in that key and full-width in every other; the
+    * spec pins the 16×16-tile exactness on a synthetic grid and the
+    * baseline contrast). At 100 TB this is the write-time clustering
+    * step before `writeBucketed`: `repartitionByRange(zkey)` then
+    * write, giving O(√files) file touches for a predicate on either
+    * dimension.
+    *
+    * All arithmetic is exact BIGINT: quantize is `(v−min)·maxQ div
+    * span` (monotone, endpoints map to 0 and maxQ), the spread is
+    * shift/mask, the bucket is `zkey·nBuckets div 2^(2·qbits)` —
+    * engine-portable, so the oracle checks the full profile. The two
+    * scalar min/max aggs ride one broadcast 1-row cross join; the
+    * profile is ONE zkey-bucket-keyed partial agg. Inputs must be
+    * non-negative (true of every key/tick column here; a production
+    * form shifts by the min first, which the quantize step already
+    * does).
+    */
+  def zorderProfile(df: DataFrame, dimA: String, dimB: String,
+      qbits: Int = 16, nBuckets: Int = 64): DataFrame = {
+    require(qbits >= 1 && qbits <= 21, "qbits must be in [1, 21]")
+    import df.sparkSession.implicits._
+    val maxQ = (1L << qbits) - 1L
+    val bounds = df.agg(
+      min(col(dimA)).cast("long").as("_mina"),
+      max(col(dimA)).cast("long").as("_maxa"),
+      min(col(dimB)).cast("long").as("_minb"),
+      max(col(dimB)).cast("long").as("_maxb"))
+    val q0 = df.crossJoin(broadcast(bounds))
+      .withColumn("_va", col(dimA).cast("long"))
+      .withColumn("_vb", col(dimB).cast("long"))
+      .withColumn("_qa", expr(s"CASE WHEN _maxa = _mina THEN 0L ELSE " +
+        s"((_va - _mina) * ${maxQ}L) div (_maxa - _mina) END"))
+      .withColumn("_qb", expr(s"CASE WHEN _maxb = _minb THEN 0L ELSE " +
+        s"((_vb - _minb) * ${maxQ}L) div (_maxb - _minb) END"))
+    // layered spread: one withColumn per step per dim (see spreadStep)
+    val spreadA = MortonSpreadSteps.zipWithIndex.foldLeft(
+      q0.withColumn("_sa0", $"_qa")) { case (acc, (step, i)) =>
+        acc.withColumn(s"_sa${i + 1}", spreadStep(col(s"_sa$i"), step))
+      }
+    val spreadB = MortonSpreadSteps.zipWithIndex.foldLeft(
+      spreadA.withColumn("_sb0", $"_qb")) { case (acc, (step, i)) =>
+        acc.withColumn(s"_sb${i + 1}", spreadStep(col(s"_sb$i"), step))
+      }
+    val n = MortonSpreadSteps.size
+    spreadB
+      .withColumn("_zkey",
+        col(s"_sa$n").bitwiseOR(shiftleft(col(s"_sb$n"), 1)))
+      .withColumn("bucket",
+        expr(s"(_zkey * ${nBuckets}L) div ${1L << (2 * qbits)}L"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(dimA)).cast("long").as(s"min_$dimA"),
+        max(col(dimA)).cast("long").as(s"max_$dimA"),
+        min(col(dimB)).cast("long").as(s"min_$dimB"),
+        max(col(dimB)).cast("long").as(s"max_$dimB"))
+  }
+
+  /** Q143 — z-order profile of `lineitem` on (l_orderkey,
+    * l_partkey): the two keys ad-hoc scans actually filter by.
+    */
+  def q143ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zorderProfile(graft.core.Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"),
+      "l_orderkey", "l_partkey")
+      .orderBy($"bucket")
+  }
+
+  /** DuckDB oracle for [[q143ZorderLayout]] — same quantize, the
+    * same spread steps layered through CTE columns, same bucket
+    * division and profile agg.
+    */
+  def zorderOracleSql(qbits: Int = 16, nBuckets: Int = 64): String = {
+    val maxQ = (1L << qbits) - 1L
+    val spreadCtes = (0 until MortonSpreadSteps.size).map { i =>
+      s""" m${i + 1} AS (SELECT *,
+         |    ${spreadStepSql(s"sa$i", i)} AS sa${i + 1},
+         |    ${spreadStepSql(s"sb$i", i)} AS sb${i + 1} FROM m$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val n = MortonSpreadSteps.size
+    s"""WITH b AS (SELECT min(l_orderkey)::BIGINT AS mina,
+       |    max(l_orderkey)::BIGINT AS maxa,
+       |    min(l_partkey)::BIGINT AS minb,
+       |    max(l_partkey)::BIGINT AS maxb FROM lineitem),
+       | m0 AS (SELECT l_orderkey, l_partkey,
+       |    (CASE WHEN maxa = mina THEN 0
+       |     ELSE (l_orderkey - mina) * $maxQ // (maxa - mina) END) AS sa0,
+       |    (CASE WHEN maxb = minb THEN 0
+       |     ELSE (l_partkey - minb) * $maxQ // (maxb - minb) END) AS sb0
+       |  FROM lineitem CROSS JOIN b),
+       |$spreadCtes,
+       | z AS (SELECT l_orderkey, l_partkey,
+       |    (sa$n | (sb$n << 1)) AS zkey FROM m$n)
+       |SELECT (zkey * $nBuckets // ${1L << (2 * qbits)})::BIGINT AS bucket,
+       |  count(*)::BIGINT AS n_rows,
+       |  min(l_orderkey)::BIGINT AS min_l_orderkey,
+       |  max(l_orderkey)::BIGINT AS max_l_orderkey,
+       |  min(l_partkey)::BIGINT AS min_l_partkey,
+       |  max(l_partkey)::BIGINT AS max_l_partkey
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 }
