@@ -205,6 +205,8 @@ object SparkEntry {
       Profiling.q140CmsHeavy(s, d)),
     "q141_boilerplate_lines" -> (HtmlExtract.q141BoilerplateLines _),
     "q142_crawl_delta"   -> (UrlNorm.q142CrawlDelta _),
+    "q143_zorder_layout" -> (Layout.q143ZorderLayout _),
+    "q144_mixture_budget" -> (Curation.q144MixtureBudget _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1727,6 +1729,13 @@ object SparkEntry {
     // the key union, min_by snapshot election, outer-join status
     // classification, per-domain churn in floor-division ticks.
     "q142_crawl_delta" -> UrlNorm.crawlDeltaOracleSql,
+    // q143: z-order profile — exact-integer quantize, the shared
+    // Morton spread steps layered through CTE columns, same bucket
+    // division; per-bucket min/max of BOTH dims is the contract.
+    "q143_zorder_layout" -> Layout.zorderOracleSql(),
+    // q144: mixture-budget realization — floor-share token targets,
+    // repetition factors and cap deficits in exact 1e-6 ticks.
+    "q144_mixture_budget" -> Curation.mixtureBudgetOracleSql(budgetPctOfCorpus = 300),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -378,4 +378,104 @@ object Curation {
         "lang", "doc_id", "n_chars", 10)
       .orderBy($"lang", $"doc_id")
   }
+
+  // ---------------------------------------------------------------
+  // Mixture-budget realization (q144) — the data-recipe math that
+  // turns target mixture weights into per-source repetition factors.
+  // ---------------------------------------------------------------
+
+  /** MIXTURE-BUDGET REALIZATION — the planning step between "we want
+    * this source mix" and an actual training run: given per-source
+    * available token counts and target mixture weights, compute each
+    * source's token TARGET inside a total budget, the repetition
+    * factor (epochs) needed to hit it, the cap-clamped factor (the
+    * published recipes cap repetition — quality degrades past a few
+    * epochs), the realized token count under the cap, and the
+    * deficit the recipe must reassign. All exact integer arithmetic
+    * in 1e-6 ticks — a recipe whose per-source numbers drift with
+    * partitioning is not reproducible.
+    *
+    * `perSource` = (source, avail_tokens, weight). The budget is
+    * `budgetPctOfCorpus`% of the total available tokens (computed
+    * distributively — no driver round-trip); targets are exact
+    * floor shares `budget·wᵢ div Σw` (the q137 largest-remainder
+    * step applies when Σtargets must equal the budget to the token —
+    * for epoch planning the floor is the published convention).
+    *
+    * Scale shape: one partial+final agg to the per-source frame, one
+    * 1-row totals cross join — the frame is #sources-sized, so every
+    * step after the first agg is effectively free. Overflow budget:
+    * products stay < 2⁶³ up to ~10¹² available tokens at the default
+    * cap; at the 10¹³⁺ frontier-corpus scale, normalize token counts
+    * to kilotokens first (same formulas, 10³ coarser grain).
+    */
+  def mixtureBudget(perSource: DataFrame, budgetPctOfCorpus: Int = 200,
+      maxEpochsTicks: Long = 4000000L): DataFrame = {
+    import perSource.sparkSession.implicits._
+    val totals = perSource.agg(sum($"avail_tokens").as("_tot"),
+      sum($"weight").as("_wtot"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"(_tot * ${budgetPctOfCorpus}L div 100L) * weight div _wtot"))
+      .withColumn("epochs_ticks",
+        expr("CASE WHEN avail_tokens = 0 THEN 0L " +
+          "ELSE target_tokens * 1000000L div avail_tokens END"))
+      .withColumn("capped_epochs_ticks",
+        least($"epochs_ticks", lit(maxEpochsTicks)))
+      .withColumn("realized_tokens",
+        expr("avail_tokens * capped_epochs_ticks div 1000000L"))
+      .withColumn("deficit_tokens", $"target_tokens" - $"realized_tokens")
+      .select($"source", $"avail_tokens", $"weight", $"target_tokens",
+        $"epochs_ticks", $"capped_epochs_ticks", $"realized_tokens",
+        $"deficit_tokens")
+  }
+
+  /** Q144 — realize a 3×-corpus token budget over the `documents`
+    * sources with deterministic fixture weights (5 + 3·srcN mod 17 —
+    * spread so some sources land near one epoch and the heavy-weight
+    * ones hit the 4-epoch cap with a real deficit).
+    */
+  def q144MixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val srcNum = regexp_extract($"source", "src(\\d+)", 1).cast("long")
+    val perSource = docs
+      .select($"source",
+        size(TextStats.tokens($"text")).cast("long").as("_ntok"),
+        (lit(5L) + (srcNum * 3L) % 17L).as("weight"))
+      .groupBy($"source", $"weight")
+      .agg(sum($"_ntok").as("avail_tokens"))
+      .select($"source", $"avail_tokens", $"weight")
+    mixtureBudget(perSource, budgetPctOfCorpus = 300).orderBy($"source")
+  }
+
+  /** DuckDB oracle for [[q144MixtureBudget]] — same tokenization,
+    * weight formula, floor-share targets and tick arithmetic.
+    */
+  def mixtureBudgetOracleSql(budgetPctOfCorpus: Int = 200,
+      maxEpochsTicks: Long = 4000000L): String =
+    s"""WITH d AS (SELECT source,
+       |    len(string_split(text, ' '))::BIGINT AS ntok,
+       |    (5 + (TRY_CAST(regexp_extract(source, 'src(\\d+)', 1)
+       |      AS BIGINT) * 3) % 17) AS weight
+       |  FROM documents),
+       | s AS (SELECT source, any_value(weight) AS weight,
+       |    sum(ntok)::BIGINT AS avail_tokens FROM d GROUP BY source),
+       | t AS (SELECT sum(avail_tokens)::BIGINT AS tot,
+       |    sum(weight)::BIGINT AS wtot FROM s),
+       | x AS (SELECT s.source, s.avail_tokens, s.weight,
+       |    ((t.tot * $budgetPctOfCorpus // 100) * s.weight // t.wtot)
+       |      AS target_tokens
+       |  FROM s CROSS JOIN t),
+       | e AS (SELECT *, (CASE WHEN avail_tokens = 0 THEN 0
+       |    ELSE target_tokens * 1000000 // avail_tokens END)
+       |      AS epochs_ticks FROM x),
+       | c AS (SELECT *, least(epochs_ticks, $maxEpochsTicks)
+       |      AS capped_epochs_ticks FROM e),
+       | r AS (SELECT *, (avail_tokens * capped_epochs_ticks // 1000000)
+       |      AS realized_tokens FROM c)
+       |SELECT source, avail_tokens, weight, target_tokens, epochs_ticks,
+       |  capped_epochs_ticks, realized_tokens,
+       |  (target_tokens - realized_tokens) AS deficit_tokens
+       |FROM r ORDER BY source""".stripMargin
 }
