@@ -320,4 +320,127 @@ object Retrieval {
     hybridRrfTopK(bm, denseRanks(emb, probeMod = 97L, k = 10), k = 5)
       .orderBy($"query_id", $"rank")
   }
+
+  // ---------------------------------------------------------------
+  // EXACT PHRASE SEARCH (q145) — positional postings + anchor
+  // alignment: the "quoted query" the bag-of-words scorers above
+  // cannot answer.
+  // ---------------------------------------------------------------
+
+  /** Positional postings: one row per token occurrence —
+    * (doc_id, pos 1-based, th 64-bit token hash). The positional
+    * extension of [[docTermStats]]: where BM25 needs (term, tf),
+    * phrase and proximity matching need WHERE each term sits.
+    * |postings| = corpus token count — the index a 100 TB engine
+    * bucket-partitions by `th` so the query-term probe is a
+    * partition-pruned read, not a scan.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        Iterator.tabulate(toks.length)(i =>
+          (id, (i + 1).toLong, NearDup.tokenHash64(toks(i))))
+      }
+      .toDF("doc_id", "pos", "th")
+  }
+
+  /** Phrase fixture: the `len` consecutive tokens starting at
+    * 1-based `start` of every `mod`-th doc, as (query_id, qpos
+    * 0-based, th). Docs shorter than `start+len−1` tokens yield no
+    * query (mirrored in the oracle) — a partial phrase is a
+    * different query, not a shorter one.
+    */
+  def phraseQueries(docs: DataFrame, mod: Long = 89L, start: Int = 5,
+      len: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter($"doc_id" % mod === 0)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < start + len - 1) Iterator.empty
+        else Iterator.tabulate(len)(j =>
+          (id, j.toLong, NearDup.tokenHash64(toks(start - 1 + j))))
+      }
+      .toDF("query_id", "qpos", "th")
+  }
+
+  /** EXACT PHRASE MATCH — doc contains the phrase at start `s` iff
+    * for every query position `qpos` there is a posting at
+    * `s + qpos`. The distributed form is ANCHOR ALIGNMENT: join
+    * postings to query terms on the term hash, compute `anchor =
+    * pos − qpos`, and a (query, doc, anchor) group holding ALL
+    * `plen` distinct query positions is a match at that start.
+    * Returns (query_id, doc_id, n_matches, first_pos).
+    *
+    * Shape: ONE th-keyed equi join (the postings side is the only
+    * corpus-sized frame; the query frame broadcasts) + one
+    * (query, doc, anchor)-keyed partial agg + the tiny match agg.
+    * Join volume is Σ over query terms of that term's positional
+    * document frequency — at 100 TB the standard refinements apply
+    * unchanged: stop-term df-cut before the join (the q18/q133 cap)
+    * and rarest-term-first anchoring (join the rarest term, then
+    * probe the others at fixed offsets). Repeated phrase terms are
+    * handled by construction: `countDistinct(qpos)` needs every
+    * POSITION matched, not every distinct term.
+    */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val post = positionalPostings(docs)
+    val plen = phrases.groupBy($"query_id").agg(count(lit(1)).as("_plen"))
+    post.join(phrases, "th")
+      .select($"query_id", $"doc_id", ($"pos" - $"qpos").as("anchor"),
+        $"qpos")
+      .groupBy($"query_id", $"doc_id", $"anchor")
+      .agg(countDistinct($"qpos").as("_nq"))
+      .join(broadcast(plen), "query_id")
+      .filter($"_nq" === $"_plen")
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"anchor").as("first_pos"))
+  }
+
+  /** Q145 — exact phrase search over `documents`: the 3-token phrase
+    * at positions 5–7 of every 89th doc. Every query matches its
+    * own source doc at first_pos 5 by construction; the 31-token
+    * fixture vocabulary makes cross-doc phrase hits real rather
+    * than vanishing (the interesting rows).
+    */
+  def q145PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    phraseSearch(docs, phraseQueries(docs))
+      .orderBy($"query_id", $"doc_id")
+  }
+
+  /** DuckDB oracle for [[q145PhraseSearch]] — token STRINGS where
+    * the operator uses 64-bit hashes (the q18/q51/q88 collision
+    * contract), same anchor alignment and distinct-position count.
+    */
+  def phraseOracleSql(mod: Long = 89L, start: Int = 5,
+      len: Int = 3): String =
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |   FROM documents),
+       | tk AS (SELECT doc_id, u.p AS pos, u.t AS tok FROM (
+       |     SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+       |       i -> struct_pack(p := i, t := ts[i]))) AS u FROM b)),
+       | ph AS (SELECT tk.doc_id AS query_id, tk.pos - $start AS qpos,
+       |     tk.tok
+       |   FROM tk JOIN b ON b.doc_id = tk.doc_id
+       |   WHERE tk.doc_id % $mod = 0
+       |     AND len(b.ts) >= ${start + len - 1}
+       |     AND tk.pos BETWEEN $start AND ${start + len - 1}),
+       | pl AS (SELECT query_id, count(*)::BIGINT AS plen
+       |   FROM ph GROUP BY query_id),
+       | j AS (SELECT ph.query_id, tk.doc_id,
+       |     (tk.pos - ph.qpos)::BIGINT AS anchor, ph.qpos
+       |   FROM tk JOIN ph ON ph.tok = tk.tok),
+       | a AS (SELECT query_id, doc_id, anchor,
+       |     count(DISTINCT qpos) AS nq
+       |   FROM j GROUP BY 1, 2, 3),
+       | m AS (SELECT a.query_id, a.doc_id, a.anchor
+       |   FROM a JOIN pl USING (query_id) WHERE a.nq = pl.plen)
+       |SELECT query_id, doc_id, count(*)::BIGINT AS n_matches,
+       |  min(anchor)::BIGINT AS first_pos
+       |FROM m GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
 }
