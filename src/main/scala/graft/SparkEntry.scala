@@ -207,6 +207,9 @@ object SparkEntry {
     "q142_crawl_delta"   -> (UrlNorm.q142CrawlDelta _),
     "q143_zorder_layout" -> (Layout.q143ZorderLayout _),
     "q144_mixture_budget" -> (Curation.q144MixtureBudget _),
+    "q145_phrase_search" -> (Retrieval.q145PhraseSearch _),
+    "q146_ann_recall"    -> ((s: SparkSession, d: String) =>
+      Similarity.q146AnnRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1736,6 +1739,14 @@ object SparkEntry {
     // q144: mixture-budget realization — floor-share token targets,
     // repetition factors and cap deficits in exact 1e-6 ticks.
     "q144_mixture_budget" -> Curation.mixtureBudgetOracleSql(budgetPctOfCorpus = 300),
+    // q145: phrase search — anchor alignment over positional
+    // postings; oracle joins token STRINGS where the operator joins
+    // 64-bit hashes (the q18/q51/q88 collision contract).
+    "q145_phrase_search" -> Retrieval.phraseOracleSql(),
+    // q146: ANN index quality — recall@k / reciprocal rank of the
+    // pivot-IVF list against brute-force ground truth, both
+    // self-excluded, exact tick arithmetic.
+    "q146_ann_recall" -> Similarity.annRecallOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

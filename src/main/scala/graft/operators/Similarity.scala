@@ -174,4 +174,141 @@ object Similarity {
     knnGraph(Tables.load(spark, dir, "embeddings"))
       .orderBy($"vec_id", $"sim".desc, $"nbr_id")
   }
+
+  // ---------------------------------------------------------------
+  // ANN INDEX QUALITY METRICS (q146) — recall@k and reciprocal rank
+  // of an approximate index against exact ground truth: the eval an
+  // index deployment gates on.
+  // ---------------------------------------------------------------
+
+  /** Retrieval-quality metrics of an `approx` ranked list against an
+    * `exact` ground-truth list (both `(probe_id, vec_id, sim)`):
+    * per probe, `n_overlap` = |approx ∩ exact|, `recall_ticks` =
+    * overlap·1e6 div k, `rr_ticks` = 1e6 div (rank of the exact #1
+    * item inside the approx list), 0 when the true nearest neighbor
+    * is missed entirely. All exact integers — an index eval whose
+    * numbers drift run-to-run cannot gate a deployment.
+    *
+    * Ranking inside both lists is the engine-wide (sim DESC, vec_id)
+    * total order. The per-probe windows here are NOT the q16-r1
+    * bottleneck: both inputs are already ≤ k-ish rows per probe (the
+    * heaps upstream did the corpus work), so a window partition is
+    * k rows, never the corpus.
+    */
+  def retrievalQuality(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    import exact.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    val er = exact.withColumn("erank", row_number().over(w))
+    val ar = approx.withColumn("arank", row_number().over(w))
+    val overlap = er.select($"probe_id", $"vec_id")
+      .join(ar.select($"probe_id", $"vec_id"), Seq("probe_id", "vec_id"))
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_overlap"))
+    val rr = er.filter($"erank" === 1)
+      .select($"probe_id", $"vec_id")
+      .join(ar.select($"probe_id", $"vec_id", $"arank"),
+        Seq("probe_id", "vec_id"), "left")
+      .select($"probe_id",
+        coalesce(expr("1000000L div arank"), lit(0L)).as("rr_ticks"))
+    er.select($"probe_id").distinct()
+      .join(overlap, Seq("probe_id"), "left")
+      .join(rr, Seq("probe_id"), "left")
+      .select($"probe_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 1000000L div ${k}L")
+          .as("recall_ticks"),
+        coalesce($"rr_ticks", lit(0L)).as("rr_ticks"))
+  }
+
+  /** Q146 — IVF index quality at k=10 over every 97th embedding:
+    * exact ground truth is the brute-force cosine top-k EXCLUDING
+    * the probe itself (the self-hit is free and would inflate every
+    * metric); the approx list is the q30 pivot-IVF top-(k+1) with
+    * self removed and re-cut to k (self is always found — its own
+    * cell is its nearest cell — so the k+1 fetch always leaves k
+    * candidates). The per-probe recall exhibits the real IVF trade:
+    * boundary neighbors in unprobed cells are the misses.
+    */
+  def q146AnnRecall(spark: SparkSession, dir: String,
+      probeMod: Long = 97L, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter($"vec_id" % probeMod === 0)
+    val probeSide = probes
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val exact = topKPerProbe(
+      emb.crossJoin(broadcast(probeSide))
+        .filter($"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id",
+          cosineSim($"embedding", $"probe_emb").as("sim")), k)
+    val (indexed, model) = IvfIndex.buildPivots(emb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    val approx = IvfIndex.topK(indexed, model, probes, k = k + 1)
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("_r", row_number().over(w)).filter($"_r" <= k)
+      .drop("_r")
+    retrievalQuality(exact, approx, k).orderBy($"probe_id")
+  }
+
+  /** DuckDB oracle for [[q146AnnRecall]] — both pipelines inline:
+    * the q30 pivot-IVF CTE chain (same pivot hash order, argmax
+    * tie-breaks, nProbe cells) at k+1 minus self re-cut to k, the
+    * brute-force exact list minus self, then the same overlap /
+    * reciprocal-rank tick arithmetic.
+    */
+  def annRecallOracleSql(probeMod: Long = 97L, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): String =
+    s"""WITH pv AS (SELECT * FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+       |          vec_id) - 1 AS pid,
+       |      embedding::DOUBLE[] AS pe
+       |    FROM embeddings) WHERE pid < $nLists),
+       | corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       | pr AS (SELECT vec_id AS probe_id, e AS pemb FROM corpus
+       |   WHERE vec_id % $probeMod = 0),
+       | ex AS (SELECT probe_id, c.vec_id, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY
+       |        list_cosine_similarity(c.e, pr.pemb) DESC, c.vec_id)
+       |      AS erank
+       |   FROM corpus c CROSS JOIN pr WHERE c.vec_id <> pr.probe_id
+       |   QUALIFY erank <= $k),
+       | asg AS (SELECT vec_id, e, pid AS cell FROM (
+       |    SELECT c.vec_id, c.e, pv.pid, row_number() OVER (
+       |        PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.e, pv.pe) DESC, pv.pid) AS rn
+       |    FROM corpus c CROSS JOIN pv) WHERE rn = 1),
+       | pc AS (SELECT probe_id, pid AS cell, pemb FROM (
+       |    SELECT pr.probe_id, pr.pemb, pv.pid, row_number() OVER (
+       |        PARTITION BY pr.probe_id
+       |        ORDER BY list_cosine_similarity(pr.pemb, pv.pe) DESC, pv.pid)
+       |        AS rn
+       |    FROM pr CROSS JOIN pv) WHERE rn <= $nProbe),
+       | ap0 AS (SELECT probe_id, a.vec_id,
+       |      list_cosine_similarity(a.e, pc.pemb) AS sim
+       |   FROM asg a JOIN pc USING (cell)
+       |   QUALIFY row_number() OVER (PARTITION BY probe_id
+       |     ORDER BY sim DESC, a.vec_id) <= ${k + 1}),
+       | ap AS (SELECT probe_id, vec_id, row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS arank
+       |   FROM ap0 WHERE vec_id <> probe_id
+       |   QUALIFY arank <= $k),
+       | ov AS (SELECT ex.probe_id, count(*)::BIGINT AS n_overlap
+       |   FROM ex JOIN ap ON ap.probe_id = ex.probe_id
+       |     AND ap.vec_id = ex.vec_id
+       |   GROUP BY ex.probe_id),
+       | rr AS (SELECT ex.probe_id,
+       |     coalesce(1000000 // ap.arank, 0)::BIGINT AS rr_ticks
+       |   FROM ex LEFT JOIN ap ON ap.probe_id = ex.probe_id
+       |     AND ap.vec_id = ex.vec_id
+       |   WHERE ex.erank = 1)
+       |SELECT pr.probe_id,
+       |  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       |  (coalesce(ov.n_overlap, 0) * 1000000 // $k)::BIGINT
+       |    AS recall_ticks,
+       |  coalesce(rr.rr_ticks, 0)::BIGINT AS rr_ticks
+       |FROM pr LEFT JOIN ov USING (probe_id) LEFT JOIN rr USING (probe_id)
+       |ORDER BY pr.probe_id""".stripMargin
 }
