@@ -210,6 +210,7 @@ object SparkEntry {
     "q145_phrase_search" -> (Retrieval.q145PhraseSearch _),
     "q146_ann_recall"    -> ((s: SparkSession, d: String) =>
       Similarity.q146AnnRecall(s, d)),
+    "q147_shared_spans"  -> (NearDup.q147SharedSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1747,6 +1748,9 @@ object SparkEntry {
     // pivot-IVF list against brute-force ground truth, both
     // self-excluded, exact tick arithmetic.
     "q146_ann_recall" -> Similarity.annRecallOracleSql(),
+    // q147: shared-span provenance — aligned-diagonal islands over
+    // the shingle postings self-join; shingle strings oracle-side.
+    "q147_shared_spans" -> NearDup.sharedSpansOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

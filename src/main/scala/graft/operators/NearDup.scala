@@ -477,4 +477,113 @@ object NearDup {
     editDistancePairs(Tables.load(spark, dir, "documents"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  // ---------------------------------------------------------------
+  // SHARED-SPAN PROVENANCE (q147) — which spans of which doc pairs
+  // are copies: the EXTENT report behind a Jaccard/containment score.
+  // ---------------------------------------------------------------
+
+  /** Positional shingle postings: (doc_id, pos 1-based, sh n-gram
+    * hash at pos). The positional twin of [[shingleSets]] — span
+    * provenance needs WHERE each shingle sits, not just the set.
+    */
+  def positionalShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.core.Parallel.fan(docs).select($"doc_id", $"text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else {
+          val th = toks.map(tokenHash64)
+          Iterator.tabulate(toks.length - n + 1)(i =>
+            (id, (i + 1).toLong, shingleHash(th, i, n)))
+        }
+      }
+      .toDF("doc_id", "pos", "sh")
+  }
+
+  /** SHARED SPANS — maximal ALIGNED runs of shared shingles between
+    * doc pairs: (doc_a < doc_b, a_start, b_start, len_tokens). The
+    * q129 containment score says "B contains much of A"; this op
+    * says WHICH spans — the quote/plagiarism-extent report, and the
+    * span-level evidence a decontamination audit attaches to a hit.
+    *
+    * Distributed gaps-and-islands: the shingle-keyed postings
+    * self-join (the q18 inverted-index shape — only co-occurring
+    * pairs materialize, never all-pairs, and the df-cut drops
+    * boilerplate shingles whose O(df²) join rows carry no provenance
+    * signal BEFORE the join) yields aligned hits (pa, pb) per pair;
+    * hits on one DIAGONAL (d = pa − pb) that are consecutive in pa
+    * form one span, found by the classic island key `pa −
+    * row_number()` — the window partitions by (pair, diagonal), so
+    * partitions are span-sized, never corpus-sized. A run of m
+    * consecutive n-shingles covers m+n−1 tokens.
+    */
+  def sharedSpans(docs: DataFrame, n: Int = 3, maxDf: Long = 50L,
+      minRun: Long = 2L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val post = positionalShingles(docs, n)
+    val rare = post.groupBy($"sh")
+      .agg(countDistinct($"doc_id").as("_df"))
+      .filter($"_df" <= maxDf).select($"sh")
+    val p = post.join(rare, "sh")
+    val hits = p.select($"sh", $"doc_id".as("doc_a"), $"pos".as("pa"))
+      .join(p.select($"sh", $"doc_id".as("doc_b"), $"pos".as("pb")), "sh")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_a", $"doc_b", $"d").orderBy($"pa")
+    hits.withColumn("_island", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"d", $"_island")
+      .agg(min($"pa").as("a_start"), min($"pb").as("b_start"),
+        count(lit(1)).as("_m"))
+      .filter($"_m" >= minRun)
+      .select($"doc_a", $"doc_b", $"a_start", $"b_start",
+        ($"_m" + lit(n - 1).cast("long")).as("len_tokens"))
+  }
+
+  /** Q147 — shared spans over `documents` at 3-token shingles,
+    * df-cut 50, runs of ≥ 2 shingles (≥ 4 shared tokens aligned).
+    */
+  def q147SharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sharedSpans(Tables.load(spark, dir, "documents"))
+      .orderBy($"doc_a", $"doc_b", $"a_start", $"b_start")
+  }
+
+  /** DuckDB oracle for [[q147SharedSpans]] — shingle STRINGS where
+    * the operator uses 64-bit hashes (the q18/q51/q88 collision
+    * contract; tokens contain no separator, so the joined string
+    * determines the token tuple), same df-cut, diagonals and island
+    * keys.
+    */
+  def sharedSpansOracleSql(n: Int = 3, maxDf: Long = 50L,
+      minRun: Long = 2L): String =
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |   FROM documents),
+       | sp AS (SELECT doc_id, u.p AS pos, u.s AS sh FROM (
+       |     SELECT doc_id, unnest(list_transform(
+       |       range(1, len(ts) - ${n - 2}),
+       |       i -> struct_pack(p := i, s := ${
+             (0 until n).map(j => s"ts[i + $j]")
+               .mkString(" || ' ' || ")}))) AS u
+       |     FROM b WHERE len(ts) >= $n)),
+       | rare AS (SELECT sh FROM (
+       |     SELECT sh, count(DISTINCT doc_id) AS df FROM sp GROUP BY sh)
+       |   WHERE df <= $maxDf),
+       | p AS (SELECT sp.* FROM sp JOIN rare USING (sh)),
+       | pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |     x.pos AS pa, y.pos AS pb, x.pos - y.pos AS d
+       |   FROM p x JOIN p y ON y.sh = x.sh AND x.doc_id < y.doc_id),
+       | il AS (SELECT *, pa - row_number() OVER (
+       |     PARTITION BY doc_a, doc_b, d ORDER BY pa) AS island
+       |   FROM pr),
+       | runs AS (SELECT doc_a, doc_b, min(pa) AS a_start,
+       |     min(pb) AS b_start, count(*) AS m
+       |   FROM il GROUP BY doc_a, doc_b, d, island)
+       |SELECT doc_a, doc_b, a_start::BIGINT AS a_start,
+       |  b_start::BIGINT AS b_start, (m + ${n - 1})::BIGINT AS len_tokens
+       |FROM runs WHERE m >= $minRun
+       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 }
