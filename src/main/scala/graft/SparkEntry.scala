@@ -211,6 +211,7 @@ object SparkEntry {
     "q146_ann_recall"    -> ((s: SparkSession, d: String) =>
       Similarity.q146AnnRecall(s, d)),
     "q147_shared_spans"  -> (NearDup.q147SharedSpans _),
+    "q148_encoding_advisor" -> (Layout.q148EncodingAdvisor _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1751,6 +1752,9 @@ object SparkEntry {
     // q147: shared-span provenance — aligned-diagonal islands over
     // the shingle postings self-join; shingle strings oracle-side.
     "q147_shared_spans" -> NearDup.sharedSpansOracleSql(),
+    // q148: encoding advisor — group-local run flags under the
+    // canonical sort, tick ratios, rule-based decision table.
+    "q148_encoding_advisor" -> Layout.encodingAdvisorOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -261,6 +261,133 @@ object Layout {
         max(col(dimB)).cast("long").as(s"max_$dimB"))
   }
 
+  // ---------------------------------------------------------------
+  // COLUMNAR ENCODING ADVISOR (q148) — per-column dictionary / RLE
+  // statistics: the storage-tuning profile a 100 TB write path
+  // consults before choosing parquet encodings and sort orders.
+  // ---------------------------------------------------------------
+
+  /** Per-column encoding statistics over an EXPLICIT canonical order
+    * (runs over a table's physical order are reader-dependent and
+    * therefore not a contract): for each advised column —
+    * n, n_distinct, distinct-ratio ticks, run count, average run
+    * length in ticks, and the rule-based recommendation
+    * (`dict` when the dictionary is tiny relative to rows, `rle` on
+    * long runs, `dict_rle` on both, `plain` otherwise).
+    *
+    * Runs are counted WITHIN each `groupCol` group under the
+    * `orderCols` sort — which must be a TOTAL order up to full-row
+    * duplicates (rows tied on every sort column are interchangeable,
+    * so the run count is well-defined; an ambiguous prefix order
+    * would let two engines disagree on adjacency, found the hard way
+    * on this table's duplicate (orderkey, linenumber) pairs). Group
+    * boundaries start a new run; the window partitions by
+    * the group key, so the pass parallelizes over groups — a single
+    * global-order window would funnel the corpus through one
+    * reducer (the q16-r1 trap), and group-local runs are exactly
+    * what a writer sorted by (group, order) produces. ONE window
+    * pass computes the run-start flag for every advised column
+    * (one lag per column over the same window spec), one agg folds
+    * them, and the per-column melt is a union of literal projections
+    * over the broadcast 1-row stats frame.
+    */
+  def encodingAdvisor(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      cols: Seq[String], dictMaxRatioTicks: Long = 10000L,
+      rleMinAvgRunTicks: Long = 2000000L): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    val flagged = cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"_rs_$c",
+        when(lag(col(c), 1).over(w).isNull ||
+          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+    }
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"_nd_$c"),
+      sum(col(s"_rs_$c")).as(s"_runs_$c")))
+    val stats = flagged.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      stats.select(
+        lit(c).as("col_name"),
+        $"_n".as("n"),
+        col(s"_nd_$c").as("n_distinct"),
+        expr(s"_nd_$c * 1000000L div _n").as("distinct_ratio_ticks"),
+        col(s"_runs_$c").as("n_runs"),
+        expr(s"_n * 1000000L div _runs_$c").as("avg_run_ticks"))
+    }.reduce(_.union(_))
+    perCol.withColumn("recommendation",
+      when($"distinct_ratio_ticks" <= dictMaxRatioTicks &&
+          $"avg_run_ticks" >= rleMinAvgRunTicks, lit("dict_rle"))
+        .when($"distinct_ratio_ticks" <= dictMaxRatioTicks, lit("dict"))
+        .when($"avg_run_ticks" >= rleMinAvgRunTicks, lit("rle"))
+        .otherwise(lit("plain")))
+  }
+
+  val AdvisedCols: Seq[String] = Seq(
+    "l_returnflag", "l_linestatus", "l_shipmode_sub", "l_quantity",
+    "l_partkey")
+
+  /** The q148 canonical in-group sort: (linenumber, then every other
+    * column) — total up to full-row duplicates, which is what run
+    * counting needs (this table HAS duplicate (orderkey, linenumber)
+    * pairs, so linenumber alone is engine-ambiguous).
+    */
+  val CanonicalOrder: Seq[String] = Seq(
+    "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** Q148 — encoding advice for `lineitem` under its canonical
+    * (l_orderkey, l_linenumber) sort. `l_shipmode_sub` is a derived
+    * low-cardinality column (shipdate month) standing in for the
+    * classic enum column; the advised set spans the whole decision
+    * table: 2–3-value enums (dict), ~50-value numerics (dict),
+    * 20k-key ids (plain).
+    */
+  def q148EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+      .withColumn("l_shipmode_sub", month($"l_shipdate").cast("long"))
+    encodingAdvisor(li, "l_orderkey", CanonicalOrder, AdvisedCols)
+      .orderBy($"col_name")
+  }
+
+  /** DuckDB oracle for [[q148EncodingAdvisor]] — same window run
+    * flags, tick arithmetic and decision table, one UNION ALL arm
+    * per advised column generated from the same list.
+    */
+  def encodingAdvisorOracleSql(dictMaxRatioTicks: Long = 10000L,
+      rleMinAvgRunTicks: Long = 2000000L): String = {
+    val arms = AdvisedCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  (count(DISTINCT $c) * 1000000 // count(*))::BIGINT
+         |    AS distinct_ratio_ticks,
+         |  sum(rs_$c)::BIGINT AS n_runs,
+         |  (count(*) * 1000000 // sum(rs_$c))::BIGINT AS avg_run_ticks
+         |FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val flags = AdvisedCols.map { c =>
+      s"""(CASE WHEN lag($c) OVER (PARTITION BY l_orderkey
+         |    ORDER BY ${CanonicalOrder.mkString(", ")})
+         |    IS DISTINCT FROM $c
+         |  THEN 1 ELSE 0 END) AS rs_$c""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH b AS (SELECT *, month(l_shipdate)::BIGINT AS l_shipmode_sub
+       |  FROM lineitem),
+       | f AS (SELECT *,
+       |  $flags
+       |  FROM b),
+       | u AS ($arms)
+       |SELECT *, (CASE
+       |  WHEN distinct_ratio_ticks <= $dictMaxRatioTicks
+       |    AND avg_run_ticks >= $rleMinAvgRunTicks THEN 'dict_rle'
+       |  WHEN distinct_ratio_ticks <= $dictMaxRatioTicks THEN 'dict'
+       |  WHEN avg_run_ticks >= $rleMinAvgRunTicks THEN 'rle'
+       |  ELSE 'plain' END) AS recommendation
+       |FROM u ORDER BY u.col_name""".stripMargin
+  }
+
   /** Q143 — z-order profile of `lineitem` on (l_orderkey,
     * l_partkey): the two keys ad-hoc scans actually filter by.
     */
