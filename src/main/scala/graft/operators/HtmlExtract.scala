@@ -373,6 +373,134 @@ object HtmlExtract {
        |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // SECTION SEGMENTATION (q149) — structure-aware chunking: split a
+  // page at heading boundaries, the unit long-document training
+  // pipelines chunk by (q43's token windows are the structure-blind
+  // fallback).
+  // ---------------------------------------------------------------
+
+  /** Heading OPEN tag (the split boundary) and the close-anchored
+    * heading-body extractor. RE2-compatible: no backreference ties
+    * the close tag's level to the open tag's — a mismatched
+    * `<h2>…</h3>` still terminates the heading (the lenient parse
+    * real chunkers use; strict pairing needs a parser, not a regex).
+    */
+  val HeadingOpenRe = "(?i)<h[1-6][^>]*>"
+  val HeadingBodyRe = "(?is)^(.*?)</h[1-6]>"
+
+  /** SECTION SEGMENTATION — split each page at heading boundaries
+    * into (doc_id, section_idx, heading, content, n_tokens): idx 0
+    * is the preamble (empty heading), each later section carries its
+    * heading's normalized text and everything up to the next
+    * heading. Chrome elements are stripped first (same [[StripRes]]
+    * fold as [[extract]]). Pure per-row projection + one generator —
+    * zero shuffles, stream-composable like the other ingest ops;
+    * the downstream packer consumes (doc, section) rows exactly like
+    * (doc, chunk) rows from q43, but cuts at AUTHOR boundaries.
+    */
+  def sectionSegments(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    import pages.sparkSession.implicits._
+    val cleaned = StripRes.foldLeft(col(htmlCol))(regexp_replace(_, _, " "))
+    pages
+      .withColumn("_sec", split(cleaned, HeadingOpenRe))
+      .select(col("doc_id"), posexplode(col("_sec")))
+      .withColumn("heading",
+        when($"pos" > 0,
+          blockText(regexp_extract($"col", HeadingBodyRe, 1)))
+          .otherwise(lit("")))
+      .withColumn("content", blockText(
+        when($"pos" > 0,
+          regexp_replace($"col", HeadingBodyRe, " "))
+          .otherwise($"col")))
+      .filter($"pos" > 0 || $"content" =!= "")
+      .select($"doc_id", $"pos".cast("long").as("section_idx"),
+        $"heading", $"content",
+        when($"content" === "", lit(0L))
+          .otherwise(size(split($"content", " ", -1)).cast("long"))
+          .as("n_tokens"))
+  }
+
+  /** Deterministic SECTIONED page: the doc's tokens dealt into three
+    * `<h2>`-headed parts behind a `<p>` preamble — both q149 sides
+    * build it character-identically (the container has no HTML
+    * corpus; the segmentation rules are what is under test).
+    */
+  def syntheticSectionedHtml(docId: Column, text: Column): Column = {
+    val toks = split(text, " ", -1)
+    val nt = size(toks)
+    val k = ((nt - nt % 3) / lit(3)).cast("int")
+    def part(idx: Int, body: Column) = concat(
+      lit(s"<h2>Part $idx of doc "), docId.cast("string"),
+      lit("</h2><p>"), body, lit("</p>"))
+    concat(
+      lit("<html><body><p>Doc "), docId.cast("string"),
+      lit(" preamble</p>"),
+      part(1, array_join(slice(toks, lit(1), k), " ")),
+      part(2, array_join(slice(toks, k + 1, k), " ")),
+      part(3, array_join(slice(toks, k * 2 + 1, nt - k * 2), " ")),
+      lit("</body></html>"))
+  }
+
+  /** Q149 — section segmentation over the sectioned fixture pages. */
+  def q149Sections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        syntheticSectionedHtml($"doc_id", $"text").as("html"))
+    sectionSegments(pages).orderBy($"doc_id", $"section_idx")
+  }
+
+  /** The q149 fixture + segmentation chain as CTEs ending in
+    * `n(doc_id, section_idx, heading, content)` — shared by the q149
+    * oracle and the q150 section-packing oracle.
+    */
+  def sectionCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |   FROM documents),
+       | h AS (SELECT doc_id,
+       |    '<html><body><p>Doc ' || doc_id::VARCHAR || ' preamble</p>' ||
+       |    '<h2>Part 1 of doc ' || doc_id::VARCHAR || '</h2><p>' ||
+       |      array_to_string(ts[1:k], ' ') || '</p>' ||
+       |    '<h2>Part 2 of doc ' || doc_id::VARCHAR || '</h2><p>' ||
+       |      array_to_string(ts[k+1:2*k], ' ') || '</p>' ||
+       |    '<h2>Part 3 of doc ' || doc_id::VARCHAR || '</h2><p>' ||
+       |      array_to_string(ts[2*k+1:len(ts)], ' ') || '</p>' ||
+       |    '</body></html>' AS html
+       |  FROM (SELECT doc_id, ts,
+       |      ((len(ts) - len(ts) % 3) // 3)::INT AS k FROM t)),
+       | c AS (SELECT doc_id, ${stripSql("html")} AS x FROM h),
+       | sp AS (SELECT doc_id, u.p - 1 AS section_idx, u.s AS piece
+       |   FROM (SELECT doc_id, unnest(list_transform(
+       |       range(1, len(secs) + 1),
+       |       i -> struct_pack(p := i, s := secs[i]))) AS u
+       |     FROM (SELECT doc_id,
+       |         string_split_regex(x, '$HeadingOpenRe') AS secs FROM c) q)),
+       | n AS (SELECT doc_id, section_idx,
+       |    (CASE WHEN section_idx > 0 THEN
+       |      trim(regexp_replace(regexp_replace(
+       |        regexp_extract(piece, '$HeadingBodyRe', 1),
+       |        '$InlineTagRe', ' ', 'g'), '$WsRe', ' ', 'g'))
+       |     ELSE '' END) AS heading,
+       |    trim(regexp_replace(regexp_replace(
+       |      (CASE WHEN section_idx > 0
+       |       THEN regexp_replace(piece, '$HeadingBodyRe', ' ')
+       |       ELSE piece END),
+       |      '$InlineTagRe', ' ', 'g'), '$WsRe', ' ', 'g')) AS content
+       |  FROM sp)""".stripMargin
+
+  /** DuckDB oracle for [[q149Sections]] — same fixture expression,
+    * strip fold, split boundary and heading/body regexes.
+    */
+  def sectionsOracleSql: String =
+    s"""WITH $sectionCtesSql
+       |SELECT doc_id, section_idx::BIGINT AS section_idx, heading,
+       |  content,
+       |  (CASE WHEN content = '' THEN 0
+       |   ELSE len(string_split(content, ' ')) END)::BIGINT AS n_tokens
+       |FROM n WHERE section_idx > 0 OR content <> ''
+       |ORDER BY doc_id, section_idx""".stripMargin
+
+  // ---------------------------------------------------------------
   // DOMAIN-frequent boilerplate removal (q141) — cross-page evidence
   // where `extract`'s density rule is per-page.
   // ---------------------------------------------------------------
