@@ -212,6 +212,8 @@ object SparkEntry {
       Similarity.q146AnnRecall(s, d)),
     "q147_shared_spans"  -> (NearDup.q147SharedSpans _),
     "q148_encoding_advisor" -> (Layout.q148EncodingAdvisor _),
+    "q149_sections"      -> (HtmlExtract.q149Sections _),
+    "q150_section_packing" -> (SequencePacking.q150SectionPacking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1755,6 +1757,12 @@ object SparkEntry {
     // q148: encoding advisor — group-local run flags under the
     // canonical sort, tick ratios, rule-based decision table.
     "q148_encoding_advisor" -> Layout.encodingAdvisorOracleSql(),
+    // q149: section segmentation — heading-boundary split, lenient
+    // close-tag parse, same strip fold and normalization.
+    "q149_sections" -> HtmlExtract.sectionsOracleSql,
+    // q150: section-aware packing — the shared q149 section chain
+    // feeding the q46 recursive next-fit scan at a 64-token budget.
+    "q150_section_packing" -> SequencePacking.sectionPackingOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed
