@@ -214,6 +214,7 @@ object SparkEntry {
     "q148_encoding_advisor" -> (Layout.q148EncodingAdvisor _),
     "q149_sections"      -> (HtmlExtract.q149Sections _),
     "q150_section_packing" -> (SequencePacking.q150SectionPacking _),
+    "q151_fertility"     -> (TextStats.q151TokenizerFertility _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1763,6 +1764,9 @@ object SparkEntry {
     // q150: section-aware packing — the shared q149 section chain
     // feeding the q46 recursive next-fit scan at a 64-token budget.
     "q150_section_packing" -> SequencePacking.sectionPackingOracleSql(),
+    // q151: tokenizer fertility — per-lang char/word/BPE-piece sums
+    // and tick ratios, same q40 regex on both engines.
+    "q151_fertility" -> TextStats.fertilityOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -38,6 +38,59 @@ object TextStats {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpePattern), lit(0))
 
+  /** TOKENIZER FERTILITY per language (q151) — the multilingual
+    * budget metric: how many characters one BPE-ish token covers
+    * (`chars_per_bpe`) and how many subword pieces a whitespace word
+    * fragments into (`bpe_per_ws`, "fertility" proper). Languages a
+    * tokenizer underserves show low chars-per-token / high fertility
+    * — they burn context budget faster, and mixture planning (q144)
+    * prices them accordingly. Exact 1e-6 ticks over exact Long sums:
+    * one partial+final agg per language, no shuffle beyond it.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"lang",
+        length($"text").cast("long").as("_chars"),
+        size(tokens($"text")).cast("long").as("_ws"),
+        size(bpeTokens($"text")).cast("long").as("_bpe"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"_chars").as("n_chars"),
+        sum($"_ws").as("n_ws_tokens"),
+        sum($"_bpe").as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_ticks",
+        expr("n_chars * 1000000L div n_bpe_tokens"))
+      .withColumn("bpe_per_ws_ticks",
+        expr("n_bpe_tokens * 1000000L div n_ws_tokens"))
+  }
+
+  /** Q151 — per-language fertility over `documents`. */
+  def q151TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenizerFertility(Tables.load(spark, dir, "documents"))
+      .orderBy($"lang")
+  }
+
+  /** DuckDB oracle for [[q151TokenizerFertility]] — the same q40
+    * regex (interpolated from [[bpePattern]] with SQL-quote
+    * escaping), same whitespace tokenization and tick divisions.
+    */
+  def fertilityOracleSql: String = {
+    val re = bpePattern.replace("'", "''")
+    s"""WITH d AS (SELECT lang, len(text)::BIGINT AS chars,
+       |    len(string_split(text, ' '))::BIGINT AS ws,
+       |    len(regexp_extract_all(text, '$re'))::BIGINT AS bpe
+       |  FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(chars)::BIGINT AS n_chars,
+       |  sum(ws)::BIGINT AS n_ws_tokens,
+       |  sum(bpe)::BIGINT AS n_bpe_tokens,
+       |  (sum(chars) * 1000000 // sum(bpe))::BIGINT
+       |    AS chars_per_bpe_ticks,
+       |  (sum(bpe) * 1000000 // sum(ws))::BIGINT AS bpe_per_ws_ticks
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Q40 — BPE-ish token counts per document. */
   def q40BpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
