@@ -215,6 +215,8 @@ object SparkEntry {
     "q149_sections"      -> (HtmlExtract.q149Sections _),
     "q150_section_packing" -> (SequencePacking.q150SectionPacking _),
     "q151_fertility"     -> (TextStats.q151TokenizerFertility _),
+    "q152_proximity_search" -> ((s: SparkSession, d: String) =>
+      Retrieval.q152ProximitySearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1767,6 +1769,9 @@ object SparkEntry {
     // q151: tokenizer fertility — per-lang char/word/BPE-piece sums
     // and tick ratios, same q40 regex on both engines.
     "q151_fertility" -> TextStats.fertilityOracleSql,
+    // q152: proximity search — hit-anchored window starts, band
+    // filter over an equi-keyed self-join, distinct-TERM coverage.
+    "q152_proximity_search" -> Retrieval.proximityOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -413,6 +413,92 @@ object Retrieval {
       .orderBy($"query_id", $"doc_id")
   }
 
+  /** PROXIMITY MATCH — the unordered relaxation of [[phraseSearch]]:
+    * a doc matches when ALL the query's distinct terms co-occur
+    * within some `window`-token span, in any order — the "terms near
+    * each other" operator between bag-of-words scoring (q103) and
+    * exact phrases (q145). Matching starts are anchored at term
+    * occurrences: a span starting at hit position `s` qualifies iff
+    * every query term has an occurrence in `[s, s+window−1]` — every
+    * minimal qualifying span starts AT a term occurrence, so
+    * anchoring at hits loses nothing and bounds the candidate set.
+    * Returns (query_id, doc_id, n_starts, first_pos).
+    *
+    * Shape: the same th-keyed postings probe as q145, then a
+    * (query, doc)-EQUI-keyed self-join of the hit list with the
+    * window band as a post-filter — never a corpus-wide inequality
+    * join; per-pair hit lists are query-term-bounded, so the band
+    * blow-up is `hits × min(hits, window)` within one (query, doc).
+    * Distinct-TERM coverage (`countDistinct(th)`), not positions:
+    * proximity is a set condition where phrase order was the q145
+    * contract.
+    */
+  def proximitySearch(docs: DataFrame, queries: DataFrame,
+      window: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val post = positionalPostings(docs)
+    val terms = queries.select($"query_id", $"th").distinct()
+    val nTerms = terms.groupBy($"query_id").agg(count(lit(1)).as("_nt"))
+    val hits = post.join(broadcast(terms), "th")
+      .select($"query_id", $"doc_id", $"pos", $"th")
+    val starts = hits.select($"query_id", $"doc_id", $"pos".as("s"))
+      .distinct()
+    starts.join(hits, Seq("query_id", "doc_id"))
+      .filter($"pos" >= $"s" && $"pos" < $"s" + window)
+      .groupBy($"query_id", $"doc_id", $"s")
+      .agg(countDistinct($"th").as("_cov"))
+      .join(broadcast(nTerms), "query_id")
+      .filter($"_cov" === $"_nt")
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_starts"), min($"s").as("first_pos"))
+  }
+
+  /** Q152 — proximity search: the q145 fixture phrases' TERM SETS,
+    * matched within an 8-token window (order-free). Every q145
+    * phrase match is a q152 match by construction (a run is a
+    * window); the interesting rows are the order-scrambled and
+    * gapped co-occurrences phrases miss.
+    */
+  def q152ProximitySearch(spark: SparkSession, dir: String,
+      window: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    proximitySearch(docs, phraseQueries(docs), window)
+      .orderBy($"query_id", $"doc_id")
+  }
+
+  /** DuckDB oracle for [[q152ProximitySearch]] — token strings,
+    * same hit anchoring, band filter and distinct-term coverage.
+    */
+  def proximityOracleSql(mod: Long = 89L, start: Int = 5,
+      len: Int = 3, window: Int = 8): String =
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |   FROM documents),
+       | tk AS (SELECT doc_id, u.p AS pos, u.t AS tok FROM (
+       |     SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+       |       i -> struct_pack(p := i, t := ts[i]))) AS u FROM b)),
+       | ph AS (SELECT DISTINCT tk.doc_id AS query_id, tk.tok
+       |   FROM tk JOIN b ON b.doc_id = tk.doc_id
+       |   WHERE tk.doc_id % $mod = 0
+       |     AND len(b.ts) >= ${start + len - 1}
+       |     AND tk.pos BETWEEN $start AND ${start + len - 1}),
+       | nt AS (SELECT query_id, count(*)::BIGINT AS n_terms
+       |   FROM ph GROUP BY query_id),
+       | hits AS (SELECT ph.query_id, tk.doc_id, tk.pos, tk.tok
+       |   FROM tk JOIN ph ON ph.tok = tk.tok),
+       | st AS (SELECT DISTINCT query_id, doc_id, pos AS s FROM hits),
+       | cov AS (SELECT st.query_id, st.doc_id, st.s,
+       |     count(DISTINCT h.tok) AS c
+       |   FROM st JOIN hits h ON h.query_id = st.query_id
+       |     AND h.doc_id = st.doc_id
+       |     AND h.pos >= st.s AND h.pos < st.s + $window
+       |   GROUP BY 1, 2, 3),
+       | m AS (SELECT cov.query_id, cov.doc_id, cov.s
+       |   FROM cov JOIN nt USING (query_id) WHERE cov.c = nt.n_terms)
+       |SELECT query_id, doc_id, count(*)::BIGINT AS n_starts,
+       |  min(s)::BIGINT AS first_pos
+       |FROM m GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+
   /** DuckDB oracle for [[q145PhraseSearch]] — token STRINGS where
     * the operator uses 64-bit hashes (the q18/q51/q88 collision
     * contract), same anchor alignment and distinct-position count.
