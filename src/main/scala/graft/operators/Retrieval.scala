@@ -346,6 +346,32 @@ object Retrieval {
       .toDF("doc_id", "pos", "th")
   }
 
+  /** [[phraseSearch]] served from a STANDING positional-postings
+    * index (the `(doc_id, pos, th)` rows of [[positionalPostings]],
+    * persisted — at scale bucketed by `th` so the query-term probe is
+    * a partition-pruned read). The same benign-re-land contract as
+    * [[bm25TopKFromIndex]]: a doc re-landed under a fresh offset
+    * duplicates its IDENTICAL posting rows, absorbed by exact-row
+    * dedup; conflicting duplicates mean a corrupt index and remain
+    * the caller's contract violation. An incrementally-grown index
+    * matches a fresh corpus scan exactly (spec-pinned) — phrase
+    * matching is per-document, so growth cannot shift other docs'
+    * results the way BM25's global df/avgdl do (and THOSE shift
+    * correctly too, per [[bm25TopKFromIndex]]).
+    */
+  def phraseSearchFromIndex(post0: DataFrame,
+      phrases: DataFrame): DataFrame =
+    phraseSearchFromPostings(
+      post0.dropDuplicates("doc_id", "pos", "th"), phrases)
+
+  /** [[proximitySearch]] served from the standing positional index —
+    * the [[phraseSearchFromIndex]] contract, proximity leg.
+    */
+  def proximitySearchFromIndex(post0: DataFrame, queries: DataFrame,
+      window: Int, dfCap: Long = Long.MaxValue): DataFrame =
+    proximitySearchFromPostings(
+      post0.dropDuplicates("doc_id", "pos", "th"), queries, window, dfCap)
+
   /** Phrase fixture: the `len` consecutive tokens starting at
     * 1-based `start` of every `mod`-th doc, as (query_id, qpos
     * 0-based, th). Docs shorter than `start+len−1` tokens yield no
@@ -368,24 +394,107 @@ object Retrieval {
 
   /** EXACT PHRASE MATCH — doc contains the phrase at start `s` iff
     * for every query position `qpos` there is a posting at
-    * `s + qpos`. The distributed form is ANCHOR ALIGNMENT: join
-    * postings to query terms on the term hash, compute `anchor =
-    * pos − qpos`, and a (query, doc, anchor) group holding ALL
-    * `plen` distinct query positions is a match at that start.
+    * `s + qpos`. Executed RAREST-TERM-FIRST: the query's minimum-
+    * positional-df term is the ANCHOR — only ITS postings generate
+    * candidate starts (`anchor = pos − qpos_anchor`) — and every
+    * other query position is verified by an exact
+    * (doc, pos, th)-keyed semi-join probe at `anchor + qpos`.
     * Returns (query_id, doc_id, n_matches, first_pos).
     *
-    * Shape: ONE th-keyed equi join (the postings side is the only
-    * corpus-sized frame; the query frame broadcasts) + one
-    * (query, doc, anchor)-keyed partial agg + the tiny match agg.
-    * Join volume is Σ over query terms of that term's positional
-    * document frequency — at 100 TB the standard refinements apply
-    * unchanged: stop-term df-cut before the join (the q18/q133 cap)
-    * and rarest-term-first anchoring (join the rarest term, then
-    * probe the others at fixed offsets). Repeated phrase terms are
-    * handled by construction: `countDistinct(qpos)` needs every
-    * POSITION matched, not every distinct term.
+    * Shape: the postings frame is term-filtered once under the
+    * broadcast query-term set and pinned ([[graft.core.Pin.reuse]]);
+    * it feeds (a) the per-term positional-df agg that picks each
+    * query's anchor, (b) the anchor candidate join, (c) the exact-
+    * position verify probe. Candidate volume is Σ over queries of
+    * the RAREST term's positional df — not Σ over ALL query terms —
+    * and the verify probe is `candidates × (plen−1)` exact equi-
+    * lookups, so a frequent ("stop") term in the phrase costs its
+    * postings only in the df agg (a count), never in the alignment
+    * shuffle. Repeated phrase terms are handled by construction:
+    * every POSITION must verify, not every distinct term.
+    * [[phraseSearchAligned]] is the direct all-terms alignment form
+    * this one is spec-pinned equivalent to.
     */
-  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame =
+    phraseSearchFromPostings(positionalPostings(docs), phrases)
+
+  /** [[phraseSearch]] over an existing positional-postings frame —
+    * the standing-index form feeding [[phraseSearchFromIndex]]/[[proximitySearchFromIndex]].
+    */
+  def phraseSearchFromPostings(post: DataFrame,
+      phrases: DataFrame): DataFrame = {
+    import post.sparkSession.implicits._
+    val plen = phrases.groupBy($"query_id").agg(count(lit(1)).as("_plen"))
+    val filtered = post
+      .join(broadcast(phrases.select($"th").distinct()), "th")
+      .transform(Pin.reuse)
+    val anchor = rarestAnchor(filtered, phrases)
+    val cands = filtered.join(broadcast(anchor), Seq("th"))
+      .select($"query_id", $"doc_id", ($"pos" - $"_aq").as("anchor"),
+        $"_aq")
+    // expected (doc, pos, th) probes for the non-anchor positions;
+    // the semi-join keeps probes with a matching posting, and a
+    // candidate verifies when ALL plen−1 of its probes survive. An
+    // expected pos ≤ 0 (anchor before the doc start) simply finds no
+    // posting — the same "can't complete" outcome alignment gives.
+    val others = phrases
+      .join(broadcast(anchor.select($"query_id", $"_aq")), Seq("query_id"))
+      .filter($"qpos" =!= $"_aq")
+      .select($"query_id", $"qpos", $"th")
+    val verified = cands
+      .join(broadcast(others), Seq("query_id"))
+      .select($"query_id", $"doc_id", $"anchor",
+        ($"anchor" + $"qpos").as("pos"), $"th")
+      .join(filtered.select($"doc_id", $"pos", $"th"),
+        Seq("doc_id", "pos", "th"), "left_semi")
+      .groupBy($"query_id", $"doc_id", $"anchor")
+      .agg(count(lit(1)).as("_nv"))
+    cands.join(verified, Seq("query_id", "doc_id", "anchor"), "left")
+      .join(broadcast(plen), "query_id")
+      .filter(coalesce($"_nv", lit(0L)) === $"_plen" - 1)
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_matches"), min($"anchor").as("first_pos"))
+  }
+
+  /** Anchor selection for [[phraseSearchFromPostings]]: per query the
+    * term with the SMALLEST positional df in the (already term-
+    * filtered) postings — ties by (th, qpos) for a total order; a
+    * term with NO postings (df 0) wins outright and correctly yields
+    * zero candidates. Returns one (th, query_id, _aq) row per query.
+    */
+  private def rarestAnchor(filtered: DataFrame,
+      phrases: DataFrame): DataFrame = {
+    import filtered.sparkSession.implicits._
+    val pdf = filtered.groupBy($"th").agg(count(lit(1)).as("_pdf"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"_pdf", $"th", $"qpos")
+    phrases.join(pdf, Seq("th"), "left")
+      .withColumn("_pdf", coalesce($"_pdf", lit(0L)))
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select($"th", $"query_id", $"qpos".as("_aq"))
+  }
+
+  /** Anchor-candidate frame (query_id, doc_id, anchor, _aq) — only
+    * the rarest term's postings join. Exposed so the join-volume
+    * spec can count candidate rows against Σ min-df.
+    */
+  def rarestAnchorCandidates(filtered: DataFrame,
+      phrases: DataFrame): DataFrame = {
+    import filtered.sparkSession.implicits._
+    filtered.join(broadcast(rarestAnchor(filtered, phrases)), Seq("th"))
+      .select($"query_id", $"doc_id", ($"pos" - $"_aq").as("anchor"),
+        $"_aq")
+  }
+
+  /** The direct ANCHOR-ALIGNMENT phrase form — join postings to ALL
+    * query terms, group (query, doc, anchor = pos − qpos), a group
+    * holding all `plen` distinct positions is a match. Join volume
+    * Σ positional df over every query term; kept as the reference
+    * implementation [[phraseSearch]] is differentially spec'd
+    * against (and the form the DuckDB oracle mirrors).
+    */
+  def phraseSearchAligned(docs: DataFrame, phrases: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val post = positionalPostings(docs)
     val plen = phrases.groupBy($"query_id").agg(count(lit(1)).as("_plen"))
@@ -424,26 +533,53 @@ object Retrieval {
     * anchoring at hits loses nothing and bounds the candidate set.
     * Returns (query_id, doc_id, n_starts, first_pos).
     *
-    * Shape: the same th-keyed postings probe as q145, then a
-    * (query, doc)-EQUI-keyed self-join of the hit list with the
-    * window band as a post-filter — never a corpus-wide inequality
-    * join; per-pair hit lists are query-term-bounded, so the band
-    * blow-up is `hits × min(hits, window)` within one (query, doc).
-    * Distinct-TERM coverage (`countDistinct(th)`), not positions:
-    * proximity is a set condition where phrase order was the q145
-    * contract.
+    * Shape: the same th-keyed postings probe as q145, then a BINNED
+    * (query, doc, bin)-EQUI-keyed join of starts to hits — the
+    * [[RangeJoin.binnedFollowUpJoin]] quantization: positions bin at
+    * width `window`, a start's band [s, s+W) spans at most bins
+    * {⌊s/W⌋, ⌊s/W⌋+1}, so each start replicates to exactly those two
+    * bin keys and the exact band predicate filters in-bin false
+    * positives. The hash join therefore EVALUATES ≤ 2·W candidate
+    * rows per hit (≤ W hits share a bin within one (query, doc)) —
+    * O(hits·W) total — where the former (query, doc)-only equi-join
+    * evaluated |hits|² pairs per (query, doc) pair and a frequent
+    * ("stop") query term made that quadratic in document length.
+    * `dfCap` is the complementary stop-term knob: a query term
+    * matching more than `dfCap` DOCUMENTS is dropped from the query
+    * (both from hit generation and from the coverage requirement —
+    * standard stop-word removal, mirrored in any oracle using it); a
+    * query whose terms are ALL cut vanishes from the output. The
+    * default ∞ adds no plan nodes. Distinct-TERM coverage
+    * (`countDistinct(th)`), not positions: proximity is a set
+    * condition where phrase order was the q145 contract.
     */
   def proximitySearch(docs: DataFrame, queries: DataFrame,
-      window: Int): DataFrame = {
-    import docs.sparkSession.implicits._
-    val post = positionalPostings(docs)
-    val terms = queries.select($"query_id", $"th").distinct()
+      window: Int, dfCap: Long = Long.MaxValue): DataFrame =
+    proximitySearchFromPostings(positionalPostings(docs), queries,
+      window, dfCap)
+
+  /** [[proximitySearch]] over an existing positional-postings frame —
+    * the standing-index form feeding [[phraseSearchFromIndex]]/[[proximitySearchFromIndex]].
+    */
+  def proximitySearchFromPostings(post: DataFrame, queries: DataFrame,
+      window: Int, dfCap: Long = Long.MaxValue): DataFrame = {
+    import post.sparkSession.implicits._
+    val terms0 = queries.select($"query_id", $"th").distinct()
+    val terms =
+      if (dfCap == Long.MaxValue) terms0
+      else {
+        val hot = post
+          .join(broadcast(terms0.select($"th").distinct()), "th")
+          .groupBy($"th").agg(countDistinct($"doc_id").as("_df"))
+          .filter($"_df" > dfCap).select($"th")
+        terms0.join(broadcast(hot), Seq("th"), "left_anti")
+      }
     val nTerms = terms.groupBy($"query_id").agg(count(lit(1)).as("_nt"))
+    // hits feed both the start set and the band probe — pin once
     val hits = post.join(broadcast(terms), "th")
       .select($"query_id", $"doc_id", $"pos", $"th")
-    val starts = hits.select($"query_id", $"doc_id", $"pos".as("s"))
-      .distinct()
-    starts.join(hits, Seq("query_id", "doc_id"))
+      .transform(Pin.reuse)
+    bandCandidates(hits, window)
       .filter($"pos" >= $"s" && $"pos" < $"s" + window)
       .groupBy($"query_id", $"doc_id", $"s")
       .agg(countDistinct($"th").as("_cov"))
@@ -451,6 +587,27 @@ object Retrieval {
       .filter($"_cov" === $"_nt")
       .groupBy($"query_id", $"doc_id")
       .agg(count(lit(1)).as("n_starts"), min($"s").as("first_pos"))
+  }
+
+  /** The binned start×hit equi-join of [[proximitySearchFromPostings]]
+    * BEFORE the exact band filter — for a hash join, the row count of
+    * this frame IS the evaluation volume, which is why it is exposed:
+    * the stop-term spec bounds it at 2·window·|hits| where the
+    * unbinned join's volume was Σ |hits|² per (query, doc). Each
+    * (start, in-band hit) pair appears exactly once (the two
+    * replicated start bins are distinct keys).
+    */
+  def bandCandidates(hits: DataFrame, window: Int): DataFrame = {
+    import hits.sparkSession.implicits._
+    val wl = window.toLong
+    def bin(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(wl))) / lit(wl)).cast("long")
+    val starts = hits.select($"query_id", $"doc_id", $"pos".as("s"))
+      .distinct()
+      .withColumn("_bin", explode(array(bin($"s"), bin($"s") + 1)))
+    starts.join(hits.withColumn("_bin", bin($"pos")),
+        Seq("query_id", "doc_id", "_bin"))
+      .drop("_bin")
   }
 
   /** Q152 — proximity search: the q145 fixture phrases' TERM SETS,

@@ -51,6 +51,57 @@ class PhraseSearchSpec extends SparkSpec {
     assert(got((3L, 2L)) === ((1L, 4L)))
   }
 
+  test("rarest-term anchoring ≡ direct all-terms alignment on the " +
+      "fixture corpus and on planted repeat/boundary cases") {
+    val fix = graft.core.Tables.load(spark, sf, "documents")
+    val fq = Retrieval.phraseQueries(fix).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows(Retrieval.phraseSearch(fix, fq)) ===
+      rows(Retrieval.phraseSearchAligned(fix, fq)))
+    val d = docs(
+      1L -> "y x y x y", 2L -> "y x x x y", 3L -> "x x",
+      4L -> "q w q w q w")
+    val p = phrase(9L, "x", "x").union(phrase(5L, "q", "w", "q"))
+    assert(rows(Retrieval.phraseSearch(d, p)) ===
+      rows(Retrieval.phraseSearchAligned(d, p)))
+  }
+
+  test("join volume anchors on the rarest term: a stop term in the " +
+      "phrase generates zero candidate rows beyond the rare term's df") {
+    // 'the' floods 40 docs × 50 occurrences; 'zyzzyva the' occurs 3×
+    val flood = (1L to 40L).map(i =>
+      i -> Seq.fill(50)("the").mkString(" "))
+    val rare = Seq(
+      100L -> "a zyzzyva the b",
+      101L -> "zyzzyva the",
+      102L -> "c d zyzzyva the")
+    val d = docs(flood ++ rare: _*)
+    val p = phrase(7L, "zyzzyva", "the")
+    val filtered = Retrieval.positionalPostings(d)
+      .join(p.select($"th").distinct(), "th")
+    val cands = Retrieval.rarestAnchorCandidates(filtered, p)
+    assert(cands.count() === 3L) // = df('zyzzyva'), NOT 2003 = Σ pdf
+    val got = run(d, p)
+    assert(got.keySet === Set((7L, 100L), (7L, 101L), (7L, 102L)))
+  }
+
+  test("index-served phrase search ≡ fresh scan, absorbing benign " +
+      "re-landed duplicate posting rows") {
+    val d = docs(
+      1L -> "the quick brown fox jumps",
+      3L -> "a quick brown fox and quick brown fox again")
+    val p = phrase(7L, "quick", "brown", "fox")
+    val post = Retrieval.positionalPostings(d)
+    val relanded = post.union(post.limit(7)) // exact-dup re-land
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows(Retrieval.phraseSearchFromIndex(relanded, p)) ===
+      rows(Retrieval.phraseSearch(d, p)))
+  }
+
   test("fixture queries always match their source doc at the phrase " +
       "start; oracle-side tokenization agrees on empties") {
     val d = docs(

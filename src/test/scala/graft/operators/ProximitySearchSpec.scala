@@ -55,4 +55,50 @@ class ProximitySearchSpec extends SparkSpec {
     val q = terms(3L, "p", "p", "q")
     assert(run(d, q, 3).contains((3L, 1L)))
   }
+
+  test("binned band join bounds evaluation: a planted stop-term doc " +
+      "evaluates ≤ 2·W·|hits| candidate pairs, not |hits|²") {
+    val h = 256
+    val w = 8
+    val d = docs(1L -> Seq.fill(h)("stop").mkString(" "))
+    val q = terms(5L, "stop")
+    val hits = Retrieval.positionalPostings(d)
+      .join(q.select("query_id", "th").distinct(), "th")
+      .select("query_id", "doc_id", "pos", "th")
+    // bandCandidates row count IS the hash-join evaluation volume
+    val cand = Retrieval.bandCandidates(hits, w).count()
+    assert(cand <= 2L * w * h)        // 4096 — linear in hits
+    assert(cand < h.toLong * h / 8)   // far from the 65536 quadratic
+    // and the result is still exact: every start's window holds the term
+    val got = run(d, q, w)
+    assert(got((5L, 1L)) === ((h.toLong, 1L)))
+  }
+
+  test("dfCap drops stop terms from the query on both the hit and " +
+      "coverage sides; an all-cut query vanishes") {
+    val flood = (1L to 30L).map(i => i -> "the a the")
+    val d = docs(flood :+ (100L -> "rare b the"): _*)
+    // 'the' df=31 > cap 10; 'rare' df=1
+    val cut = Retrieval.proximitySearch(d, terms(5L, "rare", "the"), 4,
+        dfCap = 10L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val bare = run(d, terms(5L, "rare"), 4)
+    assert(cut === bare)
+    assert(Retrieval.proximitySearch(d, terms(6L, "the"), 4, dfCap = 10L)
+      .count() === 0L)
+  }
+
+  test("index-served proximity ≡ fresh scan through re-landed " +
+      "duplicate posting rows") {
+    val d = docs(1L -> "x a b c y", 2L -> "x a b c d y")
+    val q = terms(1L, "a", "y")
+    val post = Retrieval.positionalPostings(d)
+    val relanded = post.union(post.limit(4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows(Retrieval.proximitySearchFromIndex(relanded, q, 4)) ===
+      rows(Retrieval.proximitySearch(d, q, 4)))
+  }
 }
