@@ -460,11 +460,11 @@ object HtmlExtract {
        | h AS (SELECT doc_id,
        |    '<html><body><p>Doc ' || doc_id::VARCHAR || ' preamble</p>' ||
        |    '<h2>Part 1 of doc ' || doc_id::VARCHAR || '</h2><p>' ||
-       |      array_to_string(ts[1:k], ' ') || '</p>' ||
+       |      coalesce(array_to_string(ts[1:k], ' '), '') || '</p>' ||
        |    '<h2>Part 2 of doc ' || doc_id::VARCHAR || '</h2><p>' ||
-       |      array_to_string(ts[k+1:2*k], ' ') || '</p>' ||
+       |      coalesce(array_to_string(ts[k+1:2*k], ' '), '') || '</p>' ||
        |    '<h2>Part 3 of doc ' || doc_id::VARCHAR || '</h2><p>' ||
-       |      array_to_string(ts[2*k+1:len(ts)], ' ') || '</p>' ||
+       |      coalesce(array_to_string(ts[2*k+1:len(ts)], ' '), '') || '</p>' ||
        |    '</body></html>' AS html
        |  FROM (SELECT doc_id, ts,
        |      ((len(ts) - len(ts) % 3) // 3)::INT AS k FROM t)),

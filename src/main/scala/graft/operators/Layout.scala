@@ -297,10 +297,13 @@ object Layout {
     import df.sparkSession.implicits._
     val w = Window.partitionBy(col(groupCol))
       .orderBy(orderCols.map(col): _*)
+    // run-start flag via NULL-SAFE inequality (IS DISTINCT FROM
+    // semantics): `isNull || =!=` would emit 0 for a NULL value
+    // following a non-null (and restart consecutive-NULL runs
+    // differently than the oracle's `lag(c) IS DISTINCT FROM c`)
     val flagged = cols.foldLeft(df) { (acc, c) =>
       acc.withColumn(s"_rs_$c",
-        when(lag(col(c), 1).over(w).isNull ||
-          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+        when(!(lag(col(c), 1).over(w) <=> col(c)), 1L).otherwise(0L))
     }
     val aggs = count(lit(1)).as("_n") +: cols.flatMap(c => Seq(
       countDistinct(col(c)).as(s"_nd_$c"),
@@ -313,7 +316,11 @@ object Layout {
         col(s"_nd_$c").as("n_distinct"),
         expr(s"_nd_$c * 1000000L div _n").as("distinct_ratio_ticks"),
         col(s"_runs_$c").as("n_runs"),
-        expr(s"_n * 1000000L div _runs_$c").as("avg_run_ticks"))
+        // an all-NULL column has zero run starts under IS DISTINCT
+        // FROM semantics — report 0 ticks instead of an ANSI
+        // divide-by-zero (mirrored in the oracle arm)
+        expr(s"CASE WHEN _runs_$c = 0 THEN 0L " +
+          s"ELSE _n * 1000000L div _runs_$c END").as("avg_run_ticks"))
     }.reduce(_.union(_))
     perCol.withColumn("recommendation",
       when($"distinct_ratio_ticks" <= dictMaxRatioTicks &&
@@ -364,7 +371,9 @@ object Layout {
          |  (count(DISTINCT $c) * 1000000 // count(*))::BIGINT
          |    AS distinct_ratio_ticks,
          |  sum(rs_$c)::BIGINT AS n_runs,
-         |  (count(*) * 1000000 // sum(rs_$c))::BIGINT AS avg_run_ticks
+         |  (CASE WHEN sum(rs_$c) = 0 THEN 0
+         |    ELSE count(*) * 1000000 // sum(rs_$c) END)::BIGINT
+         |    AS avg_run_ticks
          |FROM f""".stripMargin
     }.mkString("\nUNION ALL\n")
     val flags = AdvisedCols.map { c =>

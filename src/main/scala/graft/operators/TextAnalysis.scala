@@ -163,7 +163,11 @@ object TextAnalysis {
     * shared by the q26 and q122 oracles (one formula text).
     */
   def fingerprintSql(textCol: String): String =
-    s"""list_reduce(list_transform(range(1, length($textCol) + 1),
+    // empty-input guard: DuckDB's list_reduce ERRORS on an empty list
+    // where the Spark fold returns 0 — the CASE mirrors the
+    // `when(length === 0, 0)` branch of [[fingerprint]] exactly
+    s"""CASE WHEN length($textCol) = 0 THEN 0
+       |    ELSE list_reduce(list_transform(range(1, length($textCol) + 1),
        |      i -> ascii($textCol[i])::BIGINT),
-       |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) END""".stripMargin
 }

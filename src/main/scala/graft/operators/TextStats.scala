@@ -58,10 +58,15 @@ object TextStats {
         sum($"_chars").as("n_chars"),
         sum($"_ws").as("n_ws_tokens"),
         sum($"_bpe").as("n_bpe_tokens"))
+      // zero-denominator guard (ANSI div throws, DuckDB // errors): a
+      // language whose corpus yields zero BPE or whitespace tokens
+      // reports 0 ticks on both engines instead of aborting the query
       .withColumn("chars_per_bpe_ticks",
-        expr("n_chars * 1000000L div n_bpe_tokens"))
+        expr("CASE WHEN n_bpe_tokens = 0 THEN 0L " +
+          "ELSE n_chars * 1000000L div n_bpe_tokens END"))
       .withColumn("bpe_per_ws_ticks",
-        expr("n_bpe_tokens * 1000000L div n_ws_tokens"))
+        expr("CASE WHEN n_ws_tokens = 0 THEN 0L " +
+          "ELSE n_bpe_tokens * 1000000L div n_ws_tokens END"))
   }
 
   /** Q151 — per-language fertility over `documents`. */
@@ -85,9 +90,12 @@ object TextStats {
        |  sum(chars)::BIGINT AS n_chars,
        |  sum(ws)::BIGINT AS n_ws_tokens,
        |  sum(bpe)::BIGINT AS n_bpe_tokens,
-       |  (sum(chars) * 1000000 // sum(bpe))::BIGINT
+       |  (CASE WHEN sum(bpe) = 0 THEN 0
+       |    ELSE sum(chars) * 1000000 // sum(bpe) END)::BIGINT
        |    AS chars_per_bpe_ticks,
-       |  (sum(bpe) * 1000000 // sum(ws))::BIGINT AS bpe_per_ws_ticks
+       |  (CASE WHEN sum(ws) = 0 THEN 0
+       |    ELSE sum(bpe) * 1000000 // sum(ws) END)::BIGINT
+       |    AS bpe_per_ws_ticks
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   }
 

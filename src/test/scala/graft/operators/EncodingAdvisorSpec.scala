@@ -50,4 +50,24 @@ class EncodingAdvisorSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, String)].collect()
     assert(got.head._5 === 2L) // one run per group, not one overall
   }
+
+  test("NULL handling matches IS DISTINCT FROM: null-after-value and " +
+      "value-after-null start runs, consecutive nulls do not, and an " +
+      "all-null column reports 0 runs / 0 ticks instead of throwing") {
+    val rows = Seq(
+      (1L, 1L, Some("A"), None: Option[String]),
+      (1L, 2L, None, None),      // A→null: run start
+      (1L, 3L, None, None),      // null→null: NOT a run start
+      (1L, 4L, Some("B"), None)) // null→B: run start
+    val got = Layout.encodingAdvisor(rows.toDF("g", "ord", "v", "allnull"),
+        "g", Seq("ord"), Seq("v", "allnull"))
+      .as[(String, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // v: runs start at ord 1 (A), 2 (null), 4 (B) = 3
+    assert(got("v")._5 === 3L)
+    // allnull: first row is null preceded by "null" lag — IS DISTINCT
+    // FROM says no run start anywhere; ticks are guarded 0
+    assert(got("allnull")._5 === 0L)
+    assert(got("allnull")._6 === 0L)
+  }
 }
