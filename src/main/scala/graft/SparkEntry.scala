@@ -217,6 +217,8 @@ object SparkEntry {
     "q151_fertility"     -> (TextStats.q151TokenizerFertility _),
     "q152_proximity_search" -> ((s: SparkSession, d: String) =>
       Retrieval.q152ProximitySearch(s, d)),
+    "q153_delete_repair" -> ((s: SparkSession, d: String) =>
+      IndexMaintenance.q153DeleteRepair(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1769,9 +1771,15 @@ object SparkEntry {
     // q151: tokenizer fertility — per-lang char/word/BPE-piece sums
     // and tick ratios, same q40 regex on both engines.
     "q151_fertility" -> TextStats.fertilityOracleSql,
-    // q152: proximity search — hit-anchored window starts, band
-    // filter over an equi-keyed self-join, distinct-TERM coverage.
+    // q152: proximity search — hit-anchored window starts, binned
+    // band equi-join, distinct-TERM coverage.
     "q152_proximity_search" -> Retrieval.proximityOracleSql(),
+    // q153: deletion propagation — BM25 served from a PURGED standing
+    // index (every 13th doc taken down) must equal a fresh build over
+    // the reduced corpus, which is what the oracle computes directly;
+    // corpus scalars (N, Σdl, df) derive from the index at query time
+    // so they shift with the delete.
+    "q153_delete_repair" -> IndexMaintenance.deleteRepairOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -194,7 +194,7 @@ class VersionedTable(spark: SparkSession, root: String,
     ("""\{"file":"((?:[^"\\]|\\.)*)","commit":"((?:[^"\\]|\\.)*)"""" +
       """(?:,"stats":"((?:[^"\\]|\\.)*)")?\}""").r
   private val headerRe =
-    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace)"""" +
+    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete)"""" +
       """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
   // pre-v2 (op-less header) manifests are NOT readable: their entry
   // lines ({"dir":...,"min":...,"max":...}) don't parse either, and
@@ -412,10 +412,15 @@ class VersionedTable(spark: SparkSession, root: String,
     val to = toVersion.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"$root: no committed version"))
     require(fromVersion <= to, s"changesSince($fromVersion > $to)")
-    val fromDirs = readManifest(fromVersion).files.map(_.commit).toSet
+    // FILE-path-level subset, not commit-dir-level: [[deleteKeys]]
+    // carries the UNTOUCHED files of a commit dir forward while
+    // dropping its touched siblings, so a dir-set test would misread
+    // a delete as a pure append and tag the rewritten survivors as
+    // inserts (while losing the deletes entirely)
+    val fromPaths = readManifest(fromVersion).files.map(_.path).toSet
     val toM = readManifest(to)
-    if (fromDirs.subsetOf(toM.files.map(_.commit).toSet)) {
-      val added = toM.files.filterNot(f => fromDirs.contains(f.commit))
+    if (fromPaths.subsetOf(toM.files.map(_.path).toSet)) {
+      val added = toM.files.filterNot(f => fromPaths.contains(f.path))
       if (added.isEmpty)
         readFiles(toM.schema, toM.files).filter(lit(false))
           .withColumn("change_type", lit("insert"))
@@ -639,6 +644,67 @@ class VersionedTable(spark: SparkSession, root: String,
         val files = writeData(df)
         val v = publishManifest("append", files, df.schema, txnId)
         auditAppend(v, files, df.schema)
+    }
+  }
+
+  /** DELETE rows whose `keyCol` is in `keys` — the takedown /
+    * retention commit every corpus store needs (VERDICT r11 #3). The
+    * Delta-style copy-on-write rewrite with FILE-level manifest
+    * pruning: a data file whose [min,max] stats band for `keyCol`
+    * misses every key is carried into the new manifest VERBATIM
+    * (never read, never rewritten — assert via FileEntry identity);
+    * only overlapping files are re-read, anti-filtered, and
+    * rewritten. Work is O(touched files + |keys|·files), not
+    * O(table) — on a store whose commits arrive key-clustered (the
+    * ingest norm: doc ids are monotone per batch) a takedown touches
+    * the handful of files holding those docs.
+    *
+    * `keys` is a DRIVER-side list: takedown/retention sets are
+    * catalog-sized (a legal request, an expired-source purge), the
+    * same bounded-driver-state contract as Curation's source
+    * catalogs. The row filter is a literal NOT-IN over the key list
+    * (NULL keys are not supported — NOT IN over a NULL would drop
+    * every row of a touched file).
+    *
+    * Semantics: publishes op `delete` whose manifest is
+    * untouched ++ rewritten — earlier versions stay readable (time
+    * travel spans deletes), [[changesSince]] across the delete takes
+    * the [[rowDiff]] path and tags removed rows `delete` (the CDC
+    * feed standing-index repair consumes, see
+    * `operators.IndexMaintenance`), and [[vacuum]] later reclaims
+    * the superseded files. Idempotent under `txnId` replay. A delete
+    * matching nothing (no overlapping file) publishes nothing and
+    * returns the current version.
+    */
+  def deleteKeys(keyCol: String, keys: Seq[Any],
+      txnId: Option[String] = None): Long = {
+    require(keys.nonEmpty, s"$root: deleteKeys with an empty key list")
+    require(keys.forall(_ != null), s"$root: deleteKeys with a NULL key")
+    txnId.filter(txnCommitted) match {
+      case Some(_) => currentVersion.get
+      case None =>
+        val v = currentVersion.getOrElse(
+          throw new IllegalStateException(s"$root: no committed version"))
+        val m = readManifest(v)
+        val dt = m.schema.flatMap(s =>
+          s.fields.find(_.name == keyCol).map(_.dataType))
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        val keyStrs = keys.map(_.toString)
+        // a file with no stats for the column is conservatively
+        // touched (same contract as readRange)
+        val (touched, untouched) = m.files.partition { f =>
+          f.stats.get(keyCol) match {
+            case Some((mn, mx)) =>
+              keyStrs.exists(k => overlaps(dt, mn, mx, k, k))
+            case None => true
+          }
+        }
+        if (touched.isEmpty) return v
+        val kept = readFiles(m.schema, touched)
+          .filter(!col(keyCol).isin(keys: _*))
+        val rewritten = writeData(kept)
+        publishManifest("delete", untouched ++ rewritten,
+          m.schema.getOrElse(kept.schema), txnId)
     }
   }
 
