@@ -219,6 +219,8 @@ object SparkEntry {
       Retrieval.q152ProximitySearch(s, d)),
     "q153_delete_repair" -> ((s: SparkSession, d: String) =>
       IndexMaintenance.q153DeleteRepair(s, d)),
+    "q154_image_near_dup" -> ((s: SparkSession, d: String) =>
+      ImageHash.q154ImageNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1780,6 +1782,13 @@ object SparkEntry {
     // corpus scalars (N, Σdl, df) derive from the index at query time
     // so they shift with the delete.
     "q153_delete_repair" -> IndexMaintenance.deleteRepairOracleSql(),
+    // q154: perceptual image near-dup — Spark renders each doc's
+    // image from an integer pixel formula, round-trips it through a
+    // REAL lossless codec (PNG / BMP) and ImageIO decode, and hashes
+    // the DECODED pixels (integer dHash/aHash, banded Hamming join);
+    // DuckDB predicts the same hashes straight from the formula, so
+    // any encode/decode/hash breakage surfaces as a hash mismatch.
+    "q154_image_near_dup" -> ImageHash.oracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed
