@@ -523,11 +523,26 @@ object NearDup {
   def sharedSpans(docs: DataFrame, n: Int = 3, maxDf: Long = 50L,
       minRun: Long = 2L): DataFrame = {
     import docs.sparkSession.implicits._
-    val post = positionalShingles(docs, n)
-    val rare = post.groupBy($"sh")
-      .agg(countDistinct($"doc_id").as("_df"))
-      .filter($"_df" <= maxDf).select($"sh")
-    val p = post.join(rare, "sh")
+    val post = positionalShingles(docs, n).transform(graft.core.Pin.reuse)
+    // df-cut as a BROADCAST ANTI-join against the HOT set (df >
+    // maxDf), not an inner join with the corpus-sized rare set: the
+    // hot set is boilerplate-sized by construction (few shingles
+    // exceed any sane df cap), so the filter is map-side and the hot
+    // shingle's postings never shuffle on sh at all — an inner
+    // rare-join still funneled every hot posting row through its one
+    // sh-keyed reduce task before dropping it (measured 2.8×-median
+    // straggler in PostingsSkewSpec; at corpus scale that task reads
+    // the full hot posting list). The df agg itself is skew-safe:
+    // countDistinct's partial count between its two exchanges caps
+    // per-sh final-stage input at the partition count.
+    val p =
+      if (maxDf == Long.MaxValue) post
+      else {
+        val hot = post.groupBy($"sh")
+          .agg(countDistinct($"doc_id").as("_df"))
+          .filter($"_df" > maxDf).select($"sh")
+        post.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val hits = p.select($"sh", $"doc_id".as("doc_a"), $"pos".as("pa"))
       .join(p.select($"sh", $"doc_id".as("doc_b"), $"pos".as("pb")), "sh")
       .filter($"doc_a" < $"doc_b")
