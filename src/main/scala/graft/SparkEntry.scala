@@ -221,6 +221,10 @@ object SparkEntry {
       IndexMaintenance.q153DeleteRepair(s, d)),
     "q154_image_near_dup" -> ((s: SparkSession, d: String) =>
       ImageHash.q154ImageNearDup(s, d)),
+    "q155_audio_near_dup" -> ((s: SparkSession, d: String) =>
+      AudioHash.q155AudioNearDup(s, d)),
+    "q156_image_dup_clusters" -> ((s: SparkSession, d: String) =>
+      ImageHash.q156ImageDupClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1789,6 +1793,15 @@ object SparkEntry {
     // DuckDB predicts the same hashes straight from the formula, so
     // any encode/decode/hash breakage surfaces as a hash mismatch.
     "q154_image_near_dup" -> ImageHash.oracleSql(),
+    // q155: perceptual audio near-dup — the q154 device on the WAV
+    // modality: real RIFF render/parse round-trip, windowed-energy
+    // dHash (gain-invariant under exact halving), DuckDB predicting
+    // the hashes from the integer sample formula.
+    "q155_audio_near_dup" -> AudioHash.oracleSql(),
+    // q156: image dup clusters — q154 pairs through string-agnostic
+    // min-label components (the q125 mirror-cluster pattern); oracle
+    // = shared q154 hash CTEs + the q41/q125 recursive closure.
+    "q156_image_dup_clusters" -> ImageHash.clustersOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -263,7 +263,20 @@ object ImageHash {
     * dHash Hamming ≤ 3 with exact bit arithmetic.
     */
   def oracleSql(resizeMod: Long = 17L, reencodeMod: Long = 29L): String =
-    s"""WITH m AS (
+    s"""WITH ${hashCtesSql(resizeMod, reencodeMod)}
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming,
+       |  bit_count(xor(a.ahash, b.ahash))::INT AS a_hamming
+       |FROM s a JOIN s b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY media_a, media_b""".stripMargin
+
+  /** The q154 hash chain as CTEs ending in `s(media_id, dhash,
+    * ahash)` — shared by the q154 pair oracle and the q156 cluster
+    * oracle.
+    */
+  def hashCtesSql(resizeMod: Long = 17L, reencodeMod: Long = 29L): String =
+    s"""m AS (
        |   SELECT doc_id, doc_id * 10 AS media_id FROM documents
        |   UNION ALL SELECT doc_id, doc_id * 10 + 1 FROM documents
        |     WHERE doc_id % $resizeMod = 0
@@ -293,11 +306,55 @@ object ImageHash {
        |       ELSE (1::BIGINT << (g.r * 8 + g.c)) END)::BIGINT AS ahash
        |   FROM g JOIN mn USING (media_id) GROUP BY g.media_id),
        | s AS (SELECT d.media_id, d.dhash, ah.ahash
-       |   FROM d JOIN ah USING (media_id))
-       |SELECT a.media_id AS media_a, b.media_id AS media_b,
-       |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming,
-       |  bit_count(xor(a.ahash, b.ahash))::INT AS a_hamming
-       |FROM s a JOIN s b ON a.media_id < b.media_id
-       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-       |ORDER BY media_a, media_b""".stripMargin
+       |   FROM d JOIN ah USING (media_id))""".stripMargin
+
+  /** Q156 — image DUP CLUSTERS, the step after q154's pair
+    * detection (the q125 mirror-cluster pattern on the image
+    * modality): perceptual-dup pairs form a graph (a base, its
+    * resize, its re-encode — and any formula near-collisions), each
+    * connected component is ONE image in several renditions, and
+    * curation keeps exactly one representative. Canonical = the
+    * component's minimum media_id (min-label propagation's fixpoint,
+    * so the election falls out of the component pass). Only media
+    * appearing in some pair cluster — singletons need no election.
+    * (media_id, canonical_media, cluster_size, is_keeper).
+    */
+  def q156ImageDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = q154ImageNearDup(spark, dir)
+      .select($"media_a", $"media_b")
+    val cc = graft.core.Pin.reuse(
+      DupClusters.connectedComponentsOrdered(pairs))
+    cc.join(cc.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select($"id".as("media_id"), $"cluster_id".as("canonical_media"),
+        $"cluster_size", ($"id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"canonical_media", $"media_id")
+  }
+
+  /** DuckDB oracle for [[q156ImageDupClusters]] — the q154 hash
+    * chain, then components via the q41/q125 recursive transitive-
+    * closure CTE (tractable: the pair graph is planted-copy-sized),
+    * label = min(media_id) = the canonical representative.
+    */
+  def clustersOracleSql(resizeMod: Long = 17L,
+      reencodeMod: Long = 29L): String =
+    s"""WITH RECURSIVE ${hashCtesSql(resizeMod, reencodeMod)},
+       | prs AS (SELECT a.media_id AS ma, b.media_id AS mb
+       |   FROM s a JOIN s b ON a.media_id < b.media_id
+       |   WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       | ed AS (SELECT ma AS sv, mb AS dv FROM prs
+       |       UNION ALL SELECT mb, ma FROM prs),
+       | reach AS (
+       |   SELECT sv AS id, sv AS r FROM ed
+       |   UNION
+       |   SELECT ed.sv, reach.r FROM ed JOIN reach ON reach.id = ed.dv),
+       | lab AS (SELECT id, min(r) AS canon FROM reach GROUP BY id),
+       | cl AS (SELECT canon, count(*)::BIGINT AS cluster_size
+       |   FROM lab GROUP BY canon)
+       |SELECT l.id AS media_id, l.canon AS canonical_media,
+       |  c.cluster_size, (l.id = l.canon) AS is_keeper
+       |FROM lab l JOIN cl c ON c.canon = l.canon
+       |ORDER BY canonical_media, media_id""".stripMargin
 }

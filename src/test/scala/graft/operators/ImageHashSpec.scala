@@ -115,4 +115,24 @@ class ImageHashSpec extends SparkSpec {
       if (id % 29 == 0) assert(got((id * 10, id * 10 + 2)) === ((0, 0)))
     }
   }
+
+  test("q156 clusters: doc 0's base+resize+re-encode triple forms one " +
+      "cluster with the base as keeper; every cluster elects its " +
+      "minimum member exactly once") {
+    val got = ImageHash.q156ImageDupClusters(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 0 is divisible by 17 and 29 → all three renditions exist,
+    // pairwise Hamming 0 → one component, canonical = media 0
+    for (m <- Seq(0L, 1L, 2L)) {
+      assert(byId(m)._2 === 0L)
+      assert(byId(m)._3 >= 3L)
+      assert(byId(m)._4 === (m == 0L))
+    }
+    // exactly one keeper per cluster, and it is the minimum member
+    got.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.count(_._4) === 1)
+      assert(members.map(_._1).min === canon)
+    }
+  }
 }
