@@ -533,17 +533,19 @@ object Retrieval {
     * anchoring at hits loses nothing and bounds the candidate set.
     * Returns (query_id, doc_id, n_starts, first_pos).
     *
-    * Shape: the same th-keyed postings probe as q145, then a BINNED
-    * (query, doc, bin)-EQUI-keyed join of starts to hits — the
-    * [[RangeJoin.binnedFollowUpJoin]] quantization: positions bin at
-    * width `window`, a start's band [s, s+W) spans at most bins
-    * {⌊s/W⌋, ⌊s/W⌋+1}, so each start replicates to exactly those two
-    * bin keys and the exact band predicate filters in-bin false
-    * positives. The hash join therefore EVALUATES ≤ 2·W candidate
-    * rows per hit (≤ W hits share a bin within one (query, doc)) —
-    * O(hits·W) total — where the former (query, doc)-only equi-join
-    * evaluated |hits|² pairs per (query, doc) pair and a frequent
-    * ("stop") query term made that quadratic in document length.
+    * Shape: the same th-keyed postings probe as q145, then ONE
+    * (query, doc)-keyed exchange feeding a per-group two-pointer
+    * sliding scan over the position-sorted hits — O(|hits|)
+    * amortized evaluation (each hit enters and leaves the window
+    * once), group memory doc-length-bounded. The binned-equi-join
+    * alternative ([[bandCandidates]]: positions quantize at width W,
+    * each start replicates to its two covering bins, exact band
+    * filter after the hash join, evaluation ≤ 2·W per hit) is kept
+    * and spec-bounded for engines without per-group state. Both
+    * replace the former (query, doc)-only equi-join whose band
+    * post-filter evaluated |hits|² pairs per (query, doc) pair — a
+    * frequent ("stop") query term made that quadratic in document
+    * length.
     * `dfCap` is the complementary stop-term knob: a query term
     * matching more than `dfCap` DOCUMENTS is dropped from the query
     * (both from hit generation and from the coverage requirement —
@@ -575,18 +577,59 @@ object Retrieval {
         terms0.join(broadcast(hot), Seq("th"), "left_anti")
       }
     val nTerms = terms.groupBy($"query_id").agg(count(lit(1)).as("_nt"))
-    // hits feed both the start set and the band probe — pin once
+    // execution = the per-(query, doc) SORTED SLIDING SCAN: one
+    // (query, doc)-keyed exchange of the hit rows, then a two-pointer
+    // pass over each group's position-sorted hits — O(|hits|)
+    // amortized evaluation (each hit enters and leaves the window
+    // once), one shuffle total, and the group is doc-length-bounded
+    // (the SpanDedup.rewrite memory class). [[bandCandidates]] keeps
+    // the equivalent binned-equi-join form, whose ≤ 2·W-per-hit
+    // evaluation bound the stop-term spec pins — the shape for a
+    // pure-SQL engine without per-group state; both replace the old
+    // (query, doc)-keyed join whose post-filter band evaluated
+    // |hits|² pairs per document.
     val hits = post.join(broadcast(terms), "th")
-      .select($"query_id", $"doc_id", $"pos", $"th")
-      .transform(Pin.reuse)
-    bandCandidates(hits, window)
-      .filter($"pos" >= $"s" && $"pos" < $"s" + window)
-      .groupBy($"query_id", $"doc_id", $"s")
-      .agg(countDistinct($"th").as("_cov"))
       .join(broadcast(nTerms), "query_id")
-      .filter($"_cov" === $"_nt")
-      .groupBy($"query_id", $"doc_id")
-      .agg(count(lit(1)).as("n_starts"), min($"s").as("first_pos"))
+      .select($"query_id", $"doc_id", $"pos", $"th", $"_nt")
+    hits.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Long, Long),
+          it: Iterator[(Long, Long, Long, Long, Long)]) =>
+        val (q, d) = key
+        val rows = it.toArray.sortBy(_._3)
+        val nt = rows(0)._5
+        val pos = rows.map(_._3)
+        val th = rows.map(_._4)
+        val cnt = new java.util.HashMap[java.lang.Long, Integer]
+        var inWin = 0 // distinct terms present in [pos(i), pos(i)+W)
+        var l = 0
+        var j = 0
+        var nStarts = 0L
+        var first = 0L
+        var i = 0
+        while (i < pos.length) {
+          while (j < pos.length && pos(j) < pos(i) + window) {
+            val c = cnt.merge(th(j), 1, (a: Integer, x: Integer) =>
+              Integer.valueOf(a.intValue() + x.intValue()))
+            if (c.intValue() == 1) inWin += 1
+            j += 1
+          }
+          while (pos(l) < pos(i)) {
+            val c = cnt.merge(th(l), -1, (a: Integer, x: Integer) =>
+              Integer.valueOf(a.intValue() + x.intValue()))
+            if (c.intValue() == 0) { cnt.remove(th(l)); inWin -= 1 }
+            l += 1
+          }
+          if (inWin == nt) {
+            if (nStarts == 0L) first = pos(i)
+            nStarts += 1L
+          }
+          i += 1
+        }
+        (q, d, nStarts, first)
+      }
+      .filter(_._3 > 0L)
+      .toDF("query_id", "doc_id", "n_starts", "first_pos")
   }
 
   /** The binned start×hit equi-join of [[proximitySearchFromPostings]]
