@@ -274,6 +274,71 @@ object Multimodal {
     out.toArray
   }
 
+  /** An uncompressed-DIB AVI video: frame dimensions from the
+    * `strf` BITMAPINFOHEADER, one raw bottom-up BGR24 pixel buffer
+    * per `##db` chunk.
+    */
+  private[operators] final case class DibVideo(width: Int, height: Int,
+      frames: Array[Array[Byte]])
+
+  /** Parse an UNCOMPRESSED (BI_RGB 24bpp) AVI — the lossless sibling
+    * of [[aviJpegFrames]], and the format that makes video decode
+    * ORACLE-EXACT (JPEG frames are lossy, so MJPEG pixel values
+    * can't be predicted by a SQL engine; raw DIB rows can). Real AVI
+    * structure: dimensions and the BI_RGB/24bpp contract come from
+    * the first video `strf` BITMAPINFOHEADER in the header LIST;
+    * frames are the `##db` chunk bodies in `movi` whose size is
+    * exactly height × 4-byte-padded row stride. Positive biHeight =
+    * bottom-up row order (the DIB default), preserved here — the
+    * consumer flips. Non-matching chunks (JUNK padding, `##dc`
+    * compressed frames, wrong-size bodies) are skipped; an
+    * unparseable container or a non-BI_RGB/24bpp stream yields null,
+    * mirroring null-for-undecodable elsewhere.
+    */
+  private[operators] def parseAviDib(payload: Array[Byte]): DibVideo = {
+    if (payload == null || payload.length < 12) return null
+    if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ") return null
+    var w = 0
+    var h = 0
+    var ok = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val frameId = java.util.regex.Pattern.compile("[0-9]{2}db")
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var pos = from.toLong // Long cursor: the aviJpegFrames contract
+      while (pos + 8 <= to) {
+        val p = pos.toInt
+        val id = fourCC(payload, p)
+        val size = leI32(payload, p + 4)
+        if (size < 0) return
+        val body = p + 8
+        val end = math.min(body.toLong + size, to.toLong).toInt
+        if (id == "LIST" && end - body >= 4) {
+          val sub = fourCC(payload, body)
+          walk(body + 4, end, inMovi || sub == "movi")
+        } else if (id == "strf" && !ok && end - body >= 40 &&
+            leI32(payload, body) == 40) {
+          // biSize == 40 marks a BITMAPINFOHEADER (an audio stream's
+          // WAVEFORMATEX never starts with 40) — cheap video/audio
+          // strf discrimination without tracking the sibling strh
+          val bitCount = leU16(payload, body + 14)
+          val compression = leI32(payload, body + 16)
+          val bw = leI32(payload, body + 4)
+          val bh = leI32(payload, body + 8)
+          if (compression == 0 && bitCount == 24 && bw > 0 && bh > 0) {
+            w = bw; h = bh; ok = true
+          }
+        } else if (inMovi && ok && frameId.matcher(id).matches()) {
+          val stride = (w * 3 + 3) & ~3
+          if (end - body == stride * h)
+            frames += java.util.Arrays.copyOfRange(payload, body, end)
+        }
+        pos = body.toLong + size + (size & 1)
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    if (!ok || frames.isEmpty) null else DibVideo(w, h, frames.toArray)
+  }
+
   /** Per-media-type kernel dispatch — REAL decode for every format
     * this container can handle without native codecs: ImageIO images,
     * RIFF-parsed WAV audio, first-frame stats of MJPEG AVI video.

@@ -62,4 +62,300 @@ object Redact {
         sum($"n_ipv4").as("ips"))
       .orderBy($"lang")
   }
+
+  // ---- SECRETS / CREDENTIAL scanning (r12) --------------------------
+  //
+  // The scrubbing pass public code corpora run beyond PII regexes
+  // (the detect-secrets / trufflehog class of tools): leaked payment
+  // card numbers, API-key-shaped tokens, and high-entropy credential
+  // blobs. Three detectors over whitespace tokens, each CHECKSUM- or
+  // MEASURE-verified rather than regex-only, all in exact integer
+  // arithmetic so both engines agree token-for-token:
+  //
+  //  - card: 13-19 digit token whose Luhn checksum (double every 2nd
+  //    digit from the right, subtract 9 above 9, sum ≡ 0 mod 10)
+  //    verifies — a digit run that LOOKS like a card but fails the
+  //    checksum is NOT counted (the planted negative control);
+  //  - key: a prefixed credential shape `^[a-z]{2,8}_[A-Za-z0-9]{24,}$`
+  //    (the public provider-token convention: short lowercase vendor
+  //    prefix, underscore, long alphanumeric body);
+  //  - entropy: token of 20-48 chars over the base64-ish charset
+  //    whose Shannon entropy is ≥ 3.5 bits/char. Entropy is computed
+  //    in exact integer MICRO-BITS via a shared log2-tick table
+  //    L(k) = round(1e6·log2 k) for k ≤ 48 (one Scala constant
+  //    interpolated into BOTH engines): n·H µbits = Σ_c cnt_c·(L(n) −
+  //    L(cnt_c)), compared as Σ ≥ 3 500 000·n — no float, no ln at
+  //    query time, no rounding seam.
+  //
+  // Classes are EXCLUSIVE with precedence card > key > entropy (a
+  // provider key is entropy-dense; counting it twice would double-
+  // report). Per-row HOF projection over the scan — zero shuffles,
+  // the whole pass rides the corpus read at any scale, and composes
+  // with q69's PII masking on the same projection.
+
+  /** Shared log2 tick table: element k (1-based) = round(1e6·log2 k),
+    * k = 1..48. 48 caps the entropy-candidate token length (longer
+    * tokens are out of detector scope — documented, and guarded so
+    * ANSI `element_at` never sees an out-of-range index).
+    */
+  val log2Ticks: IndexedSeq[Long] =
+    (1 to 48).map(k => math.round(1e6 * math.log(k) / math.log(2)))
+
+  val entropyMinLen = 20
+  val entropyMaxLen = 48
+  /** Entropy floor in µbits/char (3.5 bits/char). */
+  val entropyFloorMicroBits = 3500000L
+
+  val cardRe    = "^[0-9]{13,19}$"
+  val keyRe     = "^[a-z]{2,8}_[A-Za-z0-9]{24,}$"
+  val charsetRe = "^[A-Za-z0-9+/=_-]+$"
+
+  private def log2Arr: Column = array(log2Ticks.map(lit): _*)
+
+  /** Luhn checksum of a digit-only token (sum over all digits with
+    * every 2nd from the right doubled, 9 subtracted above 9).
+    */
+  private def luhnSum(t: Column): Column =
+    aggregate(
+      sequence(lit(1), length(t)),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(t.substr(i, lit(1))) - lit(48)).cast("long")
+        val doubled = when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        acc + when((length(t) - i) % 2 === 1, doubled).otherwise(d)
+      })
+
+  def isCard(t: Column): Column =
+    when(t.rlike(cardRe), luhnSum(t) % 10 === 0).otherwise(lit(false))
+
+  def isKey(t: Column): Column = t.rlike(keyRe)
+
+  /** Entropy-gated blob detector (exclusive of card/key by the CASE
+    * in [[secretsScan]]): charset + length window + exact µbit
+    * Shannon test. The `when` guards keep `sequence`/`element_at`
+    * from ever evaluating on out-of-window tokens (ANSI).
+    */
+  def isEntropyBlob(t: Column): Column = {
+    val n = length(t)
+    val candidate = n.between(entropyMinLen, entropyMaxLen) &&
+      t.rlike(charsetRe)
+    val chars = transform(sequence(lit(1), n), i => t.substr(i, lit(1)))
+    val microBits = aggregate(
+      array_distinct(chars),
+      lit(0L),
+      (acc, c) => {
+        val cnt = size(filter(chars, x => x === c))
+        acc + cnt.cast("long") *
+          (element_at(log2Arr, n) - element_at(log2Arr, cnt))
+      })
+    when(candidate, microBits >= lit(entropyFloorMicroBits) * n)
+      .otherwise(lit(false))
+  }
+
+  /** Per-document secret counts by class over space-split tokens of
+    * `textCol` — exclusive classes, precedence card > key > entropy.
+    */
+  def secretsScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .withColumn("n_cards",
+        size(filter(toks, isCard(_))).cast("long"))
+      .withColumn("n_keys",
+        size(filter(toks, t => !isCard(t) && isKey(t))).cast("long"))
+      .withColumn("n_entropy",
+        size(filter(toks, t =>
+          !isCard(t) && !isKey(t) && isEntropyBlob(t))).cast("long"))
+  }
+
+  /** Mask every detected secret token with its class placeholder —
+    * the action half of the scan (post-redaction rescan is all-zero;
+    * spec-pinned).
+    */
+  def redactSecrets(text: Column): Column =
+    array_join(
+      transform(split(text, " "), t =>
+        when(isCard(t), lit("[CARD]"))
+          .when(isKey(t), lit("[KEY]"))
+          .when(isEntropyBlob(t), lit("[SECRET]"))
+          .otherwise(t)),
+      " ")
+
+  // -- q157 fixture: planted secrets derived from doc_id ------------
+
+  private val P = 2147483647L
+  private val entAlphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val keyAlphabet =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** The planted-token scramble: two Lehmer steps with a SQUARING in
+    * the middle (the q154 device — affine-only scrambles correlate
+    * across ids). `k` separates plant classes.
+    */
+  private def scramble(id: Column, i: Column, k: Int): Column = {
+    val s1 = (id * 1000003L + i * 8191L + lit(k.toLong)) % P
+    val s2 = (s1 * s1) % P
+    (s2 * 48271L) % P
+  }
+
+  /** The 15 payload digits of doc `id`'s planted card. */
+  private def cardDigits(id: Column): Column =
+    transform(sequence(lit(1), lit(15)),
+      i => (scramble(id, i.cast("long"), 1) % 10).cast("int"))
+
+  /** Luhn check digit for a 16-digit card whose first 15 digits are
+    * `ds`: payload position i (1-based from the left) sits at
+    * position 17−i from the right, doubled iff i is odd.
+    */
+  private def cardCheck(ds: Column): Column = {
+    val s = aggregate(
+      sequence(lit(1), lit(15)),
+      lit(0L),
+      (acc, i) => {
+        val d = element_at(ds, i).cast("long")
+        val doubled = when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        acc + when(i % 2 === 1, doubled).otherwise(d)
+      })
+    (lit(10L) - s % 10) % 10
+  }
+
+  /** A planted alphabet-indexed token of `len` chars for class `k`. */
+  private def plantToken(id: Column, len: Int, k: Int,
+      alphabet: String): Column =
+    array_join(
+      transform(sequence(lit(1), lit(len)), i =>
+        lit(alphabet).substr(
+          (scramble(id, i.cast("long"), k) % alphabet.length).cast("int")
+            + 1, lit(1))),
+      "")
+
+  /** `documents.text` augmented with the planted secrets: a
+    * Luhn-VALID card for every 7≡0 doc, a Luhn-INVALID near-card
+    * (same digits, check+1) for every 7≡3 doc, a high-entropy blob
+    * for every 11th, a zero-entropy `z`-run for every 13th, and a
+    * prefixed key for every 17th — positives AND negative controls,
+    * all derivable by both engines from `doc_id` alone.
+    */
+  def plantedText(id: Column, text: Column): Column = {
+    val ds = cardDigits(id)
+    val digitsStr = array_join(transform(ds, d => d.cast("string")), "")
+    val validCard = concat(digitsStr, cardCheck(ds).cast("string"))
+    val invalidCard =
+      concat(digitsStr, ((cardCheck(ds) + 1) % 10).cast("string"))
+    concat(
+      coalesce(text, lit("")),
+      when(id % 7 === 0, concat(lit(" "), validCard)).otherwise(lit("")),
+      when(id % 7 === 3, concat(lit(" "), invalidCard)).otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" "), plantToken(id, 24, 5, entAlphabet)))
+        .otherwise(lit("")),
+      when(id % 13 === 0, lit(" " + "z" * 24)).otherwise(lit("")),
+      when(id % 17 === 0,
+        concat(lit("  gk_"), plantToken(id, 24, 9, keyAlphabet)))
+        .otherwise(lit("")))
+  }
+
+  /** Q157 — secrets scan over the planted corpus: per-doc class
+    * counts for every doc with any hit. The oracle re-derives the
+    * SAME planted text from `doc_id` and re-runs the SAME detectors
+    * (shared regexes, shared Luhn fold, shared log2-tick table) — a
+    * count mismatch means a detector, the checksum, or the entropy
+    * arithmetic diverged between engines. The negative controls
+    * (Luhn-invalid near-card, zero-entropy run) prove the detectors
+    * discriminate rather than pattern-match.
+    */
+  def q157SecretsScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedText($"doc_id", $"text"))
+    secretsScan(docs)
+      .filter($"n_cards" + $"n_keys" + $"n_entropy" > 0)
+      .select($"doc_id", $"lang", $"n_cards", $"n_keys", $"n_entropy")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q157SecretsScan]] — same plants, same
+    * detectors, token-level via unnest (row-wise SQL being DuckDB's
+    * natural shape where Spark uses array HOFs; the ARITHMETIC is
+    * textually shared: one scramble formula, one Luhn fold, one
+    * interpolated log2-tick list).
+    */
+  def secretsOracleSql: String = {
+    val lt = log2Ticks.mkString("[", ", ", "]")
+    // the scramble for plant class k at position i, as SQL text
+    // (qualifier disambiguates doc_id inside the aug join)
+    def sc(k: Int, q: String = "doc_id") =
+      s"((($q*1000003 + i*8191 + $k) % $P) * (($q*1000003 + i*8191 + $k) % $P) % $P) * 48271 % $P"
+    s"""WITH ds AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, 16), i -> (${sc(1)} % 10)) AS d
+       |  FROM documents),
+       | card AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(d, x -> x::VARCHAR), '') AS body,
+       |    (10 - list_sum(list_transform(range(1, 16), i ->
+       |       CASE WHEN i % 2 = 1
+       |         THEN CASE WHEN d[i::INT]*2 > 9 THEN d[i::INT]*2 - 9
+       |              ELSE d[i::INT]*2 END
+       |         ELSE d[i::INT] END)) % 10) % 10 AS chk
+       |  FROM ds),
+       | aug AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(d.text, '')
+       |    || CASE WHEN d.doc_id % 7 = 0
+       |         THEN ' ' || c.body || c.chk::VARCHAR ELSE '' END
+       |    || CASE WHEN d.doc_id % 7 = 3
+       |         THEN ' ' || c.body || ((c.chk + 1) % 10)::VARCHAR
+       |         ELSE '' END
+       |    || CASE WHEN d.doc_id % 11 = 0
+       |         THEN ' ' || array_to_string(list_transform(range(1, 25),
+       |           i -> substr('$entAlphabet',
+       |             (${sc(5, "d.doc_id")} % 36)::INT + 1, 1)), '')
+       |         ELSE '' END
+       |    || CASE WHEN d.doc_id % 13 = 0
+       |         THEN ' ${"z" * 24}' ELSE '' END
+       |    || CASE WHEN d.doc_id % 17 = 0
+       |         THEN '  gk_' || array_to_string(list_transform(range(1, 25),
+       |           i -> substr('$keyAlphabet',
+       |             (${sc(9, "d.doc_id")} % 62)::INT + 1, 1)), '')
+       |         ELSE '' END AS t2
+       |  FROM documents d JOIN card c ON c.doc_id = d.doc_id),
+       | tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(t2, ' ')) AS t
+       |  FROM aug),
+       | tokc AS (
+       |  SELECT doc_id, lang, t,
+       |    CASE WHEN length(t) BETWEEN $entropyMinLen AND $entropyMaxLen
+       |           AND regexp_matches(t, '$charsetRe')
+       |      THEN list_transform(range(1, length(t) + 1),
+       |             i -> substr(t, i::INT, 1))
+       |      ELSE NULL END AS cs
+       |  FROM tok),
+       | cls AS (
+       |  SELECT doc_id, lang, t,
+       |    CASE WHEN regexp_matches(t, '$cardRe')
+       |      THEN list_sum(list_transform(range(1, length(t) + 1), i ->
+       |        CASE WHEN (length(t) - i) % 2 = 1
+       |          THEN CASE WHEN 2*(ascii(substr(t, i::INT, 1)) - 48) > 9
+       |               THEN 2*(ascii(substr(t, i::INT, 1)) - 48) - 9
+       |               ELSE 2*(ascii(substr(t, i::INT, 1)) - 48) END
+       |          ELSE ascii(substr(t, i::INT, 1)) - 48 END)) % 10 = 0
+       |      ELSE false END AS is_card,
+       |    regexp_matches(t, '$keyRe') AS is_key,
+       |    CASE WHEN cs IS NOT NULL
+       |      THEN list_sum(list_transform(list_distinct(cs), c ->
+       |             len(list_filter(cs, x -> x = c)) *
+       |             ($lt[length(t)::INT] -
+       |              $lt[len(list_filter(cs, x -> x = c))::INT])))
+       |           >= $entropyFloorMicroBits::BIGINT * length(t)
+       |      ELSE false END AS is_ent
+       |  FROM tokc)
+       |SELECT doc_id, lang,
+       |  count(*) FILTER (WHERE is_card)::BIGINT AS n_cards,
+       |  count(*) FILTER (WHERE NOT is_card AND is_key)::BIGINT AS n_keys,
+       |  count(*) FILTER (WHERE NOT is_card AND NOT is_key AND is_ent)::BIGINT
+       |    AS n_entropy
+       |FROM cls GROUP BY doc_id, lang
+       |HAVING count(*) FILTER (WHERE is_card OR is_key OR is_ent) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 }
