@@ -225,6 +225,12 @@ object SparkEntry {
       AudioHash.q155AudioNearDup(s, d)),
     "q156_image_dup_clusters" -> ((s: SparkSession, d: String) =>
       ImageHash.q156ImageDupClusters(s, d)),
+    "q157_secrets_scan" -> ((s: SparkSession, d: String) =>
+      Redact.q157SecretsScan(s, d)),
+    "q158_video_near_dup" -> ((s: SparkSession, d: String) =>
+      VideoHash.q158VideoNearDup(s, d)),
+    "q159_near_dup_gate" -> ((s: SparkSession, d: String) =>
+      ImageHash.q159NearDupGate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1802,6 +1808,29 @@ object SparkEntry {
     // min-label components (the q125 mirror-cluster pattern); oracle
     // = shared q154 hash CTEs + the q41/q125 recursive closure.
     "q156_image_dup_clusters" -> ImageHash.clustersOracleSql(),
+    // q157: secrets scan — BOTH engines derive the same planted
+    // corpus from doc_id (Luhn-valid card, Luhn-INVALID near-card,
+    // high-entropy blob, zero-entropy run, prefixed key) and re-run
+    // the same checksum/entropy detectors: shared regexes, shared
+    // Luhn fold, one interpolated log2-tick table — the negative
+    // controls prove the detectors discriminate, not pattern-match.
+    "q157_secrets_scan" -> Redact.secretsOracleSql,
+    // q158: perceptual video near-dup — the q154 device on the
+    // UNCOMPRESSED-DIB AVI modality (the lossless video format whose
+    // pixels SQL can predict): Spark renders real AVI containers,
+    // parses them back through the production RIFF walk, hashes
+    // stride-sampled frames and takes the per-bit temporal majority;
+    // DuckDB predicts the same majority hashes from the pixel
+    // formula. Planted re-containerized (JUNK chunk) and brightness-
+    // shifted copies pair at Hamming 0 through the real byte path.
+    "q158_video_near_dup" -> VideoHash.oracleSql(),
+    // q159: ingest-time near-dup gate — the ASYMMETRIC form of q154:
+    // a probe batch (planted true-dup re-encodes + novel images
+    // under an out-of-range seed) banded against the standing corpus
+    // signature index with the probe side BROADCAST — the corpus
+    // never shuffles, the plan spec pins it. Oracle = shared corpus
+    // hash chain + probe chain under one formula, Hamming ≤ 3 join.
+    "q159_near_dup_gate" -> ImageHash.gateOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -169,6 +169,38 @@ object ImageHash {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** INGEST-TIME NEAR-DUP GATE — the asymmetric form of
+    * [[pairsFromSignatures]]: a small probe batch (media arriving
+    * through ingest) checked against the big standing signature
+    * index BEFORE admission. Same 14-bit pigeonhole bands (exact for
+    * Hamming ≤ maxHamming < chunks), but the probe side BROADCASTS:
+    * the corpus index never shuffles and never self-joins — the scan
+    * plus a map-side hash probe is the whole cost, which is the only
+    * shape that works when the index is 10^9 signatures and the
+    * batch is 10^4. Returns (probe_id, media_id, hamming,
+    * a_hamming); probes with no row are novel and safe to admit.
+    */
+  def nearDupGate(corpusSig: DataFrame, probeSig: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < chunks, s"banding supports Hamming < $chunks")
+    import corpusSig.sparkSession.implicits._
+    val bandBits = dBits / chunks
+    def band(df: DataFrame): DataFrame =
+      df.select($"media_id", $"dhash", $"ahash",
+          explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+        .withColumn("chunk_val",
+          expr(s"shiftrightunsigned(dhash, chunk * $bandBits)")
+            .bitwiseAND(lit((1L << bandBits) - 1)))
+    band(corpusSig).as("c")
+      .join(broadcast(band(probeSig).as("p")),
+        $"c.chunk" === $"p.chunk" && $"c.chunk_val" === $"p.chunk_val")
+      .select($"p.media_id".as("probe_id"), $"c.media_id".as("media_id"),
+        bit_count($"c.dhash".bitwiseXOR($"p.dhash")).as("hamming"),
+        bit_count($"c.ahash".bitwiseXOR($"p.ahash")).as("a_hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
   // ---- q154 fixture: rendered images with planted near-dups --------
 
   /** Deterministic pixel luma at native (16×16) resolution — the
@@ -271,42 +303,114 @@ object ImageHash {
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
        |ORDER BY media_a, media_b""".stripMargin
 
+  /** The formula→grid→hash chain as CTEs over a source CTE `src`
+    * with columns (seed, media_id), every CTE name prefixed with
+    * `p` — reused by the corpus chain (p = "") and the q159 probe
+    * chain (p = "p", where NOVEL probes carry an out-of-range seed).
+    * Ends in `${p}s(media_id, dhash, ahash)`.
+    */
+  def sigChainSql(src: String, p: String): String =
+    s"""${p}s1 AS (SELECT $src.media_id, xx.x, yy.y,
+       |     (($src.seed*1000003 + xx.x*8191 + yy.y*131071 + 1)
+       |       % 2147483647)::BIGINT AS s
+       |   FROM $src, range(16) xx(x), range(16) yy(y)),
+       | ${p}px AS (SELECT media_id, x, y,
+       |     ((s * s % 2147483647) * 48271 % 2147483647 % 256)::BIGINT AS l
+       |   FROM ${p}s1),
+       | ${p}g AS (SELECT media_id, (y // 2) AS r, (x // 2) AS c,
+       |     (sum(l) // 4)::BIGINT AS g
+       |   FROM ${p}px GROUP BY media_id, (y // 2), (x // 2)),
+       | ${p}d AS (SELECT a.media_id,
+       |     sum(CASE WHEN a.g < b.g
+       |       THEN (1::BIGINT << (a.r * 7 + a.c)) ELSE 0 END)::BIGINT AS dhash
+       |   FROM ${p}g a JOIN ${p}g b ON b.media_id = a.media_id
+       |     AND b.r = a.r AND b.c = a.c + 1
+       |   WHERE a.c < 7 GROUP BY a.media_id),
+       | ${p}mn AS (SELECT media_id, (sum(g) // 64)::BIGINT AS mg
+       |   FROM ${p}g GROUP BY media_id),
+       | ${p}ah AS (SELECT g.media_id,
+       |     sum(CASE WHEN g.g <= mn.mg THEN 0
+       |       WHEN g.r * 8 + g.c = 63 THEN (-9223372036854775807 - 1)
+       |       ELSE (1::BIGINT << (g.r * 8 + g.c)) END)::BIGINT AS ahash
+       |   FROM ${p}g g JOIN ${p}mn mn USING (media_id)
+       |   GROUP BY g.media_id),
+       | ${p}s AS (SELECT d.media_id, d.dhash, ah.ahash
+       |   FROM ${p}d d JOIN ${p}ah ah USING (media_id))""".stripMargin
+
   /** The q154 hash chain as CTEs ending in `s(media_id, dhash,
-    * ahash)` — shared by the q154 pair oracle and the q156 cluster
-    * oracle.
+    * ahash)` — shared by the q154 pair oracle, the q156 cluster
+    * oracle, and (as the corpus side) the q159 gate oracle.
     */
   def hashCtesSql(resizeMod: Long = 17L, reencodeMod: Long = 29L): String =
     s"""m AS (
-       |   SELECT doc_id, doc_id * 10 AS media_id FROM documents
+       |   SELECT doc_id AS seed, doc_id * 10 AS media_id FROM documents
        |   UNION ALL SELECT doc_id, doc_id * 10 + 1 FROM documents
        |     WHERE doc_id % $resizeMod = 0
        |   UNION ALL SELECT doc_id, doc_id * 10 + 2 FROM documents
        |     WHERE doc_id % $reencodeMod = 0),
-       | s1 AS (SELECT m.media_id, xx.x, yy.y,
-       |     ((m.doc_id*1000003 + xx.x*8191 + yy.y*131071 + 1)
-       |       % 2147483647)::BIGINT AS s
-       |   FROM m, range(16) xx(x), range(16) yy(y)),
-       | px AS (SELECT media_id, x, y,
-       |     ((s * s % 2147483647) * 48271 % 2147483647 % 256)::BIGINT AS l
-       |   FROM s1),
-       | g AS (SELECT media_id, (y // 2) AS r, (x // 2) AS c,
-       |     (sum(l) // 4)::BIGINT AS g
-       |   FROM px GROUP BY media_id, (y // 2), (x // 2)),
-       | d AS (SELECT a.media_id,
-       |     sum(CASE WHEN a.g < b.g
-       |       THEN (1::BIGINT << (a.r * 7 + a.c)) ELSE 0 END)::BIGINT AS dhash
-       |   FROM g a JOIN g b ON b.media_id = a.media_id
-       |     AND b.r = a.r AND b.c = a.c + 1
-       |   WHERE a.c < 7 GROUP BY a.media_id),
-       | mn AS (SELECT media_id, (sum(g) // 64)::BIGINT AS mg
-       |   FROM g GROUP BY media_id),
-       | ah AS (SELECT g.media_id,
-       |     sum(CASE WHEN g.g <= mn.mg THEN 0
-       |       WHEN g.r * 8 + g.c = 63 THEN (-9223372036854775807 - 1)
-       |       ELSE (1::BIGINT << (g.r * 8 + g.c)) END)::BIGINT AS ahash
-       |   FROM g JOIN mn USING (media_id) GROUP BY g.media_id),
-       | s AS (SELECT d.media_id, d.dhash, ah.ahash
-       |   FROM d JOIN ah USING (media_id))""".stripMargin
+       | ${sigChainSql("m", "")}""".stripMargin
+
+  /** The q159 probe batch: a 2×-RESIZED BMP re-encode of every 31st
+    * doc's image (a true duplicate arriving through ingest in a new
+    * size AND container — the gate must flag it) and a NOVEL image
+    * for every 37th doc, rendered from the same formula under an
+    * out-of-range seed (doc_id + 10⁹, beyond any real doc — the gate
+    * must admit it). Probe media_id = 10·doc + 5 / + 6.
+    */
+  def probeMedia(docs: DataFrame, dupMod: Long = 31L,
+      novelMod: Long = 37L): DataFrame = {
+    import docs.sparkSession.implicits._
+    Parallel.fan(docs).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val dup = if (id % dupMod == 0)
+          Iterator.single((id * 10L + 5L, render(id, 2, "bmp"), "image/bmp"))
+        else Iterator.empty
+        val novel = if (id % novelMod == 0)
+          Iterator.single(
+            (id * 10L + 6L, render(id + 1000000000L, 1, "png"), "image/png"))
+        else Iterator.empty
+        dup ++ novel
+      })
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Q159 — the ingest-time near-dup gate end-to-end: the q154
+    * corpus as the standing signature index, the [[probeMedia]]
+    * batch as arriving media; every planted duplicate probe must hit
+    * its base (and the base's planted variants) at Hamming 0 through
+    * the real encode → decode → hash → broadcast-banded-probe path,
+    * and the novel probes must pass the gate unmatched. Any further
+    * rows are formula near-collisions both engines derive
+    * identically.
+    */
+  def q159NearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    nearDupGate(signatures(syntheticMedia(docs)),
+        signatures(probeMedia(docs)))
+      .orderBy($"probe_id", $"media_id")
+  }
+
+  /** DuckDB oracle for [[q159NearDupGate]] — the shared corpus hash
+    * chain plus the probe chain under the same formula (the dup
+    * probe's 2× resize reproduces the base grid by construction, so
+    * its row is the base seed; the novel probe carries the shifted
+    * seed), joined at dHash Hamming ≤ 3.
+    */
+  def gateOracleSql(dupMod: Long = 31L, novelMod: Long = 37L): String =
+    s"""WITH ${hashCtesSql()},
+       | pm AS (
+       |   SELECT doc_id AS seed, doc_id * 10 + 5 AS media_id
+       |   FROM documents WHERE doc_id % $dupMod = 0
+       |   UNION ALL SELECT doc_id + 1000000000, doc_id * 10 + 6
+       |   FROM documents WHERE doc_id % $novelMod = 0),
+       | ${sigChainSql("pm", "p")}
+       |SELECT ps.media_id AS probe_id, s.media_id AS media_id,
+       |  bit_count(xor(s.dhash, ps.dhash))::INT AS hamming,
+       |  bit_count(xor(s.ahash, ps.ahash))::INT AS a_hamming
+       |FROM s, ps
+       |WHERE bit_count(xor(s.dhash, ps.dhash)) <= 3
+       |ORDER BY probe_id, media_id""".stripMargin
 
   /** Q156 — image DUP CLUSTERS, the step after q154's pair
     * detection (the q125 mirror-cluster pattern on the image
