@@ -231,6 +231,8 @@ object SparkEntry {
       VideoHash.q158VideoNearDup(s, d)),
     "q159_near_dup_gate" -> ((s: SparkSession, d: String) =>
       ImageHash.q159NearDupGate(s, d)),
+    "q160_code_fences" -> ((s: SparkSession, d: String) =>
+      Markdown.q160CodeFences(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1831,6 +1833,13 @@ object SparkEntry {
     // never shuffles, the plan spec pins it. Oracle = shared corpus
     // hash chain + probe chain under one formula, Hamming ≤ 3 join.
     "q159_near_dup_gate" -> ImageHash.gateOracleSql(),
+    // q160: fenced code-block extraction — one dialect-shared regex
+    // (no lookarounds) over a planted markdown corpus both engines
+    // derive from doc_id; closed fences yield (tag, line count,
+    // shared body fingerprint), the planted UNTERMINATED fence
+    // yields nothing, and match order gives both engines the same
+    // fence index.
+    "q160_code_fences" -> Markdown.oracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -189,9 +189,10 @@ object Redact {
 
   /** The planted-token scramble: two Lehmer steps with a SQUARING in
     * the middle (the q154 device — affine-only scrambles correlate
-    * across ids). `k` separates plant classes.
+    * across ids). `k` separates plant classes. Shared with the q160
+    * markdown plants.
     */
-  private def scramble(id: Column, i: Column, k: Int): Column = {
+  private[operators] def scramble(id: Column, i: Column, k: Int): Column = {
     val s1 = (id * 1000003L + i * 8191L + lit(k.toLong)) % P
     val s2 = (s1 * s1) % P
     (s2 * 48271L) % P
