@@ -57,6 +57,30 @@ object SearchEndpoint {
       dir: String): Unit =
     indexed.select(col("vec_id"), col("embedding"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
+
+  /** Write a `(media_id, dhash, ahash)` signature frame as the
+    * BAND-bucketed serving layout: each signature explodes into its
+    * [[graft.operators.ImageHash.chunks]] pigeonhole bands, and rows
+    * partition by `bb = pmod(chunk·2^bandBits + chunk_val, nBuckets)`
+    * — the probe computes the same 4 band keys driver-side, so a
+    * near-dup admission check reads at most 4 bucket directories
+    * (partition-pruned), never the index.
+    */
+  def writeSignatureIndex(sig: org.apache.spark.sql.DataFrame,
+      dir: String, nBuckets: Int = 64): Unit = {
+    val bandBits = graft.operators.ImageHash.dBits /
+      graft.operators.ImageHash.chunks
+    sig.select(col("media_id"), col("dhash"), col("ahash"),
+        explode(sequence(lit(0),
+          lit(graft.operators.ImageHash.chunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"shiftrightunsigned(dhash, chunk * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+      .withColumn("bb", pmod(
+        col("chunk").cast("long") * (1L << bandBits) + col("chunk_val"),
+        lit(nBuckets.toLong)))
+      .write.partitionBy("bb").mode("overwrite").parquet(dir)
+  }
 }
 
 /** Driver-side BM25 scorer over the term-bucketed postings store —
@@ -234,6 +258,100 @@ final class IvfSearchTier(spark: SparkSession, indexDir: String,
       .take(k)
 }
 
+/** Driver-side perceptual near-dup ADMISSION probe over the
+  * band-bucketed signature store — the serving form of
+  * [[graft.operators.ImageHash.nearDupGate]]: an ingest worker asks
+  * "is this media already in the corpus?" before admitting it. The
+  * probe's 4 pigeonhole band keys map to at most 4 bucket
+  * directories ([[SearchEndpoint.writeSignatureIndex]]'s layout),
+  * loaded partition-pruned and memoized in the LRU — warm probes are
+  * ZERO Spark jobs, and results are exactly the batch gate's rows
+  * for a one-probe batch (banding is EXACT for Hamming ≤ 3, so
+  * parity is a theorem, not a tolerance).
+  */
+final class SigSearchTier(spark: SparkSession, indexDir: String,
+    nBuckets: Int = 64, maxCachedBuckets: Int = 16) {
+  require(nBuckets > 0 && maxCachedBuckets > 0,
+    "nBuckets and maxCachedBuckets must be positive")
+
+  private val bandBits = graft.operators.ImageHash.dBits /
+    graft.operators.ImageHash.chunks
+  private val bandMask = (1L << bandBits) - 1
+
+  /** (chunk, chunk_val) → signatures in that band. */
+  private type Bucket = Map[(Int, Long), Array[(Long, Long, Long)]]
+
+  private val lru = new java.util.LinkedHashMap[Int, Bucket](
+      16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Int, Bucket]): Boolean =
+      size() > maxCachedBuckets
+  }
+  private var hitsN = 0L
+  private var missesN = 0L
+
+  def stats: (Long, Long) = synchronized((hitsN, missesN))
+
+  def invalidate(): Unit = synchronized(lru.clear())
+
+  private def bandsOf(dhash: Long): Seq[(Int, Long)] =
+    (0 until graft.operators.ImageHash.chunks)
+      .map(c => (c, (dhash >>> (c * bandBits)) & bandMask))
+
+  private def bucketOf(band: (Int, Long)): Int =
+    java.lang.Math.floorMod(
+      band._1.toLong * (1L << bandBits) + band._2, nBuckets.toLong).toInt
+
+  /** Partition-pruned bucket load: reads ONLY `bb=<b>`. */
+  private def loadBucket(bkt: Int): Bucket =
+    spark.read.parquet(s"$indexDir/bb=$bkt")
+      .select(col("chunk"), col("chunk_val"), col("media_id"),
+        col("dhash"), col("ahash"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      }
+
+  private def bucket(bkt: Int): Bucket = {
+    val hit = synchronized {
+      val c = Option(lru.get(bkt))
+      c.foreach(_ => hitsN += 1)
+      c
+    }
+    hit.getOrElse {
+      val loaded = loadBucket(bkt)
+      synchronized { missesN += 1; lru.put(bkt, loaded); loaded }
+    }
+  }
+
+  /** Near-dup matches of one probe signature against the standing
+    * index: `(media_id, hamming, a_hamming)` ordered (hamming ASC,
+    * media_id) — the exact row set
+    * `nearDupGate(index, [(probe)], maxHamming)` emits. An empty
+    * result means the probe is novel and safe to admit.
+    */
+  def probe(dhash: Long, ahash: Long,
+      maxHamming: Int = 3): Seq[(Long, Int, Int)] = {
+    require(maxHamming < graft.operators.ImageHash.chunks,
+      s"banding supports Hamming < ${graft.operators.ImageHash.chunks}")
+    val seen = new java.util.HashMap[java.lang.Long, (Int, Int)]
+    bandsOf(dhash).foreach { band =>
+      bucket(bucketOf(band)).get(band).foreach(_.foreach {
+        case (media, dh, ah) =>
+          val hd = java.lang.Long.bitCount(dh ^ dhash)
+          if (hd <= maxHamming)
+            seen.putIfAbsent(java.lang.Long.valueOf(media),
+              (hd, java.lang.Long.bitCount(ah ^ ahash))): Unit
+      })
+    }
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSeq
+      .map { case (m, (hd, ha)) => (m.longValue(), hd, ha) }
+      .sortBy { case (m, hd, _) => (hd, m) }
+  }
+}
+
 /** Loopback HTTP surface over the two search tiers — the retrieval
   * sibling of [[ServingEndpoint]] (same JDK-HttpServer threading
   * shape, same compute-then-respond discipline):
@@ -249,7 +367,7 @@ final class IvfSearchTier(spark: SparkSession, indexDir: String,
   * tokens), so wire queries hash exactly like ingested documents.
   */
 final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
-    port: Int = 0, nThreads: Int = 4) {
+    sig: SigSearchTier = null, port: Int = 0, nThreads: Int = 4) {
   require(nThreads > 0, "nThreads must be positive")
 
   private val server =
@@ -330,11 +448,39 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
     }
   })
 
+  // GET /neardup?dhash=…&ahash=…[&maxh=3] — the admission check:
+  // {"Results":[{"media_id":…,"hamming":…,"a_hamming":…},…]}; an
+  // empty Results list means novel, admit. Only when a signature
+  // tier is wired.
+  if (sig != null) server.createContext("/neardup", handler { ex =>
+    (queryParam(ex, "dhash"), queryParam(ex, "ahash")) match {
+      case (Some(d), Some(a)) =>
+        val (dh, ah) =
+          try (d.toLong, a.toLong)
+          catch { case _: NumberFormatException =>
+            throw new BadRequest("dhash/ahash must be signed 64-bit longs")
+          }
+        val maxH = queryParam(ex, "maxh").map(_.toInt).getOrElse(3)
+        val results = sig.probe(dh, ah, maxH).map { case (m, hd, ha) =>
+          s"""{"media_id":$m,"hamming":$hd,"a_hamming":$ha}"""
+        }
+        (200, results.mkString("""{"Results":[""", ",", "]}"))
+      case _ =>
+        (400, """{"error":"missing required query parameters 'dhash','ahash'"}""")
+    }
+  })
+
   server.createContext("/stats", handler { _ =>
     val (bh, bm) = bm25.stats
     val (ih, im) = ivf.stats
+    val sigPart =
+      if (sig == null) ""
+      else {
+        val (sh, sm) = sig.stats
+        s""","sig":{"hits":$sh,"misses":$sm}"""
+      }
     (200, s"""{"bm25":{"hits":$bh,"misses":$bm},""" +
-      s""""ann":{"hits":$ih,"misses":$im}}""")
+      s""""ann":{"hits":$ih,"misses":$im}$sigPart}""")
   })
 
   server.setExecutor(pool)
