@@ -233,6 +233,10 @@ object SparkEntry {
       ImageHash.q159NearDupGate(s, d)),
     "q160_code_fences" -> ((s: SparkSession, d: String) =>
       Markdown.q160CodeFences(s, d)),
+    "q161_markdown_links" -> ((s: SparkSession, d: String) =>
+      Markdown.q161MarkdownLinks(s, d)),
+    "q162_dup_code_cells" -> ((s: SparkSession, d: String) =>
+      Markdown.q162DupCodeCells(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1840,6 +1844,15 @@ object SparkEntry {
     // yields nothing, and match order gives both engines the same
     // fence index.
     "q160_code_fences" -> Markdown.oracleSql,
+    // q161: markdown links through the SHARED canonicalization chain
+    // (one URL grammar and one canonCtesSql text across q115/q118/
+    // q161); link identity rides a per-link synthetic key; the bare-
+    // URL plant proves only bracketed links extract.
+    "q161_markdown_links" -> Markdown.linksOracleSql,
+    // q162: duplicate code-cell groups over a shared-snippet corpus
+    // (bodies keyed by doc_id % 23) — extraction + fingerprint +
+    // group, the dedup step extracted cells exist for.
+    "q162_dup_code_cells" -> Markdown.dupCellsOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -85,6 +85,176 @@ object Markdown {
     codeFences(docs).orderBy($"doc_id", $"fence_idx")
   }
 
+  // -- q161: markdown links feeding the URL frontier -----------------
+
+  val linkRe = "(!?)\\[([^\\]]*)\\]\\(([^()\\s]+)\\)"
+
+  /** Markdown link extraction — `[anchor](url)` and image links
+    * `![alt](url)` — feeding the SAME canonicalization chain the
+    * HTML outlink family uses ([[UrlNorm.canonicalize]]): a markdown
+    * corpus discovers frontier URLs through this syntax exactly as an
+    * HTML corpus does through `<a href>`. One dialect-shared regex
+    * (anchor cannot contain `]`, URL cannot contain parens or
+    * whitespace — the CommonMark inline-link core without the exotic
+    * nesting); bare URLs in prose are NOT links (the q161 negative
+    * control). Per link: (doc_id, link_idx, is_image, anchor, url).
+    */
+  def extractLinks(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        posexplode_outer(regexp_extract_all(col(textCol), lit(linkRe),
+          lit(0))).as(Seq("pos", "m")))
+      .filter($"m".isNotNull)
+      .select($"doc_id", ($"pos" + 1).cast("long").as("link_idx"),
+        (regexp_extract($"m", linkRe, 1) === "!").as("is_image"),
+        regexp_extract($"m", linkRe, 2).as("anchor"),
+        regexp_extract($"m", linkRe, 3).as("url"))
+  }
+
+  /** `documents.text` with planted markdown links over the SHARED
+    * synthetic-URL fixture ([[UrlNorm.syntheticUrl]] — one URL
+    * grammar, q115/q118/q161 oracles all speak it): two prose links
+    * for every 4th doc, an image link for every 9th, and a BARE
+    * (unbracketed) URL for every 11th — present in the text, absent
+    * from the output.
+    */
+  def plantedLinks(id: Column, text: Column): Column = {
+    def url(t: Column): Column = UrlNorm.syntheticUrl(t)
+    concat(
+      coalesce(text, lit("")),
+      when(id % 4 === 0, concat(
+        lit(" [see]("), url((id * 31 + 3) % 997), lit(") more [go]("),
+        url((id * 17 + 5) % 997), lit(")"))).otherwise(lit("")),
+      when(id % 9 === 0, concat(
+        lit(" ![fig]("), url((id * 13 + 1) % 997), lit(")")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" "), url(id))).otherwise(lit("")))
+  }
+
+  /** Q161 — markdown links through the full canonicalization chain:
+    * every planted link comes out with the canonical URL / host /
+    * registered domain the q115 rules produce, the bare-URL plant
+    * never appears, and link order is document order in both
+    * engines.
+    */
+  def q161MarkdownLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedLinks($"doc_id", $"text"))
+    UrlNorm.canonicalize(extractLinks(docs))
+      .select($"doc_id", $"link_idx", $"is_image", $"anchor",
+        $"canonical_url", $"host", $"domain")
+      .orderBy($"doc_id", $"link_idx")
+  }
+
+  /** DuckDB oracle for [[q161MarkdownLinks]] — same plants over the
+    * shared [[UrlNorm.syntheticUrlSql]] grammar, same link regex,
+    * then the SHARED `canonCtesSql` chain keyed by a per-link
+    * synthetic id (doc·8 + idx; ≤ 3 links per doc) so link identity
+    * survives the canonicalization CTEs.
+    */
+  def linksOracleSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 4 = 0
+       |         THEN ' [see](' || ${UrlNorm.syntheticUrlSql("((doc_id * 31 + 3) % 997)")}
+       |           || ') more [go](' || ${UrlNorm.syntheticUrlSql("((doc_id * 17 + 5) % 997)")} || ')'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 9 = 0
+       |         THEN ' ![fig](' || ${UrlNorm.syntheticUrlSql("((doc_id * 13 + 1) % 997)")} || ')'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN ' ' || ${UrlNorm.syntheticUrlSql("doc_id")}
+       |         ELSE '' END AS t2
+       |  FROM documents),
+       | fx AS (SELECT doc_id, regexp_extract_all(t2, '$linkRe') AS ms
+       |   FROM aug),
+       | e AS (SELECT doc_id,
+       |     unnest(range(1, len(ms) + 1)) AS link_idx,
+       |     unnest(ms) AS m
+       |   FROM fx WHERE len(ms) > 0),
+       | lk AS (SELECT doc_id AS src_doc, link_idx,
+       |     regexp_extract(m, '$linkRe', 1) = '!' AS is_image,
+       |     regexp_extract(m, '$linkRe', 2) AS anchor,
+       |     regexp_extract(m, '$linkRe', 3) AS url
+       |   FROM e),
+       | u AS (SELECT src_doc * 8 + link_idx AS doc_id, url FROM lk),
+       |${UrlNorm.canonCtesSql}
+       |SELECT lk.src_doc AS doc_id, lk.link_idx::BIGINT AS link_idx,
+       |  lk.is_image, lk.anchor, f.canonical_url, f.host, f.domain
+       |FROM fin f JOIN lk ON f.doc_id = lk.src_doc * 8 + lk.link_idx
+       |ORDER BY doc_id, link_idx""".stripMargin
+
+  // -- q162: duplicate code cells across the corpus ------------------
+
+  /** `documents.text` with a SHARED-snippet fence for every 8th doc,
+    * its body keyed by `doc_id % 23` — 23 distinct snippets repeated
+    * across the corpus, the planted duplication q162 must group.
+    */
+  def plantedSharedMarkdown(id: Column, text: Column): Column =
+    concat(
+      coalesce(text, lit("")),
+      when(id % 8 === 0, concat(
+        lit(" ```python\nshared v"),
+        (Redact.scramble(id % 23, lit(1L), 33) % 100000).cast("string"),
+        lit("\n``` "))).otherwise(lit("")))
+
+  /** Q162 — duplicate code-cell groups (the dedup step extracted
+    * cells exist for): q160's extraction over the shared-snippet
+    * corpus, grouped by (fence_lang, body fingerprint); groups with
+    * more than one cell are the duplication the corpus carries.
+    * (fence_lang, body_fp, n_cells, n_docs, min_doc).
+    */
+  def q162DupCodeCells(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedSharedMarkdown($"doc_id", $"text"))
+    codeFences(docs)
+      .groupBy($"fence_lang", $"body_fp")
+      .agg(count(lit(1)).as("n_cells"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("min_doc"))
+      .filter($"n_cells" > 1)
+      .orderBy($"body_fp", $"fence_lang")
+  }
+
+  /** DuckDB oracle for [[q162DupCodeCells]] — same shared-snippet
+    * plant (the scramble keyed by doc_id % 23), same extraction, same
+    * grouping.
+    */
+  def dupCellsOracleSql: String = {
+    val P = 2147483647L
+    val q = "(doc_id % 23)"
+    val sc =
+      s"((($q*1000003 + 1*8191 + 33) % $P) * (($q*1000003 + 1*8191 + 33) % $P) % $P) * 48271 % $P"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 8 = 0
+       |         THEN ' ``' || '`python' || chr(10)
+       |           || 'shared v' || (($sc) % 100000)::VARCHAR || chr(10)
+       |           || '``' || '` ' ELSE '' END AS t2
+       |  FROM documents),
+       | fx AS (SELECT doc_id, regexp_extract_all(t2, '$fenceRe') AS ms
+       |   FROM aug),
+       | e AS (SELECT doc_id, unnest(ms) AS m FROM fx WHERE len(ms) > 0),
+       | b AS (SELECT doc_id,
+       |     regexp_extract(m, '$fenceRe', 1) AS fence_lang,
+       |     regexp_extract(m, '$fenceRe', 2) AS body
+       |   FROM e),
+       | c AS (SELECT doc_id, fence_lang,
+       |     (${TextAnalysis.fingerprintSql("body")}) AS body_fp
+       |   FROM b)
+       |SELECT fence_lang, body_fp, count(*)::BIGINT AS n_cells,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  min(doc_id) AS min_doc
+       |FROM c GROUP BY fence_lang, body_fp
+       |HAVING count(*) > 1
+       |ORDER BY body_fp, fence_lang""".stripMargin
+  }
+
   /** DuckDB oracle for [[q160CodeFences]] — same plants (chr(10)
     * newlines), same regex, match index via zipped unnests, body
     * fingerprint via the shared [[TextAnalysis.fingerprintSql]].

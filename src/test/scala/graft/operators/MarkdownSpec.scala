@@ -40,6 +40,57 @@ class MarkdownSpec extends SparkSpec {
       (2L, "sql", 2L, fp("bb\ncc"))))
   }
 
+  test("link extraction: prose and image links extract in document " +
+      "order with the image flag; bare URLs and unbalanced brackets " +
+      "yield nothing") {
+    def links(text: String) =
+      Markdown.extractLinks(Seq((1L, text)).toDF("doc_id", "text"))
+        .select($"link_idx", $"is_image", $"anchor", $"url")
+        .as[(Long, Boolean, String, String)].collect().toSeq
+    assert(links("a [see](http://x.com/p) b ![img](http://y.com/q) c") ===
+      Seq((1L, false, "see", "http://x.com/p"),
+        (2L, true, "img", "http://y.com/q")))
+    assert(links("bare http://x.com/p in prose") === Nil)
+    assert(links("[no close](http://x.com/p") === Nil)
+    assert(links("[](http://x.com/p)") ===
+      Seq((1L, false, "", "http://x.com/p"))) // empty anchor is legal
+  }
+
+  test("q161 planted corpus: every planted link canonicalizes " +
+      "through the shared URL rules; the bare-URL plant is absent") {
+    val rows = Markdown.q161MarkdownLinks(spark, sf)
+      .select($"doc_id", $"link_idx", $"is_image", $"anchor")
+      .as[(Long, Long, Boolean, String)].collect()
+    val ids = graft.core.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    for (id <- ids) {
+      val got = rows.filter(_._1 == id).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      val want =
+        (if (id % 4 == 0) Seq((false, "see"), (false, "go")) else Nil) ++
+          (if (id % 9 == 0) Seq((true, "fig")) else Nil)
+      assert(got === want, s"doc $id")
+    }
+    assert(ids.exists(id => id % 11 == 0 && id % 4 != 0 && id % 9 != 0))
+  }
+
+  test("q162 shared-snippet corpus: groups match a driver-side " +
+      "reference over the same plants — every group is one of the 23 " +
+      "snippet buckets and cell counts reconcile to the plant lattice") {
+    val got = Markdown.q162DupCodeCells(spark, sf)
+      .select($"fence_lang", $"n_cells", $"n_docs", $"min_doc")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val ids = graft.core.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val byBucket = ids.filter(_ % 8 == 0).groupBy(_ % 23)
+      .filter(_._2.length > 1)
+    assert(got.length === byBucket.size)
+    assert(got.forall(_._1 == "python"))
+    assert(got.map(r => (r._2, r._4)).sorted ===
+      byBucket.values.map(v => (v.length.toLong, v.min)).toSeq.sorted)
+    assert(got.forall(r => r._2 === r._3)) // one fence per doc
+  }
+
   test("q160 planted corpus: every closed plant yields its row on " +
       "its lattice, the unterminated plant never does, and overlap " +
       "docs yield both fences in planted order") {
