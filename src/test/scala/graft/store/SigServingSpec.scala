@@ -100,4 +100,34 @@ class SigServingSpec extends SparkSpec {
       assert(get(port, "/stats") contains "\"sig\":")
     } finally ep.stop()
   }
+
+  test("the tier is modality-generic: audio and video signature " +
+      "stores serve the same admission check (shared 56-bit dhash " +
+      "banding contract)") {
+    import graft.operators.{AudioHash, VideoHash}
+    // audio: corpus of clips, probe = re-containerized copy of one
+    val aSig = AudioHash.signatures(
+      (0L until 40L).map(i => (i, AudioHash.render(i, 0)))
+        .toDF("media_id", "payload")).localCheckpoint(true)
+    val aDir = Files.createTempDirectory("sig-serve-aud").toString
+    SearchEndpoint.writeSignatureIndex(aSig, aDir, nBuckets = 8)
+    val aTier = new SigSearchTier(spark, aDir, nBuckets = 8)
+    val aProbe = AudioHash.signatures(
+      Seq((900L, AudioHash.render(11L, 1))).toDF("media_id", "payload"))
+      .as[(Long, Long, Long)].head()
+    val aHits = aTier.probe(aProbe._2, aProbe._3)
+    assert(aHits.exists(h => h._1 == 11L && h._2 == 0))
+    // video: probe = brightness-shifted copy
+    val vSig = VideoHash.signatures(
+      (0L until 30L).map(i => (i, VideoHash.renderAvi(i, 0)))
+        .toDF("media_id", "payload")).localCheckpoint(true)
+    val vDir = Files.createTempDirectory("sig-serve-vid").toString
+    SearchEndpoint.writeSignatureIndex(vSig, vDir, nBuckets = 8)
+    val vTier = new SigSearchTier(spark, vDir, nBuckets = 8)
+    val vProbe = VideoHash.signatures(
+      Seq((901L, VideoHash.renderAvi(13L, 2))).toDF("media_id", "payload"))
+      .as[(Long, Long, Long)].head()
+    val vHits = vTier.probe(vProbe._2, vProbe._3)
+    assert(vHits.exists(h => h._1 == 13L && h._2 == 0 && h._3 == 0))
+  }
 }
