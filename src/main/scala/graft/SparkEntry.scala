@@ -237,6 +237,8 @@ object SparkEntry {
       Markdown.q161MarkdownLinks(s, d)),
     "q162_dup_code_cells" -> ((s: SparkSession, d: String) =>
       Markdown.q162DupCodeCells(s, d)),
+    "q163_pipe_tables" -> ((s: SparkSession, d: String) =>
+      Markdown.q163PipeTables(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1853,6 +1855,11 @@ object SparkEntry {
     // (bodies keyed by doc_id % 23) — extraction + fingerprint +
     // group, the dedup step extracted cells exist for.
     "q162_dup_code_cells" -> Markdown.dupCellsOracleSql,
+    // q163: pipe-table census — one block regex (header + GitHub
+    // separator + newline-terminated data lines; alternation, no
+    // multiline anchors) over planted tables; the separator-less
+    // header plant proves pipe syntax alone is not a table.
+    "q163_pipe_tables" -> Markdown.tablesOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -255,6 +255,117 @@ object Markdown {
        |ORDER BY body_fp, fence_lang""".stripMargin
   }
 
+  // -- q163: pipe tables -------------------------------------------
+
+  /** A pipe-table BLOCK: a header line, a separator line (cells of
+    * dashes/colons/spaces only — the GitHub table marker), then zero
+    * or more data lines, each `|…|`-delimited and newline-terminated.
+    * One regex, alternation instead of multiline anchors, no
+    * lookarounds — Java regex and RE2 agree block-for-block. A
+    * header line with no separator under it is NOT a table (the q163
+    * negative control).
+    */
+  val tableRe: String =
+    "(?:^|\\n)(\\|[^\\n]*\\|\\n\\|[ :\\-|]+\\|\\n(?:\\|[^\\n]*\\|\\n)*)"
+
+  /** Per-table census over `textCol`: (doc_id, table_idx, n_cols,
+    * n_rows, header_fp) — column count from the separator's cells,
+    * row count = data lines, header travels as the shared
+    * fingerprint (the dedup key for repeated boilerplate tables).
+    */
+  def pipeTables(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        posexplode_outer(regexp_extract_all(col(textCol), lit(tableRe),
+          lit(1))).as(Seq("pos", "b")))
+      .filter($"b".isNotNull)
+      .withColumn("_lines", split($"b", "\n"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("table_idx"),
+        (size(split(element_at($"_lines", 2), "\\|")) - 2)
+          .cast("long").as("n_cols"),
+        (size($"_lines") - 3).cast("long").as("n_rows"),
+        TextAnalysis.fingerprint(element_at($"_lines", 1)).as("header_fp"))
+  }
+
+  /** `documents.text` with planted tables: a 3-column 2-row table
+    * for every 5th doc, a 2-column 1-row table for every 12th, and a
+    * SEPARATOR-LESS header line for every 13th (the negative — pipe
+    * syntax alone is not a table).
+    */
+  def plantedTables(id: Column, text: Column): Column = {
+    def v(k: Int): Column =
+      (Redact.scramble(id, lit(1L), k) % 100000).cast("string")
+    concat(
+      coalesce(text, lit("")),
+      when(id % 5 === 0, concat(
+        lit("\n|h1 v"), v(41), lit("|h2|h3|\n|---|:--|--:|\n"),
+        lit("|a|b|c|\n|d v"), v(43), lit("|e|f|\n"))).otherwise(lit("")),
+      when(id % 12 === 0, concat(
+        lit("\n|k v"), v(47), lit("|val|\n|--|--|\n|x|y|\n")))
+        .otherwise(lit("")),
+      when(id % 13 === 0, concat(
+        lit("\n|not v"), v(53), lit("|a table|\nprose follows")))
+        .otherwise(lit("")))
+  }
+
+  /** Q163 — pipe-table census over the planted corpus: every planted
+    * table reports its exact column/row counts and header
+    * fingerprint, the separator-less plant reports nothing, and
+    * table order is document order in both engines.
+    */
+  def q163PipeTables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedTables($"doc_id", $"text"))
+    pipeTables(docs).orderBy($"doc_id", $"table_idx")
+  }
+
+  /** DuckDB oracle for [[q163PipeTables]] — same plants, same block
+    * regex, cell/line arithmetic on string_split, shared header
+    * fingerprint.
+    */
+  def tablesOracleSql: String = {
+    val P = 2147483647L
+    def sc(k: Int) =
+      s"(((doc_id*1000003 + 1*8191 + $k) % $P) * ((doc_id*1000003 + 1*8191 + $k) % $P) % $P) * 48271 % $P"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN chr(10) || '|h1 v' || ((${sc(41)}) % 100000)::VARCHAR
+       |           || '|h2|h3|' || chr(10) || '|---|:--|--:|' || chr(10)
+       |           || '|a|b|c|' || chr(10)
+       |           || '|d v' || ((${sc(43)}) % 100000)::VARCHAR || '|e|f|'
+       |           || chr(10) ELSE '' END
+       |    || CASE WHEN doc_id % 12 = 0
+       |         THEN chr(10) || '|k v' || ((${sc(47)}) % 100000)::VARCHAR
+       |           || '|val|' || chr(10) || '|--|--|' || chr(10)
+       |           || '|x|y|' || chr(10) ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0
+       |         THEN chr(10) || '|not v' || ((${sc(53)}) % 100000)::VARCHAR
+       |           || '|a table|' || chr(10) || 'prose follows'
+       |         ELSE '' END AS t2
+       |  FROM documents),
+       | fx AS (SELECT doc_id, regexp_extract_all(t2, '$tableRe', 1) AS ms
+       |   FROM aug),
+       | e AS (SELECT doc_id,
+       |     unnest(range(1, len(ms) + 1)) AS table_idx,
+       |     unnest(ms) AS b
+       |   FROM fx WHERE len(ms) > 0),
+       | l AS (SELECT doc_id, table_idx, string_split(b, chr(10)) AS ls
+       |   FROM e),
+       | c AS (SELECT doc_id, table_idx,
+       |     (len(string_split(ls[2], '|')) - 2)::BIGINT AS n_cols,
+       |     (len(ls) - 3)::BIGINT AS n_rows,
+       |     ls[1] AS body
+       |   FROM l)
+       |SELECT doc_id, table_idx::BIGINT AS table_idx, n_cols, n_rows,
+       |  (${TextAnalysis.fingerprintSql("body")}) AS header_fp
+       |FROM c
+       |ORDER BY doc_id, table_idx""".stripMargin
+  }
+
   /** DuckDB oracle for [[q160CodeFences]] — same plants (chr(10)
     * newlines), same regex, match index via zipped unnests, body
     * fingerprint via the shared [[TextAnalysis.fingerprintSql]].

@@ -91,6 +91,41 @@ class MarkdownSpec extends SparkSpec {
     assert(got.forall(r => r._2 === r._3)) // one fence per doc
   }
 
+  test("pipe tables: header + separator + data lines census; a " +
+      "header without a separator, or pipe-less prose, is not a table") {
+    def tables(text: String) =
+      Markdown.pipeTables(Seq((1L, text)).toDF("doc_id", "text"))
+        .select($"table_idx", $"n_cols", $"n_rows")
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(tables("\n|a|b|c|\n|---|---|---|\n|1|2|3|\n|4|5|6|\n") ===
+      Seq((1L, 3L, 2L)))
+    assert(tables("\n|a|b|\n|--|--|\n") === Seq((1L, 2L, 0L))) // headers only
+    assert(tables("\n|a|b|\nno separator under it\n") === Nil)
+    assert(tables("plain prose") === Nil)
+    // two adjacent tables stay two tables, in order
+    assert(tables("\n|a|\n|--|\n|1|\n\n|x|y|\n|--|--|\n") ===
+      Seq((1L, 1L, 1L), (2L, 2L, 0L)))
+  }
+
+  test("q163 planted corpus: every planted table reports exact " +
+      "column/row counts on its lattice; the separator-less plant " +
+      "never appears") {
+    val rows = Markdown.q163PipeTables(spark, sf)
+      .select($"doc_id", $"table_idx", $"n_cols", $"n_rows")
+      .as[(Long, Long, Long, Long)].collect()
+    val ids = graft.core.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    for (id <- ids) {
+      val got = rows.filter(_._1 == id).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      val want =
+        (if (id % 5 == 0) Seq((3L, 2L)) else Nil) ++
+          (if (id % 12 == 0) Seq((2L, 1L)) else Nil)
+      assert(got === want, s"doc $id")
+    }
+    assert(ids.exists(id => id % 13 == 0 && id % 5 != 0 && id % 12 != 0))
+  }
+
   test("q160 planted corpus: every closed plant yields its row on " +
       "its lattice, the unterminated plant never does, and overlap " +
       "docs yield both fences in planted order") {
