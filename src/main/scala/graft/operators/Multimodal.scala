@@ -75,9 +75,12 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte]): Array[Float] = {
     if (payload == null || payload.isEmpty) return null
+    // NonFatal: plugin decoders throw RuntimeExceptions on corrupt
+    // payloads (not only IOException) — the no-throw contract must
+    // cover those (r12 advice)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight

@@ -122,7 +122,11 @@ final class Bm25SearchTier(spark: SparkSession, indexDir: String,
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long"))
       .head()
-    val computed = (row.getLong(0), row.getLong(1))
+    // empty-but-present store: count 0 makes sum(dl) NULL — guard
+    // instead of letting getLong throw (and search() divide by 0);
+    // an empty index answers every query with no results (r12 advice)
+    val computed =
+      if (row.getLong(0) == 0L) (0L, 0L) else (row.getLong(0), row.getLong(1))
     scalars = computed
     computed
   }
@@ -161,6 +165,7 @@ final class Bm25SearchTier(spark: SparkSession, indexDir: String,
   def search(terms: Seq[Long], k: Int,
       exclude: Long = -1L): Seq[(Int, Long, Double)] = {
     val (n, tot) = corpusScalars()
+    if (n == 0L) return Seq.empty
     val ticksByDoc = new java.util.HashMap[java.lang.Long, java.lang.Long]
     terms.distinct.foreach { th =>
       bucket(bucketOf(th)).get(th).foreach { postings =>
@@ -400,6 +405,26 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
   private def num(fmt: Double): String = String.format(
     java.util.Locale.ROOT, "%.6f", Double.box(fmt))
 
+  // numeric query params parse inside the BadRequest wrapper — a
+  // malformed k/exclude/nprobe/maxh is a client error (400), not a
+  // 500 with an exception string (r12 advice; vec and dhash/ahash
+  // already followed this pattern)
+  private def intParam(ex: HttpExchange, name: String, dflt: Int): Int =
+    queryParam(ex, name).map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new BadRequest(s"'$name' must be a 32-bit integer")
+      }
+    }.getOrElse(dflt)
+
+  private def longParam(ex: HttpExchange, name: String, dflt: Long): Long =
+    queryParam(ex, name).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new BadRequest(s"'$name' must be a 64-bit integer")
+      }
+    }.getOrElse(dflt)
+
   private def handler(route: HttpExchange => (Int, String)): HttpHandler =
     (ex: HttpExchange) => {
       val (code, body) =
@@ -418,8 +443,8 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
     queryParam(ex, "q").map(_.trim).filter(_.nonEmpty) match {
       case None => (400, """{"error":"missing required query parameter 'q'"}""")
       case Some(q) =>
-        val k = queryParam(ex, "k").map(_.toInt).getOrElse(5)
-        val exclude = queryParam(ex, "exclude").map(_.toLong).getOrElse(-1L)
+        val k = intParam(ex, "k", 5)
+        val exclude = longParam(ex, "exclude", -1L)
         val terms = q.split(" ", -1).toSeq
           .map(graft.operators.NearDup.tokenHash64)
         val results = bm25.search(terms, k, exclude).map {
@@ -439,8 +464,8 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
           catch { case _: NumberFormatException =>
             throw new BadRequest("vec must be a comma-separated double list")
           }
-        val k = queryParam(ex, "k").map(_.toInt).getOrElse(10)
-        val nProbe = queryParam(ex, "nprobe").map(_.toInt).getOrElse(4)
+        val k = intParam(ex, "k", 10)
+        val nProbe = intParam(ex, "nprobe", 4)
         val results = ivf.search(vec, k, nProbe).map { case (id, sim) =>
           s"""{"vec_id":$id,"sim":${num(sim)}}"""
         }
@@ -460,7 +485,7 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
           catch { case _: NumberFormatException =>
             throw new BadRequest("dhash/ahash must be signed 64-bit longs")
           }
-        val maxH = queryParam(ex, "maxh").map(_.toInt).getOrElse(3)
+        val maxH = intParam(ex, "maxh", 3)
         val results = sig.probe(dh, ah, maxH).map { case (m, hd, ha) =>
           s"""{"media_id":$m,"hamming":$hd,"a_hamming":$ha}"""
         }

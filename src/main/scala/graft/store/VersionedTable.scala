@@ -662,9 +662,14 @@ class VersionedTable(spark: SparkSession, root: String,
     * `keys` is a DRIVER-side list: takedown/retention sets are
     * catalog-sized (a legal request, an expired-source purge), the
     * same bounded-driver-state contract as Curation's source
-    * catalogs. The row filter is a literal NOT-IN over the key list
-    * (NULL keys are not supported — NOT IN over a NULL would drop
-    * every row of a touched file).
+    * catalogs. NULL keys are not supported in the DELETE LIST (NOT
+    * IN over a NULL would drop every row of a touched file), but
+    * NULL VALUES in the column are retained: the keep-predicate is
+    * explicitly `NOT isin(keys) OR isNull`, because a bare
+    * `!isin` evaluates to NULL (not true) on NULL-keyed rows and a
+    * copy-on-write rewrite would silently drop them from every
+    * touched file (r12 advice) — a delete must remove exactly the
+    * rows the predicate matches TRUE, nothing else.
     *
     * Semantics: publishes op `delete` whose manifest is
     * untouched ++ rewritten — earlier versions stay readable (time
@@ -701,7 +706,7 @@ class VersionedTable(spark: SparkSession, root: String,
         }
         if (touched.isEmpty) return v
         val kept = readFiles(m.schema, touched)
-          .filter(!col(keyCol).isin(keys: _*))
+          .filter(!col(keyCol).isin(keys: _*) || col(keyCol).isNull)
         val rewritten = writeData(kept)
         publishManifest("delete", untouched ++ rewritten,
           m.schema.getOrElse(kept.schema), txnId)

@@ -131,6 +131,46 @@ class SearchEndpointSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("malformed numeric params are 400s, not 500s; an empty-but-" +
+      "present index answers with no results instead of throwing") {
+    // fully-purged store shape: schema-only parquet, zero rows
+    val docs = Tables.load(spark, sf, "documents").limit(10)
+    val post = Retrieval.docTermStats(docs)
+    val emptyDir = Files.createTempDirectory("bm25-empty").toString
+    post.limit(0).coalesce(1).write.mode("overwrite").parquet(emptyDir)
+    val emptyTier = new Bm25SearchTier(spark, emptyDir)
+    assert(emptyTier.search(Seq(1L, 2L), k = 5) === Seq.empty)
+
+    val dir = Files.createTempDirectory("bm25-400").toString
+    SearchEndpoint.writeBm25Index(post, dir, nBuckets = 4)
+    val ivfDir = Files.createTempDirectory("ivf-400").toString
+    val emb = Tables.load(spark, sf, "embeddings").limit(32)
+    val (indexed, model) = IvfIndex.buildPivots(emb, nLists = 2)
+    SearchEndpoint.writeIvfIndex(indexed, ivfDir)
+    val sigDir = Files.createTempDirectory("sig-400").toString
+    SearchEndpoint.writeSignatureIndex(
+      Seq((1L, 5L, 7L)).toDF("media_id", "dhash", "ahash"), sigDir,
+      nBuckets = 4)
+    val ep = new SearchHttpEndpoint(
+      new Bm25SearchTier(spark, dir, nBuckets = 4),
+      new IvfSearchTier(spark, ivfDir, model),
+      new SigSearchTier(spark, sigDir, nBuckets = 4))
+    val port = ep.start()
+    try {
+      def code(path: String): Int = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try conn.getResponseCode finally conn.disconnect()
+      }
+      assert(code("/search?q=a&k=oops") === 400)
+      assert(code("/search?q=a&k=5&exclude=NaN") === 400)
+      assert(code("/ann?vec=0.5,0.5&nprobe=many") === 400)
+      assert(code("/ann?vec=0.5,0.5&k=") === 400)
+      assert(code("/neardup?dhash=5&ahash=7&maxh=x") === 400)
+      assert(code("/neardup?dhash=5&ahash=7&maxh=2") === 200)
+    } finally ep.stop()
+  }
+
   test("BM25 bucket LRU stays bounded and invalidate() refreshes the " +
       "corpus scalars after index growth") {
     val docs = Tables.load(spark, sf, "documents").limit(100)

@@ -69,6 +69,20 @@ class VersionedTableDeleteSpec extends SparkSpec {
     assert(vt.read().count() === 4L)
   }
 
+  test("NULL-keyed rows in a touched file survive the rewrite: the " +
+      "keep-predicate is NOT-isin OR isNull, not bare NOT-isin (which " +
+      "is NULL, hence dropped, on NULL keys)") {
+    val vt = fresh(statsCols = Seq("doc_id"))
+    // one file holding keyed rows AND a NULL-keyed row: no stats band
+    // covers NULL, so the file is conservatively touched by any delete
+    vt.commit(Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (null, "orphan")).toDF("doc_id", "text").coalesce(1))
+    vt.deleteKeys("doc_id", Seq(1L))
+    val rows = vt.read().select($"doc_id", $"text")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(rows === Set((Some(2L), "b"), (None, "orphan")))
+  }
+
   test("guards: empty and NULL key lists are rejected") {
     val vt = fresh()
     vt.commit(Seq((1L, "x")).toDF("doc_id", "text"))
