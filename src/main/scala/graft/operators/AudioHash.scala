@@ -88,12 +88,19 @@ object AudioHash {
   /** Exact int16 samples back out of a decoded payload (null when
     * unparseable or not a full clip): the parser's mono floats are
     * s/2¹⁵ exactly for 16-bit mono PCM, so `round(f·2¹⁵)` recovers
-    * the integers losslessly.
+    * the integers losslessly. Clips with MORE than [[nWindows]]
+    * windows are rejected too (the [[ImageHash]] grid-divisibility
+    * guard's audio analogue, r12 advice): dHash sets bit w via
+    * `1L << w`, so window 57+ would spill past the 56-bit pigeonhole
+    * banding design and at ≥ 65 windows the shift wraps mod 64 and
+    * aliases bits — better no signature than a corrupt, non-portable
+    * one that the banding still claims exactness for.
     */
   def samples(payload: Array[Byte]): Array[Int] = {
     val w = Multimodal.parseWav(payload)
     if (w == null || w.nChannels != 1 || w.bitsPerSample != 16 ||
-      w.mono.length % windowSize != 0 || w.mono.isEmpty) return null
+      w.mono.length % windowSize != 0 || w.mono.isEmpty ||
+      w.mono.length / windowSize > nWindows) return null
     w.mono.map(f => math.round(f * 32768f))
   }
 
@@ -222,11 +229,8 @@ object AudioHash {
        |       THEN (1::BIGINT << e.w) ELSE 0 END)::BIGINT AS ahash
        |   FROM e JOIN mn USING (media_id) GROUP BY e.media_id),
        | s AS (SELECT d.media_id, d.dhash, ah.ahash
-       |   FROM d JOIN ah USING (media_id))
-       |SELECT a.media_id AS media_a, b.media_id AS media_b,
-       |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming,
-       |  bit_count(xor(a.ahash, b.ahash))::INT AS a_hamming
-       |FROM s a JOIN s b ON a.media_id < b.media_id
-       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |   FROM d JOIN ah USING (media_id)),
+       |${ImageHash.pairCtesSql()}
+       |SELECT media_a, media_b, hamming, a_hamming FROM pr
        |ORDER BY media_a, media_b""".stripMargin
 }

@@ -5,7 +5,7 @@ import java.awt.image.BufferedImage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Parallel, Tables}
+import graft.core.{Parallel, Pin, Tables}
 
 /** PERCEPTUAL image near-duplication (VERDICT r11 #4) — extends the
   * dedup family to the multimodal column, which previously had
@@ -44,6 +44,26 @@ object ImageHash {
   val gridSide = 8
   val dBits: Int = gridSide * (gridSide - 1) // 56
   val chunks = 4 // 14-bit bands; supports Hamming ≤ chunks − 1
+  val bandBits: Int = dBits / chunks // 14
+  val bandMask: Long = (1L << bandBits) - 1
+
+  /** HOT-BAND frequency cap (r12 verdict #1): a (chunk, chunk_val)
+    * band shared by more signatures than this is dropped from the
+    * candidate self-join. Within one band the join is quadratic in
+    * band population, and real corpora have DEGENERATE bands —
+    * near-uniform images (solid backgrounds, black frames), silence
+    * in audio — where millions of media collapse onto identical
+    * dHash chunks and the self-join explodes. A band this populous is
+    * boilerplate media with no near-dup signal (the q122
+    * `maxFpDomains` / q133 cap-first argument on the media modality),
+    * so the cap bounds candidate rows at chunks·cap·|sig| while
+    * changing nothing on contentful corpora: LCG-style content puts
+    * ~|sig|/2^14 signatures per band (measured max 15/25/8 per band
+    * at sf0.1 on the image/audio/video fixtures). The constant is
+    * mirrored into every pair oracle ([[pairCtesSql]]) so the
+    * predicate stays engine-shared at any population.
+    */
+  val defaultMaxBandPop = 1024
 
   /** Integer luma grid: decode, millis-luma each pixel, box-mean to
     * `gridSide`². Returns null for undecodable payloads or
@@ -53,9 +73,14 @@ object ImageHash {
     */
   def lumaGrid(payload: Array[Byte]): Array[Int] = {
     if (payload == null || payload.isEmpty) return null
+    // NonFatal, not just IOException: corrupt payloads can throw
+    // RuntimeExceptions from plugin decoders (IndexOutOfBounds,
+    // CMMException) and the null-for-undecodable contract must hold
+    // for those too — one bad blob must not kill the stage (r12
+    // advice)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight
@@ -144,27 +169,71 @@ object ImageHash {
   def nearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     pairsFromSignatures(signatures(media), maxHamming)
 
-  /** The banded join over an existing `(media_id, dhash, ahash)`
-    * signature frame — split out so the recall spec can plant
-    * signatures at every Hamming distance and prove the pigeonhole
-    * candidate set is EXACT (≤ maxHamming always banded together;
-    * > maxHamming filtered by the verify).
+  /** One row per (signature, pigeonhole band): `(media_id, dhash,
+    * ahash, chunk, chunk_val)` — the shared banding of the pair
+    * self-join, the ingest gate, and the band-bucketed serving
+    * layout.
     */
-  def pairsFromSignatures(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < chunks, s"banding supports Hamming < $chunks")
+  def bandedSignatures(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
-    val bandBits = dBits / chunks
-    val banded = sig.select($"media_id", $"dhash", $"ahash",
+    sig.select($"media_id", $"dhash", $"ahash",
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
         expr(s"shiftrightunsigned(dhash, chunk * $bandBits)")
-          .bitwiseAND(lit((1L << bandBits) - 1)))
-    banded.as("a").join(banded.as("b"),
+          .bitwiseAND(lit(bandMask)))
+  }
+
+  /** The (chunk, chunk_val) bands whose population exceeds the cap —
+    * always a SMALL frame (each hot band collapses to one row), so
+    * the exclusion is a broadcast anti-join: hot rows drop map-side
+    * and never reach the candidate shuffle (the q147 HOT-set device).
+    */
+  def hotBands(sig: DataFrame, maxBandPop: Int = defaultMaxBandPop): DataFrame =
+    bandedSignatures(sig)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("band_pop"))
+      .filter(col("band_pop") > maxBandPop)
+
+  /** The candidate rows of the banded self-join AFTER the hot-band
+    * cap, NON-distinct (one row per shared kept band) — split out so
+    * the uniform-media spec can bound join volume directly: total
+    * candidates ≤ chunks·maxBandPop·|sig| by construction. The
+    * signature frame pins once ([[Pin.reuse]]) — it feeds the
+    * population count and both join sides, and without the pin a
+    * self-join over a decode subtree would re-decode the media per
+    * branch.
+    */
+  def bandPairCandidates(sig: DataFrame,
+      maxBandPop: Int = defaultMaxBandPop): DataFrame = {
+    import sig.sparkSession.implicits._
+    val s = Pin.reuse(sig)
+    val kept = bandedSignatures(s)
+      .join(broadcast(hotBands(s, maxBandPop)
+          .select(col("chunk"), col("chunk_val"))),
+        Seq("chunk", "chunk_val"), "left_anti")
+    kept.as("a").join(kept.as("b"),
         $"a.chunk" === $"b.chunk" && $"a.chunk_val" === $"b.chunk_val" &&
           $"a.media_id" < $"b.media_id")
       .select($"a.media_id".as("media_a"), $"b.media_id".as("media_b"),
         bit_count($"a.dhash".bitwiseXOR($"b.dhash")).as("hamming"),
         bit_count($"a.ahash".bitwiseXOR($"b.ahash")).as("a_hamming"))
+  }
+
+  /** The banded join over an existing `(media_id, dhash, ahash)`
+    * signature frame — split out so the recall spec can plant
+    * signatures at every Hamming distance and prove the pigeonhole
+    * candidate set is EXACT (≤ maxHamming always banded together;
+    * > maxHamming filtered by the verify). Exactness holds for every
+    * pair that shares at least one band UNDER the hot-band cap
+    * ([[defaultMaxBandPop]]) — pairs whose every shared band is hot
+    * are dropped by design (boilerplate media; the oracle applies the
+    * identical cap, [[pairCtesSql]]).
+    */
+  def pairsFromSignatures(sig: DataFrame, maxHamming: Int = 3,
+      maxBandPop: Int = defaultMaxBandPop): DataFrame = {
+    require(maxHamming < chunks, s"banding supports Hamming < $chunks")
+    import sig.sparkSession.implicits._
+    bandPairCandidates(sig, maxBandPop)
       .distinct() // pairs sharing >1 chunk appear once
       .filter($"hamming" <= maxHamming)
   }
@@ -184,15 +253,8 @@ object ImageHash {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < chunks, s"banding supports Hamming < $chunks")
     import corpusSig.sparkSession.implicits._
-    val bandBits = dBits / chunks
-    def band(df: DataFrame): DataFrame =
-      df.select($"media_id", $"dhash", $"ahash",
-          explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-        .withColumn("chunk_val",
-          expr(s"shiftrightunsigned(dhash, chunk * $bandBits)")
-            .bitwiseAND(lit((1L << bandBits) - 1)))
-    band(corpusSig).as("c")
-      .join(broadcast(band(probeSig).as("p")),
+    bandedSignatures(corpusSig).as("c")
+      .join(broadcast(bandedSignatures(probeSig).as("p")),
         $"c.chunk" === $"p.chunk" && $"c.chunk_val" === $"p.chunk_val")
       .select($"p.media_id".as("probe_id"), $"c.media_id".as("media_id"),
         bit_count($"c.dhash".bitwiseXOR($"p.dhash")).as("hamming"),
@@ -287,20 +349,42 @@ object ImageHash {
       .orderBy($"media_a", $"media_b")
   }
 
+  /** The banded pair join as SQL CTEs over a prior CTE
+    * `s(media_id, dhash, ahash)`, mirroring [[pairsFromSignatures]]
+    * INCLUDING the hot-band cap — the oracle evaluates the same
+    * banding, the same population predicate, and the same Hamming
+    * verify, so engine agreement holds at ANY band population, not
+    * just fixtures where no band is hot. Ends in
+    * `pr(media_a, media_b, hamming, a_hamming)`. Shared by the
+    * q154/q155/q158 pair oracles and the q156 cluster oracle.
+    */
+  def pairCtesSql(maxHamming: Int = 3,
+      maxBandPop: Int = defaultMaxBandPop): String =
+    s""" bd AS (SELECT media_id, dhash, ahash, ch.chunk,
+       |     (dhash >> (ch.chunk * $bandBits)) & $bandMask AS cv
+       |   FROM s, range($chunks) ch(chunk)),
+       | hotb AS (SELECT chunk, cv FROM bd
+       |   GROUP BY chunk, cv HAVING count(*) > $maxBandPop),
+       | kp AS (SELECT bd.* FROM bd ANTI JOIN hotb USING (chunk, cv)),
+       | pr AS (SELECT DISTINCT a.media_id AS media_a,
+       |     b.media_id AS media_b,
+       |     bit_count(xor(a.dhash, b.dhash))::INT AS hamming,
+       |     bit_count(xor(a.ahash, b.ahash))::INT AS a_hamming
+       |   FROM kp a JOIN kp b ON a.chunk = b.chunk AND a.cv = b.cv
+       |     AND a.media_id < b.media_id
+       |   WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming)""".stripMargin
+
   /** DuckDB oracle for [[q154ImageNearDup]]: predict each image's
     * 8×8 grid straight from [[lumaAt]] (a 2×2 box mean at base
     * resolution; the planted variants reproduce the base grid by
     * construction, so they share its media row formula keyed by
-    * doc), hash with the same bit layout, and emit ALL pairs at
-    * dHash Hamming ≤ 3 with exact bit arithmetic.
+    * doc), hash with the same bit layout, and emit pairs through the
+    * SAME capped banding ([[pairCtesSql]]) with exact bit arithmetic.
     */
   def oracleSql(resizeMod: Long = 17L, reencodeMod: Long = 29L): String =
-    s"""WITH ${hashCtesSql(resizeMod, reencodeMod)}
-       |SELECT a.media_id AS media_a, b.media_id AS media_b,
-       |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming,
-       |  bit_count(xor(a.ahash, b.ahash))::INT AS a_hamming
-       |FROM s a JOIN s b ON a.media_id < b.media_id
-       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    s"""WITH ${hashCtesSql(resizeMod, reencodeMod)},
+       |${pairCtesSql()}
+       |SELECT media_a, media_b, hamming, a_hamming FROM pr
        |ORDER BY media_a, media_b""".stripMargin
 
   /** The formula→grid→hash chain as CTEs over a source CTE `src`
@@ -445,9 +529,8 @@ object ImageHash {
   def clustersOracleSql(resizeMod: Long = 17L,
       reencodeMod: Long = 29L): String =
     s"""WITH RECURSIVE ${hashCtesSql(resizeMod, reencodeMod)},
-       | prs AS (SELECT a.media_id AS ma, b.media_id AS mb
-       |   FROM s a JOIN s b ON a.media_id < b.media_id
-       |   WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |${pairCtesSql()},
+       | prs AS (SELECT media_a AS ma, media_b AS mb FROM pr),
        | ed AS (SELECT ma AS sv, mb AS dv FROM prs
        |       UNION ALL SELECT mb, ma FROM prs),
        | reach AS (

@@ -302,12 +302,9 @@ object VideoHash {
        |       ELSE (1::BIGINT << (r * 8 + c)) END)::BIGINT AS ahash
        |   FROM ab GROUP BY media_id),
        | s AS (SELECT vd.media_id, vd.dhash, va.ahash
-       |   FROM vd JOIN va USING (media_id))
-       |SELECT a.media_id AS media_a, b.media_id AS media_b,
-       |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming,
-       |  bit_count(xor(a.ahash, b.ahash))::INT AS a_hamming
-       |FROM s a JOIN s b ON a.media_id < b.media_id
-       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |   FROM vd JOIN va USING (media_id)),
+       |${ImageHash.pairCtesSql()}
+       |SELECT media_a, media_b, hamming, a_hamming FROM pr
        |ORDER BY media_a, media_b""".stripMargin
   }
 }

@@ -49,6 +49,30 @@ class AudioHashSpec extends SparkSpec {
     assert(AudioHash.samples(truncated) === null)
   }
 
+  test("over-length clips are rejected: more than nWindows windows " +
+      "would push dHash bits past the 56-bit banding design (and wrap " +
+      "the shift mod 64 at >=65) — no signature beats a corrupt one") {
+    // minimal PCM16 mono RIFF with nWindows+1 whole windows
+    def wav(nSamp: Int): Array[Byte] = {
+      val data = nSamp * 2
+      val out = java.nio.ByteBuffer.allocate(44 + data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(data)
+      (0 until nSamp).foreach(i => out.putShort((i % 100).toShort))
+      out.array()
+    }
+    assert(AudioHash.samples(
+      wav((AudioHash.nWindows + 1) * AudioHash.windowSize)) === null)
+    // exactly nWindows windows still decodes
+    assert(AudioHash.samples(
+      wav(AudioHash.nWindows * AudioHash.windowSize)) !== null)
+  }
+
   test("q155 over the fixture corpus: every planted copy pairs with " +
       "its base at dHash Hamming 0 through the real path") {
     val docs = graft.core.Tables.load(spark, sf, "documents")

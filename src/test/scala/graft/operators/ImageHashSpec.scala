@@ -101,6 +101,47 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("hot-band cap bounds the candidate join on degenerate media: " +
+      "a planted block of uniform signatures (solid images / black " +
+      "frames collapse to one dhash) contributes ZERO candidates, " +
+      "real plants still pair, and total join rows stay <= " +
+      "chunks * cap * |sig|") {
+    val nUniform = 200
+    val cap = 50
+    // 200 identical signatures (dhash 0 = solid image) — every band is
+    // the same (chunk, 0) and holds all 200; uncapped this alone is
+    // 4 * C(200,2) = 79,600 join rows
+    val uniform = (0 until nUniform).map(i => (1000L + i, 0L, 0L))
+    // two contentful plants: a base and its Hamming-1 copy, far from 0
+    val base = 0x00a5_5a3c_9e17_42bbL & ((1L << 56) - 1)
+    val plants = Seq((1L, base, 7L), (2L, base ^ (1L << 20), 7L),
+      (3L, 0x003c_77e1_0b44_91d0L & ((1L << 56) - 1), 9L))
+    val sig = (uniform ++ plants).toDF("media_id", "dhash", "ahash")
+
+    val candidates = ImageHash.bandPairCandidates(sig, maxBandPop = cap)
+    val nCand = candidates.count()
+    // the uniform block's bands (population 200 > 50) are all dropped;
+    // only the plants' bands survive: base/copy share 3 of 4 bands
+    assert(nCand === 3L,
+      s"expected only the 3 shared plant bands, got $nCand")
+    assert(nCand <= ImageHash.chunks.toLong * cap * (nUniform + 3))
+
+    // pair semantics under the cap: uniform media emit NO pairs (by
+    // design — boilerplate has no near-dup signal), plants still pair
+    val got = ImageHash.pairsFromSignatures(sig, maxHamming = 3,
+        maxBandPop = cap)
+      .select($"media_a", $"media_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+
+    // at the DEFAULT cap the uniform block is below threshold and
+    // pairs normally — the cap only bites genuinely degenerate bands
+    val dflt = ImageHash.pairsFromSignatures(sig).count()
+    assert(dflt === (nUniform.toLong * (nUniform - 1) / 2) + 1L)
+
+    // hotBands reports exactly the 4 degenerate bands at cap 50
+    assert(ImageHash.hotBands(sig, cap).count() === ImageHash.chunks.toLong)
+  }
+
   private def pairs(df: DataFrame) =
     df.as[(Long, Long, Int, Int)].collect().toSeq
 
