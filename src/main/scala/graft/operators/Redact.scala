@@ -152,33 +152,53 @@ object Redact {
       .otherwise(lit(false))
   }
 
+  /** Exclusive class code per token — 1 card, 2 key, 3 entropy blob,
+    * 0 clean — evaluated ONCE per token (the `when` chain
+    * short-circuits, so the Luhn fold runs only on card-shaped
+    * tokens and each detector at most once). This is the single
+    * classification pass [[secretsScan]] and [[redactSecrets]] both
+    * ride: the r12 shape re-inlined the whole detector chain per
+    * counter (isCard ×3, isKey ×2 — interpreted, HOFs are
+    * CodegenFallback), tripling per-token work for nothing.
+    */
+  def classifyTokens(toks: Column): Column =
+    transform(toks, t =>
+      when(isCard(t), lit(1))
+        .when(isKey(t), lit(2))
+        .when(isEntropyBlob(t), lit(3))
+        .otherwise(lit(0)))
+
   /** Per-document secret counts by class over space-split tokens of
     * `textCol` — exclusive classes, precedence card > key > entropy.
+    * One classification pass; the three counters are `size(filter)`
+    * over the small class-code array, not re-runs of the detectors.
     */
-  def secretsScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
+  def secretsScan(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
+      .withColumn("_cls", classifyTokens(split(col(textCol), " ")))
       .withColumn("n_cards",
-        size(filter(toks, isCard(_))).cast("long"))
+        size(filter(col("_cls"), c => c === 1)).cast("long"))
       .withColumn("n_keys",
-        size(filter(toks, t => !isCard(t) && isKey(t))).cast("long"))
+        size(filter(col("_cls"), c => c === 2)).cast("long"))
       .withColumn("n_entropy",
-        size(filter(toks, t =>
-          !isCard(t) && !isKey(t) && isEntropyBlob(t))).cast("long"))
-  }
+        size(filter(col("_cls"), c => c === 3)).cast("long"))
+      .drop("_cls")
 
   /** Mask every detected secret token with its class placeholder —
     * the action half of the scan (post-redaction rescan is all-zero;
-    * spec-pinned).
+    * spec-pinned). Shares [[classifyTokens]]: tokens and their class
+    * codes zip positionally.
     */
-  def redactSecrets(text: Column): Column =
+  def redactSecrets(text: Column): Column = {
+    val toks = split(text, " ")
     array_join(
-      transform(split(text, " "), t =>
-        when(isCard(t), lit("[CARD]"))
-          .when(isKey(t), lit("[KEY]"))
-          .when(isEntropyBlob(t), lit("[SECRET]"))
+      zip_with(toks, classifyTokens(toks), (t, c) =>
+        when(c === 1, lit("[CARD]"))
+          .when(c === 2, lit("[KEY]"))
+          .when(c === 3, lit("[SECRET]"))
           .otherwise(t)),
       " ")
+  }
 
   // -- q157 fixture: planted secrets derived from doc_id ------------
 
