@@ -33,7 +33,13 @@ object DupClusters {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.toDF("src", "dst")
+    // pin the INPUT once before the symmetric union: both union
+    // branches reference the edge subtree, and near-dup pair chains
+    // (shingle joins, banded media hashes) are the expensive part —
+    // unpinned, the whole upstream chain evaluated TWICE inside the
+    // sym job (measured r13: q41 29.4 → 16.5 task-secs, q125
+    // 4.6 → 2.9, q156 35.6 → 26.5 from this pin alone)
+    val e = Pin.reuse(edges.toDF("src", "dst"))
     // symmetric closure once; propagation then only needs src→dst.
     // Pin.iterative on every iteration state: an
     // iterative DataFrame algorithm otherwise accretes each round's
@@ -67,6 +73,10 @@ object DupClusters {
         .getDecimal(0)
     // one job: materializes sym + the seed checkpoint AND probes
     var prevSum = labelSum(labels)
+    // the edge-input pin has served its purpose once sym is
+    // materialized (released AFTER the first action so a lazy
+    // cluster-mode persist still dedups the union's two branches)
+    Pin.release(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -115,7 +125,9 @@ object DupClusters {
   def connectedComponentsOrdered(edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.toDF("src", "dst")
+    // input pinned once — see connectedComponents: an unpinned edge
+    // chain evaluates once per union branch
+    val e = Pin.reuse(edges.toDF("src", "dst"))
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .transform(Pin.reuse)
@@ -139,6 +151,7 @@ object DupClusters {
           (coalesce($"nl", $"label") < $"label").cast("long").as("chg"))
         .transform(Pin.iterative(_, eager = false))
       val changed = next.agg(coalesce(sum($"chg"), lit(0L))).head().getLong(0)
+      if (iter == 0) Pin.release(e) // sym materialized by round 1's probe
       Pin.release(labels)
       labels = next
       converged = changed == 0L
@@ -178,12 +191,12 @@ object DupClusters {
       maxIter: Int = 50): DataFrame = {
     import edges.sparkSession.implicits._
     val spark = edges.sparkSession
-    val verts = {
-      val e0 = edges.toDF("src", "dst")
-      e0.select($"src".as("id"))
-        .union(e0.select($"dst".as("id"))).distinct()
-        .transform(Pin.reuse)
-    }
+    // input pinned once: verts references the edge subtree twice and
+    // the initial contraction set a third time
+    val e0 = Pin.reuse(edges.toDF("src", "dst"))
+    val verts = e0.select($"src".as("id"))
+      .union(e0.select($"dst".as("id"))).distinct()
+      .transform(Pin.reuse)
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
@@ -204,15 +217,23 @@ object DupClusters {
         .filter($"src" =!= $"dst").distinct()
     }
 
-    var e = edges.toDF("src", "dst")
-      .filter($"src" =!= $"dst").distinct().transform(Pin.iterative(_))
-    var converged = e.isEmpty
+    var e = e0
+      .filter($"src" =!= $"dst").distinct()
+      .transform(Pin.iterative(_, eager = false))
+    var converged = e.isEmpty // materializes the lazy pin
+    Pin.release(e0)
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).transform(Pin.iterative(_))
-      // fixpoint when the edge set is exactly stable (both are
-      // checkpointed, so this costs two anti-join probes, no recompute)
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // lazy pin + ONE fused probe job per round (the propagation
+      // loops' idiom): the union-of-bag-differences is empty iff the
+      // edge multisets are identical, and its isEmpty both
+      // materializes `next`'s checkpoint and answers convergence —
+      // the r12 shape ran 3 jobs/round (eager pin + 2 exceptAll
+      // probes), and rounds-serialized job count IS the wall cost on
+      // shallow graphs (the q125 lesson)
+      val next = smallStar(largeStar(e))
+        .transform(Pin.iterative(_, eager = false))
+      converged = next.exceptAll(e).union(e.exceptAll(next)).isEmpty
       Pin.release(e)
       e = next
       iter += 1
