@@ -41,6 +41,14 @@ import graft.core.{Parallel, Pin, Tables}
   */
 object ImageHash {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode —
+  // under a 32-way per-partition fan that is one filesystem
+  // create+write+delete per image, serialized on the tmp dir. All
+  // graft payloads are in-memory byte arrays, so the heap cache is
+  // strictly better (JVM-global; also set by Multimodal for the
+  // decode-first paths).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val gridSide = 8
   val dBits: Int = gridSide * (gridSide - 1) // 56
   val chunks = 4 // 14-bit bands; supports Hamming ≤ chunks − 1

@@ -27,6 +27,12 @@ import graft.core.Tables
   */
 object Multimodal {
 
+  // heap-backed ImageIO streams: the default cache writes a TEMP FILE
+  // per encode/decode — a filesystem round-trip per image under the
+  // per-partition fan (see ImageHash; JVM-global, set in both objects
+  // so either init order covers it)
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
