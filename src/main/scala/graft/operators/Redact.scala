@@ -184,6 +184,91 @@ object Redact {
         size(filter(col("_cls"), c => c === 3)).cast("long"))
       .drop("_cls")
 
+  // -- typed classifier (the q122 idiom) ----------------------------
+  //
+  // The Column classifier above keeps the scan composable (redaction,
+  // streaming legs, ad-hoc projections), but HOFs are CodegenFallback:
+  // every token walks an interpreted expression tree. The counting
+  // query (q157) only needs three Longs per document, so it runs the
+  // SAME classification as a typed per-partition loop over JVM
+  // primitives — compiled, allocation-light, and differentially
+  // spec-pinned against the Column form (SecretsScanSpec) so the two
+  // implementations cannot drift.
+
+  private val cardPat = java.util.regex.Pattern.compile(cardRe)
+  private val keyPat = java.util.regex.Pattern.compile(keyRe)
+  private val charsetPat = java.util.regex.Pattern.compile(charsetRe)
+
+  /** Luhn checksum, Scala form of [[luhnSum]]: position i (1-based
+    * from the left) doubled iff (len − i) is odd.
+    */
+  private def luhnSumScala(t: String): Long = {
+    var sum = 0L
+    var i = 0
+    val n = t.length
+    while (i < n) {
+      val d = (t.charAt(i) - '0').toLong
+      sum +=
+        (if ((n - (i + 1)) % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd }
+         else d)
+      i += 1
+    }
+    sum
+  }
+
+  /** Scala form of [[isEntropyBlob]]: charset + length window + the
+    * exact µbit Shannon test over the shared tick table.
+    */
+  private def isEntropyBlobScala(t: String): Boolean = {
+    val n = t.length
+    if (n < entropyMinLen || n > entropyMaxLen ||
+      !charsetPat.matcher(t).matches()) return false
+    // charset is ASCII by the regex gate — count into a dense array
+    val counts = new Array[Int](128)
+    var i = 0
+    while (i < n) { counts(t.charAt(i)) += 1; i += 1 }
+    var micro = 0L
+    var c = 0
+    while (c < 128) {
+      val k = counts(c)
+      if (k > 0) micro += k.toLong * (log2Ticks(n - 1) - log2Ticks(k - 1))
+      c += 1
+    }
+    micro >= entropyFloorMicroBits * n
+  }
+
+  /** Scala mirror of the [[classifyTokens]] per-token CASE — 1 card,
+    * 2 key, 3 entropy blob, 0 clean, same precedence (a Luhn-failing
+    * card-shaped token falls through to the later detectors, exactly
+    * like the Column CASE), same Luhn fold, same tick table.
+    */
+  def classifyToken(t: String): Int =
+    if (cardPat.matcher(t).matches() && luhnSumScala(t) % 10 == 0) 1
+    else if (keyPat.matcher(t).matches()) 2
+    else if (isEntropyBlobScala(t)) 3
+    else 0
+
+  /** (n_cards, n_keys, n_entropy) of a document — the typed counting
+    * pass over space-split tokens.
+    */
+  def secretsCounts(text: String): (Long, Long, Long) = {
+    var c = 0L; var k = 0L; var e = 0L
+    if (text != null) {
+      val toks = text.split(" ", -1)
+      var i = 0
+      while (i < toks.length) {
+        classifyToken(toks(i)) match {
+          case 1 => c += 1
+          case 2 => k += 1
+          case 3 => e += 1
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    (c, k, e)
+  }
+
   /** Mask every detected secret token with its class placeholder —
     * the action half of the scan (post-redaction rescan is all-zero;
     * spec-pinned). Shares [[classifyTokens]]: tokens and their class
@@ -288,9 +373,17 @@ object Redact {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("text", plantedText($"doc_id", $"text"))
-    secretsScan(docs)
-      .filter($"n_cards" + $"n_keys" + $"n_entropy" > 0)
-      .select($"doc_id", $"lang", $"n_cards", $"n_keys", $"n_entropy")
+    // the typed counting pass (classifyToken) — compiled JVM loop over
+    // primitives where the Column classifier walks an interpreted HOF
+    // tree per token; differentially pinned ≡ secretsScan in the spec
+    docs.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, lang, text) =>
+        val (c, k, e) = secretsCounts(text)
+        if (c + k + e > 0) Iterator.single((id, lang, c, k, e))
+        else Iterator.empty
+      })
+      .toDF("doc_id", "lang", "n_cards", "n_keys", "n_entropy")
       .orderBy($"doc_id")
   }
 

@@ -99,6 +99,38 @@ class SecretsScanSpec extends SparkSpec {
       ((0L, 0L, 0L)))
   }
 
+  test("typed classifier == Column classifier: classifyToken agrees " +
+      "with secretsScan per document over the full planted corpus, " +
+      "and on every crafted boundary token") {
+    // unit boundary tokens, including the negative controls
+    val body = "123456789012345"
+    val check = (0 to 9).map(_.toString).find(c => luhnOk(body + c)).get
+    val bad = ((check.toInt - '0' + 1) % 10).toString
+    val tokens = Seq(
+      body + check, body + bad, "123456789012", "1234567890123456789",
+      "gk_" + "Ab9" * 8, "GK_" + "Ab9" * 8, "g_" + "Ab9" * 8,
+      "abcdefghij0123456789klmn", "z" * 24, "z" * 19,
+      "plain", "", "with-dash-" * 3)
+    for (t <- tokens) {
+      val col = Seq(Tuple1(Seq(t))).toDF("toks")
+        .select(Redact.classifyTokens($"toks").getItem(0)).head().getInt(0)
+      assert(Redact.classifyToken(t) === col, s"token '$t'")
+    }
+    // corpus-wide differential: typed counts == Column counts on the
+    // planted fixture (the two implementations cannot drift unseen)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select($"doc_id", Redact.plantedText($"doc_id", $"text").as("text"))
+    val colCounts = Redact.secretsScan(docs)
+      .select($"doc_id", $"n_cards", $"n_keys", $"n_entropy")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val typed = docs.as[(Long, String)].collect().sortBy(_._1).toSeq
+      .map { case (id, text) =>
+        val (c, k, e) = Redact.secretsCounts(text)
+        (id, c, k, e)
+      }
+    assert(typed === colCounts)
+  }
+
   test("q157 planted corpus: every planted class is found on its " +
       "doc-id lattice, the Luhn-invalid and zero-entropy plants " +
       "never count, and clean docs emit no row") {
