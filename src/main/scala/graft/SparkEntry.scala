@@ -239,6 +239,10 @@ object SparkEntry {
       Markdown.q162DupCodeCells(s, d)),
     "q163_pipe_tables" -> ((s: SparkSession, d: String) =>
       Markdown.q163PipeTables(s, d)),
+    "q164_md_sections" -> ((s: SparkSession, d: String) =>
+      Markdown.q164MdSections(s, d)),
+    "q165_md_section_packing" -> ((s: SparkSession, d: String) =>
+      Markdown.q165MdSectionPacking(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1860,6 +1864,14 @@ object SparkEntry {
     // multiline anchors) over planted tables; the separator-less
     // header plant proves pipe syntax alone is not a table.
     "q163_pipe_tables" -> Markdown.tablesOracleSql,
+    // q164: markdown section segmentation — the q149 heading split on
+    // the ATX `#` grammar, fence-protected (a `#` line inside a
+    // planted code fence never opens a section); empty-section and
+    // empty-preamble negative controls
+    "q164_md_sections" -> Markdown.sectionsOracleSql,
+    // q165: markdown sections through the SHARED next-fit packer
+    // (q46/q150's recursive-scan oracle over the q164 section CTEs)
+    "q165_md_section_packing" -> Markdown.sectionPackingOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -366,6 +366,200 @@ object Markdown {
        |ORDER BY doc_id, table_idx""".stripMargin
   }
 
+  // -- q164/q165: heading-based section segmentation + packing -------
+
+  /** ATX heading boundary: a newline followed by 1-6 `#` and a
+    * space. The text is prefixed with one newline before splitting,
+    * so a heading at position 0 still opens a section; no multiline
+    * anchors, no lookarounds (the split CONSUMES the boundary, which
+    * is fine — the heading text is the piece's first line).
+    */
+  val headingSplitRe = "\\n#{1,6} "
+
+  /** SECTION SEGMENTATION for markdown (the q149 HTML analog on the
+    * `#`-heading grammar): split each document at ATX heading lines
+    * into (doc_id, section_idx, heading, content, n_tokens) — idx 0
+    * is the preamble (empty heading), each later section carries its
+    * heading line's text and everything up to the next heading.
+    *
+    * FENCE-AWARE: closed code fences are replaced by a ` [CODE] `
+    * placeholder BEFORE splitting (the shared [[fenceRe]]), so a `#`
+    * line inside a fenced block never opens a section — the code
+    * cells themselves are [[codeFences]]' output, extracted
+    * separately exactly as a code-corpus pipeline does (prose
+    * segments feed the packer; cells feed dedup). Pure per-row
+    * projection + one generator, zero shuffles, same scale shape as
+    * q149; empty-preamble rows drop, empty-bodied heading sections
+    * survive with n_tokens 0 (the packer's own filter decides).
+    */
+  def sections(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val noFence = regexp_replace(col(textCol), fenceRe, " [CODE] ")
+    docs
+      .withColumn("_sec", split(concat(lit("\n"), noFence), headingSplitRe))
+      .select(col("doc_id"), posexplode($"_sec"))
+      .withColumn("heading",
+        when($"pos" > 0, regexp_extract($"col", "^([^\n]*)", 1))
+          .otherwise(lit("")))
+      .withColumn("content", trim(regexp_replace(
+        when($"pos" > 0, regexp_replace($"col", "^[^\n]*(\n|$)", ""))
+          .otherwise($"col"),
+        "\\s+", " ")))
+      .filter($"pos" > 0 || $"content" =!= "")
+      .select($"doc_id", $"pos".cast("long").as("section_idx"),
+        $"heading", $"content",
+        when($"content" === "", lit(0L))
+          .otherwise(size(split($"content", " ", -1)).cast("long"))
+          .as("n_tokens"))
+  }
+
+  /** Deterministic sectioned markdown: the doc's tokens dealt into
+    * three headed parts (levels ##/###/# — the split is level-blind)
+    * behind a preamble, plus the negative controls: an EMPTY section
+    * (heading directly followed by the next heading) for every 5th
+    * doc, and for every 6th doc a fenced code block whose body
+    * contains a `# fake`-heading line — fence protection must keep it
+    * ONE token (`[CODE]`) of the last section, not a section of its
+    * own.
+    */
+  def plantedSections(id: Column, text: Column): Column = {
+    val toks = split(coalesce(text, lit("")), " ", -1)
+    val nt = size(toks)
+    val k = ((nt - nt % 3) / lit(3)).cast("int")
+    concat(
+      lit("Doc "), id.cast("string"), lit(" intro"),
+      lit("\n## Part 1 of doc "), id.cast("string"), lit("\n"),
+      array_join(slice(toks, lit(1), k), " "),
+      lit("\n### Part 2 of doc "), id.cast("string"), lit("\n"),
+      array_join(slice(toks, k + 1, k), " "),
+      when(id % 5 === 0,
+        concat(lit("\n## Empty section "), id.cast("string")))
+        .otherwise(lit("")),
+      lit("\n# Part 3 of doc "), id.cast("string"), lit("\n"),
+      array_join(slice(toks, k * 2 + 1, nt - k * 2), " "),
+      when(id % 6 === 0,
+        lit("\n```python\nx = 1\n# fake heading in code\n```"))
+        .otherwise(lit("")))
+  }
+
+  /** Q164 — markdown section segmentation over the planted corpus:
+    * every headed part reports its heading text and token count, the
+    * %5 empty-section plant yields a 0-token row, and the %6
+    * fenced fake heading NEVER yields a section (its fence collapses
+    * to one `[CODE]` token inside Part 3).
+    */
+  def q164MdSections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedSections($"doc_id", $"text"))
+    sections(docs).orderBy($"doc_id", $"section_idx")
+  }
+
+  /** The q164 fixture + segmentation chain as CTEs ending in
+    * `n(doc_id, section_idx, heading, content)` — shared by the q164
+    * oracle and the q165 section-packing oracle (the
+    * q149/q150 CTE-sharing pattern on the markdown grammar).
+    */
+  def sectionCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+       |   FROM documents),
+       | md AS (SELECT doc_id,
+       |    'Doc ' || doc_id::VARCHAR || ' intro' ||
+       |    chr(10) || '## Part 1 of doc ' || doc_id::VARCHAR || chr(10) ||
+       |      coalesce(array_to_string(ts[1:k], ' '), '') ||
+       |    chr(10) || '### Part 2 of doc ' || doc_id::VARCHAR || chr(10) ||
+       |      coalesce(array_to_string(ts[k+1:2*k], ' '), '') ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN chr(10) || '## Empty section ' || doc_id::VARCHAR
+       |      ELSE '' END ||
+       |    chr(10) || '# Part 3 of doc ' || doc_id::VARCHAR || chr(10) ||
+       |      coalesce(array_to_string(ts[2*k+1:len(ts)], ' '), '') ||
+       |    CASE WHEN doc_id % 6 = 0
+       |      THEN chr(10) || '``' || '`python' || chr(10) || 'x = 1' ||
+       |        chr(10) || '# fake heading in code' || chr(10) || '``' || '`'
+       |      ELSE '' END AS text
+       |  FROM (SELECT doc_id, ts,
+       |      ((len(ts) - len(ts) % 3) // 3)::INT AS k FROM t)),
+       | nf AS (SELECT doc_id,
+       |    chr(10) || regexp_replace(text, '$fenceRe', ' [CODE] ', 'g') AS x
+       |  FROM md),
+       | sp AS (SELECT doc_id, u.p - 1 AS section_idx, u.s AS piece
+       |   FROM (SELECT doc_id, unnest(list_transform(
+       |       range(1, len(secs) + 1),
+       |       i -> struct_pack(p := i, s := secs[i]))) AS u
+       |     FROM (SELECT doc_id,
+       |         string_split_regex(x, '$headingSplitRe') AS secs
+       |       FROM nf) q)),
+       | n AS (SELECT doc_id, section_idx,
+       |    (CASE WHEN section_idx > 0
+       |      THEN regexp_extract(piece, '^([^\\n]*)', 1) ELSE '' END)
+       |      AS heading,
+       |    trim(regexp_replace(
+       |      (CASE WHEN section_idx > 0
+       |       THEN regexp_replace(piece, '^[^\\n]*(\\n|$$)', '')
+       |       ELSE piece END),
+       |      '\\s+', ' ', 'g')) AS content
+       |  FROM sp)""".stripMargin
+
+  /** DuckDB oracle for [[q164MdSections]] — same fixture expression,
+    * fence strip, split boundary and first-line arithmetic.
+    */
+  def sectionsOracleSql: String =
+    s"""WITH $sectionCtesSql
+       |SELECT doc_id, section_idx::BIGINT AS section_idx, heading,
+       |  content,
+       |  (CASE WHEN content = '' THEN 0
+       |   ELSE len(string_split(content, ' ')) END)::BIGINT AS n_tokens
+       |FROM n WHERE section_idx > 0 OR content <> ''
+       |ORDER BY doc_id, section_idx""".stripMargin
+
+  /** Q165 — markdown sections packed into 64-token training
+    * sequences by the shared next-fit rule ([[SequencePacking.pack]])
+    * — the markdown corpus now feeds the same segment→pack leg HTML
+    * corpora feed through q149→q150. Zero-token sections (the empty
+    * plant) drop before packing, q150's determinism guard.
+    */
+  def q165MdSectionPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedSections($"doc_id", $"text"))
+    val chunks = sections(docs)
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"section_idx".as("chunk_id"),
+        $"n_tokens".as("chunk_tokens"))
+    SequencePacking.pack(chunks, maxTokens = 64)
+      .orderBy($"grp", $"doc_id", $"chunk_id")
+  }
+
+  /** DuckDB oracle for [[q165MdSectionPacking]] — the shared q164
+    * section chain feeding the q46/q150 recursive next-fit scan.
+    */
+  def sectionPackingOracleSql(maxTokens: Long = 64L,
+      nGroups: Int = 32): String =
+    s"""WITH RECURSIVE $sectionCtesSql,
+       | c0 AS (SELECT doc_id, section_idx::BIGINT AS chunk_id,
+       |    len(string_split(content, ' '))::BIGINT AS chunk_tokens
+       |  FROM n WHERE content <> ''),
+       | g AS (SELECT doc_id, chunk_id, chunk_tokens,
+       |   ((((doc_id % 2147483648) * 2654435761) % 2147483648)
+       |     % $nGroups)::INT AS grp
+       | FROM c0),
+       | o AS (SELECT *, row_number() OVER (
+       |   PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn FROM g),
+       | pk AS (
+       |   SELECT grp, rn, doc_id, chunk_id, chunk_tokens,
+       |     0::BIGINT AS bin, chunk_tokens AS bin_fill
+       |   FROM o WHERE rn = 1
+       |   UNION ALL
+       |   SELECT c.grp, c.rn, c.doc_id, c.chunk_id, c.chunk_tokens,
+       |     CASE WHEN p.bin_fill + c.chunk_tokens > $maxTokens
+       |          THEN p.bin + 1 ELSE p.bin END,
+       |     CASE WHEN p.bin_fill + c.chunk_tokens > $maxTokens
+       |          THEN c.chunk_tokens ELSE p.bin_fill + c.chunk_tokens END
+       |   FROM o c JOIN pk p ON c.grp = p.grp AND c.rn = p.rn + 1)
+       |SELECT doc_id, chunk_id, chunk_tokens, grp, bin, bin_fill FROM pk
+       |ORDER BY grp, doc_id, chunk_id""".stripMargin
+
   /** DuckDB oracle for [[q160CodeFences]] — same plants (chr(10)
     * newlines), same regex, match index via zipped unnests, body
     * fingerprint via the shared [[TextAnalysis.fingerprintSql]].

@@ -145,4 +145,93 @@ class MarkdownSpec extends SparkSpec {
     // absent from the output — the negative control actually ran
     assert(ids.exists(id => id % 15 == 0 && id % 6 != 0 && id % 10 != 0))
   }
+
+  test("sections: heading split with preamble at idx 0, heading text " +
+      "and token counts exact; a # line inside a closed fence never " +
+      "opens a section and the fence collapses to one [CODE] token") {
+    val docs = Seq(
+      (1L, "intro words\n## Alpha\none two three\n# Beta\nfour five"),
+      // heading at position 0: no preamble row
+      (2L, "# Top\nonly body"),
+      // fake heading protected by a fence; fence becomes [CODE]
+      (3L, "start\n# Real\nbefore ```python\nx = 1\n# fake\n``` after"),
+      // empty-bodied section between two headings
+      (4L, "pre\n## Empty\n## Full\nbody here"))
+      .toDF("doc_id", "text")
+    val got = Markdown.sections(docs)
+      .orderBy($"doc_id", $"section_idx")
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 0L, "", "intro words", 2L),
+      (1L, 1L, "Alpha", "one two three", 3L),
+      (1L, 2L, "Beta", "four five", 2L)))
+    assert(got.filter(_._1 == 2L) === Seq(
+      (2L, 1L, "Top", "only body", 2L)))
+    // doc 3: ONE heading section; the fenced # never splits and the
+    // fence text is the placeholder token
+    assert(got.filter(_._1 == 3L) === Seq(
+      (3L, 0L, "", "start", 1L),
+      (3L, 1L, "Real", "before [CODE] after", 3L)))
+    assert(got.filter(_._1 == 4L) === Seq(
+      (4L, 0L, "", "pre", 1L),
+      (4L, 1L, "Empty", "", 0L),
+      (4L, 2L, "Full", "body here", 2L)))
+  }
+
+  test("q164 planted corpus: three headed parts per doc with exact " +
+      "token counts, the %5 empty section reports 0 tokens, and the " +
+      "%6 fenced fake heading never yields a section") {
+    val rows = Markdown.q164MdSections(spark, sf)
+      .as[(Long, Long, String, String, Long)].collect()
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // token count the way the operator normalizes: join, squeeze
+    // whitespace, trim, split — robust to empty-token edges
+    def cnt(parts: Seq[String]): Long = {
+      val j = parts.mkString(" ").replaceAll("\\s+", " ").trim
+      if (j.isEmpty) 0L else j.split(" ").length.toLong
+    }
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1).toSeq
+      val nt = toks.length
+      val k = (nt - nt % 3) / 3
+      val got = rows.filter(_._1 == id).sortBy(_._2)
+      val headings = got.map(_._3).toSeq
+      val wantHeadings =
+        Seq("", s"Part 1 of doc $id", s"Part 2 of doc $id") ++
+          (if (id % 5 == 0) Seq(s"Empty section $id") else Nil) ++
+          Seq(s"Part 3 of doc $id")
+      assert(headings === wantHeadings, s"doc $id")
+      assert(got.head._4 === s"Doc $id intro")
+      val part3 = toks.drop(2 * k) ++
+        (if (id % 6 == 0) Seq("[CODE]") else Nil)
+      val wantCounts =
+        Seq(3L, cnt(toks.take(k)), cnt(toks.slice(k, 2 * k))) ++
+          (if (id % 5 == 0) Seq(0L) else Nil) ++
+          Seq(cnt(part3))
+      assert(got.map(_._5).toSeq === wantCounts, s"doc $id")
+      if (id % 6 == 0) {
+        assert(got.last._4.endsWith("[CODE]"), s"doc $id")
+        assert(!got.exists(_._3.contains("fake")), s"doc $id")
+      }
+    }
+  }
+
+  test("q165 packing: bins respect the 64-token budget with next-fit " +
+      "semantics per group; zero-token sections never pack") {
+    val got = Markdown.q165MdSectionPacking(spark, sf)
+      .as[(Long, Long, Long, Int, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 > 0L)) // empty sections dropped
+    // replay next-fit per group in (doc_id, chunk_id) order
+    got.groupBy(_._4).foreach { case (grp, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(r => (r._1, r._2))
+      var bin = 0L; var fill = 0L
+      rows.foreach { case (d, c, n, _, gotBin, gotFill) =>
+        if (fill > 0 && fill + n > 64L) { bin += 1; fill = 0L }
+        fill += n
+        assert(gotBin === bin && gotFill === fill, s"grp $grp doc $d chunk $c")
+      }
+    }
+  }
 }
