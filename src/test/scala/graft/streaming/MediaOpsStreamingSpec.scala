@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
-import graft.operators.{AudioHash, ImageHash, Redact, VideoHash}
+import graft.operators.{AudioHash, ImageHash, Markdown, Redact, VideoHash}
 
 /** The r12 media/curation operators — perceptual signatures over all
   * three modalities and the secrets scan — are stateless projections,
@@ -69,5 +69,52 @@ class MediaOpsStreamingSpec extends SparkSpec {
     // the stream found the plants, not vacuous zeros
     assert(exp.selectExpr("sum(n_cards + n_keys + n_entropy)")
       .head().getLong(0) > 0)
+  }
+
+  test("the markdown structural ops — fences, links, tables, " +
+      "sections — run unchanged on a document stream, with plants " +
+      "split across TWO micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one planted corpus carrying every op's fixtures
+    val docs = (0L to 60L).map(i => (i, "plain tokens here"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        Markdown.plantedSections($"doc_id",
+          Markdown.plantedTables($"doc_id",
+            Markdown.plantedLinks($"doc_id",
+              Markdown.plantedMarkdown($"doc_id", $"text")))).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val (batch1, batch2) = docs.splitAt(docs.length / 2)
+
+    def twoBatchDrain(
+        op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String) = {
+      val ms = MemoryStream[(Long, String)]
+      val q = op(ms.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          s"$name did not see two non-empty micro-batches")
+      } finally q.stop()
+      spark.table(name)
+    }
+
+    val batch = docs.toDF("doc_id", "text")
+    agree(twoBatchDrain(Markdown.codeFences(_), "s_md_fences"),
+      Markdown.codeFences(batch))
+    agree(twoBatchDrain(Markdown.extractLinks(_), "s_md_links"),
+      Markdown.extractLinks(batch))
+    agree(twoBatchDrain(Markdown.pipeTables(_), "s_md_tables"),
+      Markdown.pipeTables(batch))
+    agree(twoBatchDrain(Markdown.sections(_), "s_md_sections"),
+      Markdown.sections(batch))
+    // non-vacuous: every op found its plants
+    assert(Markdown.codeFences(batch).count() > 0)
+    assert(Markdown.extractLinks(batch).count() > 0)
+    assert(Markdown.pipeTables(batch).count() > 0)
+    assert(Markdown.sections(batch).count() > 0)
   }
 }
