@@ -243,6 +243,10 @@ object SparkEntry {
       Markdown.q164MdSections(s, d)),
     "q165_md_section_packing" -> ((s: SparkSession, d: String) =>
       Markdown.q165MdSectionPacking(s, d)),
+    "q166_heading_census" -> ((s: SparkSession, d: String) =>
+      Markdown.q166HeadingCensus(s, d)),
+    "q167_mime_sniff" -> ((s: SparkSession, d: String) =>
+      Multimodal.q167MimeSniff(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1872,6 +1876,14 @@ object SparkEntry {
     // q165: markdown sections through the SHARED next-fit packer
     // (q46/q150's recursive-scan oracle over the q164 section CTEs)
     "q165_md_section_packing" -> Markdown.sectionPackingOracleSql(),
+    // q166: heading hierarchy census — the q164 headings as MATCHES
+    // with their `#`-run level and dedup fingerprint; fence-protected
+    // by the same strip
+    "q166_heading_census" -> Markdown.headingCensusOracleSql,
+    // q167: magic-byte MIME sniffing + declared-type mismatch audit —
+    // the oracle derives declared AND detected from the id lattice;
+    // the real sniff runs over real codec output (PNG/BMP/WAVE/AVI)
+    "q167_mime_sniff" -> Multimodal.mimeSniffOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

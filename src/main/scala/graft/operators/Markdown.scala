@@ -455,12 +455,12 @@ object Markdown {
     sections(docs).orderBy($"doc_id", $"section_idx")
   }
 
-  /** The q164 fixture + segmentation chain as CTEs ending in
-    * `n(doc_id, section_idx, heading, content)` — shared by the q164
-    * oracle and the q165 section-packing oracle (the
-    * q149/q150 CTE-sharing pattern on the markdown grammar).
+  /** The q164 fixture + fence strip as CTEs ending in
+    * `nf(doc_id, x)` (x = chr(10)-prefixed, fence-stripped text) —
+    * shared by the q164/q165 section chain and the q166 heading
+    * census.
     */
-  def sectionCtesSql: String =
+  def mdFixtureCtesSql: String =
     s"""t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
        |   FROM documents),
        | md AS (SELECT doc_id,
@@ -482,7 +482,15 @@ object Markdown {
        |      ((len(ts) - len(ts) % 3) // 3)::INT AS k FROM t)),
        | nf AS (SELECT doc_id,
        |    chr(10) || regexp_replace(text, '$fenceRe', ' [CODE] ', 'g') AS x
-       |  FROM md),
+       |  FROM md)""".stripMargin
+
+  /** The q164 fixture + segmentation chain as CTEs ending in
+    * `n(doc_id, section_idx, heading, content)` — shared by the q164
+    * oracle and the q165 section-packing oracle (the
+    * q149/q150 CTE-sharing pattern on the markdown grammar).
+    */
+  def sectionCtesSql: String =
+    s"""$mdFixtureCtesSql,
        | sp AS (SELECT doc_id, u.p - 1 AS section_idx, u.s AS piece
        |   FROM (SELECT doc_id, unnest(list_transform(
        |       range(1, len(secs) + 1),
@@ -559,6 +567,75 @@ object Markdown {
        |   FROM o c JOIN pk p ON c.grp = p.grp AND c.rn = p.rn + 1)
        |SELECT doc_id, chunk_id, chunk_tokens, grp, bin, bin_fill FROM pk
        |ORDER BY grp, doc_id, chunk_id""".stripMargin
+
+  // -- q166: heading hierarchy census --------------------------------
+
+  /** ATX heading as a MATCH (not a split boundary): captures the
+    * `#` run (level) and the heading line. Fence-stripped first,
+    * like [[sections]] — the two ops agree on what a heading is.
+    */
+  val headingRe = "(^|\\n)(#{1,6}) ([^\\n]*)"
+
+  /** HEADING HIERARCHY census — the document-structure signal a
+    * curation pipeline reads without materializing sections: one row
+    * per heading, (doc_id, heading_idx, level, heading, heading_fp),
+    * in document order with the `#`-run length as the level. The
+    * heading fingerprint is the boilerplate-dedup key (repeated
+    * navigation headings across a site collapse on it — the q163
+    * header_fp device on the heading axis). Fence-protected via the
+    * shared strip; per-row regex + generate, zero shuffles.
+    */
+  def headingCensus(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val noFence = regexp_replace(col(textCol), fenceRe, " [CODE] ")
+    docs
+      .select(col("doc_id"),
+        posexplode_outer(regexp_extract_all(noFence, lit(headingRe),
+          lit(0))).as(Seq("pos", "m")))
+      .filter($"m".isNotNull)
+      .select($"doc_id", ($"pos" + 1).cast("long").as("heading_idx"),
+        length(regexp_extract($"m", headingRe, 2)).cast("long").as("level"),
+        regexp_extract($"m", headingRe, 3).as("heading"))
+      .withColumn("heading_fp", TextAnalysis.fingerprint($"heading"))
+  }
+
+  /** Q166 — heading census over the q164 planted corpus: the three
+    * parts report levels 2/3/1 in document order (plus the %5 empty
+    * section at level 2), and the %6 fenced `# fake` heading never
+    * appears — the same fence-protection contract as q164, now
+    * asserted on the heading axis.
+    */
+  def q166HeadingCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text", plantedSections($"doc_id", $"text"))
+    headingCensus(docs).orderBy($"doc_id", $"heading_idx")
+  }
+
+  /** DuckDB oracle for [[q166HeadingCensus]] — the shared q164
+    * fixture CTEs (md/nf), the same heading regex as matches, zipped
+    * unnests for the index, level = length of the `#` run.
+    */
+  def headingCensusOracleSql: String = {
+    // the shared q164 fixture + fence strip, but headings as MATCHES
+    // instead of split boundaries; nf prefixes chr(10), so the (^|\n)
+    // alternative behaves identically in both engines
+    s"""WITH $mdFixtureCtesSql,
+       | fx AS (SELECT doc_id, regexp_extract_all(x, '$headingRe') AS ms
+       |   FROM nf),
+       | e AS (SELECT doc_id,
+       |     unnest(range(1, len(ms) + 1)) AS heading_idx,
+       |     unnest(ms) AS m
+       |   FROM fx WHERE len(ms) > 0),
+       | h AS (SELECT doc_id, heading_idx,
+       |     length(regexp_extract(m, '$headingRe', 2))::BIGINT AS level,
+       |     regexp_extract(m, '$headingRe', 3) AS heading
+       |   FROM e)
+       |SELECT doc_id, heading_idx::BIGINT AS heading_idx, level, heading,
+       |  (${TextAnalysis.fingerprintSql("heading")}) AS heading_fp
+       |FROM h
+       |ORDER BY doc_id, heading_idx""".stripMargin
+  }
 
   /** DuckDB oracle for [[q160CodeFences]] — same plants (chr(10)
     * newlines), same regex, match index via zipped unnests, body

@@ -496,4 +496,106 @@ object Multimodal {
       .select($"media_id", $"media_type", $"n_bytes", $"content_sha")
       .orderBy($"media_id")
   }
+
+  // ---- MIME sniffing (q167) ---------------------------------------
+  //
+  // Content-type VALIDATION at ingest: a 100 TB media crawl cannot
+  // trust declared Content-Type headers — payloads arrive mislabeled
+  // (served-as-PNG BMPs, RIFF confusion between WAV and AVI), and a
+  // pipeline that routes decode by declared type feeds corrupt inputs
+  // to the wrong decoder. Magic-byte sniffing over the first bytes is
+  // the standard gate (file(1) / WHATWG mime-sniff): pure codegen'd
+  // byte-prefix comparisons on the binary column — no decode, no UDF,
+  // zero shuffles, rides the ingest scan.
+
+  /** Detected MIME from payload magic bytes: PNG (8-byte signature),
+    * BMP (`BM`), RIFF-contained WAVE/`AVI ` (bytes 1-4 + 9-12), else
+    * `application/octet-stream` (incl. NULL/short payloads —
+    * undetectable routes to the quarantine bucket, the
+    * null-for-undecodable contract's sniffing analogue).
+    */
+  def sniffMime(payload: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val h8 = hex(substring(payload, 1, 8))
+    val h2 = hex(substring(payload, 1, 2))
+    val riff = hex(substring(payload, 1, 4)) === "52494646"
+    val fmt = hex(substring(payload, 9, 4))
+    when(h8 === "89504E470D0A1A0A", "image/png")
+      .when(h2 === "424D", "image/bmp")
+      .when(riff && fmt === "57415645", "audio/wav")
+      .when(riff && fmt === "41564920", "video/avi")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Q167 — declared-vs-detected MIME audit over all three rendered
+    * media fixtures (image PNG/BMP, audio WAV, video AVI — the id
+    * lattices offset so the union stays collision-free): every
+    * payload's magic bytes are sniffed through the REAL codec output,
+    * with planted MISLABELS (every 13th doc's base image declared
+    * `image/bmp`; every 31st doc's base clip declared `video/avi` —
+    * the RIFF-confusion case sniffing exists to catch). The oracle
+    * derives both columns from the doc-id lattice alone: a detected
+    * mismatch with the oracle means a renderer stopped emitting the
+    * magic its container promises.
+    */
+  def q167MimeSniff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val media = ImageHash.syntheticMedia(docs)
+      .unionByName(AudioHash.syntheticMedia(docs)
+        .withColumn("media_id", $"media_id" + 3L))
+      .unionByName(VideoHash.syntheticMedia(docs)
+        .withColumn("media_id", $"media_id" + 6L))
+    // doc = media_id div 10 — Column `/` is Double division, div is
+    // the exact integer form
+    val declared =
+      when($"media_id" % 10 === 0 &&
+          expr("(media_id div 10) % 13") === 0, lit("image/bmp"))
+        .when($"media_id" % 10 === 3 &&
+          expr("((media_id - 3) div 10) % 31") === 0, lit("video/avi"))
+        .otherwise($"media_type")
+    media
+      .select($"media_id", declared.as("declared"),
+        sniffMime($"payload").as("detected"))
+      .withColumn("mismatch", $"declared" =!= $"detected")
+      .orderBy($"media_id")
+  }
+
+  /** DuckDB oracle for [[q167MimeSniff]] — both columns from the id
+    * lattice: the image family renders PNG bases/resizes and BMP
+    * re-encodes, audio renders WAVE, video renders `AVI `; declared
+    * applies the same mislabel plants.
+    */
+  def mimeSniffOracleSql(resizeMod: Long = 17L, reencodeMod: Long = 29L,
+      aReencodeMod: Long = 19L, aGainMod: Long = 23L,
+      vJunkMod: Long = 19L, vBrightMod: Long = 23L): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id * 10 AS media_id,
+       |    'image/png' AS detected FROM documents
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 1, 'image/png'
+       |    FROM documents WHERE doc_id % $resizeMod = 0
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'image/bmp'
+       |    FROM documents WHERE doc_id % $reencodeMod = 0
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 3, 'audio/wav'
+       |    FROM documents
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 4, 'audio/wav'
+       |    FROM documents WHERE doc_id % $aReencodeMod = 0
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 5, 'audio/wav'
+       |    FROM documents WHERE doc_id % $aGainMod = 0
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 6, 'video/avi'
+       |    FROM documents
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 7, 'video/avi'
+       |    FROM documents WHERE doc_id % $vJunkMod = 0
+       |  UNION ALL SELECT doc_id, doc_id * 10 + 8, 'video/avi'
+       |    FROM documents WHERE doc_id % $vBrightMod = 0),
+       | d AS (SELECT media_id,
+       |    CASE WHEN media_id % 10 = 0 AND doc_id % 13 = 0 THEN 'image/bmp'
+       |         WHEN media_id % 10 = 3 AND doc_id % 31 = 0 THEN 'video/avi'
+       |         ELSE detected END AS declared,
+       |    detected
+       |  FROM m)
+       |SELECT media_id, declared, detected,
+       |  (declared <> detected) AS mismatch
+       |FROM d
+       |ORDER BY media_id""".stripMargin
 }

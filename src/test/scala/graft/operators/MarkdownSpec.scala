@@ -217,6 +217,36 @@ class MarkdownSpec extends SparkSpec {
     }
   }
 
+  test("heading census: level from the #-run, document order, fence " +
+      "protection; q166 lattice — parts report levels 2/3/1 plus the " +
+      "%5 empty heading, the fenced fake heading never appears") {
+    val docs = Seq(
+      (1L, "pre\n## Two\nbody\n# One\nx\n###### Six\ny"),
+      (2L, "start ```python\nx\n# fake\n``` end\n## Real\nz"))
+      .toDF("doc_id", "text")
+    val got = Markdown.headingCensus(docs)
+      .select($"doc_id", $"heading_idx", $"level", $"heading")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 1L, 2L, "Two"), (1L, 2L, 1L, "One"), (1L, 3L, 6L, "Six"),
+      (2L, 1L, 2L, "Real")))
+
+    val rows = Markdown.q166HeadingCensus(spark, sf)
+      .select($"doc_id", $"heading_idx", $"level", $"heading")
+      .as[(Long, Long, Long, String)].collect()
+    val ids = graft.core.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    for (id <- ids) {
+      val got = rows.filter(_._1 == id).sortBy(_._2).map(r => (r._3, r._4))
+      val want =
+        Seq((2L, s"Part 1 of doc $id"), (3L, s"Part 2 of doc $id")) ++
+          (if (id % 5 == 0) Seq((2L, s"Empty section $id")) else Nil) ++
+          Seq((1L, s"Part 3 of doc $id"))
+      assert(got.toSeq === want, s"doc $id")
+      assert(!rows.exists(r => r._1 == id && r._4.contains("fake")))
+    }
+  }
+
   test("q165 packing: bins respect the 64-token budget with next-fit " +
       "semantics per group; zero-token sections never pack") {
     val got = Markdown.q165MdSectionPacking(spark, sf)

@@ -246,4 +246,59 @@ class MultimodalAvSpec extends SparkSpec {
     // mp3 has no codec here → the stub's L1-normalized histogram
     assert(math.abs(rows(3).getSeq[Float](1).sum - 1f) < 1e-5f, "stub path")
   }
+
+  test("sniffMime: real codec outputs detect as their container; " +
+      "garbage, truncated, RIFF-without-tag, and NULL payloads fall " +
+      "to octet-stream") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("png", ImageHash.render(3L, 1, "png")),
+      ("bmp", ImageHash.render(3L, 1, "bmp")),
+      ("wav", AudioHash.render(3L, 0)),
+      ("avi", VideoHash.renderAvi(3L, 0)),
+      ("garbage", "not media at all".getBytes("US-ASCII")),
+      ("short", Array[Byte](0x42)),
+      // RIFF magic but an unknown form tag: container known, type not
+      ("riffodd", "RIFF    JUNK".getBytes("ISO-8859-1")),
+      // PNG magic truncated after 4 bytes
+      ("pngcut", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)),
+      ("nul", null))
+      .toDF("name", "payload")
+      .select(col("name"), Multimodal.sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("png") === "image/png")
+    assert(rows("bmp") === "image/bmp")
+    assert(rows("wav") === "audio/wav")
+    assert(rows("avi") === "video/avi")
+    assert(rows("garbage") === "application/octet-stream")
+    assert(rows("short") === "application/octet-stream")
+    assert(rows("riffodd") === "application/octet-stream")
+    assert(rows("pngcut") === "application/octet-stream")
+    assert(rows("nul") === "application/octet-stream")
+  }
+
+  test("q167 mislabel audit: every planted mislabel is flagged, " +
+      "nothing else is, and detected always matches the renderer's " +
+      "container") {
+    import spark.implicits._
+    val got = Multimodal.q167MimeSniff(spark, sf)
+      .as[(Long, String, String, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (mId, declared, detected, mismatch) =>
+      val doc = (mId - mId % 10) / 10
+      val wantDetected = (mId % 10) match {
+        case 0 | 1 => "image/png"
+        case 2 => "image/bmp"
+        case 3 | 4 | 5 => "audio/wav"
+        case _ => "video/avi"
+      }
+      assert(detected === wantDetected, s"media $mId")
+      val planted = (mId % 10 == 0 && doc % 13 == 0) ||
+        (mId % 10 == 3 && doc % 31 == 0)
+      assert(mismatch === planted, s"media $mId declared=$declared")
+    }
+    // both mislabel classes actually occur in the fixture
+    assert(got.exists(r => r._1 % 10 == 0 && r._4))
+    assert(got.exists(r => r._1 % 10 == 3 && r._4))
+  }
 }
