@@ -194,7 +194,7 @@ class VersionedTable(spark: SparkSession, root: String,
     ("""\{"file":"((?:[^"\\]|\\.)*)","commit":"((?:[^"\\]|\\.)*)"""" +
       """(?:,"stats":"((?:[^"\\]|\\.)*)")?\}""").r
   private val headerRe =
-    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete)"""" +
+    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete|compact)"""" +
       """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
   // pre-v2 (op-less header) manifests are NOT readable: their entry
   // lines ({"dir":...,"min":...,"max":...}) don't parse either, and
@@ -710,6 +710,79 @@ class VersionedTable(spark: SparkSession, root: String,
         val rewritten = writeData(kept)
         publishManifest("delete", untouched ++ rewritten,
           m.schema.getOrElse(kept.schema), txnId)
+    }
+  }
+
+  /** SMALL-FILE COMPACTION PLAN: group the current snapshot's files
+    * smaller than `targetBytes` into next-fit byte-budget groups
+    * (deterministic path order — the q46 packing rule applied to
+    * files), returning only groups of ≥ 2 (a lone small file gains
+    * nothing from a rewrite). Files ≥ targetBytes are never touched.
+    * Driver-side manifest work, one `getFileStatus` per live file —
+    * the same bounded class as [[vacuum]]'s directory walk.
+    *
+    * Why this op exists at 100 TB: streaming ingest lands a commit
+    * per micro-batch, so a hot table accretes thousands of KB-sized
+    * files; every scan then pays per-file open/footer costs and the
+    * manifest grows without bound. Periodic compaction folds the
+    * small tail into right-sized files WITHOUT rewriting the big
+    * ones — O(small tail), never O(table), the same economics as
+    * [[deleteKeys]]' file pruning.
+    */
+  def compactionPlan(targetBytes: Long): Seq[Seq[FileEntry]] = {
+    require(targetBytes > 0, s"$root: targetBytes must be positive")
+    val v = currentVersion.getOrElse(return Seq.empty)
+    val small = readManifest(v).files
+      .map(f => f -> fs.getFileStatus(new Path(s"$root/${f.path}")).getLen)
+      .filter(_._2 < targetBytes)
+      .sortBy(_._1.path)
+    val groups = Seq.newBuilder[Seq[FileEntry]]
+    var cur = List.empty[FileEntry]
+    var fill = 0L
+    small.foreach { case (f, len) =>
+      if (fill > 0 && fill + len > targetBytes) {
+        groups += cur.reverse
+        cur = Nil
+        fill = 0L
+      }
+      cur ::= f
+      fill += len
+    }
+    if (cur.nonEmpty) groups += cur.reverse
+    groups.result().filter(_.size >= 2)
+  }
+
+  /** COMPACT the current snapshot's small-file tail: each
+    * [[compactionPlan]] group is re-read under the snapshot schema
+    * and rewritten as ONE file (`coalesce(1)` — the group is
+    * byte-budgeted to be a single right-sized file); every other
+    * file is carried into the new manifest VERBATIM (FileEntry
+    * identity — never read). Publishes op `compact`.
+    *
+    * Semantics: row content is IDENTICAL across the commit — time
+    * travel spans it, [[changesSince]] across a compaction takes the
+    * [[rowDiff]] path and reports NO changes (a maintenance commit
+    * is invisible to CDC consumers), stats re-derive for the
+    * rewritten files, and [[vacuum]] later reclaims the superseded
+    * dirs. Idempotent under `txnId` replay; a snapshot with no
+    * compactable group publishes nothing and returns the current
+    * version.
+    */
+  def compact(targetBytes: Long, txnId: Option[String] = None): Long = {
+    txnId.filter(txnCommitted) match {
+      case Some(_) => currentVersion.get
+      case None =>
+        val v = currentVersion.getOrElse(
+          throw new IllegalStateException(s"$root: no committed version"))
+        val m = readManifest(v)
+        val groups = compactionPlan(targetBytes)
+        if (groups.isEmpty) return v
+        val grouped = groups.flatten.map(_.path).toSet
+        val untouched = m.files.filterNot(f => grouped.contains(f.path))
+        val rewritten = groups.flatMap(g =>
+          writeData(readFiles(m.schema, g).coalesce(1)))
+        publishManifest("compact", untouched ++ rewritten,
+          m.schema.getOrElse(readFiles(m.schema, m.files).schema), txnId)
     }
   }
 
