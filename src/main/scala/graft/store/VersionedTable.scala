@@ -713,6 +713,85 @@ class VersionedTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Result of [[clusteringDepth]]: how many data files a point
+    * lookup on the profiled column must read. `maxDepth` is the
+    * worst-case count over any key (the classic interval
+    * max-overlap); `meanStartDepthTicks` is 1e6 × the mean depth
+    * sampled at every band's min endpoint (1e6 = perfectly
+    * clustered: every lookup touches one file). Files without stats
+    * for the column are reported in `nUnbanded` — they overlap every
+    * key conservatively, so a real lookup adds them on top of the
+    * banded depth.
+    */
+  final case class ClusteringDepth(nFiles: Int, nBanded: Int,
+      nUnbanded: Int, maxDepth: Int, meanStartDepthTicks: Long)
+
+  /** CLUSTERING-DEPTH profile of the current snapshot on `statsCol` —
+    * the measurement that decides WHEN to run [[compact]] or re-sort
+    * (Z-order/repartitionByRange) a table: ingest lands key-clustered
+    * commits, but interleaved or replayed batches overlap their
+    * [min,max] bands, and every overlap multiplies the files a
+    * point/range read must open even WITH manifest pruning. One
+    * sweep-line over the manifest's bands (starts before ends at
+    * equal coordinates — bounds are inclusive, so touching bands
+    * overlap), typed like [[readRange]]'s pruning: numeric columns
+    * compare numerically (falling back to lexicographic if any bound
+    * fails to parse — deterministic either way), everything else
+    * lexicographically. Driver-side manifest work, O(F log F).
+    */
+  def clusteringDepth(statsCol: String): ClusteringDepth = {
+    require(statsCols.contains(statsCol),
+      s"$root: clusteringDepth($statsCol) needs the column in " +
+        s"statsCols=$statsCols")
+    val m = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"$root: no committed version")))
+    val dt = m.schema.flatMap(s =>
+      s.fields.find(_.name == statsCol).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    val bands = m.files.flatMap(_.stats.get(statsCol))
+    val nUnbanded = m.files.size - bands.size
+    if (bands.isEmpty)
+      return ClusteringDepth(m.files.size, 0, nUnbanded, 0, 0L)
+    val numeric = dt.isInstanceOf[NumericType] &&
+      bands.forall { case (mn, mx) =>
+        try { BigDecimal(mn); BigDecimal(mx); true }
+        catch { case _: NumberFormatException => false }
+      }
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    // events: (coord, kind) with kind 0 = band start, 1 = band end;
+    // starts sort before ends at the same coordinate (inclusive
+    // bounds: [a,x] and [x,b] DO share key x)
+    val events = bands.flatMap { case (mn, mx) => Seq((mn, 0), (mx, 1)) }
+      .sortWith { case ((c1, k1), (c2, k2)) =>
+        val c = cmp(c1, c2)
+        c < 0 || (c == 0 && k1 < k2)
+      }
+    // coordinate groups: every start at a coordinate samples the SAME
+    // depth (all bands containing that point — including ones ending
+    // exactly there, which still cover it under inclusive bounds)
+    var active = 0
+    var maxDepth = 0
+    var startDepthSum = 0L
+    var i = 0
+    while (i < events.length) {
+      var j = i
+      var starts = 0
+      var ends = 0
+      while (j < events.length && cmp(events(j)._1, events(i)._1) == 0) {
+        if (events(j)._2 == 0) starts += 1 else ends += 1
+        j += 1
+      }
+      active += starts
+      if (active > maxDepth) maxDepth = active
+      startDepthSum += active.toLong * starts
+      active -= ends
+      i = j
+    }
+    ClusteringDepth(m.files.size, bands.size, nUnbanded, maxDepth,
+      math.round(startDepthSum * 1e6 / bands.size))
+  }
+
   /** SMALL-FILE COMPACTION PLAN: group the current snapshot's files
     * smaller than `targetBytes` into next-fit byte-budget groups
     * (deterministic path order — the q46 packing rule applied to

@@ -93,6 +93,58 @@ class VersionedTableCompactSpec extends SparkSpec {
     assert(vt.compact(1L << 20) === v)
   }
 
+  test("clusteringDepth: perfectly clustered commits profile at depth " +
+      "1; interleaved batches raise max and mean; inclusive bounds " +
+      "make touching bands overlap; compaction of the overlapped tail " +
+      "restores depth") {
+    // disjoint key-clustered commits: the ingest ideal
+    val (vt, _) = fresh()
+    vt.commit((0L until 10L).map(i => (i, "a")).toDF("doc_id", "text")
+      .coalesce(1))
+    vt.commit((10L until 20L).map(i => (i, "b")).toDF("doc_id", "text")
+      .coalesce(1))
+    vt.commit((20L until 30L).map(i => (i, "c")).toDF("doc_id", "text")
+      .coalesce(1))
+    val ideal = vt.clusteringDepth("doc_id")
+    // NOTE inclusive bounds: [0,9] and [10,19] do NOT touch, depth 1
+    assert(ideal.nFiles === 3 && ideal.nBanded === 3 &&
+      ideal.nUnbanded === 0)
+    assert(ideal.maxDepth === 1)
+    assert(ideal.meanStartDepthTicks === 1000000L)
+
+    // interleaved/replayed batches: bands [0,99], [50,149], [90,199]
+    val (vt2, _) = fresh()
+    vt2.commit((0L to 99L).map(i => (i, "a")).toDF("doc_id", "text")
+      .coalesce(1))
+    vt2.commit((50L to 149L).map(i => (i, "b")).toDF("doc_id", "text")
+      .coalesce(1))
+    vt2.commit((90L to 199L).map(i => (i, "c")).toDF("doc_id", "text")
+      .coalesce(1))
+    val messy = vt2.clusteringDepth("doc_id")
+    assert(messy.maxDepth === 3) // keys 90..99 live in all three files
+    // start depths: 1 (at 0), 2 (at 50), 3 (at 90) → mean 2.0
+    assert(messy.meanStartDepthTicks === 2000000L)
+    // compacting the whole overlapped tail into one file restores it
+    vt2.compact(1L << 30)
+    val after = vt2.clusteringDepth("doc_id")
+    assert(after.nBanded === 1 && after.maxDepth === 1)
+
+    // inclusive boundary: [0,5] and [5,9] share key 5
+    val (vt3, _) = fresh()
+    vt3.commit((0L to 5L).map(i => (i, "a")).toDF("doc_id", "text")
+      .coalesce(1))
+    vt3.commit((5L to 9L).map(i => (i, "b")).toDF("doc_id", "text")
+      .coalesce(1))
+    assert(vt3.clusteringDepth("doc_id").maxDepth === 2)
+
+    // numeric, not lexicographic: [2,2] and [10,10] must NOT overlap
+    // ("10" < "2" as strings would corrupt the sweep order)
+    val (vt4, _) = fresh()
+    vt4.commit(Seq((2L, "a")).toDF("doc_id", "text").coalesce(1))
+    vt4.commit(Seq((10L, "b")).toDF("doc_id", "text").coalesce(1))
+    assert(vt4.clusteringDepth("doc_id").maxDepth === 1)
+  }
+
   test("appends after a compaction keep the O(delta) CDC fast path; " +
       "vacuum reclaims the superseded small-file dirs") {
     val (vt, _) = fresh()
