@@ -247,6 +247,8 @@ object SparkEntry {
       Markdown.q166HeadingCensus(s, d)),
     "q167_mime_sniff" -> ((s: SparkSession, d: String) =>
       Multimodal.q167MimeSniff(s, d)),
+    "q168_winnowing" -> ((s: SparkSession, d: String) =>
+      NearDup.q168Winnowing(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1884,6 +1886,11 @@ object SparkEntry {
     // the oracle derives declared AND detected from the id lattice;
     // the real sniff runs over real codec output (PNG/BMP/WAVE/AVI)
     "q167_mime_sniff" -> Multimodal.mimeSniffOracleSql(),
+    // q168: MOSS-style winnowing fingerprint match report — min-of-
+    // window selection (rightmost tie) over shared k-gram
+    // fingerprints; the packed-key arithmetic, full-window rule,
+    // df-cut, and pair join are textually mirrored
+    "q168_winnowing" -> NearDup.winnowingOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

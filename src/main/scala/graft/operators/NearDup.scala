@@ -601,4 +601,129 @@ object NearDup {
        |  b_start::BIGINT AS b_start, (m + ${n - 1})::BIGINT AS len_tokens
        |FROM runs WHERE m >= $minRun
        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  // WINNOWING (q168) — MOSS-style guarantee-based fingerprint
+  // selection [Schleimer, Wilkerson, Aiken, "Winnowing: Local
+  // Algorithms for Document Fingerprinting", SIGMOD'03]: from each
+  // window of w consecutive k-gram hashes keep the MINIMUM (rightmost
+  // on ties — the paper's robust-winnowing rule). Selection keeps
+  // ~2/(w+1) of the grams yet GUARANTEES any shared run of at least
+  // w+k−1 tokens contributes at least one shared selected
+  // fingerprint — the detection floor MinHash can only provide
+  // probabilistically. The code-corpus dedup complement to q162's
+  // exact cells and q147's span alignment.
+  // ---------------------------------------------------------------
+
+  /** Bits reserved for the position in the packed (hash, pos) tie key
+    * — supports documents up to 2^20 grams; longer inputs are out of
+    * the operator's declared scope (chunk first, q43).
+    */
+  val winnowPosBits = 20
+  private val winnowPosMask = (1L << winnowPosBits) - 1
+
+  /** Selected winnowing fingerprints: DISTINCT (doc_id, fp) over the
+    * k-gram [[TextAnalysis.fingerprint]] stream under a w-gram
+    * sliding window. The min-of-window with rightmost tie is ONE
+    * `min` over a packed key `fp·2^20 + (2^20−1−pos)` (fp < 2^30 by
+    * the fingerprint's modulus, so the product stays < 2^51): minimal
+    * fp wins, and among equal fps the larger pos gives the smaller
+    * packed key. Windows shorter than w (the last w−1 starts, docs
+    * with < k+w−1 tokens) select nothing — the paper's full-window
+    * rule. One doc-keyed window pass — partitions are document-sized;
+    * the selected set is ~2/(w+1) of the gram stream at any corpus
+    * size.
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+    val grams = graft.core.Parallel.fan(docs)
+      .select($"doc_id",
+        when(size(split($"text", " ", -1)) >= k,
+          transform(
+            sequence(lit(1), size(split($"text", " ", -1)) - (k - 1)),
+            i => array_join(slice(split($"text", " ", -1), i, lit(k)), " ")))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .select($"doc_id", posexplode_outer($"gs").as(Seq("pos0", "g")))
+      .filter($"g".isNotNull)
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"),
+        TextAnalysis.fingerprint($"g").as("fp"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("key",
+        $"fp" * (1L << winnowPosBits) + (lit(winnowPosMask) - $"pos"))
+      .withColumn("sel", min($"key").over(win))
+      .withColumn("full", count(lit(1)).over(win))
+      .filter($"full" === w)
+      .select($"doc_id",
+        expr(s"sel div ${1L << winnowPosBits}").as("fp"))
+      .distinct()
+  }
+
+  /** Q168 — winnowing match report over `documents`: doc pairs
+    * sharing ≥ `minShared` selected fingerprints, with the df-cut
+    * dropping boilerplate fingerprints selected in more than
+    * `maxFpDocs` documents (broadcast anti-join against the small hot
+    * set — the q122/q147 cap-first rule) BEFORE the pair join.
+    * (doc_a, doc_b, shared_fps).
+    */
+  def q168Winnowing(spark: SparkSession, dir: String, k: Int = 4,
+      w: Int = 5, minShared: Long = 4L, maxFpDocs: Long = 20L): DataFrame = {
+    import spark.implicits._
+    val sel = winnowedFingerprints(
+      graft.core.Tables.load(spark, dir, "documents"), k, w)
+      .transform(graft.core.Pin.reuse)
+    val hot = sel.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd" > maxFpDocs).select($"fp")
+    val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= minShared)
+      .orderBy($"shared_fps".desc, $"doc_a", $"doc_b")
+  }
+
+  /** DuckDB oracle for [[q168Winnowing]] — same k-gram fingerprints
+    * (shared [[TextAnalysis.fingerprintSql]]), same packed-key window
+    * minimum, same full-window rule, df-cut, and pair join.
+    */
+  def winnowingOracleSql(k: Int = 4, w: Int = 5, minShared: Long = 4L,
+      maxFpDocs: Long = 20L): String =
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |   FROM documents),
+       | g0 AS (SELECT doc_id, u.p AS pos, u.g AS g FROM (
+       |     SELECT doc_id, unnest(list_transform(
+       |       range(1, len(ts) - ${k - 2}),
+       |       i -> struct_pack(p := i, g := ${
+             (0 until k).map(j => s"ts[i + $j]")
+               .mkString(" || ' ' || ")}))) AS u
+       |     FROM b WHERE len(ts) >= $k)),
+       | gf AS (SELECT doc_id, pos,
+       |     (${TextAnalysis.fingerprintSql("g")}) AS fp
+       |   FROM g0),
+       | ky AS (SELECT doc_id, pos,
+       |     fp * ${1L << winnowPosBits} + (${winnowPosMask} - pos) AS pk
+       |   FROM gf),
+       | sl AS (SELECT doc_id,
+       |     min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
+       |     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS nfull
+       |   FROM ky),
+       | sf AS (SELECT DISTINCT doc_id,
+       |     sel // ${1L << winnowPosBits} AS fp
+       |   FROM sl WHERE nfull = $w),
+       | freq AS (SELECT fp FROM (
+       |     SELECT fp, count(*) AS nd FROM sf GROUP BY fp)
+       |   WHERE nd <= $maxFpDocs),
+       | kp AS (SELECT sf.* FROM sf JOIN freq USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*)::BIGINT AS shared_fps
+       |FROM kp a JOIN kp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
 }
