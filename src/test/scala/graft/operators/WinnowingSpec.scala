@@ -82,6 +82,23 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("winnowing selections are per-document, so the generic index " +
+      "purge repairs a standing selected-fingerprint store to exactly " +
+      "a fresh build over the reduced corpus (the q153 contract's " +
+      "fifth index family)") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .limit(200).localCheckpoint(true)
+    val full = NearDup.winnowedFingerprints(docs).localCheckpoint(true)
+    val deleted = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    val repaired = IndexMaintenance.purge(full, deleted)
+      .as[(Long, Long)].collect().toSet
+    val fresh = NearDup.winnowedFingerprints(
+        docs.filter($"doc_id" % 7 =!= 0))
+      .as[(Long, Long)].collect().toSet
+    assert(repaired === fresh)
+    assert(repaired.nonEmpty)
+  }
+
   test("q168 wiring: the pair report finds real cross-doc structure " +
       "in the fixture corpus and every reported pair truly shares " +
       "that many kept fingerprints") {
