@@ -670,12 +670,16 @@ object NearDup {
     * set — the q122/q147 cap-first rule) BEFORE the pair join.
     * (doc_a, doc_b, shared_fps).
     */
-  def q168Winnowing(spark: SparkSession, dir: String, k: Int = 4,
-      w: Int = 5, minShared: Long = 4L, maxFpDocs: Long = 20L): DataFrame = {
-    import spark.implicits._
-    val sel = winnowedFingerprints(
-      graft.core.Tables.load(spark, dir, "documents"), k, w)
-      .transform(graft.core.Pin.reuse)
+  /** The q168 match report over an EXISTING `(doc_id, fp)` selected
+    * set — split out so a STANDING winnowing index (grown by the
+    * ingest path, shrunk by `IndexMaintenance.purge`; selection is
+    * per-document, so growth can never shift other docs' selections)
+    * serves the same report as a fresh corpus pass.
+    */
+  def winnowingPairsFromSelected(sel0: DataFrame, minShared: Long = 4L,
+      maxFpDocs: Long = 20L): DataFrame = {
+    import sel0.sparkSession.implicits._
+    val sel = graft.core.Pin.reuse(sel0)
     val hot = sel.groupBy($"fp").agg(count(lit(1)).as("nd"))
       .filter($"nd" > maxFpDocs).select($"fp")
     val kept = sel.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -686,6 +690,13 @@ object NearDup {
       .filter($"shared_fps" >= minShared)
       .orderBy($"shared_fps".desc, $"doc_a", $"doc_b")
   }
+
+  def q168Winnowing(spark: SparkSession, dir: String, k: Int = 4,
+      w: Int = 5, minShared: Long = 4L, maxFpDocs: Long = 20L): DataFrame =
+    winnowingPairsFromSelected(
+      winnowedFingerprints(
+        graft.core.Tables.load(spark, dir, "documents"), k, w),
+      minShared, maxFpDocs)
 
   /** DuckDB oracle for [[q168Winnowing]] — same k-gram fingerprints
     * (shared [[TextAnalysis.fingerprintSql]]), same packed-key window
