@@ -249,6 +249,10 @@ object SparkEntry {
       Multimodal.q167MimeSniff(s, d)),
     "q168_winnowing" -> ((s: SparkSession, d: String) =>
       NearDup.q168Winnowing(s, d)),
+    "q169_blocklist_census" -> ((s: SparkSession, d: String) =>
+      Blocklist.q169BlocklistCensus(s, d)),
+    "q170_retention_expire" -> ((s: SparkSession, d: String) =>
+      IndexMaintenance.q170RetentionExpire(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1891,6 +1895,16 @@ object SparkEntry {
     // fingerprints; the packed-key arithmetic, full-window rule,
     // df-cut, and pair join are textually mirrored
     "q168_winnowing" -> NearDup.winnowingOracleSql(),
+    // q169: Aho–Corasick blocklist census — one automaton pass per
+    // doc, O(text + matches) regardless of catalog size; the oracle
+    // counts per-pattern occurrences with the replace-length identity
+    // (exact for the borderless fixture catalog)
+    "q169_blocklist_census" -> Blocklist.censusOracleSql,
+    // q170: age-based retention end-to-end — VersionedTable expiry
+    // (whole-file drops off manifest bands), CDC delete feed, purge
+    // of the standing BM25 index; the oracle is a fresh build over
+    // the retained corpus (doc_id div 10 >= one-third of day span)
+    "q170_retention_expire" -> IndexMaintenance.retentionExpireOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

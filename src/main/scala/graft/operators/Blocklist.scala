@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Parallel, Tables}
+
+/** MULTI-PATTERN BLOCKLIST SCAN — one Aho–Corasick pass that finds
+  * every occurrence of every catalog pattern in one traversal of the
+  * text, O(|text| + matches) per document REGARDLESS of how many
+  * patterns the catalog holds. This is the scale path the curation
+  * family's per-term predicates can't take: a production blocklist
+  * (unsafe phrases, licensing strings, site boilerplate markers) runs
+  * to 10⁴–10⁵ entries, and evaluating them as per-pattern
+  * `contains`/regex legs is O(|patterns| · |text|) — at 100 TB that
+  * multiplies the whole corpus scan by the catalog size, where the
+  * automaton walks each byte exactly once no matter the catalog.
+  *
+  * The automaton (Aho & Corasick 1975, the textbook construction) is
+  * built DRIVER-side from the catalog — the same bounded-driver-state
+  * contract as Curation's source catalogs and the takedown key lists —
+  * and broadcast: its size is O(Σ pattern lengths) (per-state sorted
+  * transition arrays + binary search, NOT a dense 2^16-wide goto
+  * table, so a 100k-entry catalog broadcasts in single-digit MB). The
+  * scan itself is a typed per-partition loop over the corpus
+  * projection (doc_id, text): zero shuffles — counts ride the scan,
+  * and only the per-doc nonzero (pattern, hits) rows leave it.
+  *
+  * Match semantics: SUBSTRING occurrences, counting every end
+  * position — overlapping occurrences all count, and a pattern that
+  * is a substring of another pattern's occurrence still counts
+  * (he/she/hers all fire in "ushers"), the standard Aho–Corasick
+  * output. The differential spec pins this against a brute-force
+  * end-position count.
+  *
+  * Reference scope: absent from the reference (no text scanning);
+  * extends the curation/secrets family of SURVEY.md §2.13 (q44
+  * policy filter, q157 secrets scan) with the catalog-scale member.
+  */
+object Blocklist {
+
+  /** Immutable Aho–Corasick automaton. Per-state transitions are
+    * (sorted char array, next-state array) pairs resolved by binary
+    * search — O(log σ_s) per step with σ_s the state's out-degree,
+    * and O(Σ|patterns|) total size, the broadcast-friendly layout.
+    * `out(s)` lists every pattern id whose occurrence ends at state
+    * `s`, with fail-chain outputs pre-merged at build time so the
+    * scan never walks fail links for output collection.
+    */
+  final class AcAutomaton private[Blocklist] (
+      val patterns: Array[String],
+      chars: Array[Array[Char]],
+      next: Array[Array[Int]],
+      fail: Array[Int],
+      out: Array[Array[Int]]) extends Serializable {
+
+    @inline private def goTo(s: Int, c: Char): Int = {
+      val cs = chars(s)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mc = cs(mid)
+        if (mc == c) return next(s)(mid)
+        else if (mc < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
+    /** One scan step: follow fail links until a transition on `c`
+      * exists (root falls through to itself) — amortized O(1) per
+      * character over a whole text.
+      */
+    def step(s: Int, c: Char): Int = {
+      var cur = s
+      var t = goTo(cur, c)
+      while (t < 0 && cur != 0) {
+        cur = fail(cur)
+        t = goTo(cur, c)
+      }
+      if (t < 0) 0 else t
+    }
+
+    /** Per-pattern end-position occurrence counts in `text`,
+      * accumulated into `acc` (length = patterns.length; caller
+      * zeroes between documents).
+      */
+    def countInto(text: String, acc: Array[Long]): Unit = {
+      var s = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        s = step(s, text.charAt(i))
+        val os = out(s)
+        var j = 0
+        while (j < os.length) { acc(os(j)) += 1L; j += 1 }
+        i += 1
+      }
+    }
+  }
+
+  /** Build the automaton from a pattern catalog: trie insertion, BFS
+    * fail links, fail-chain output merging, then compression to the
+    * sorted-array layout. Patterns must be non-empty and distinct
+    * (duplicate catalog entries are a catalog bug — counted twice
+    * they would double every tally downstream).
+    */
+  def buildAutomaton(patterns: Seq[String]): AcAutomaton = {
+    require(patterns.nonEmpty, "blocklist catalog is empty")
+    require(patterns.forall(p => p != null && p.nonEmpty),
+      "blocklist catalog has an empty pattern")
+    require(patterns.distinct.size == patterns.size,
+      "blocklist catalog has duplicate patterns")
+    val pats = patterns.toArray
+    val kids = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.TreeMap.empty[Char, Int])
+    val ownOut = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    pats.zipWithIndex.foreach { case (p, pid) =>
+      var s = 0
+      p.foreach { c =>
+        s = kids(s).getOrElse(c, {
+          kids += scala.collection.mutable.TreeMap.empty[Char, Int]
+          ownOut += Nil
+          val ns = kids.size - 1
+          kids(s) += (c -> ns)
+          ns
+        })
+      }
+      ownOut(s) ::= pid
+    }
+    val nStates = kids.size
+    val fail = new Array[Int](nStates)
+    val out = new Array[List[Int]](nStates)
+    out(0) = ownOut(0)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    kids(0).foreach { case (_, s) =>
+      fail(s) = 0
+      out(s) = ownOut(s)
+      queue += s
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      kids(u).foreach { case (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !kids(f).contains(c)) f = fail(f)
+        fail(v) = kids(f).get(c).filter(_ != v).getOrElse(0)
+        // merge the fail target's (already-final) outputs: out is
+        // finalized in BFS order, and fail(v) is strictly shallower
+        out(v) = ownOut(v) ::: out(fail(v))
+        queue += v
+      }
+    }
+    new AcAutomaton(
+      pats,
+      kids.map(_.keysIterator.toArray).toArray,
+      kids.map(_.valuesIterator.toArray).toArray,
+      fail,
+      out.map(o => if (o == null) Array.empty[Int] else o.reverse.toArray))
+  }
+
+  /** Per-document per-pattern hit counts: (doc_id, pattern_id, hits),
+    * nonzero rows only. One broadcast of the automaton, one typed
+    * per-partition pass over the (doc_id, text) projection, zero
+    * shuffles.
+    */
+  def scanCounts(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val bc = ss.sparkContext.broadcast(buildAutomaton(patterns))
+    val nPats = patterns.size
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        val acc = new Array[Long](nPats)
+        it.flatMap { case (id, text) =>
+          java.util.Arrays.fill(acc, 0L)
+          if (text != null) ac.countInto(text, acc)
+          val rows = List.newBuilder[(Long, Int, Long)]
+          var p = 0
+          while (p < nPats) {
+            if (acc(p) != 0L) rows += ((id, p, acc(p)))
+            p += 1
+          }
+          rows.result()
+        }
+      }
+      .toDF("doc_id", "pattern_id", "hits")
+  }
+
+  /** Catalog-wide census: one row PER PATTERN (zero-hit patterns
+    * included — a blocklist entry that never fires is the signal a
+    * catalog review wants), (pattern_id, pattern, n_docs, n_hits).
+    * The scan side is [[scanCounts]]'s shuffle-free pass; the census
+    * agg is |patterns|-keyed — catalog-sized, trivially small.
+    */
+  def census(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val counts = scanCounts(docs, patterns)
+      .groupBy($"pattern_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"hits").as("n_hits"))
+    val cat = patterns.zipWithIndex
+      .map { case (p, i) => (i, p) }.toDF("pattern_id", "pattern")
+    cat.join(counts, Seq("pattern_id"), "left")
+      .select($"pattern_id", $"pattern",
+        coalesce($"n_docs", lit(0L)).as("n_docs"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .orderBy($"pattern_id")
+  }
+
+  /** Admission gate: the docs with ZERO blocklist hits — the curation
+    * composition (q44's policy filter at catalog scale). Anti-join
+    * against the matched-doc id set, which is ≤ |matched docs| rows
+    * (usually ≪ corpus; AQE broadcasts it while it fits).
+    */
+  def gate(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.join(
+      scanCounts(docs, patterns).select($"doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The q169 fixture catalog: corpus-vocabulary phrases, every entry
+    * BORDERLESS (no proper prefix equals a suffix), so occurrences of
+    * one pattern cannot overlap themselves and DuckDB's
+    * non-overlapping replace-count equals the automaton's overlapping
+    * end-position count (bordered patterns like "aa" are pinned by
+    * the differential spec instead, where the oracle counts end
+    * positions directly). "table" nests inside "fast table" —
+    * exercising the fail-chain output merge on the fixture, not just
+    * in specs.
+    */
+  val q169Patterns: Seq[String] = Seq(
+    "fast table", "table", "scan slow", "customer", "window spark",
+    "merge batch part", "no such phrase anywhere")
+
+  /** Q169 — blocklist census over `documents` at the fixture catalog:
+    * per pattern, how many docs it fires in and how many total
+    * occurrences (zero rows retained).
+    */
+  def q169BlocklistCensus(spark: SparkSession, dir: String): DataFrame =
+    census(Tables.load(spark, dir, "documents"), q169Patterns)
+
+  /** DuckDB oracle for [[q169BlocklistCensus]]: catalog × documents
+    * cross join; per-doc occurrence count via the replace-length
+    * identity (exact for the borderless fixture catalog — see
+    * [[q169Patterns]]).
+    */
+  def censusOracleSql: String = {
+    val vals = q169Patterns.zipWithIndex
+      .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH pats(pattern_id, pattern) AS (VALUES $vals)
+       |SELECT p.pattern_id, p.pattern,
+       |  count(*) FILTER (WHERE contains(d.text, p.pattern))::BIGINT
+       |    AS n_docs,
+       |  coalesce(sum((length(d.text) - length(replace(d.text, p.pattern, '')))
+       |    // length(p.pattern)), 0)::BIGINT AS n_hits
+       |FROM pats p CROSS JOIN documents d
+       |GROUP BY 1, 2
+       |ORDER BY p.pattern_id""".stripMargin
+  }
+}

@@ -88,4 +88,87 @@ object IndexMaintenance {
        |FROM sc
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Q170 — RETENTION END-TO-END, the age-based third leg of the
+    * store/index lifecycle (grow → takedown → expire): ingest
+    * `documents` into a [[graft.store.VersionedTable]] in
+    * day-clustered batches (`ingest_day = doc_id div 10`, the
+    * monotone-timestamp ingest norm, with `ingest_day` in
+    * `statsCols` so file bands are tight), run
+    * [[graft.store.VersionedTable.expireBefore]] at a cutoff of
+    * one-third of the corpus age span, feed the expiry's
+    * [[graft.store.VersionedTable.changesSince]] delete rows into
+    * [[purge]] to repair the standing BM25 postings index, and serve
+    * top-5 BM25 for the surviving fixture queries from the REPAIRED
+    * index.
+    *
+    * The oracle computes the fresh build over the retained corpus
+    * directly (`doc_id div 10 >= cutoff`) — the repaired index must
+    * match it hash-for-hash, which proves the whole chain: the
+    * store's whole-file drops removed exactly the expired rows, the
+    * CDC feed named exactly the expired doc ids, and the purge left
+    * an index bit-identical to a fresh build (q153's contract,
+    * extended to age-based deletes).
+    *
+    * Driver reads: one scalar agg for the corpus age span (the
+    * cutoff is policy input — a constant at deployment, computed
+    * here so the fixture scales with sf) and the bounded ingest
+    * loop; the expiry itself is manifest work + at most one boundary
+    * rewrite.
+    */
+  def q170RetentionExpire(spark: SparkSession, dir: String,
+      batches: Int = 5): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val stamped = docs.withColumn("ingest_day", expr("doc_id div 10"))
+    val maxDayRow = stamped.agg(max($"ingest_day")).head()
+    if (maxDayRow.isNullAt(0)) {
+      // zero-row corpus: nothing to ingest, expire, or repair — the
+      // empty report with the output schema (the q153 empty path)
+      return Retrieval.bm25TopKFromIndex(
+          Retrieval.docTermStats(docs), Retrieval.prefixQueries(docs),
+          k = 5)
+        .orderBy($"query_id", $"rank")
+    }
+    val maxDay = maxDayRow.getLong(0)
+    val cutoff = (maxDay + 1) / 3
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retention").toString
+    val vt = new graft.store.VersionedTable(spark, root,
+      statsCols = Seq("ingest_day"))
+    // day-clustered ingest: batch b holds days [b·w, (b+1)·w) — the
+    // monotone arrival order a real pipeline lands
+    val w = (maxDay + batches) / batches
+    (0L until batches.toLong).foreach { b =>
+      vt.commit(stamped.filter(
+        $"ingest_day" >= b * w && $"ingest_day" < (b + 1) * w))
+    }
+    val vFull = vt.currentVersion.get
+    vt.expireBefore("ingest_day", cutoff.toString)
+    // CDC delete feed → standing-index repair (the q153 purge, keyed
+    // by age instead of takedown catalog)
+    val deleted = vt.changesSince(vFull)
+      .filter($"change_type" === "delete").select($"doc_id")
+    val repaired = purge(Retrieval.docTermStats(docs), deleted)
+    val queries = Retrieval.prefixQueries(vt.read())
+    Retrieval.bm25TopKFromIndex(repaired, queries, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[q170RetentionExpire]]: the q103 BM25 chain
+    * over the RETAINED corpus (`doc_id div 10 >= cutoff`, cutoff =
+    * one-third of the day span) — the fresh-build result the
+    * repaired index must match hash-for-hash.
+    */
+  def retentionExpireOracleSql: String =
+    s"""WITH cut AS (SELECT (max(doc_id) // 10 + 1) // 3 AS c FROM documents),
+       | base AS (SELECT d.* FROM documents d, cut WHERE d.doc_id // 10 >= cut.c),
+       | ${Retrieval.bm25CtesSql().replace("FROM documents", "FROM base")}
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ticks DESC, doc_id) AS rank,
+       |  doc_id, round(ticks / 1000000.0, 6) AS score
+       |FROM sc
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 }

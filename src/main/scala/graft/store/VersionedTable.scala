@@ -194,7 +194,7 @@ class VersionedTable(spark: SparkSession, root: String,
     ("""\{"file":"((?:[^"\\]|\\.)*)","commit":"((?:[^"\\]|\\.)*)"""" +
       """(?:,"stats":"((?:[^"\\]|\\.)*)")?\}""").r
   private val headerRe =
-    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete|compact)"""" +
+    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete|compact|expire)"""" +
       """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
   // pre-v2 (op-less header) manifests are NOT readable: their entry
   // lines ({"dir":...,"min":...,"max":...}) don't parse either, and
@@ -453,7 +453,13 @@ class VersionedTable(spark: SparkSession, root: String,
     * file list comes from the filesystem (authoritative — zero-row
     * part files still belong to the commit), the stats from ONE
     * grouped scan keyed by `input_file_name()` (per-file min/max of
-    * every configured stats column present in the commit's schema).
+    * every configured stats column present in the commit's schema,
+    * plus its NULL count under the reserved `<col>#nulls` stats key —
+    * min/max ignore NULLs, so pruning decisions that must account for
+    * NULL rows, like [[expireBefore]]'s whole-file drop, need the
+    * count recorded separately; manifests written before this stat
+    * existed simply lack the key and such decisions degrade to the
+    * conservative rewrite).
     */
   private def filesOf(dir: String): Seq[FileEntry] = {
     val absRoot = absRootPath
@@ -470,16 +476,20 @@ class VersionedTable(spark: SparkSession, root: String,
       else {
         val aggs = present.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c")))
+          max(col(c)).cast("string").as(s"mx_$c"),
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))
+            .cast("string").as(s"nl_$c")))
         df.groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             val file = rel(new Path(new java.net.URI(r.getString(0))))
             val st = present.zipWithIndex.flatMap { case (c, i) =>
-              val mn = r.getString(1 + 2 * i)
-              val mx = r.getString(2 + 2 * i)
-              if (mn == null || mx == null) None else Some(c -> (mn, mx))
+              val mn = r.getString(1 + 3 * i)
+              val mx = r.getString(2 + 3 * i)
+              val nl = r.getString(3 + 3 * i)
+              if (mn == null || mx == null) None
+              else Seq(c -> (mn, mx), s"$c#nulls" -> (nl, nl))
             }.toMap
             file -> st
           }.toMap
@@ -710,6 +720,92 @@ class VersionedTable(spark: SparkSession, root: String,
         val rewritten = writeData(kept)
         publishManifest("delete", untouched ++ rewritten,
           m.schema.getOrElse(kept.schema), txnId)
+    }
+  }
+
+  /** AGE-BASED RETENTION EXPIRY — one commit dropping every row whose
+    * `tsCol` orders strictly BELOW `cutoff`. Rows at/above the cutoff
+    * are retained, and so are rows with a NULL timestamp: like
+    * [[deleteKeys]], a delete removes exactly the rows its predicate
+    * matches TRUE, nothing else (the r12 NULL-retention contract) —
+    * an unstamped row's age is unknown, not expired.
+    *
+    * Where [[deleteKeys]] must rewrite every touched file (a key set
+    * can hit anywhere inside a band), the one-sided age predicate
+    * admits the cheaper THREE-WAY file classification on the
+    * manifest's [min,max] bands:
+    *  - `max < cutoff` AND the file's `tsCol#nulls` stat is 0 →
+    *    every row is provably expired: the file is DROPPED from the
+    *    new manifest without ever being read (earlier versions still
+    *    reference it — time travel spans the expiry, [[vacuum]]
+    *    reclaims it later);
+    *  - `min >= cutoff`, or no stats for the column at all (an
+    *    all-NULL or column-absent file — every row NULL ⇒ retained) →
+    *    carried into the new manifest VERBATIM (same FileEntry,
+    *    never read);
+    *  - anything else (band straddles the cutoff, unparseable bound,
+    *    expired band with NULL rows present or a pre-`#nulls`-stat
+    *    manifest) → read, filtered `tsCol >= cutoff OR tsCol IS
+    *    NULL`, rewritten.
+    * On a store whose ingest lands time-clustered commits (the norm:
+    * batch timestamps are monotone), a retention sweep therefore
+    * drops the old files whole and rewrites at most the boundary
+    * file — O(boundary), not O(expired) and certainly not O(table).
+    * This is the third leg of the index/store lifecycle: grow
+    * (ingest), shrink by key (takedown), shrink by age (retention);
+    * standing indexes repair from the expiry's [[changesSince]]
+    * delete feed exactly as for a takedown (`IndexMaintenance`).
+    *
+    * `cutoff` is a string bound compared with the column's own type
+    * ([[readRange]]'s typed contract: numeric columns numerically,
+    * everything else lexicographically — ISO dates/timestamps order
+    * correctly). Publishes op `expire`; idempotent under `txnId`
+    * replay; a sweep that touches nothing publishes nothing and
+    * returns the current version.
+    */
+  def expireBefore(tsCol: String, cutoff: String,
+      txnId: Option[String] = None): Long = {
+    txnId.filter(txnCommitted) match {
+      case Some(_) => currentVersion.get
+      case None =>
+        val v = currentVersion.getOrElse(
+          throw new IllegalStateException(s"$root: no committed version"))
+        val m = readManifest(v)
+        val dt = m.schema.flatMap(s =>
+          s.fields.find(_.name == tsCol).map(_.dataType))
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        def cmpOpt(a: String, b: String): Option[Int] = dt match {
+          case _: NumericType =>
+            try Some(BigDecimal(a).compare(BigDecimal(b)))
+            catch { case _: NumberFormatException => None }
+          case _ => Some(a.compareTo(b))
+        }
+        // 0 = drop whole file, 1 = carry verbatim, 2 = boundary rewrite
+        def classify(f: FileEntry): Int = f.stats.get(tsCol) match {
+          case None => 1
+          case Some((mn, mx)) =>
+            val provablyNoNulls =
+              f.stats.get(s"$tsCol#nulls").exists(_._1 == "0")
+            if (cmpOpt(mx, cutoff).exists(_ < 0) && provablyNoNulls) 0
+            else if (cmpOpt(mn, cutoff).exists(_ >= 0)) 1
+            else 2
+        }
+        val classed = m.files.map(f => (f, classify(f)))
+        val verbatim = classed.collect { case (f, 1) => f }
+        val boundary = classed.collect { case (f, 2) => f }
+        if (boundary.isEmpty && verbatim.size == m.files.size) return v
+        val rewritten =
+          if (boundary.isEmpty) Seq.empty[FileEntry]
+          else {
+            val base = readFiles(m.schema, boundary)
+            val rowDt = base.schema.fields.find(_.name == tsCol)
+              .map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType)
+            writeData(base.filter(
+              col(tsCol) >= lit(cutoff).cast(rowDt) || col(tsCol).isNull))
+          }
+        publishManifest("expire", verbatim ++ rewritten,
+          m.schema.getOrElse(readFiles(m.schema, m.files).schema), txnId)
     }
   }
 

@@ -1,0 +1,109 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The Aho–Corasick blocklist scan ([[Blocklist]]): automaton
+  * correctness against a brute-force end-position count (randomized,
+  * including self-overlapping and nested patterns the q169 fixture
+  * catalog deliberately avoids), the textbook he/she/his/hers
+  * example, census zero-row retention, the admission gate, and
+  * catalog validation.
+  */
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force overlapping occurrence count: every end position
+    * where the pattern matches — the Aho–Corasick output definition,
+    * independent of the automaton code under test.
+    */
+  private def bruteCount(text: String, pat: String): Long =
+    (0 to text.length - pat.length)
+      .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+
+  test("the textbook example: he/she/his/hers over 'ushers' — nested " +
+      "and overlapping occurrences all count") {
+    val docs = Seq((1L, "ushers")).toDF("doc_id", "text")
+    val got = Blocklist
+      .scanCounts(docs, Seq("he", "she", "his", "hers"))
+      .as[(Long, Int, Long)].collect().toSet
+    // she ends at 3, he ends at 3 (inside she's occurrence), hers at 5
+    assert(got === Set((1L, 0, 1L), (1L, 1, 1L), (1L, 3, 1L)))
+  }
+
+  test("randomized differential: automaton counts equal brute-force " +
+      "end-position counts, including bordered (self-overlapping) " +
+      "patterns") {
+    val rnd = new Random(20260816L)
+    val alphabet = "abc"
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (round <- 1 to 20) {
+      val pats = (1 to 8).map(_ => randStr(1 + rnd.nextInt(4)))
+        .distinct.toList
+      val texts = (1L to 12L).map(i => (i, randStr(rnd.nextInt(60))))
+      val docs = texts.toDF("doc_id", "text")
+      val got = Blocklist.scanCounts(docs, pats)
+        .as[(Long, Int, Long)].collect()
+        .map { case (d, p, h) => (d, p) -> h }.toMap
+      for ((id, text) <- texts; (p, pid) <- pats.zipWithIndex) {
+        val want = bruteCount(text, p)
+        assert(got.getOrElse((id, pid), 0L) === want,
+          s"round $round doc $id pattern '$p' in '$text'")
+      }
+      // no spurious rows: everything emitted is nonzero and accounted
+      assert(got.values.forall(_ > 0L))
+    }
+  }
+
+  test("census keeps zero-hit patterns with zero counts, and matches " +
+      "a hand count on a tiny corpus") {
+    val docs = Seq(
+      (1L, "aa bb aa"),
+      (2L, "bb"),
+      (3L, "cc")).toDF("doc_id", "text")
+    val got = Blocklist.census(docs, Seq("aa", "bb", "zz"))
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0, "aa", 1L, 2L),
+      (1, "bb", 2L, 2L),
+      (2, "zz", 0L, 0L)))
+  }
+
+  test("gate admits exactly the docs with zero hits") {
+    val docs = Seq(
+      (1L, "clean text"),
+      (2L, "has a bad phrase inside"),
+      (3L, "also clean")).toDF("doc_id", "text")
+    val kept = Blocklist.gate(docs, Seq("bad phrase"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
+  test("NULL text scans as zero hits; catalog validation rejects " +
+      "empty and duplicate patterns") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("x y")))
+      .toDF("doc_id", "text")
+    val got = Blocklist.census(docs, Seq("x"))
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got === Seq((0, "x", 1L, 1L)))
+    intercept[IllegalArgumentException](Blocklist.buildAutomaton(Nil))
+    intercept[IllegalArgumentException](
+      Blocklist.buildAutomaton(Seq("a", "")))
+    intercept[IllegalArgumentException](
+      Blocklist.buildAutomaton(Seq("a", "a")))
+  }
+
+  test("the q169 fixture catalog is borderless (the oracle's replace-" +
+      "count identity requires it) and includes a nested pair") {
+    for (p <- Blocklist.q169Patterns; k <- 1 until p.length) {
+      assert(p.substring(0, k) != p.substring(p.length - k),
+        s"'$p' has a border of length $k")
+    }
+    assert(Blocklist.q169Patterns.exists(a =>
+      Blocklist.q169Patterns.exists(b => a != b && b.contains(a))))
+  }
+}

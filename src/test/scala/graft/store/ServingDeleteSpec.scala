@@ -137,4 +137,53 @@ class ServingDeleteSpec extends SparkSpec {
     tier.invalidate()
     assert(tier.probe(pd, pa) === Nil)
   }
+
+  test("age-based expiry: the expireBefore CDC feed drives the same " +
+      "purge -> invalidate -> parity chain as a keyed takedown " +
+      "(q170's contract at the serving layer)") {
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+      .localCheckpoint(true)
+    val post = Retrieval.docTermStats(docs).localCheckpoint(true)
+    val dir = Files.createTempDirectory("bm25-exp").toString
+    SearchEndpoint.writeBm25Index(post, dir, nBuckets = 8)
+    val tier = new Bm25SearchTier(spark, dir, nBuckets = 8)
+
+    // query anchored on a doc that SURVIVES the retention window
+    val text = docs.filter($"doc_id" === 100L)
+      .select($"text").as[String].head()
+    val terms = text.split(" ", -1).take(4).toSeq.map(NearDup.tokenHash64)
+    val before = tier.search(terms, k = 5)
+    assert(before.nonEmpty)
+
+    // store with day-clustered commits; retention expires days < 4
+    // (doc_ids < 40)
+    val vt = new VersionedTable(spark,
+      Files.createTempDirectory("vt-exp-serve").toString,
+      statsCols = Seq("ingest_day"))
+    val stamped = docs.withColumn("ingest_day",
+      org.apache.spark.sql.functions.expr("doc_id div 10"))
+    (0L until 3L).foreach { b =>
+      vt.commit(stamped.filter(
+        $"ingest_day" >= b * 4 && $"ingest_day" < (b + 1) * 4))
+    }
+    val vFull = vt.currentVersion.get
+    vt.expireBefore("ingest_day", "4")
+    val deleted = vt.changesSince(vFull)
+      .filter($"change_type" === "delete").select($"doc_id")
+    val repaired = IndexMaintenance.purge(post, deleted)
+      .localCheckpoint(true)
+    SearchEndpoint.writeBm25Index(repaired, dir, nBuckets = 8)
+
+    assert(tier.search(terms, k = 5) === before) // stale cache
+    tier.invalidate()
+    val after = tier.search(terms, k = 5)
+    val queries = terms.distinct.map(th => (-1L, th)).toDF("query_id", "th")
+    val want = Retrieval.bm25TopKFromIndex(repaired, queries, k = 5)
+      .orderBy($"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .map(r => (r._2, r._3, r._4))
+    assert(after === want)
+    assert(after !== before) // the expiry really shifted N/df/dl
+    assert(after.forall(_._2 >= 40L)) // no expired doc served
+  }
 }

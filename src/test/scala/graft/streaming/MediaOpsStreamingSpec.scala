@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
-import graft.operators.{AudioHash, ImageHash, Markdown, Redact, VideoHash}
+import graft.operators.{AudioHash, Blocklist, ImageHash, Markdown, Redact, VideoHash}
 
 /** The r12 media/curation operators — perceptual signatures over all
   * three modalities and the secrets scan — are stateless projections,
@@ -116,5 +116,32 @@ class MediaOpsStreamingSpec extends SparkSpec {
     assert(Markdown.extractLinks(batch).count() > 0)
     assert(Markdown.pipeTables(batch).count() > 0)
     assert(Markdown.sections(batch).count() > 0)
+  }
+
+  test("the blocklist scan runs unchanged on a document stream, with " +
+      "plants split across TWO micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pats = Seq("bad phrase", "never fires", "tail")
+    val docs = (0L to 60L).map { i =>
+      val planted =
+        if (i % 5 == 0) s"lead bad phrase mid bad phrase tail d$i"
+        else s"clean text d$i"
+      (i, planted)
+    }
+    val (batch1, batch2) = docs.splitAt(docs.length / 2)
+    val ms = MemoryStream[(Long, String)]
+    val q = Blocklist.scanCounts(ms.toDF().toDF("doc_id", "text"), pats)
+      .writeStream.format("memory").queryName("s_blocklist")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "blocklist stream did not see two non-empty micro-batches")
+    } finally q.stop()
+    val exp = Blocklist.scanCounts(docs.toDF("doc_id", "text"), pats)
+    agree(spark.table("s_blocklist"), exp)
+    // non-vacuous: the plants fired, including a multi-hit doc
+    assert(exp.filter($"hits" >= 2).count() > 0)
   }
 }
