@@ -253,6 +253,8 @@ object SparkEntry {
       Blocklist.q169BlocklistCensus(s, d)),
     "q170_retention_expire" -> ((s: SparkSession, d: String) =>
       IndexMaintenance.q170RetentionExpire(s, d)),
+    "q171_blocklist_redact" -> ((s: SparkSession, d: String) =>
+      Blocklist.q171BlocklistRedact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1905,6 +1907,11 @@ object SparkEntry {
     // of the standing BM25 index; the oracle is a fresh build over
     // the retained corpus (doc_id div 10 >= one-third of day span)
     "q170_retention_expire" -> IndexMaintenance.retentionExpireOracleSql,
+    // q171: blocklist redaction — length-preserving cover masking;
+    // the oracle rebuilds each string positionally (match starts →
+    // covered positions → per-char mask + lag-window span starts),
+    // exact for any catalog incl. overlap/nesting
+    "q171_blocklist_redact" -> Blocklist.redactOracleSql,
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

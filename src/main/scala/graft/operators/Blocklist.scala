@@ -98,6 +98,50 @@ object Blocklist {
         i += 1
       }
     }
+
+    /** Length-preserving scrub: every character covered by at least
+      * one occurrence of any pattern becomes `mask`; overlapping and
+      * nested occurrences merge naturally (a char is covered or not).
+      * Returns (masked text, covered char count, count of MAXIMAL
+      * covered runs). One automaton pass emitting a difference array
+      * over match intervals, one sweep to rebuild — O(text + matches)
+      * like the count scan.
+      */
+    def maskCovered(text: String, mask: Char): (String, Long, Long) = {
+      val n = text.length
+      val delta = new Array[Int](n + 1)
+      var s = 0
+      var i = 0
+      while (i < n) {
+        s = step(s, text.charAt(i))
+        val os = out(s)
+        var j = 0
+        while (j < os.length) {
+          delta(i - patterns(os(j)).length + 1) += 1
+          delta(i + 1) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(n)
+      var cov = 0
+      var nMasked = 0L
+      var nSpans = 0L
+      var prev = false
+      i = 0
+      while (i < n) {
+        cov += delta(i)
+        val c = cov > 0
+        if (c) {
+          sb.append(mask)
+          nMasked += 1
+          if (!prev) nSpans += 1
+        } else sb.append(text.charAt(i))
+        prev = c
+        i += 1
+      }
+      (sb.toString, nMasked, nSpans)
+    }
   }
 
   /** Build the automaton from a pattern catalog: trie insertion, BFS
@@ -219,6 +263,97 @@ object Blocklist {
     docs.join(
       scanCounts(docs, patterns).select($"doc_id").distinct(),
       Seq("doc_id"), "left_anti")
+  }
+
+  /** Scrub instead of drop: the redaction composition — (doc_id,
+    * masked, n_masked, n_spans) with every covered character replaced
+    * by `mask` (length-preserving, the license-header / boilerplate-
+    * marker / unsafe-span treatment when the REST of the document is
+    * worth keeping). Same shuffle-free one-pass shape as
+    * [[scanCounts]]; NULL text passes through as NULL with zero
+    * counts (the no-throw scan contract).
+    */
+  def redact(docs: DataFrame, patterns: Seq[String],
+      mask: Char = '*'): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val bc = ss.sparkContext.broadcast(buildAutomaton(patterns))
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.map { case (id, text) =>
+          if (text == null) (id, null: String, 0L, 0L)
+          else {
+            val (m, nm, ns) = ac.maskCovered(text, mask)
+            (id, m, nm, ns)
+          }
+        }
+      }
+      .toDF("doc_id", "masked", "n_masked", "n_spans")
+  }
+
+  /** Q171 — blocklist redaction over `documents` at the q169 fixture
+    * catalog: the scrubbed corpus with per-doc masked-char and
+    * merged-span counts.
+    */
+  def q171BlocklistRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    redact(Tables.load(spark, dir, "documents"), q169Patterns)
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q171BlocklistRedact]] — positional
+    * reconstruction: enumerate every match START via a per-(doc,
+    * pattern) series scan, expand matches to their covered character
+    * positions, rebuild the string per position (`*` where covered),
+    * count covered chars and coverage-run starts (lag window). Exact
+    * for ANY catalog — unlike the q169 replace-count identity this
+    * ledger is positional, so overlap/nesting semantics are mirrored
+    * directly rather than assumed away.
+    */
+  def redactOracleSql: String = {
+    val vals = q169Patterns
+      .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""WITH pats(pattern) AS (VALUES $vals),
+       | idx AS (
+       |   SELECT doc_id, text,
+       |     unnest(generate_series(1, length(text))) AS i
+       |   FROM documents),
+       | chars AS (
+       |   SELECT doc_id, i, substr(text, i, 1) AS ch FROM idx),
+       | hits AS (
+       |   SELECT doc_id, i FROM (
+       |     SELECT d.doc_id,
+       |       unnest(flatten(list_transform(
+       |         list_filter(
+       |           generate_series(1, length(d.text) - length(p.pattern) + 1),
+       |           s -> substr(d.text, s, length(p.pattern)) = p.pattern),
+       |         s -> generate_series(s, s + length(p.pattern) - 1)))) AS i
+       |     FROM documents d
+       |     JOIN pats p ON length(p.pattern) <= length(d.text))),
+       | cov AS (SELECT DISTINCT doc_id, i FROM hits),
+       | flags AS (
+       |   SELECT ch.doc_id, ch.i, ch.ch, cov.i IS NOT NULL AS c
+       |   FROM chars ch
+       |   LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.i = ch.i),
+       | spans AS (
+       |   SELECT doc_id, i, ch, c,
+       |     CASE WHEN c AND NOT coalesce(
+       |       lag(c) OVER (PARTITION BY doc_id ORDER BY i), false)
+       |     THEN 1 ELSE 0 END AS st
+       |   FROM flags),
+       | agg AS (
+       |   SELECT doc_id,
+       |     string_agg(CASE WHEN c THEN '*' ELSE ch END, '' ORDER BY i)
+       |       AS masked,
+       |     sum(CASE WHEN c THEN 1 ELSE 0 END) AS n_masked,
+       |     sum(st) AS n_spans
+       |   FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.masked, '') AS masked,
+       |  coalesce(a.n_masked, 0)::BIGINT AS n_masked,
+       |  coalesce(a.n_spans, 0)::BIGINT AS n_spans
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The q169 fixture catalog: corpus-vocabulary phrases, every entry

@@ -97,6 +97,58 @@ class BlocklistSpec extends SparkSpec {
       Blocklist.buildAutomaton(Seq("a", "a")))
   }
 
+  test("redaction merges overlapping and nested matches into covered " +
+      "runs, preserves length, and leaves uncovered chars untouched") {
+    val docs = Seq(
+      (1L, "xabcx"),       // ab@1 + bc@2 overlap -> one 3-char run
+      (2L, "ab yy bc"),    // two disjoint runs
+      (3L, "clean")).toDF("doc_id", "text")
+    val got = Blocklist.redact(docs, Seq("ab", "bc"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "x***x", 3L, 1L),
+      (2L, "** yy **", 4L, 2L),
+      (3L, "clean", 0L, 0L)))
+  }
+
+  test("randomized differential: masked positions equal the brute-" +
+      "force cover of all end-position matches") {
+    val rnd = new Random(816L)
+    val alphabet = "abc"
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (round <- 1 to 15) {
+      val pats = (1 to 6).map(_ => randStr(1 + rnd.nextInt(4)))
+        .distinct.toList
+      val texts = (1L to 10L).map(i => (i, randStr(rnd.nextInt(50))))
+      val got = Blocklist.redact(texts.toDF("doc_id", "text"), pats)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      for ((id, text) <- texts) {
+        val covered = Array.fill(text.length)(false)
+        for (p <- pats; i <- 0 to text.length - p.length
+             if text.regionMatches(i, p, 0, p.length);
+             j <- i until i + p.length) covered(j) = true
+        val wantMasked = text.zipWithIndex
+          .map { case (c, i) => if (covered(i)) '*' else c }.mkString
+        val wantN = covered.count(identity).toLong
+        val wantSpans = (0 until text.length)
+          .count(i => covered(i) && (i == 0 || !covered(i - 1))).toLong
+        val (_, m, n, sp) = got(id)
+        assert(m === wantMasked, s"round $round doc $id '$text' $pats")
+        assert(n === wantN && sp === wantSpans)
+      }
+    }
+  }
+
+  test("redaction passes NULL text through with zero counts") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("ab")))
+      .toDF("doc_id", "text")
+    val got = Blocklist.redact(docs, Seq("ab"))
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, None, 0L, 0L), (2L, Some("**"), 2L, 1L)))
+  }
+
   test("the q169 fixture catalog is borderless (the oracle's replace-" +
       "count identity requires it) and includes a nested pair") {
     for (p <- Blocklist.q169Patterns; k <- 1 until p.length) {

@@ -143,5 +143,16 @@ class MediaOpsStreamingSpec extends SparkSpec {
     agree(spark.table("s_blocklist"), exp)
     // non-vacuous: the plants fired, including a multi-hit doc
     assert(exp.filter($"hits" >= 2).count() > 0)
+
+    // redaction is the same stateless projection: stream ≡ batch
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData(docs: _*)
+    val q2 = Blocklist.redact(ms2.toDF().toDF("doc_id", "text"), pats)
+      .writeStream.format("memory").queryName("s_blockredact")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val expR = Blocklist.redact(docs.toDF("doc_id", "text"), pats)
+    agree(spark.table("s_blockredact"), expR)
+    assert(expR.filter($"n_spans" >= 2).count() > 0)
   }
 }
