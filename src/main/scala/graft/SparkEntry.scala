@@ -255,6 +255,8 @@ object SparkEntry {
       IndexMaintenance.q170RetentionExpire(s, d)),
     "q171_blocklist_redact" -> ((s: SparkSession, d: String) =>
       Blocklist.q171BlocklistRedact(s, d)),
+    "q172_auto_redact" -> ((s: SparkSession, d: String) =>
+      Blocklist.q172AutoRedact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1912,6 +1914,10 @@ object SparkEntry {
     // covered positions → per-char mask + lag-window span starts),
     // exact for any catalog incl. overlap/nesting
     "q171_blocklist_redact" -> Blocklist.redactOracleSql,
+    // q172: derived-catalog redaction — the oracle mines the same
+    // token-aligned 4-gram df top-5 as a CTE (total order: df DESC,
+    // gram ASC), then reuses the q171 positional masking chain
+    "q172_auto_redact" -> Blocklist.autoRedactOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

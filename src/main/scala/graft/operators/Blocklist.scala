@@ -315,7 +315,16 @@ object Blocklist {
     val vals = q169Patterns
       .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
     s"""WITH pats(pattern) AS (VALUES $vals),
-       | idx AS (
+       |$maskingCtesSql""".stripMargin
+  }
+
+  /** The positional-masking CTE chain shared by the q171 and q172
+    * oracles: expects a preceding `pats(pattern)` CTE (literal VALUES
+    * or derived) and ends in the (doc_id, masked, n_masked, n_spans)
+    * select.
+    */
+  def maskingCtesSql: String =
+    s""" idx AS (
        |   SELECT doc_id, text,
        |     unnest(generate_series(1, length(text))) AS i
        |   FROM documents),
@@ -354,6 +363,85 @@ object Blocklist {
        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** DERIVED-catalog redaction — the corpus mines its own blocklist:
+    * the `maxPatterns` token-aligned `n`-gram phrases with the
+    * highest cross-document frequency (df = docs containing the
+    * phrase at a token boundary, ties by phrase ascending, df ≥
+    * `minDf` — one doc's idiosyncrasy is not boilerplate) become the
+    * catalog, and every occurrence is cover-masked. This is
+    * boilerplate-PHRASE scrubbing (the q141 line treatment at
+    * sub-line granularity): the document survives, the template text
+    * inside it does not.
+    *
+    * The catalog collects to the driver (`maxPatterns` strings — the
+    * bounded-catalog contract the automaton build needs). Note the
+    * derivation shuffles gram STRINGS at fixture scale; a 100 TB
+    * deployment df-counts 8-byte gram hashes first (the q88/q147
+    * wire contract) and recovers the top-K strings with one filtered
+    * second pass — same result, hash-width shuffle.
+    *
+    * Masking is SUBSTRING-semantics (the [[redact]] contract): the
+    * catalog is mined token-aligned, but once a phrase is blocklisted
+    * every occurrence masks, aligned or not.
+    */
+  def autoRedact(docs: DataFrame, n: Int = 4, minDf: Long = 2L,
+      maxPatterns: Int = 5): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val grams = docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.split(" ", -1)
+          (0 to toks.length - n).iterator
+            .map(i => (id, toks.slice(i, i + n).mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "gram").distinct()
+    val catalog = grams.groupBy($"gram")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDf)
+      .orderBy($"df".desc, $"gram")
+      .limit(maxPatterns)
+      .select($"gram").as[String].collect().toSeq
+    if (catalog.isEmpty)
+      docs.select($"doc_id", $"text".as("masked"),
+        lit(0L).as("n_masked"), lit(0L).as("n_spans"))
+    else redact(docs, catalog)
+  }
+
+  /** Q172 — auto-mined boilerplate-phrase redaction over `documents`
+    * at the defaults (top-5 4-gram phrases with df ≥ 2).
+    */
+  def q172AutoRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    autoRedact(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[q172AutoRedact]]: the same token-aligned
+    * 4-gram df mining (distinct per doc, df ≥ 2, top-5 by df DESC
+    * then phrase ASC — a total order, grams are unique) derived as
+    * the `pats` CTE, then the shared positional masking chain.
+    */
+  def autoRedactOracleSql(n: Int = 4, minDf: Long = 2L,
+      maxPatterns: Int = 5): String = {
+    val joinExpr = (0 until n)
+      .map(k => s"ts[i + $k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |   SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       | gidx AS (
+       |   SELECT doc_id, ts,
+       |     unnest(generate_series(1, len(ts) - ${n - 1})) AS i
+       |   FROM toks),
+       | grams AS (
+       |   SELECT DISTINCT doc_id, $joinExpr AS gram FROM gidx),
+       | dfreq AS (
+       |   SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+       | pats AS (
+       |   SELECT gram AS pattern FROM dfreq WHERE df >= $minDf
+       |   ORDER BY df DESC, gram LIMIT $maxPatterns),
+       |$maskingCtesSql""".stripMargin
   }
 
   /** The q169 fixture catalog: corpus-vocabulary phrases, every entry

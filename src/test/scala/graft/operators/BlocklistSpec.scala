@@ -141,6 +141,36 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("autoRedact mines the expected top-df phrases and masks them; " +
+      "an under-threshold corpus falls back to unmasked passthrough") {
+    // "w x y z" appears token-aligned in docs 1,2,3 (df 3);
+    // "a b c d" in docs 1,2 (df 2); everything else is unique
+    val docs = Seq(
+      (1L, "a b c d q w x y z"),
+      (2L, "w x y z p a b c d"),
+      (3L, "m w x y z n o p q"),
+      (4L, "u v only once here")).toDF("doc_id", "text")
+    val got = Blocklist.autoRedact(docs, n = 4, minDf = 2L,
+        maxPatterns = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // catalog = ("w x y z" df 3, "a b c d" df 2)
+    assert(got === Seq(
+      (1L, "******* q *******", 14L, 2L),
+      (2L, "******* p *******", 14L, 2L),
+      (3L, "m ******* n o p q", 7L, 1L),
+      (4L, "u v only once here", 0L, 0L)))
+
+    // no phrase reaches df 2: nothing masks, text passes through
+    val sparse = Seq((1L, "all unique tokens here now"),
+      (2L, "and different ones there too")).toDF("doc_id", "text")
+    val none = Blocklist.autoRedact(sparse, n = 4, minDf = 2L,
+        maxPatterns = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(none === Seq(
+      (1L, "all unique tokens here now", 0L, 0L),
+      (2L, "and different ones there too", 0L, 0L)))
+  }
+
   test("redaction passes NULL text through with zero counts") {
     val docs = Seq((1L, Option.empty[String]), (2L, Some("ab")))
       .toDF("doc_id", "text")
