@@ -54,6 +54,12 @@ object Blocklist {
       fail: Array[Int],
       out: Array[Array[Int]]) extends Serializable {
 
+    /** Trie size — at most one state per catalog character plus the
+      * root, the O(Σ pattern lengths) broadcast-size bound
+      * (spec-pinned at a 10k-pattern catalog).
+      */
+    def nStates: Int = fail.length
+
     @inline private def goTo(s: Int, c: Char): Int = {
       val cs = chars(s)
       var lo = 0

@@ -179,6 +179,41 @@ class BlocklistSpec extends SparkSpec {
     assert(got === Seq((1L, None, 0L, 0L), (2L, Some("**"), 2L, 1L)))
   }
 
+  test("catalog scale: a 10k-pattern automaton builds compactly and " +
+      "scans correctly (sampled brute-force check)") {
+    val rnd = new Random(99173L)
+    val alphabet = "abcdefgh"
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pats = Iterator.continually(randStr(3 + rnd.nextInt(8)))
+      .distinct.take(10000).toList
+    val ac = Blocklist.buildAutomaton(pats)
+    // the broadcast-size claim is structural: the trie has at most
+    // one state per catalog character (plus the root)
+    assert(ac.patterns.length === 10000)
+    assert(ac.nStates <= pats.map(_.length).sum + 1)
+    val texts = (1L to 8L).map(i => (i, randStr(400)))
+    val got = Blocklist.scanCounts(texts.toDF("doc_id", "text"), pats)
+      .as[(Long, Int, Long)].collect()
+      .map { case (d, p, h) => (d, p) -> h }.toMap
+    // sampled verification: 200 random (doc, pattern) cells plus
+    // every nonzero cell the scan reported
+    def brute(text: String, pat: String): Long =
+      (0 to text.length - pat.length)
+        .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+    val textMap = texts.toMap
+    for (_ <- 1 to 200) {
+      val (id, text) = texts(rnd.nextInt(texts.length))
+      val pid = rnd.nextInt(pats.length)
+      assert(got.getOrElse((id, pid), 0L) === brute(text, pats(pid)))
+    }
+    for (((id, pid), h) <- got)
+      assert(h === brute(textMap(id), pats(pid)))
+    // short patterns over a long text on a small alphabet: matches
+    // definitely exist, the check is not vacuous
+    assert(got.nonEmpty)
+  }
+
   test("the q169 fixture catalog is borderless (the oracle's replace-" +
       "count identity requires it) and includes a nested pair") {
     for (p <- Blocklist.q169Patterns; k <- 1 until p.length) {
