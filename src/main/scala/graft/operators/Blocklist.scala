@@ -316,6 +316,12 @@ object Blocklist {
     * for ANY catalog — unlike the q169 replace-count identity this
     * ledger is positional, so overlap/nesting semantics are mirrored
     * directly rather than assumed away.
+    *
+    * Position-unit caveat: the oracle indexes CODE POINTS (DuckDB
+    * `length`/`substr`) while the engine indexes UTF-16 units (Java
+    * strings) — identical for every BMP character, so for this
+    * corpus; only astral-plane text (emoji etc.) would shift
+    * positions between the two ledgers.
     */
   def redactOracleSql: String = {
     val vals = q169Patterns

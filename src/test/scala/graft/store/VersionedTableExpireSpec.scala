@@ -100,6 +100,23 @@ class VersionedTableExpireSpec extends SparkSpec {
       Set("x", "y"))
   }
 
+  test("schema evolution: files committed BEFORE the timestamp column " +
+      "existed are carried verbatim (their rows read as NULL ts and " +
+      "NULL is retained)") {
+    val vt = fresh(statsCols = Seq("day"))
+    // pre-evolution commit: no `day` column at all
+    vt.commit(Seq(("legacy a"), ("legacy b")).toDF("text").coalesce(1))
+    vt.commit(Seq((1L, "old"), (20L, "new")).toDF("day", "text")
+      .coalesce(1))
+    val before = vt.readManifest(vt.currentVersion.get).files
+    val legacyFile = before.find(!_.stats.contains("day")).get
+    val v = vt.expireBefore("day", "10")
+    val after = vt.readManifest(v).files
+    assert(after.contains(legacyFile))
+    assert(vt.read().select($"text").as[String].collect().toSet ===
+      Set("legacy a", "legacy b", "new"))
+  }
+
   test("numeric cutoff compares numerically, not lexicographically") {
     val vt = fresh(statsCols = Seq("n"))
     vt.commit(Seq((9L, "nine"), (100L, "hundred")).toDF("n", "text"))
