@@ -431,15 +431,33 @@ class VersionedTable(spark: SparkSession, root: String,
   /** Multiset row diff between two snapshots: rows only in `to` tag
     * `insert`, rows only in `from` tag `delete` (an update appears as
     * its delete/insert pair — key-level pairing is the consumer's
-    * join). Two `exceptAll` hash aggregations over the two snapshots —
-    * the O(table) fallback the manifest fast path avoids. Both sides
-    * read with the LATER version's schema so an evolved column diffs
-    * as NULL→value instead of failing the union.
+    * join). Both sides read with the LATER version's schema so an
+    * evolved column diffs as NULL→value instead of failing the union.
+    *
+    * FILE-pruned: a data file carried VERBATIM between the two
+    * manifests contributes the identical row multiset to both sides,
+    * and multiset subtraction cancels common parts exactly
+    * ((F + A) ∖ (F + B) = A ∖ B for any common F) — so the diff reads
+    * only each side's files NOT in the other manifest. A takedown or
+    * retention sweep therefore diffs O(touched files), never
+    * O(table): the CDC feed standing-index repair consumes after an
+    * expire costs what the expire touched (the fallback full read
+    * survives only for schema-less legacy manifests).
     */
   def rowDiff(fromVersion: Long, toVersion: Long): DataFrame = {
     val later = readManifest(math.max(fromVersion, toVersion))
-    val from = readFiles(later.schema, readManifest(fromVersion).files)
-    val to = readFiles(later.schema, readManifest(toVersion).files)
+    val fromM = readManifest(fromVersion)
+    val toM = readManifest(toVersion)
+    val (fromFiles, toFiles) =
+      if (later.schema.isEmpty) (fromM.files, toM.files)
+      else {
+        val fromPaths = fromM.files.map(_.path).toSet
+        val toPaths = toM.files.map(_.path).toSet
+        (fromM.files.filterNot(f => toPaths.contains(f.path)),
+          toM.files.filterNot(f => fromPaths.contains(f.path)))
+      }
+    val from = readFiles(later.schema, fromFiles)
+    val to = readFiles(later.schema, toFiles)
     to.exceptAll(from).withColumn("change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("change_type", lit("delete")))
   }

@@ -100,6 +100,27 @@ class VersionedTableExpireSpec extends SparkSpec {
       Set("x", "y"))
   }
 
+  test("CDC across an expire reads ONLY the touched files — carried-" +
+      "verbatim files cancel in the multiset diff and are pruned " +
+      "from both scans") {
+    val vt = fresh(statsCols = Seq("day"))
+    vt.commit((1L to 10L).map(i => (i, s"a$i")).toDF("day", "text")
+      .coalesce(1))
+    vt.commit((11L to 20L).map(i => (i, s"b$i")).toDF("day", "text")
+      .coalesce(1))
+    vt.commit((21L to 30L).map(i => (i, s"c$i")).toDF("day", "text")
+      .coalesce(1))
+    val vBefore = vt.currentVersion.get
+    vt.expireBefore("day", "11") // drops file 1 whole, no rewrite
+    val diff = vt.changesSince(vBefore)
+    assert(diff.filter($"change_type" === "delete")
+      .select($"day").as[Long].collect().sorted.toSeq === (1L to 10L))
+    assert(diff.filter($"change_type" === "insert").isEmpty)
+    // the two surviving files were carried verbatim — the diff never
+    // opens them
+    assert(diff.inputFiles.length === 1)
+  }
+
   test("schema evolution: files committed BEFORE the timestamp column " +
       "existed are carried verbatim (their rows read as NULL ts and " +
       "NULL is retained)") {
