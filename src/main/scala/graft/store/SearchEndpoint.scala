@@ -372,8 +372,16 @@ final class SigSearchTier(spark: SparkSession, indexDir: String,
   * tokens), so wire queries hash exactly like ingested documents.
   */
 final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
-    sig: SigSearchTier = null, port: Int = 0, nThreads: Int = 4) {
+    sig: SigSearchTier = null, port: Int = 0, nThreads: Int = 4,
+    scrub: Seq[String] = Nil) {
   require(nThreads > 0, "nThreads must be positive")
+
+  // the scrub catalog compiles to its automaton ONCE at construction
+  // (deployment constant, like the tiers' layouts); every /scrub
+  // request is pure driver compute — zero Spark jobs by construction
+  private val scrubAc =
+    if (scrub.isEmpty) null
+    else graft.operators.Blocklist.buildAutomaton(scrub)
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -492,6 +500,20 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
         (200, results.mkString("""{"Results":[""", ",", "]}"))
       case _ =>
         (400, """{"error":"missing required query parameters 'dhash','ahash'"}""")
+    }
+  })
+
+  // GET /scrub?text=… — the online leg of the blocklist family
+  // (q171's cover masking at request time): {"masked":…,
+  // "n_masked":N,"n_spans":N}. Only when a scrub catalog is wired.
+  if (scrubAc != null) server.createContext("/scrub", handler { ex =>
+    queryParam(ex, "text") match {
+      case None =>
+        (400, """{"error":"missing required query parameter 'text'"}""")
+      case Some(t) =>
+        val (m, nm, ns) = scrubAc.maskCovered(t, '*')
+        (200,
+          s"""{"masked":"${jsonEsc(m)}","n_masked":$nm,"n_spans":$ns}""")
     }
   })
 

@@ -200,4 +200,39 @@ class SearchEndpointSpec extends SparkSpec {
     assert(after === want)
     assert(before !== after) // df/N really shifted with growth
   }
+
+  test("/scrub serves the q171 cover masking at request time — parity " +
+      "with the batch redact, zero Spark jobs per request") {
+    val cat = Seq("mask me", "me now")
+    val bm25Dir = Files.createTempDirectory("bm25-scrub").toString
+    SearchEndpoint.writeBm25Index(
+      Retrieval.docTermStats(
+        Tables.load(spark, sf, "documents").limit(20)), bm25Dir)
+    val ivfDir = Files.createTempDirectory("ivf-scrub").toString
+    val emb = Tables.load(spark, sf, "embeddings").limit(32)
+    val (indexed, model) = IvfIndex.buildPivots(emb, nLists = 2)
+    SearchEndpoint.writeIvfIndex(indexed, ivfDir)
+    val ep = new SearchHttpEndpoint(
+      new Bm25SearchTier(spark, bm25Dir),
+      new IvfSearchTier(spark, ivfDir, model),
+      scrub = cat)
+    val port = ep.start()
+    try {
+      val text = "lead mask me now tail and mask me again"
+      val want = graft.operators.Blocklist
+        .redact(Seq((1L, text)).toDF("doc_id", "text"), cat)
+        .as[(Long, String, Long, Long)].head()
+      var body = ""
+      val jobs = countJobs {
+        body = get(port,
+          s"/scrub?text=${java.net.URLEncoder.encode(text, "UTF-8")}")
+      }
+      assert(jobs === 0, s"/scrub ran $jobs Spark jobs")
+      assert(body ===
+        s"""{"masked":"${want._2}","n_masked":${want._3},""" +
+        s""""n_spans":${want._4}}""")
+      assert(want._3 > 0L) // the probe text really matched
+      assert(get(port, "/scrub").contains("missing required"))
+    } finally ep.stop()
+  }
 }
