@@ -147,6 +147,25 @@ class VersionedTableExpireSpec extends SparkSpec {
       Seq("hundred"))
   }
 
+  test("string-typed timestamps (ISO dates) compare lexicographically " +
+      "and still classify files three ways") {
+    val vt = fresh(statsCols = Seq("d"))
+    vt.commit(Seq(("2024-05-01", "old1"), ("2024-05-20", "old2"))
+      .toDF("d", "text").coalesce(1))
+    vt.commit(Seq(("2024-06-10", "mid"), ("2024-06-20", "kept"))
+      .toDF("d", "text").coalesce(1))
+    vt.commit(Seq(("2024-07-01", "new1"), ("2024-07-09", "new2"))
+      .toDF("d", "text").coalesce(1))
+    val before = vt.readManifest(vt.currentVersion.get).files
+    val v = vt.expireBefore("d", "2024-06-15")
+    val after = vt.readManifest(v).files
+    // May file dropped whole, July file verbatim, June file rewritten
+    assert(!after.contains(before.find(_.stats("d")._1 == "2024-05-01").get))
+    assert(after.contains(before.find(_.stats("d")._1 == "2024-07-01").get))
+    assert(vt.read().select($"text").as[String].collect().toSet ===
+      Set("kept", "new1", "new2"))
+  }
+
   test("a sweep that touches nothing publishes nothing; txn replay " +
       "is a no-op") {
     val vt = fresh(statsCols = Seq("day"))
