@@ -171,6 +171,33 @@ class BlocklistSpec extends SparkSpec {
       (2L, "and different ones there too", 0L, 0L)))
   }
 
+  test("redaction is idempotent (for catalogs not containing the mask " +
+      "char) and the scan plan has no shuffle") {
+    val rnd = new Random(4242L)
+    def randStr(n: Int): String =
+      (1 to n).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+    val pats = (1 to 6).map(_ => randStr(1 + rnd.nextInt(3))).distinct.toList
+    val docs = (1L to 15L).map(i => (i, randStr(rnd.nextInt(40))))
+      .toDF("doc_id", "text")
+    val once = Blocklist.redact(docs, pats)
+    val twice = Blocklist.redact(
+      once.select($"doc_id", $"masked".as("text")), pats)
+    assert(twice.filter($"n_masked" > 0).isEmpty)
+    assert(once.select($"doc_id", $"masked")
+      .exceptAll(twice.select($"doc_id", $"masked")).isEmpty)
+    // the zero-shuffle claim, pinned on the plan: no Exchange anywhere
+    // in the scan's physical plan (Parallel.fan may repartition the
+    // tiny local input, so pin on a pre-split frame)
+    val plan = Blocklist.scanCounts(
+        docs.repartition(spark.sparkContext.defaultParallelism), pats)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // exactly the one repartition we injected; the scan itself adds none
+    assert(exchanges.size <= 1)
+  }
+
   test("redaction passes NULL text through with zero counts") {
     val docs = Seq((1L, Option.empty[String]), (2L, Some("ab")))
       .toDF("doc_id", "text")

@@ -177,6 +177,21 @@ class VersionedTableExpireSpec extends SparkSpec {
     assert(vt.read().count() === 6L)
   }
 
+  test("a cutoff above every band expires EVERYTHING: the manifest " +
+      "goes empty but keeps the schema, reads return zero rows, and " +
+      "a later commit restarts the table") {
+    val vt = fresh(statsCols = Seq("day"))
+    vt.commit((1L to 10L).map(i => (i, s"d$i")).toDF("day", "text")
+      .coalesce(1))
+    val v = vt.expireBefore("day", "100")
+    assert(vt.readManifest(v).files.isEmpty)
+    assert(vt.read().count() === 0L)
+    assert(vt.read().columns.toSeq === Seq("day", "text"))
+    vt.commit(Seq((200L, "reborn")).toDF("day", "text"))
+    assert(vt.read().select($"text").as[String].collect().toSeq ===
+      Seq("reborn"))
+  }
+
   test("vacuum after expire reclaims the whole-dropped files' commit " +
       "dirs; the current snapshot survives intact") {
     val vt = fresh(statsCols = Seq("day"))
