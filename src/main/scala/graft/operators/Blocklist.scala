@@ -387,11 +387,18 @@ object Blocklist {
     * inside it does not.
     *
     * The catalog collects to the driver (`maxPatterns` strings — the
-    * bounded-catalog contract the automaton build needs). Note the
-    * derivation shuffles gram STRINGS at fixture scale; a 100 TB
-    * deployment df-counts 8-byte gram hashes first (the q88/q147
-    * wire contract) and recovers the top-K strings with one filtered
-    * second pass — same result, hash-width shuffle.
+    * bounded-catalog contract the automaton build needs). The mining
+    * is TWO-PASS on the q88/q147 wire contract: pass 1 df-counts
+    * 8-byte gram HASHES (nothing vocabulary-wide shuffles strings),
+    * a bounded scalar read takes the K-th-largest hash df, and pass 2
+    * recovers the candidate STRINGS (grams whose hash df reaches that
+    * boundary — a broadcast-set filter on the scan, candidate-sized
+    * output), recomputes their exact string dfs, and orders
+    * (df DESC, gram ASC) to the final K. A hash df only ever
+    * over-counts its gram's true df (collisions merge), so the
+    * candidate set can only over-admit — the string-df recount and
+    * final cut restore exactness up to the corpus-wide 64-bit
+    * collision contract.
     *
     * Masking is SUBSTRING-semantics (the [[redact]] contract): the
     * catalog is mined token-aligned, but once a phrase is blocklisted
@@ -401,18 +408,43 @@ object Blocklist {
       maxPatterns: Int = 5): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    val grams = docs.select($"doc_id", $"text").as[(Long, String)]
+    def gramsOf(id: Long, text: String): Iterator[(Long, String)] =
+      if (text == null) Iterator.empty
+      else {
+        val toks = text.split(" ", -1)
+        (0 to toks.length - n).iterator
+          .map(i => (id, toks.slice(i, i + n).mkString(" ")))
+      }
+    val typed = docs.select($"doc_id", $"text").as[(Long, String)]
+    // pass 1: df over 8-byte gram hashes — the only corpus-wide
+    // shuffle, hash-width rows
+    val hashDf = typed
       .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else {
-          val toks = text.split(" ", -1)
-          (0 to toks.length - n).iterator
-            .map(i => (id, toks.slice(i, i + n).mkString(" ")))
-        }
+        gramsOf(id, text).map { case (d, g) => (d, NearDup.tokenHash64(g)) }
+      }
+      .toDF("doc_id", "gh").distinct()
+      .groupBy($"gh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDf)
+    // boundary df: the K-th largest hash df (one bounded scalar)
+    val dfKRow = hashDf.orderBy($"df".desc).limit(maxPatterns)
+      .agg(min($"df")).head()
+    if (dfKRow.isNullAt(0))
+      return docs.select($"doc_id", $"text".as("masked"),
+        lit(0L).as("n_masked"), lit(0L).as("n_spans"))
+    val dfK = dfKRow.getLong(0)
+    // candidate hashes: everything at or above the boundary,
+    // boundary ties included — catalog-sized, broadcasts as a set
+    val cand = hashDf.filter($"df" >= dfK)
+      .select($"gh").as[Long].collect().toSet
+    val candBc = ss.sparkContext.broadcast(cand)
+    // pass 2: recover candidate strings, recount exact string dfs
+    val catalog = typed
+      .flatMap { case (id, text) =>
+        gramsOf(id, text)
+          .filter { case (_, g) => candBc.value.contains(NearDup.tokenHash64(g)) }
       }
       .toDF("doc_id", "gram").distinct()
-    val catalog = grams.groupBy($"gram")
-      .agg(count(lit(1)).as("df"))
+      .groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" >= minDf)
       .orderBy($"df".desc, $"gram")
       .limit(maxPatterns)
