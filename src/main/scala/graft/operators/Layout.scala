@@ -106,6 +106,53 @@ object Layout {
       .parquet(dir)
   }
 
+  /** Key deletion against a [[mergeBucketPartitioned]] table — the
+    * serving half of a right-to-be-forgotten request. The forgotten
+    * keys hash to ≤ |keys| bucket dirs; only those partitions are
+    * read, anti-filtered (NULL-keyed rows retained, the delete
+    * contract), and dynamically overwritten — O(touched buckets),
+    * never a layout scan. A bucket whose rows are ALL deleted gets
+    * its partition dir removed explicitly: dynamic overwrite only
+    * replaces partitions present in the OUTPUT, so an empty bucket
+    * would otherwise silently keep serving the deleted rows.
+    * Value-idempotent (replay-safe) like the merge itself; same
+    * in-place isolation caveat.
+    */
+  def deleteFromBucketPartitioned(spark: SparkSession, dir: String,
+      keyCol: String, keys: Seq[Any], nBuckets: Int): Unit = {
+    import spark.implicits._
+    require(keys.nonEmpty, "deleteFromBucketPartitioned with no keys")
+    require(keys.forall(_ != null),
+      "deleteFromBucketPartitioned with a NULL key")
+    if (!hasCommittedBuckets(spark, dir)) return
+    val table = spark.read.option("mergeSchema", "true").parquet(dir)
+    val dt = table.schema(keyCol).dataType
+    // buckets the keys hash into — one job over a literal array, the
+    // exact xxhash64-of-stored-type the layout bucketed with
+    val kbLits = keys.distinct.map(k =>
+      pmod(xxhash64(lit(k).cast(dt)), lit(nBuckets.toLong)).cast("int"))
+    val touched = spark.range(1)
+      .select(array(kbLits: _*).as("a"))
+      .head().getSeq[Int](0).toSet
+    val cur = table.filter($"kb".isin(touched.toSeq: _*))
+      .transform(graft.core.Pin.snapshot)
+    val kept = cur.filter(!col(keyCol).isin(keys: _*) ||
+      col(keyCol).isNull)
+    val keptBuckets = kept.select($"kb").distinct().as[Int]
+      .collect().toSet
+    if (keptBuckets.nonEmpty)
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb")
+        .parquet(dir)
+    // emptied buckets: remove their partition dirs outright
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touched -- keptBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/kb=$b"), true): Unit
+    }
+  }
+
   /** Partition-pruned point lookup against a
     * [[mergeBucketPartitioned]] table: the filter pins `kb`, so the
     * scan lists exactly one bucket directory. The key literal is cast

@@ -46,8 +46,12 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     * offline-store semantics the reference delegates to its platform
     * (`feature_store_manager.py:96-100`), self-contained.
     */
+  // keyCol in statsCols: [[forgetKeys]] prunes its history rewrite to
+  // the files whose key band overlaps a forgotten key (key-clustered
+  // ingest keeps bands tight); event_date drives offlineRange pruning
   private val offlineTable =
-    new VersionedTable(spark, offlineDir, statsCols = Seq("event_date"))
+    new VersionedTable(spark, offlineDir,
+      statsCols = Seq("event_date", conf.keyCol))
 
   private def key = col(conf.keyCol)
   private def ts  = col(conf.eventTimeCol)
@@ -200,6 +204,45 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
     */
   def offlineRange(lo: String, hi: String): DataFrame =
     offlineTable.readRange(lo, hi)
+
+  /** RIGHT-TO-BE-FORGOTTEN — delete every record of `keys` from ALL
+    * tiers in one call, the deletion story the reference's domain
+    * (a CUSTOMER feature store) actually demands: deleting only the
+    * history while the online/serving tiers keep serving the
+    * customer's features is a compliance failure, not staleness.
+    *
+    *  - offline HISTORY: [[VersionedTable.deleteKeys]] — copy-on-write
+    *    with file-stats pruning on the key band (the key column is in
+    *    `statsCols`; key-clustered ingest keeps bands tight), time
+    *    travel still spans the delete, [[vacuumOffline]] reclaims;
+    *  - versioned ONLINE view: one filtered rewrite, O(#keys) — the
+    *    cost of any online commit;
+    *  - bucket-partitioned SERVING layout: only the ≤ |keys| bucket
+    *    dirs the keys hash into are rewritten
+    *    ([[graft.operators.Layout.deleteFromBucketPartitioned]]).
+    *
+    * NULL-keyed rows are retained in every tier (the deleteKeys
+    * contract: a delete removes exactly the rows its predicate
+    * matches TRUE). A key never ingested is a no-op everywhere.
+    * Idempotent under `txnId`: the derived tiers rewrite BEFORE the
+    * fenced history commit (the [[ingest]] ordering) — their deletes
+    * are value-idempotent, so a replay after a crash between tiers
+    * repairs them, and once the history commit lands the replay
+    * skips everything.
+    */
+  def forgetKeys(keys: Seq[Any], txnId: Option[String] = None): Unit = {
+    if (txnId.exists(offlineTable.txnCommitted)) return
+    require(keys.nonEmpty, "forgetKeys with an empty key list")
+    require(keys.forall(_ != null), "forgetKeys with a NULL key")
+    currentOnlineDir.foreach { dir =>
+      writeOnline(spark.read.parquet(dir)
+        .filter(!key.isin(keys: _*) || key.isNull))
+    }
+    if (servingInitialized)
+      graft.operators.Layout.deleteFromBucketPartitioned(
+        spark, servingDir, conf.keyCol, keys, servingBuckets)
+    if (exists) offlineTable.deleteKeys(conf.keyCol, keys, txnId): Unit
+  }
 
   /** Window-dedup to the newest `(event_time, _seq)` record per key.
     * Input must carry the `_seq` column.

@@ -1,0 +1,93 @@
+package graft.store
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[FeatureStore.forgetKeys]] — the right-to-be-forgotten request
+  * across all three tiers: offline history (every version of the
+  * key), the versioned online view, and the bucket-partitioned
+  * serving layout (including a bucket emptied outright). Other keys'
+  * records and latest values survive untouched; txn replay is a
+  * no-op; a never-ingested key changes nothing.
+  */
+class FeatureStoreForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def freshStore() = FeatureStore(
+    spark,
+    Files.createTempDirectory("fs-forget").toString,
+    keyCol = "customer_id", eventTimeCol = "purchase_timestamp")
+
+  private val batch = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-03 09:30:00"), 50.0),
+    (2L, ts("2024-01-02 12:00:00"), 200.0),
+    (3L, ts("2024-01-04 08:00:00"), 300.0),
+  ).toDF("customer_id", "purchase_timestamp", "avg_purchase_value")
+
+  test("forgetKeys removes every version from history, the online " +
+      "view, and keeps other keys' latest values intact") {
+    val fs = freshStore()
+    fs.ingest(batch)
+    fs.compactOnline()
+    fs.forgetKeys(Seq(1L))
+    // history: BOTH of key 1's versions are gone, others complete
+    assert(fs.offline().filter($"customer_id" === 1L).isEmpty)
+    assert(fs.offline().count() === 2L)
+    // online view: rewritten without the key
+    assert(fs.online().filter($"customer_id" === 1L).isEmpty)
+    val latest = fs.latestView().collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(latest === Map(2L -> 200.0, 3L -> 300.0))
+    // point lookup: cold start, not a stale record
+    assert(fs.online().filter($"customer_id" === 1L).isEmpty)
+  }
+
+  test("forgetKeys rewrites only the touched serving buckets and " +
+      "clears a bucket emptied outright") {
+    val fs = freshStore()
+    fs.ingestServing(batch)
+    assert(fs.serving().filter($"customer_id" === 1L).count() === 1L)
+    fs.forgetKeys(Seq(1L))
+    assert(fs.serving().filter($"customer_id" === 1L).isEmpty)
+    val latest = fs.serving().collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(latest === Map(2L -> 200.0, 3L -> 300.0))
+    // forget the remaining keys too: their buckets empty and clear
+    fs.forgetKeys(Seq(2L, 3L))
+    assert(fs.serving().isEmpty)
+    assert(fs.offline().isEmpty)
+  }
+
+  test("txn replay is a no-op; forgetting a never-ingested key " +
+      "changes nothing") {
+    val fs = freshStore()
+    fs.ingest(batch)
+    val vBefore = fs.offlineVersions.last
+    fs.forgetKeys(Seq(99L)) // never ingested: stats prune to no file
+    assert(fs.offlineVersions.last === vBefore)
+    assert(fs.offline().count() === 4L)
+    fs.forgetKeys(Seq(2L), txnId = Some("forget-2"))
+    val vAfter = fs.offlineVersions.last
+    assert(fs.offline().count() === 3L)
+    fs.forgetKeys(Seq(2L), txnId = Some("forget-2")) // replay
+    assert(fs.offlineVersions.last === vAfter)
+    assert(fs.latestView().count() === 2L)
+  }
+
+  test("history deletion is time-travel-visible and vacuumable, like " +
+      "any takedown") {
+    val fs = freshStore()
+    fs.ingest(batch)
+    val vBefore = fs.offlineVersions.last
+    fs.forgetKeys(Seq(3L))
+    assert(fs.offlineAt(vBefore).count() === 4L) // pre-forget snapshot
+    assert(fs.offline().count() === 3L)
+  }
+}
