@@ -81,6 +81,23 @@ class FeatureStoreForgetSpec extends SparkSpec {
     assert(fs.latestView().count() === 2L)
   }
 
+  test("a cached serving record stops serving after forgetKeys — the " +
+      "read-through signature catches the bucket rewrite with no " +
+      "explicit invalidate") {
+    val fs = freshStore()
+    fs.ingestServing(batch)
+    val cache = new ServingCache(spark, s"${fs.conf.path}/serving",
+      "customer_id", 64, 16, dropCols = Seq("_seq"))
+    assert(cache.get(1L).nonEmpty)
+    assert(cache.get(2L).nonEmpty)
+    fs.forgetKeys(Seq(1L))
+    // the bucket rewrite (or removal) changed the dir signature: the
+    // NEXT get reloads and the forgotten customer is gone — serving a
+    // stale cached record here would be the compliance failure
+    assert(cache.get(1L).isEmpty)
+    assert(cache.get(2L).nonEmpty) // other keys keep serving
+  }
+
   test("history deletion is time-travel-visible and vacuumable, like " +
       "any takedown") {
     val fs = freshStore()
