@@ -98,6 +98,28 @@ class FeatureStoreForgetSpec extends SparkSpec {
     assert(cache.get(2L).nonEmpty) // other keys keep serving
   }
 
+  test("the HTTP get_record wire 404s for a forgotten customer — the " +
+      "reference's own serving API at the end of the forget chain") {
+    val fs = freshStore()
+    fs.ingestServing(batch)
+    val ep = new ServingEndpoint(fs.servingCache())
+    val port = ep.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(get("/record?id=1")._1 === 200)
+      fs.forgetKeys(Seq(1L))
+      assert(get("/record?id=1") === ((404, """{"Record":[]}""")))
+      assert(get("/record?id=2")._1 === 200)
+    } finally ep.stop()
+  }
+
   test("history deletion is time-travel-visible and vacuumable, like " +
       "any takedown") {
     val fs = freshStore()
