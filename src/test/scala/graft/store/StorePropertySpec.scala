@@ -58,4 +58,49 @@ class StorePropertySpec extends SparkSpec {
       assert(a >= vs.min - 1e-9 && a <= vs.max + 1e-9)
     }
   }
+
+  test("property: random interleavings of puts and forgets match a " +
+      "driver-side model (history content AND latest view)") {
+    val rnd = new Random(20260816L)
+    (1 to 5).foreach { round =>
+      val fs = FeatureStore(spark,
+        Files.createTempDirectory("fs-forget-prop").toString,
+        "customer_id", "purchase_timestamp")
+      // model rows: (key, t, batchIdx, value); a forget drops every
+      // row of the key so far — later puts may re-land it
+      var hist = List.empty[(Long, Int, Int, Double)]
+      var batchIdx = 0
+      var tCounter = 0
+      for (_ <- 1 to 8) {
+        if (rnd.nextDouble() < 0.35 && hist.nonEmpty) {
+          val k = hist(rnd.nextInt(hist.size))._1
+          fs.forgetKeys(Seq(k))
+          hist = hist.filterNot(_._1 == k)
+        } else {
+          val rows = (1 to 1 + rnd.nextInt(5)).map { _ =>
+            tCounter += 1
+            (1L + rnd.nextInt(4).toLong, tCounter, rnd.nextDouble() * 100)
+          }.toList
+          fs.putRecords(toDf(rows))
+          hist = hist ++ rows.map { case (k, t, v) => (k, t, batchIdx, v) }
+          batchIdx += 1
+        }
+      }
+      val expectedLatest = hist.groupBy(_._1)
+        .map { case (k, rs) => k -> rs.maxBy(r => (r._2, r._3))._4 }
+      val gotLatest = fs.latestView().collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(gotLatest === expectedLatest, s"round $round")
+      // history content, not just count: every surviving (key, value)
+      val expectedHist = hist.map(r => (r._1, r._4)).sorted
+      val gotHist = fs.offline()
+        .select($"customer_id", $"avg_purchase_value")
+        .as[(Long, Double)].collect().toSeq.sorted
+      assert(gotHist === expectedHist, s"round $round")
+      // the online view agrees with the model too
+      val gotOnline = fs.online().collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(gotOnline === expectedLatest, s"round $round")
+    }
+  }
 }
