@@ -129,4 +129,17 @@ class FeatureStoreForgetSpec extends SparkSpec {
     assert(fs.offlineAt(vBefore).count() === 4L) // pre-forget snapshot
     assert(fs.offline().count() === 3L)
   }
+
+  test("forget on an EMPTY store is a complete no-op; guards reject " +
+      "empty and NULL key lists") {
+    val fs = freshStore()
+    fs.forgetKeys(Seq(1L)) // nothing ingested anywhere: no-op
+    assert(fs.offlineVersions.isEmpty)
+    intercept[IllegalArgumentException](fs.forgetKeys(Nil))
+    intercept[IllegalArgumentException](fs.forgetKeys(Seq(1L, null)))
+    // layout delete on a dir with no committed buckets: no-op
+    graft.operators.Layout.deleteFromBucketPartitioned(
+      spark, java.nio.file.Files.createTempDirectory("no-bkts").toString,
+      "customer_id", Seq(1L), 64)
+  }
 }
