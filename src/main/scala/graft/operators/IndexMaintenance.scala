@@ -151,8 +151,20 @@ object IndexMaintenance {
       .filter($"change_type" === "delete").select($"doc_id")
     val repaired = purge(Retrieval.docTermStats(docs), deleted)
     val queries = Retrieval.prefixQueries(vt.read())
-    Retrieval.bm25TopKFromIndex(repaired, queries, k = 5)
-      .orderBy($"query_id", $"rank")
+    // the report's plan reads the temp store (vt.read / changesSince);
+    // SNAPSHOT it so the fixture store can be deleted before returning
+    // — bench/correctness harnesses re-run this query, and without the
+    // cleanup every invocation leaked a corpus-sized store into /tmp
+    val out =
+      try graft.core.Pin.snapshot(
+        Retrieval.bm25TopKFromIndex(repaired, queries, k = 5)
+          .orderBy($"query_id", $"rank"))
+      finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    out
   }
 
   /** DuckDB oracle for [[q170RetentionExpire]]: the q103 BM25 chain

@@ -128,12 +128,25 @@ object Layout {
     val table = spark.read.option("mergeSchema", "true").parquet(dir)
     val dt = table.schema(keyCol).dataType
     // buckets the keys hash into — one job over a literal array, the
-    // exact xxhash64-of-stored-type the layout bucketed with
-    val kbLits = keys.distinct.map(k =>
+    // exact xxhash64-of-stored-type the layout bucketed with. The
+    // casted keys ride along so a key whose literal cannot cast to
+    // the stored key type FAILS LOUDLY: xxhash64 skips a NULL input
+    // (degenerating to the seed hash), so an unguarded type-mismatch
+    // would silently target a wrong bucket and delete nothing — a
+    // silent miss on a right-to-be-forgotten request.
+    val distinctKeys = keys.distinct
+    val kbLits = distinctKeys.map(k =>
       pmod(xxhash64(lit(k).cast(dt)), lit(nBuckets.toLong)).cast("int"))
-    val touched = spark.range(1)
-      .select(array(kbLits: _*).as("a"))
-      .head().getSeq[Int](0).toSet
+    val castLits = distinctKeys.map(k => lit(k).cast(dt).isNull)
+    val probe = spark.range(1)
+      .select(array(kbLits: _*).as("a"), array(castLits: _*).as("n"))
+      .head()
+    val nullCasts = probe.getSeq[Boolean](1).zip(distinctKeys)
+      .collect { case (true, k) => k }
+    require(nullCasts.isEmpty,
+      s"deleteFromBucketPartitioned: keys $nullCasts do not cast to " +
+        s"the stored key type $dt — the delete would silently miss")
+    val touched = probe.getSeq[Int](0).toSet
     val cur = table.filter($"kb".isin(touched.toSeq: _*))
       .transform(graft.core.Pin.snapshot)
     val kept = cur.filter(!col(keyCol).isin(keys: _*) ||

@@ -93,10 +93,15 @@ class VersionedTable(spark: SparkSession, root: String,
       stats: Map[String, (String, String)])
 
   /** One parsed manifest. `op` is what produced the version;
-    * `schema` is the snapshot's reconciled read schema.
+    * `schema` is the snapshot's reconciled read schema. `audit` is
+    * the op's compliance-reportable evidence (delete-class commits:
+    * key COUNTS, cutoffs, file/row removal totals — never the keys
+    * themselves, which would re-retain forgotten identifiers inside
+    * the manifest); empty for ops predating the field or without one.
     */
   final case class Manifest(txn: Option[String], op: String,
-      schema: Option[StructType], files: Seq[FileEntry])
+      schema: Option[StructType], files: Seq[FileEntry],
+      audit: Map[String, String] = Map.empty)
 
   // ---- manifest encoding (minimal JSON lines, no library) -----------
 
@@ -195,7 +200,7 @@ class VersionedTable(spark: SparkSession, root: String,
       """(?:,"stats":"((?:[^"\\]|\\.)*)")?\}""").r
   private val headerRe =
     ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete|compact|expire)"""" +
-      """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
+      """(?:,"schema":"((?:[^"\\]|\\.)*)")?(?:,"audit":"((?:[^"\\]|\\.)*)")?\}""").r
   // pre-v2 (op-less header) manifests are NOT readable: their entry
   // lines ({"dir":...,"min":...,"max":...}) don't parse either, and
   // guessing the op would poison auditAppend/changesSince (a v1
@@ -206,13 +211,21 @@ class VersionedTable(spark: SparkSession, root: String,
     """\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)"\}""".r
 
   private def header(version: Long, txnId: Option[String], op: String,
-      schema: StructType): String = {
+      schema: StructType, audit: Map[String, String]): String = {
     txnId.foreach { t =>
       require(t.matches("[A-Za-z0-9._:-]+"),
         s"txnId '$t' — use [A-Za-z0-9._:-]+ (kept unescaped in manifests)")
     }
+    val auditField =
+      if (audit.isEmpty) ""
+      else {
+        val blob = audit.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${encComp(k)}=${encComp(v)}" }
+          .mkString(";")
+        s""","audit":"${esc(blob)}""""
+      }
     s"""{"version":$version,"txn":"${txnId.getOrElse("")}","op":"$op"""" +
-      s""","schema":"${esc(schema.json)}"}"""
+      s""","schema":"${esc(schema.json)}"$auditField}"""
   }
 
   private[store] def readManifest(n: Long): Manifest = {
@@ -220,8 +233,8 @@ class VersionedTable(spark: SparkSession, root: String,
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val (txn, op, schema) = lines.headOption match {
-      case Some(headerRe(_, t, o, s)) =>
+    val (txn, op, schema, audit) = lines.headOption match {
+      case Some(headerRe(_, t, o, s, a)) =>
         val parsed = Option(s).map { j =>
           // rewrap like decStats errors below: all manifest corruption
           // must identify the file it was found in
@@ -230,7 +243,21 @@ class VersionedTable(spark: SparkSession, root: String,
             s"$root v_$n.manifest: corrupt schema JSON (${e.getMessage})")
           }
         }
-        (Option(t).map(unesc).filter(_.nonEmpty), o, parsed)
+        val auditMap = Option(a).map(unesc).filter(_.nonEmpty)
+          .map { blob =>
+            try blob.split(";", -1).iterator.map { part =>
+              val eq = part.indexOf('=')
+              if (eq < 0) throw new IllegalStateException(
+                s"corrupt audit segment '$part' (missing '=')")
+              decComp(part.substring(0, eq)) ->
+                decComp(part.substring(eq + 1))
+            }.toMap
+            catch { case e: IllegalStateException =>
+              throw new IllegalStateException(
+                s"$root v_$n.manifest: ${e.getMessage}")
+            }
+          }.getOrElse(Map.empty[String, String])
+        (Option(t).map(unesc).filter(_.nonEmpty), o, parsed, auditMap)
       case Some(h @ headerV1Re(_, _)) => throw new IllegalStateException(
         s"$root v_$n.manifest: pre-v2 manifest (op-less header '$h') — " +
           "v1 tables require migration (re-commit their data); the v1 op " +
@@ -251,8 +278,16 @@ class VersionedTable(spark: SparkSession, root: String,
         throw new IllegalStateException(
           s"$root v_$n.manifest: unparseable entry '$bad'")
     }
-    Manifest(txn, op, schema, files)
+    Manifest(txn, op, schema, files, audit)
   }
+
+  /** Compliance-reportable audit evidence recorded by the op that
+    * published `version` — removal counts, cutoffs, key counts
+    * (never the keys themselves). Empty for ops without one or for
+    * manifests predating the field.
+    */
+  def auditOf(version: Long): Map[String, String] =
+    readManifest(version).audit
 
   private def listNumbers(re: scala.util.matching.Regex): Seq[Long] = {
     val dir = new Path(manifestsDir)
@@ -479,14 +514,40 @@ class VersionedTable(spark: SparkSession, root: String,
     * existed simply lack the key and such decisions degrade to the
     * conservative rewrite).
     */
+  /** Footer-only row count of one parquet part file — O(footer), no
+    * data scan. Backs the reserved `#rows` per-file stat that lets
+    * delete-class commits report ROWS REMOVED (the audit surface)
+    * without re-reading any file: removed = Σ touched `#rows` −
+    * Σ rewritten `#rows`, all manifest arithmetic. None when the
+    * footer is unreadable — the audit then degrades to file counts.
+    */
+  private def footerRowCount(p: Path): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Σ `#rows` over entries, as long as EVERY entry carries the stat
+    * (a partial sum would misreport removals) — None otherwise.
+    */
+  private def rowsOf(entries: Seq[FileEntry]): Option[Long] = {
+    val counts = entries.map(_.stats.get("#rows").map(_._1.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   private def filesOf(dir: String): Seq[FileEntry] = {
     val absRoot = absRootPath
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(absRoot).stripPrefix("/")
-    val parts = fs.listStatus(new Path(s"$root/$dir")).toSeq
+    val partPaths = fs.listStatus(new Path(s"$root/$dir")).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(st => rel(st.getPath))
+      .map(_.getPath)
+    val parts = partPaths.map(rel)
     if (parts.isEmpty) return Seq.empty
+    val rowCounts: Map[String, Long] = partPaths.flatMap(p =>
+      footerRowCount(p).map(rel(p) -> _)).toMap
     val df = spark.read.parquet(s"$root/$dir")
     val present = statsCols.filter(df.columns.contains)
     val statsByFile: Map[String, Map[String, (String, String)]] =
@@ -512,7 +573,11 @@ class VersionedTable(spark: SparkSession, root: String,
             file -> st
           }.toMap
       }
-    parts.map(p => FileEntry(p, dir, statsByFile.getOrElse(p, Map.empty)))
+    parts.map { p =>
+      val rows = rowCounts.get(p)
+        .map(n => "#rows" -> (n.toString, n.toString)).toMap
+      FileEntry(p, dir, statsByFile.getOrElse(p, Map.empty) ++ rows)
+    }
   }
 
   /** Widen `prev` with `cur`'s new columns; a column present in both
@@ -545,7 +610,8 @@ class VersionedTable(spark: SparkSession, root: String,
     * containing both, instead of silently dropping one.
     */
   private[store] def publishManifest(op: String, addFiles: Seq[FileEntry],
-      addSchema: StructType, txnId: Option[String]): Long = {
+      addSchema: StructType, txnId: Option[String],
+      audit: Map[String, String] = Map.empty): Long = {
     fs.mkdirs(new Path(manifestsDir))
     var attempts = 0
     while (attempts < 50) {
@@ -584,7 +650,7 @@ class VersionedTable(spark: SparkSession, root: String,
           case _ => (addFiles, StructType(
             addSchema.fields.map(_.copy(nullable = true))))
         }
-        val body = (header(next, txnId, op, schema) +: files.map(encFile))
+        val body = (header(next, txnId, op, schema, audit) +: files.map(encFile))
           .mkString("", "\n", "\n")
         val tmp = new Path(manifestsDir, s"v_$next.manifest.tmp")
         val out = fs.create(tmp, true)
@@ -736,8 +802,17 @@ class VersionedTable(spark: SparkSession, root: String,
         val kept = readFiles(m.schema, touched)
           .filter(!col(keyCol).isin(keys: _*) || col(keyCol).isNull)
         val rewritten = writeData(kept)
+        // audit evidence: counts only, never the keys (storing them
+        // in the manifest would re-retain forgotten identifiers)
+        val audit = Map(
+          "key_col" -> keyCol,
+          "key_count" -> keys.distinct.size.toString,
+          "files_touched" -> touched.size.toString,
+          "files_carried" -> untouched.size.toString) ++
+          (for { t <- rowsOf(touched); r <- rowsOf(rewritten) }
+            yield "rows_removed" -> (t - r).toString)
         publishManifest("delete", untouched ++ rewritten,
-          m.schema.getOrElse(kept.schema), txnId)
+          m.schema.getOrElse(kept.schema), txnId, audit)
     }
   }
 
@@ -780,9 +855,32 @@ class VersionedTable(spark: SparkSession, root: String,
     * correctly). Publishes op `expire`; idempotent under `txnId`
     * replay; a sweep that touches nothing publishes nothing and
     * returns the current version.
+    *
+    * Two loud-failure guards protect the compliance contract
+    * (retention believed running but silently doing the wrong thing
+    * is the worst failure mode for this op):
+    *  - `tsCol` must be in `statsCols` (the [[readRange]] /
+    *    [[clusteringDepth]] require). Without it every file lacks
+    *    stats for the column, every file classifies as carry-verbatim
+    *    and the sweep is a silent permanent no-op. The PER-FILE
+    *    no-stats → carry branch stays: with the column configured,
+    *    a file lacking its stats is one whose commit lacked the
+    *    column entirely (schema evolution — every row reads NULL and
+    *    NULLs are retained by contract).
+    *  - on a numeric column the cutoff must PARSE as a number.
+    *    Otherwise every band comparison is indeterminate (boundary
+    *    rewrite) and the row filter's `cast(cutoff)` yields NULL, so
+    *    `ts >= NULL` is never TRUE and the rewrite would expire
+    *    EVERY non-NULL-timestamp row — a typo'd policy constant must
+    *    throw, not truncate the table.
     */
   def expireBefore(tsCol: String, cutoff: String,
       txnId: Option[String] = None): Long = {
+    require(statsCols.contains(tsCol),
+      s"$root: expireBefore($tsCol) needs the column in " +
+        s"statsCols=$statsCols — without file stats every file " +
+        "carries verbatim and the retention sweep silently retains " +
+        "everything")
     txnId.filter(txnCommitted) match {
       case Some(_) => currentVersion.get
       case None =>
@@ -792,6 +890,19 @@ class VersionedTable(spark: SparkSession, root: String,
         val dt = m.schema.flatMap(s =>
           s.fields.find(_.name == tsCol).map(_.dataType))
           .getOrElse(org.apache.spark.sql.types.StringType)
+        dt match {
+          case _: NumericType =>
+            try { BigDecimal(cutoff): Unit }
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$root: expireBefore($tsCol, $cutoff) — cutoff does " +
+                    s"not parse as the column's numeric type $dt; the " +
+                    "row filter's cast would yield NULL and expire " +
+                    "every stamped row")
+            }
+          case _ => ()
+        }
         def cmpOpt(a: String, b: String): Option[Int] = dt match {
           case _: NumericType =>
             try Some(BigDecimal(a).compare(BigDecimal(b)))
@@ -819,11 +930,33 @@ class VersionedTable(spark: SparkSession, root: String,
             val rowDt = base.schema.fields.find(_.name == tsCol)
               .map(_.dataType)
               .getOrElse(org.apache.spark.sql.types.StringType)
+            // same NULL-cast hazard as the numeric guard above, for
+            // the remaining castable types (date/timestamp): a cutoff
+            // the cast cannot parse yields NULL and `ts >= NULL` would
+            // expire every stamped boundary row. One driver-side probe.
+            val castOk = spark.range(1)
+              .select(lit(cutoff).cast(rowDt).isNotNull).head().getBoolean(0)
+            require(castOk,
+              s"$root: expireBefore($tsCol, $cutoff) — cutoff does not " +
+                s"cast to the column type $rowDt; refusing the rewrite " +
+                "(the NULL cast would expire every stamped row)")
             writeData(base.filter(
               col(tsCol) >= lit(cutoff).cast(rowDt) || col(tsCol).isNull))
           }
+        val dropped = classed.collect { case (f, 0) => f }
+        val audit = Map(
+          "ts_col" -> tsCol,
+          "cutoff" -> cutoff,
+          "files_dropped" -> dropped.size.toString,
+          "files_carried" -> verbatim.size.toString,
+          "files_rewritten" -> boundary.size.toString) ++
+          (for {
+            d <- rowsOf(dropped); b <- rowsOf(boundary)
+            r <- rowsOf(rewritten)
+          } yield "rows_removed" -> (d + b - r).toString)
         publishManifest("expire", verbatim ++ rewritten,
-          m.schema.getOrElse(readFiles(m.schema, m.files).schema), txnId)
+          m.schema.getOrElse(readFiles(m.schema, m.files).schema), txnId,
+          audit)
     }
   }
 

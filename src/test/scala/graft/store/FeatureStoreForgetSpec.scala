@@ -142,4 +142,28 @@ class FeatureStoreForgetSpec extends SparkSpec {
       spark, java.nio.file.Files.createTempDirectory("no-bkts").toString,
       "customer_id", Seq(1L), 64)
   }
+
+  test("a type-mismatched key fails loudly instead of silently " +
+      "missing its bucket — the cast-to-NULL guard on the serving " +
+      "delete") {
+    val fs = freshStore()
+    fs.ingestServing(batch)
+    // "nope" cannot cast to the stored Long key type: without the
+    // guard xxhash64 degenerates to the seed hash, targets a wrong
+    // bucket, and the forget silently removes nothing
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.deleteFromBucketPartitioned(
+        spark, s"${fs.conf.path}/serving", "customer_id",
+        Seq("nope"), 64)
+    }
+    assert(e.getMessage.contains("cast"))
+    // nothing was deleted by the failed call
+    assert(fs.serving().count() === 3L)
+    // a castable STRING form of a real key still works (cast, not
+    // type-equality, is the contract)
+    graft.operators.Layout.deleteFromBucketPartitioned(
+      spark, s"${fs.conf.path}/serving", "customer_id", Seq("2"), 64)
+    assert(fs.serving().filter($"customer_id" === 2L).isEmpty)
+    assert(fs.serving().count() === 2L)
+  }
 }

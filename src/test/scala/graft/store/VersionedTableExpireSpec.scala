@@ -207,6 +207,34 @@ class VersionedTableExpireSpec extends SparkSpec {
       (11L to 20L).toSeq)
   }
 
+  test("expireBefore on a column NOT in statsCols throws instead of " +
+      "silently retaining everything (the compliance no-op guard)") {
+    val vt = fresh(statsCols = Seq("day"))
+    vt.commit(Seq((1L, "a"), (2L, "b")).toDF("day", "text"))
+    val e = intercept[IllegalArgumentException] {
+      vt.expireBefore("text", "zzz")
+    }
+    assert(e.getMessage.contains("statsCols"))
+    // a table with NO statsCols at all gets the same loud failure
+    val bare = fresh(statsCols = Nil)
+    bare.commit(Seq((1L, "a")).toDF("day", "text"))
+    intercept[IllegalArgumentException] { bare.expireBefore("day", "0") }
+    assert(bare.read().count() === 1L)
+  }
+
+  test("an unparseable cutoff on a numeric column throws instead of " +
+      "expiring every stamped row through the NULL cast") {
+    val vt = fresh(statsCols = Seq("day"))
+    vt.commit(Seq((1L, "a"), (2L, "b")).toDF("day", "text"))
+    val e = intercept[IllegalArgumentException] {
+      vt.expireBefore("day", "2024-05-01") // a date against a Long col
+    }
+    assert(e.getMessage.contains("parse"))
+    // nothing was published and nothing expired
+    assert(vt.read().count() === 2L)
+    assert(vt.versions.size === 1)
+  }
+
   test("expire result equals a fresh filter of the full snapshot " +
       "(multi-file, unclustered commits)") {
     val vt = fresh(statsCols = Seq("day"))
