@@ -47,12 +47,24 @@ object Blocklist {
     * `s`, with fail-chain outputs pre-merged at build time so the
     * scan never walks fail links for output collection.
     */
+  /** Per-char SIMPLE case fold (upper-then-lower, the standard
+    * simple-folding approximation: handles final sigma etc.). Chosen
+    * over FULL Unicode case folding deliberately: full folding can
+    * change string LENGTH (ß → ss), which would break
+    * [[AcAutomaton.maskCovered]]'s position arithmetic and the
+    * length-preserving redaction contract; simple folding is
+    * 1:1 per char, so match positions and lengths survive folding.
+    */
+  @inline private[operators] def foldChar(c: Char): Char =
+    Character.toLowerCase(Character.toUpperCase(c))
+
   final class AcAutomaton private[Blocklist] (
       val patterns: Array[String],
       chars: Array[Array[Char]],
       next: Array[Array[Int]],
       fail: Array[Int],
-      out: Array[Array[Int]]) extends Serializable {
+      out: Array[Array[Int]],
+      val caseFold: Boolean = false) extends Serializable {
 
     /** Trie size — at most one state per catalog character plus the
       * root, the O(Σ pattern lengths) broadcast-size bound
@@ -76,9 +88,12 @@ object Blocklist {
 
     /** One scan step: follow fail links until a transition on `c`
       * exists (root falls through to itself) — amortized O(1) per
-      * character over a whole text.
+      * character over a whole text. Under `caseFold` the input char
+      * folds before the walk (the trie was built over folded pattern
+      * chars), so `BadPhrase` matches a catalog entry `badphrase`.
       */
-    def step(s: Int, c: Char): Int = {
+    def step(s: Int, c0: Char): Int = {
+      val c = if (caseFold) foldChar(c0) else c0
       var cur = s
       var t = goTo(cur, c)
       while (t < 0 && cur != 0) {
@@ -155,20 +170,32 @@ object Blocklist {
     * sorted-array layout. Patterns must be non-empty and distinct
     * (duplicate catalog entries are a catalog bug — counted twice
     * they would double every tally downstream).
+    *
+    * With `caseFold` the trie is built over simple-case-folded
+    * pattern chars and the scan folds each input char before its
+    * step ([[foldChar]] — length-preserving by construction, so
+    * match positions/lengths and the redaction cover are exact).
+    * Distinctness is then required UNDER THE FOLD: `Foo` and `foo`
+    * are the same folded entry and would double-count.
     */
-  def buildAutomaton(patterns: Seq[String]): AcAutomaton = {
+  def buildAutomaton(patterns: Seq[String],
+      caseFold: Boolean = false): AcAutomaton = {
     require(patterns.nonEmpty, "blocklist catalog is empty")
     require(patterns.forall(p => p != null && p.nonEmpty),
       "blocklist catalog has an empty pattern")
     require(patterns.distinct.size == patterns.size,
       "blocklist catalog has duplicate patterns")
+    if (caseFold)
+      require(patterns.map(_.map(foldChar)).distinct.size == patterns.size,
+        "blocklist catalog has patterns identical under case folding")
     val pats = patterns.toArray
     val kids = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.TreeMap.empty[Char, Int])
     val ownOut = scala.collection.mutable.ArrayBuffer(List.empty[Int])
     pats.zipWithIndex.foreach { case (p, pid) =>
       var s = 0
-      p.foreach { c =>
+      p.foreach { c0 =>
+        val c = if (caseFold) foldChar(c0) else c0
         s = kids(s).getOrElse(c, {
           kids += scala.collection.mutable.TreeMap.empty[Char, Int]
           ownOut += Nil
@@ -206,7 +233,8 @@ object Blocklist {
       kids.map(_.keysIterator.toArray).toArray,
       kids.map(_.valuesIterator.toArray).toArray,
       fail,
-      out.map(o => if (o == null) Array.empty[Int] else o.reverse.toArray))
+      out.map(o => if (o == null) Array.empty[Int] else o.reverse.toArray),
+      caseFold)
   }
 
   /** Per-document per-pattern hit counts: (doc_id, pattern_id, hits),
@@ -214,10 +242,11 @@ object Blocklist {
     * per-partition pass over the (doc_id, text) projection, zero
     * shuffles.
     */
-  def scanCounts(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+  def scanCounts(docs: DataFrame, patterns: Seq[String],
+      caseFold: Boolean = false): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    val bc = ss.sparkContext.broadcast(buildAutomaton(patterns))
+    val bc = ss.sparkContext.broadcast(buildAutomaton(patterns, caseFold))
     val nPats = patterns.size
     Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
@@ -244,10 +273,11 @@ object Blocklist {
     * The scan side is [[scanCounts]]'s shuffle-free pass; the census
     * agg is |patterns|-keyed — catalog-sized, trivially small.
     */
-  def census(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+  def census(docs: DataFrame, patterns: Seq[String],
+      caseFold: Boolean = false): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    val counts = scanCounts(docs, patterns)
+    val counts = scanCounts(docs, patterns, caseFold)
       .groupBy($"pattern_id")
       .agg(count(lit(1)).as("n_docs"), sum($"hits").as("n_hits"))
     val cat = patterns.zipWithIndex
@@ -264,10 +294,11 @@ object Blocklist {
     * against the matched-doc id set, which is ≤ |matched docs| rows
     * (usually ≪ corpus; AQE broadcasts it while it fits).
     */
-  def gate(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+  def gate(docs: DataFrame, patterns: Seq[String],
+      caseFold: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     docs.join(
-      scanCounts(docs, patterns).select($"doc_id").distinct(),
+      scanCounts(docs, patterns, caseFold).select($"doc_id").distinct(),
       Seq("doc_id"), "left_anti")
   }
 
@@ -280,10 +311,10 @@ object Blocklist {
     * counts (the no-throw scan contract).
     */
   def redact(docs: DataFrame, patterns: Seq[String],
-      mask: Char = '*'): DataFrame = {
+      mask: Char = '*', caseFold: Boolean = false): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
-    val bc = ss.sparkContext.broadcast(buildAutomaton(patterns))
+    val bc = ss.sparkContext.broadcast(buildAutomaton(patterns, caseFold))
     Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val ac = bc.value

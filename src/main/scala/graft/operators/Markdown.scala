@@ -376,6 +376,48 @@ object Markdown {
     */
   val headingSplitRe = "\\n#{1,6} "
 
+  /** SETEXT heading normalization (r13 VERDICT #5 — CommonMark's
+    * second heading form): a flush-left text line underlined by a
+    * run of `=` (level 1) or `-` (level 2) rewrites to the ATX form
+    * (`# `/`## `) BEFORE the ATX split/census, so both grammars flow
+    * through the one downstream path and [[sections]] /
+    * [[headingCensus]] keep agreeing on what a heading is.
+    *
+    * Pragmatic flush-left grammar, deliberately RE2-compatible (no
+    * lookarounds — the DuckDB oracles run the same two rewrites):
+    * the heading line must start with a non-space, non-`#`, non-`|`
+    * character and contain no `|`; the underline line must be ONLY
+    * its marker run plus trailing spaces. That encodes CommonMark's
+    * own disambiguations as negative controls:
+    *  - a `---` after a BLANK line is a thematic break, not a
+    *    heading (the preceding line fails the non-space start);
+    *  - a pipe-table separator row (`|---|---|`) is neither a valid
+    *    underline nor under a valid heading line (`|` exclusion);
+    *  - an ATX heading followed by a dash run stays an ATX heading
+    *    plus thematic break (`#` exclusion);
+    *  - a `- item` bullet is never an underline (non-dash chars).
+    * Fence protection rides for free: normalization runs AFTER the
+    * shared fence strip, so underlines inside closed fences are
+    * gone before this ever looks. Single-pass rewrites: two
+    * DIRECTLY adjacent setext headings (`A\n===\nB\n---`, an empty
+    * setext section) resolve only the first — the empty-section
+    * idiom belongs to ATX, where q164's plant pins it.
+    */
+  val setextEqRe = "(^|\\n)([^#\\s|][^\\n|]*)\\n=+[ ]*(\\n|$)"
+  val setextDashRe = "(^|\\n)([^#\\s|][^\\n|]*)\\n-+[ ]*(\\n|$)"
+
+  def normalizeSetext(c: Column): Column =
+    regexp_replace(regexp_replace(c, setextEqRe, "$1# $2$3"),
+      setextDashRe, "$1## $2$3")
+
+  /** The same two rewrites for the DuckDB oracles (RE2 `\n`
+    * backrefs), applied to an SQL string expression.
+    */
+  def normalizeSetextSql(x: String): String =
+    s"""regexp_replace(regexp_replace($x,
+       |      '$setextEqRe', '\\1# \\2\\3', 'g'),
+       |      '$setextDashRe', '\\1## \\2\\3', 'g')""".stripMargin
+
   /** SECTION SEGMENTATION for markdown (the q149 HTML analog on the
     * `#`-heading grammar): split each document at ATX heading lines
     * into (doc_id, section_idx, heading, content, n_tokens) — idx 0
@@ -394,7 +436,8 @@ object Markdown {
     */
   def sections(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
-    val noFence = regexp_replace(col(textCol), fenceRe, " [CODE] ")
+    val noFence = normalizeSetext(
+      regexp_replace(col(textCol), fenceRe, " [CODE] "))
     docs
       .withColumn("_sec", split(concat(lit("\n"), noFence), headingSplitRe))
       .select(col("doc_id"), posexplode($"_sec"))
@@ -439,6 +482,27 @@ object Markdown {
       array_join(slice(toks, k * 2 + 1, nt - k * 2), " "),
       when(id % 6 === 0,
         lit("\n```python\nx = 1\n# fake heading in code\n```"))
+        .otherwise(lit("")),
+      // setext plants (r14): an `=`-underlined level-1 heading for
+      // every 7th doc, a `-`-underlined level-2 for every 11th —
+      // both must segment/census exactly like their ATX forms
+      when(id % 7 === 0,
+        concat(lit("\nSetext part of doc "), id.cast("string"),
+          lit("\n====\nunderlined body for doc "), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit("\nSetext sub of doc "), id.cast("string"),
+          lit("\n----\ndashed body here")))
+        .otherwise(lit("")),
+      // negative controls: a `---` after a BLANK line is a thematic
+      // break (every 9th doc), and a pipe-table separator row is not
+      // an underline (every 13th doc) — neither may open a section
+      // or appear in the census
+      when(id % 9 === 0,
+        lit("\n\n---\nthematic break text not a heading"))
+        .otherwise(lit("")),
+      when(id % 13 === 0,
+        lit("\n| c1 | c2 |\n| --- | --- |\n| a | b |"))
         .otherwise(lit("")))
   }
 
@@ -477,11 +541,29 @@ object Markdown {
        |    CASE WHEN doc_id % 6 = 0
        |      THEN chr(10) || '``' || '`python' || chr(10) || 'x = 1' ||
        |        chr(10) || '# fake heading in code' || chr(10) || '``' || '`'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN chr(10) || 'Setext part of doc ' || doc_id::VARCHAR ||
+       |        chr(10) || '====' || chr(10) ||
+       |        'underlined body for doc ' || doc_id::VARCHAR
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN chr(10) || 'Setext sub of doc ' || doc_id::VARCHAR ||
+       |        chr(10) || '----' || chr(10) || 'dashed body here'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN chr(10) || chr(10) || '---' || chr(10) ||
+       |        'thematic break text not a heading'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0
+       |      THEN chr(10) || '| c1 | c2 |' || chr(10) ||
+       |        '| --- | --- |' || chr(10) || '| a | b |'
        |      ELSE '' END AS text
        |  FROM (SELECT doc_id, ts,
        |      ((len(ts) - len(ts) % 3) // 3)::INT AS k FROM t)),
        | nf AS (SELECT doc_id,
-       |    chr(10) || regexp_replace(text, '$fenceRe', ' [CODE] ', 'g') AS x
+       |    chr(10) || ${normalizeSetextSql(
+                s"regexp_replace(text, '$fenceRe', ' [CODE] ', 'g')")} AS x
        |  FROM md)""".stripMargin
 
   /** The q164 fixture + segmentation chain as CTEs ending in
@@ -587,7 +669,8 @@ object Markdown {
     */
   def headingCensus(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
-    val noFence = regexp_replace(col(textCol), fenceRe, " [CODE] ")
+    val noFence = normalizeSetext(
+      regexp_replace(col(textCol), fenceRe, " [CODE] "))
     docs
       .select(col("doc_id"),
         posexplode_outer(regexp_extract_all(noFence, lit(headingRe),

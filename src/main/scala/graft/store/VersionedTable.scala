@@ -1112,6 +1112,82 @@ class VersionedTable(spark: SparkSession, root: String,
     }
   }
 
+  /** One row of [[maintenancePlan]]: `action` ∈ {compact, resort,
+    * vacuum}, `target` the column (resort) or "" (table-wide),
+    * `metric` the measured evidence, `threshold` what it exceeded.
+    */
+  final case class MaintenanceAction(action: String, target: String,
+      metric: Long, threshold: Long, reason: String)
+
+  /** MAINTENANCE ADVISOR (r13 VERDICT #6) — the measurement ops
+    * ([[compactionPlan]], [[clusteringDepth]], the version ledger)
+    * turned into recommendations, the encoding-advisor pattern
+    * applied to the store itself. Pure driver-side manifest work, no
+    * data read, no side effects — an operator (or a cron-driven
+    * maintenance job) reads the plan and runs the named op:
+    *
+    *  - **compact** when [[compactionPlan]] finds ≥ 1 foldable
+    *    small-file group (a fragmented streaming-ingest tail):
+    *    metric = small files in the plan, threshold 2 (a lone small
+    *    file gains nothing, the plan's own rule);
+    *  - **resort** per stats column whose [[clusteringDepth]] mean
+    *    start depth exceeds `maxMeanDepthTicks` with ≥ 2 banded
+    *    files (interleaved/replayed batches overlap their bands, so
+    *    point reads open `mean/1e6` files even with pruning —
+    *    Z-order or `repartitionByRange` + [[replace]] restores
+    *    depth ~1);
+    *  - **vacuum** when data dirs are referenced ONLY by versions
+    *    outside the `vacuumRetain` newest (durably superseded
+    *    storage a [[vacuum]] call would reclaim): metric = dir
+    *    count. A dry run of vacuum's reference walk — nothing is
+    *    deleted here.
+    *
+    * A freshly compacted AND vacuumed well-clustered table yields an
+    * EMPTY plan (the advisor's fixed point, spec-pinned). An empty
+    * store yields an empty plan.
+    */
+  def maintenancePlan(
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxMeanDepthTicks: Long = 2000000L,
+      vacuumRetain: Int = 2): Seq[MaintenanceAction] = {
+    require(vacuumRetain >= 1,
+      s"$root: maintenancePlan needs vacuumRetain >= 1")
+    if (currentVersion.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[MaintenanceAction]
+    val plan = compactionPlan(targetBytes)
+    if (plan.nonEmpty) {
+      val nSmall = plan.map(_.size).sum
+      out += MaintenanceAction("compact", "", nSmall.toLong, 2L,
+        s"$nSmall files under $targetBytes bytes fold into " +
+          s"${plan.size} group(s) — run compact($targetBytes)")
+    }
+    statsCols.foreach { c =>
+      val d = clusteringDepth(c)
+      if (d.nBanded >= 2 && d.meanStartDepthTicks > maxMeanDepthTicks)
+        out += MaintenanceAction("resort", c, d.meanStartDepthTicks,
+          maxMeanDepthTicks,
+          s"mean lookup depth ${d.meanStartDepthTicks / 1e6} files on " +
+            s"'$c' (max ${d.maxDepth}) — re-sort (Z-order/range) and " +
+            "replace()")
+    }
+    val vs = versions
+    val droppedVs = vs.dropRight(vacuumRetain)
+    if (droppedVs.nonEmpty) {
+      val retainedDirs = vs.takeRight(vacuumRetain)
+        .flatMap(readManifest(_).files.map(_.commit)).toSet
+      val reclaimable = droppedVs.flatMap { n =>
+        try readManifest(n).files.map(_.commit)
+        catch { case _: Exception => Nil }
+      }.toSet -- retainedDirs
+      if (reclaimable.nonEmpty)
+        out += MaintenanceAction("vacuum", "", reclaimable.size.toLong, 0L,
+          s"${reclaimable.size} data dir(s) referenced only by " +
+            s"versions older than the $vacuumRetain newest — run " +
+            s"vacuum($vacuumRetain)")
+    }
+    out.result()
+  }
+
   /** Replace the whole snapshot with `df` (compaction / rewrite): the
     * new manifest lists ONLY the new commit, but earlier versions
     * remain readable — time travel spans compactions. Old data dirs

@@ -241,6 +241,79 @@ class BlocklistSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("case-folded mode: a catalog entry matches any casing of its " +
+      "occurrences; the default exact mode stays case-sensitive") {
+    val docs = Seq(
+      (1L, "BadPhrase here and BADPHRASE and badphrase"),
+      (2L, "Nothing Else"),
+      (3L, "uShErS")).toDF("doc_id", "text")
+    val exact = Blocklist.scanCounts(docs, Seq("badphrase", "she"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(exact === Set((1L, 0, 1L))) // only the lowercase occurrence
+    val folded = Blocklist
+      .scanCounts(docs, Seq("badphrase", "she"), caseFold = true)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(folded === Set((1L, 0, 3L), (3L, 1, 1L)))
+    // redaction folds too, masking mixed-case occurrences in place
+    // (length-preserving: simple per-char fold never changes length)
+    val red = Blocklist.redact(
+        Seq((1L, "See BadPhrase end")).toDF("doc_id", "text"),
+        Seq("badphrase"), caseFold = true)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(red === ((1L, "See ********* end", 9L, 1L)))
+    // catalog entries identical under the fold are a loud catalog bug
+    intercept[IllegalArgumentException](
+      Blocklist.buildAutomaton(Seq("Foo", "foo"), caseFold = true))
+    // ...but fine in exact mode
+    assert(Blocklist.buildAutomaton(Seq("Foo", "foo")).patterns.length === 2)
+  }
+
+  test("randomized case-folded differential: automaton counts equal a " +
+      "case-folded brute force over mixed-case texts and patterns") {
+    val rnd = new Random(1408L)
+    val alphabet = "aAbBcC"
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def bruteFold(text: String, pat: String): Long = {
+      val t = text.map(Blocklist.foldChar)
+      val p = pat.map(Blocklist.foldChar)
+      (0 to t.length - p.length)
+        .count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    }
+    for (round <- 1 to 15) {
+      val pats = (1 to 8).map(_ => randStr(1 + rnd.nextInt(4)))
+        .distinctBy(_.map(Blocklist.foldChar)).toList
+      val texts = (1L to 10L).map(i => (i, randStr(rnd.nextInt(50))))
+      val got = Blocklist
+        .scanCounts(texts.toDF("doc_id", "text"), pats, caseFold = true)
+        .as[(Long, Int, Long)].collect()
+        .map { case (d, p, h) => (d, p) -> h }.toMap
+      for ((id, text) <- texts; (p, pid) <- pats.zipWithIndex) {
+        assert(got.getOrElse((id, pid), 0L) === bruteFold(text, p),
+          s"round $round doc $id pattern '$p' in '$text'")
+      }
+      // masked cover parity: fold-matched positions masked in the
+      // ORIGINAL casing text
+      val gotRed = Blocklist
+        .redact(texts.toDF("doc_id", "text"), pats, caseFold = true)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+      for ((id, text) <- texts) {
+        val t = text.map(Blocklist.foldChar)
+        val covered = Array.fill(text.length)(false)
+        for (p0 <- pats) {
+          val p = p0.map(Blocklist.foldChar)
+          for (i <- 0 to t.length - p.length
+               if t.regionMatches(i, p, 0, p.length);
+               j <- i until i + p.length) covered(j) = true
+        }
+        val want = text.zipWithIndex
+          .map { case (c, i) => if (covered(i)) '*' else c }.mkString
+        assert(gotRed(id) === want, s"round $round doc $id")
+      }
+    }
+  }
+
   test("the q169 fixture catalog is borderless (the oracle's replace-" +
       "count identity requires it) and includes a nested pair") {
     for (p <- Blocklist.q169Patterns; k <- 1 until p.length) {

@@ -200,18 +200,33 @@ class MarkdownSpec extends SparkSpec {
       val wantHeadings =
         Seq("", s"Part 1 of doc $id", s"Part 2 of doc $id") ++
           (if (id % 5 == 0) Seq(s"Empty section $id") else Nil) ++
-          Seq(s"Part 3 of doc $id")
+          Seq(s"Part 3 of doc $id") ++
+          (if (id % 7 == 0) Seq(s"Setext part of doc $id") else Nil) ++
+          (if (id % 11 == 0) Seq(s"Setext sub of doc $id") else Nil)
       assert(headings === wantHeadings, s"doc $id")
       assert(got.head._4 === s"Doc $id intro")
+      // the negative-control plants (thematic break, pipe table) open
+      // no section — their text joins the LAST section's content
+      val tails =
+        (if (id % 9 == 0)
+          Seq("---", "thematic break text not a heading") else Nil) ++
+        (if (id % 13 == 0)
+          Seq("| c1 | c2 |", "| --- | --- |", "| a | b |") else Nil)
       val part3 = toks.drop(2 * k) ++
-        (if (id % 6 == 0) Seq("[CODE]") else Nil)
+        (if (id % 6 == 0) Seq("[CODE]") else Nil) ++
+        (if (id % 7 == 0 || id % 11 == 0) Nil else tails)
       val wantCounts =
         Seq(3L, cnt(toks.take(k)), cnt(toks.slice(k, 2 * k))) ++
           (if (id % 5 == 0) Seq(0L) else Nil) ++
-          Seq(cnt(part3))
+          Seq(cnt(part3)) ++
+          (if (id % 7 == 0)
+            Seq(cnt(Seq(s"underlined body for doc $id") ++
+              (if (id % 11 == 0) Nil else tails)))
+          else Nil) ++
+          (if (id % 11 == 0)
+            Seq(cnt(Seq("dashed body here") ++ tails)) else Nil)
       assert(got.map(_._5).toSeq === wantCounts, s"doc $id")
       if (id % 6 == 0) {
-        assert(got.last._4.endsWith("[CODE]"), s"doc $id")
         assert(!got.exists(_._3.contains("fake")), s"doc $id")
       }
     }
@@ -241,10 +256,62 @@ class MarkdownSpec extends SparkSpec {
       val want =
         Seq((2L, s"Part 1 of doc $id"), (3L, s"Part 2 of doc $id")) ++
           (if (id % 5 == 0) Seq((2L, s"Empty section $id")) else Nil) ++
-          Seq((1L, s"Part 3 of doc $id"))
+          Seq((1L, s"Part 3 of doc $id")) ++
+          (if (id % 7 == 0) Seq((1L, s"Setext part of doc $id")) else Nil) ++
+          (if (id % 11 == 0) Seq((2L, s"Setext sub of doc $id")) else Nil)
       assert(got.toSeq === want, s"doc $id")
       assert(!rows.exists(r => r._1 == id && r._4.contains("fake")))
+      // the negative controls never census: no thematic-break text,
+      // no table row, ever appears as a heading
+      assert(!rows.exists(r => r._1 == id && (r._4.contains("thematic") ||
+        r._4.contains("c1"))), s"doc $id")
     }
+  }
+
+  test("setext headings: =/- underlines segment and census like their " +
+      "ATX forms; thematic breaks, table separators, bullets, and " +
+      "fenced underlines never become headings") {
+    val docs = Seq(
+      // both setext levels, heading at position 0
+      (1L, "Title One\n====\nbody a\nSub Head\n----\nbody b"),
+      // negative: `---` after a blank line is a thematic break
+      (2L, "para text\n\n---\nafter break"),
+      // negative: pipe table header + separator row
+      (3L, "intro\n| c1 | c2 |\n| --- | --- |\n| a | b |"),
+      // negative: ATX heading followed by a dash run stays ATX +
+      // thematic break; a `- item` bullet is not an underline
+      (4L, "# Already ATX\n---\n- item one\nrest"),
+      // fence-protected: an underline inside a closed fence is code
+      (5L, "start\n```\nFake Head\n====\n```\nend"),
+      // mixed: ATX and setext interleaved keep document order
+      (6L, "Lead In\n====\nmid\n## Atx Sub\ntail"))
+      .toDF("doc_id", "text")
+
+    val secs = Markdown.sections(docs)
+      .orderBy($"doc_id", $"section_idx")
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(secs.filter(_._1 == 1L) === Seq(
+      (1L, 1L, "Title One", "body a", 2L),
+      (1L, 2L, "Sub Head", "body b", 2L)))
+    assert(secs.filter(_._1 == 2L) === Seq(
+      (2L, 0L, "", "para text --- after break", 5L)))
+    assert(secs.filter(_._1 == 3L) === Seq(
+      (3L, 0L, "", "intro | c1 | c2 | | --- | --- | | a | b |", 16L)))
+    assert(secs.filter(_._1 == 4L) === Seq(
+      (4L, 1L, "Already ATX", "--- - item one rest", 5L)))
+    assert(secs.filter(_._1 == 5L) === Seq(
+      (5L, 0L, "", "start [CODE] end", 3L)))
+    assert(secs.filter(_._1 == 6L) === Seq(
+      (6L, 1L, "Lead In", "mid", 1L),
+      (6L, 2L, "Atx Sub", "tail", 1L)))
+
+    val cens = Markdown.headingCensus(docs)
+      .select($"doc_id", $"heading_idx", $"level", $"heading")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(cens === Seq(
+      (1L, 1L, 1L, "Title One"), (1L, 2L, 2L, "Sub Head"),
+      (4L, 1L, 1L, "Already ATX"),
+      (6L, 1L, 1L, "Lead In"), (6L, 2L, 2L, "Atx Sub")))
   }
 
   test("q165 packing: bins respect the 64-token budget with next-fit " +
