@@ -257,6 +257,10 @@ object SparkEntry {
       Blocklist.q171BlocklistRedact(s, d)),
     "q172_auto_redact" -> ((s: SparkSession, d: String) =>
       Blocklist.q172AutoRedact(s, d)),
+    "q173_rescrub" -> ((s: SparkSession, d: String) =>
+      Blocklist.q173RescrubRepair(s, d)),
+    "q174_forget_docs" -> ((s: SparkSession, d: String) =>
+      IndexMaintenance.q174ForgetDocs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1918,6 +1922,13 @@ object SparkEntry {
     // token-aligned 4-gram df top-5 as a CTE (total order: df DESC,
     // gram ASC), then reuses the q171 positional masking chain
     "q172_auto_redact" -> Blocklist.autoRedactOracleSql(),
+    // q173: retroactive blocklist application on catalog growth —
+    // rescrubbed corpus + repaired standing BM25 table must equal the
+    // fresh gate/mask/index build under the FULL catalog
+    "q173_rescrub" -> Blocklist.rescrubOracleSql,
+    // q174: corpus-side right-to-be-forgotten through the ONE
+    // txn-fenced forgetDocs call — the q153 reduced-corpus contract
+    "q174_forget_docs" -> IndexMaintenance.deleteRepairOracleSql(11L),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

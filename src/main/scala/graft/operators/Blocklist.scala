@@ -367,6 +367,18 @@ object Blocklist {
     * select.
     */
   def maskingCtesSql: String =
+    s"""$maskingCoreCtesSql
+       |SELECT d.doc_id, coalesce(a.masked, '') AS masked,
+       |  coalesce(a.n_masked, 0)::BIGINT AS n_masked,
+       |  coalesce(a.n_spans, 0)::BIGINT AS n_spans
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The masking chain WITHOUT the final select — ends at
+    * `agg(doc_id, masked, n_masked, n_spans)` so composing oracles
+    * (q173's rescrub chain) can keep deriving. Expects `pats`.
+    */
+  def maskingCoreCtesSql: String =
     s""" idx AS (
        |   SELECT doc_id, text,
        |     unnest(generate_series(1, length(text))) AS i
@@ -400,12 +412,7 @@ object Blocklist {
        |       AS masked,
        |     sum(CASE WHEN c THEN 1 ELSE 0 END) AS n_masked,
        |     sum(st) AS n_spans
-       |   FROM spans GROUP BY doc_id)
-       |SELECT d.doc_id, coalesce(a.masked, '') AS masked,
-       |  coalesce(a.n_masked, 0)::BIGINT AS n_masked,
-       |  coalesce(a.n_spans, 0)::BIGINT AS n_spans
-       |FROM documents d LEFT JOIN agg a USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |   FROM spans GROUP BY doc_id)""".stripMargin
 
   /** DERIVED-catalog redaction — the corpus mines its own blocklist:
     * the `maxPatterns` token-aligned `n`-gram phrases with the
@@ -518,6 +525,216 @@ object Blocklist {
        |   ORDER BY df DESC, gram LIMIT $maxPatterns),
        |$maskingCtesSql""".stripMargin
   }
+
+  /** One standing text-index family [[rescrub]] repairs: `extract`
+    * rebuilds the tier's rows from a (doc_id, text, …) document
+    * frame (e.g. `Retrieval.docTermStats` for BM25 postings,
+    * `Retrieval.positionalPostings`, `SpanDedup` grams,
+    * `NearDup.winnowedFingerprints`).
+    */
+  final case class RescrubTier(name: String,
+      table: graft.store.VersionedTable,
+      extract: DataFrame => DataFrame,
+      idCol: String = "doc_id")
+
+  /** What one [[rescrub]] did: docs taken down by the hard delta,
+    * docs rewritten by the soft delta, and the corpus version after
+    * the fenced commits.
+    */
+  final case class RescrubReport(nHardDeleted: Int, nSoftTouched: Int,
+      corpusVersion: Long)
+
+  /** RETROACTIVE BLOCKLIST APPLICATION (r13 VERDICT #3) — the
+    * catalog-growth event: [[gate]] admits and [[redact]] scrubs at
+    * INGEST time against the catalog of that moment, so when the
+    * catalog grows (the normal compliance event) already-landed docs
+    * were admitted/scrubbed under the old catalog and nothing
+    * re-scans them. `rescrub` closes that: ONE pass of the combined
+    * DELTA automaton over the landed corpus (O(corpus·text +
+    * delta-hits), independent of the full catalog's size — the whole
+    * point of scanning the delta, not the grown catalog), then
+    *
+    *  1. docs hit by the HARD delta (newly banned) leave via the
+    *     corpus `deleteKeys` copy-on-write path;
+    *  2. docs hit by the SOFT delta rewrite via
+    *     [[graft.store.VersionedTable.updateRows]] — delta
+    *     occurrences cover-masked IN PLACE, untouched docs' files
+    *     carried verbatim;
+    *  3. every standing text index repairs for EXACTLY the touched
+    *     docs: purge (hard + soft ids) then re-extract of the
+    *     rewritten docs — a doc's text changing invalidates its
+    *     postings/fingerprints, so purge alone is not repair.
+    *
+    * Tier ORDER is [[graft.store.CorpusForget.forgetDocs]]'s
+    * crash-safety argument: the touched sets and rewritten frame are
+    * computed from the PRE-COMMIT snapshot, index tiers repair FIRST
+    * (purge value-idempotent, re-extract append txn-fenced), the
+    * corpus commits LAST. A crash anywhere replays to convergence:
+    * before the corpus commits the recomputed sets are identical;
+    * after them the delta no longer matches anything (masked text
+    * cannot re-match — patterns may not contain the mask char,
+    * guarded below) so every step no-ops. Rescrub of a rescrubbed
+    * corpus is a VALUE-level no-op.
+    *
+    * Equivalence contract (spec-pinned): rescrubbed corpus +
+    * repaired indexes ≡ a fresh gate(hard)→redact(soft)→extract
+    * build under the GROWN catalog, provided no delta occurrence in
+    * the ORIGINAL text straddles a span the old catalog already
+    * masked (the landed corpus only holds masked text, so a
+    * straddling occurrence is not visible to ANY rescanner — the
+    * monotone-cover caveat, documented rather than hidden; covers
+    * being disjoint is the norm for phrase catalogs).
+    *
+    * Bounded-blast-radius contract: the touched-doc sets collect to
+    * the driver (the `deleteKeys` key-list contract). A delta that
+    * matches most of the corpus is a REBUILD decision (fresh
+    * gate/redact/extract), not a repair.
+    */
+  def rescrub(corpus: graft.store.VersionedTable,
+      deltaHard: Seq[String] = Seq.empty,
+      deltaSoft: Seq[String] = Seq.empty,
+      tiers: Seq[RescrubTier] = Seq.empty,
+      mask: Char = '*', caseFold: Boolean = false,
+      txnId: Option[String] = None): RescrubReport = {
+    require(deltaHard.nonEmpty || deltaSoft.nonEmpty,
+      "rescrub with an empty catalog delta")
+    require(deltaHard.intersect(deltaSoft).isEmpty,
+      "a delta pattern cannot be both hard (takedown) and soft (mask)")
+    require((deltaHard ++ deltaSoft).forall(!_.contains(mask)),
+      s"a delta pattern containing the mask char '$mask' would " +
+        "re-match already-masked text and break replay idempotence")
+    val snap = graft.core.Pin.reuse(corpus.read())
+    val combined = deltaHard ++ deltaSoft
+    val nHard = deltaHard.size
+    // one corpus pass: the combined delta automaton, ids split by
+    // pattern_id afterwards (hard wins — a doc leaving the corpus
+    // never also rewrites)
+    val hits = graft.core.Pin.reuse(
+      scanCounts(snap, combined, caseFold)
+        .select(col("doc_id"), col("pattern_id")).distinct())
+    val hardIds: Seq[Any] =
+      if (deltaHard.isEmpty) Seq.empty
+      else hits.filter(col("pattern_id") < nHard)
+        .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
+    val softIds: Seq[Any] =
+      if (deltaSoft.isEmpty) Seq.empty
+      else hits.filter(col("pattern_id") >= nHard)
+        .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
+        .filterNot(hardIds.toSet)
+    if (hardIds.isEmpty && softIds.isEmpty)
+      return RescrubReport(0, 0, corpus.currentVersion.getOrElse(
+        throw new IllegalStateException("rescrub: empty corpus store")))
+    // the rewritten frame, computed from the PRE-COMMIT snapshot —
+    // feeds both the tier re-extracts and the corpus update, so the
+    // two sides see byte-identical text
+    val updated =
+      if (softIds.isEmpty) None
+      else {
+        val softDocs = snap.filter(col("doc_id").isin(softIds: _*))
+        val m = redact(softDocs, deltaSoft, mask, caseFold)
+          .select(col("doc_id"), col("masked").as("text"))
+        Some(graft.core.Pin.reuse(
+          softDocs.drop("text").join(m, Seq("doc_id"))
+            .select(snap.columns.map(col).toIndexedSeq: _*)))
+      }
+    // ---- tiers first ----
+    // each tier's purge + re-extract append are fenced as a PAIR on
+    // the append's txn: a replay that re-ran the purge after the
+    // append landed would delete the re-extracted rows while the
+    // fenced append skips — the purge alone is only value-idempotent
+    // when no append follows it
+    val touched = hardIds ++ softIds
+    tiers.foreach { t =>
+      val idxTxn = txnId.map(id => s"$id-idx-${t.name}")
+      val pairDone = updated.nonEmpty && idxTxn.exists(t.table.txnCommitted)
+      if (!pairDone) {
+        if (t.table.currentVersion.nonEmpty)
+          t.table.deleteKeys(t.idCol, touched): Unit
+        updated.foreach(u => t.table.commit(t.extract(u), idxTxn): Unit)
+      }
+    }
+    // ---- fenced corpus commits last ----
+    if (hardIds.nonEmpty)
+      corpus.deleteKeys("doc_id", hardIds, txnId.map(_ + "-hard")): Unit
+    val v = updated match {
+      case None => corpus.currentVersion.get
+      case Some(u) =>
+        // the transform ignores its input and substitutes the
+        // precomputed masked frame: the matched rows ARE the softIds
+        // docs by construction, schema preserved
+        corpus.updateRows("doc_id", softIds, _ => u,
+          txnId.map(_ + "-soft"))
+    }
+    RescrubReport(hardIds.size, softIds.size, v)
+  }
+
+  /** Q173 — RESCRUB END-TO-END, the catalog-growth axis of the
+    * q153/q170 fresh-build contract: `documents` lands soft-scrubbed
+    * under the OLD catalog (`customer` masked) into a versioned
+    * corpus store with a standing BM25 postings table; the catalog
+    * then GROWS (`scan slow` hard — newly banned; `fast table`
+    * soft — newly masked); [[rescrub]] takes down the newly-banned
+    * docs, rewrites the newly-masked ones copy-on-write, repairs the
+    * postings for exactly the touched docs, and the query serves
+    * top-5 BM25 from the REPAIRED standing table over the surviving
+    * corpus. The oracle computes the fresh build under the FULL
+    * catalog directly — hash-for-hash equality proves the whole
+    * chain (the fixture catalogs are pairwise non-overlapping in
+    * text, so the monotone-cover caveat never bites).
+    */
+  def q173RescrubRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val softOld = Seq("customer")
+    val hardDelta = Seq("scan slow")
+    val softDelta = Seq("fast table")
+    val landed = redact(docs, softOld)
+      .select($"doc_id", $"masked".as("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rescrub").toString
+    val corpus = new graft.store.VersionedTable(spark, s"$root/corpus",
+      statsCols = Seq("doc_id"))
+    corpus.commit(landed)
+    val bm25 = new graft.store.VersionedTable(spark, s"$root/bm25",
+      statsCols = Seq("doc_id"))
+    bm25.commit(Retrieval.docTermStats(corpus.read()))
+    rescrub(corpus, hardDelta, softDelta,
+      Seq(RescrubTier("bm25", bm25, Retrieval.docTermStats)),
+      txnId = Some("q173-grow")): Unit
+    val queries = Retrieval.prefixQueries(corpus.read())
+    val out =
+      try graft.core.Pin.snapshot(
+        Retrieval.bm25TopKFromIndex(bm25.read(), queries, k = 5)
+          .orderBy($"query_id", $"rank"))
+      finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    out
+  }
+
+  /** DuckDB oracle for [[q173RescrubRepair]]: the fresh build under
+    * the GROWN catalog — gate out `scan slow` docs, cover-mask
+    * `customer` ∪ `fast table` positionally, run the q103 BM25 chain
+    * over the scrubbed corpus.
+    */
+  def rescrubOracleSql: String =
+    s"""WITH pats(pattern) AS (VALUES ('customer'), ('fast table')),
+       | base AS (SELECT doc_id, text FROM documents
+       |   WHERE NOT contains(text, 'scan slow')),
+       |${maskingCoreCtesSql.replace("FROM documents", "FROM base")},
+       | scrub AS (SELECT b.doc_id, coalesce(a.masked, '') AS text
+       |   FROM base b LEFT JOIN agg a USING (doc_id)),
+       | ${Retrieval.bm25CtesSql().replace("FROM documents", "FROM scrub")}
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ticks DESC, doc_id) AS rank,
+       |  doc_id, round(ticks / 1000000.0, 6) AS score
+       |FROM sc
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** The q169 fixture catalog: corpus-vocabulary phrases, every entry
     * BORDERLESS (no proper prefix equals a suffix), so occurrences of

@@ -167,6 +167,49 @@ object IndexMaintenance {
     out
   }
 
+  /** Q174 — FORGET-DOCS END-TO-END: the corpus-side right-to-be-
+    * forgotten orchestration ([[graft.store.CorpusForget.forgetDocs]])
+    * driven as ONE txn-fenced call — `documents` lands in a versioned
+    * corpus store with a standing BM25 postings table; a takedown
+    * catalog (every 11th doc) forgets through the one call (standing
+    * index purged first, fenced corpus delete last); the query serves
+    * top-5 BM25 from the purged standing table over the surviving
+    * corpus. Oracle: the fresh build over the reduced corpus — the
+    * q153 contract, now driven through the orchestration op instead
+    * of hand-sequenced purges.
+    */
+  def q174ForgetDocs(spark: SparkSession, dir: String,
+      mod: Long = 11L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val victims = docs.filter($"doc_id" % mod === 0)
+      .select($"doc_id").as[Long].collect().toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget").toString
+    val corpus = new graft.store.VersionedTable(spark, s"$root/corpus",
+      statsCols = Seq("doc_id"))
+    corpus.commit(docs)
+    val bm25 = new graft.store.VersionedTable(spark, s"$root/bm25",
+      statsCols = Seq("doc_id"))
+    bm25.commit(Retrieval.docTermStats(corpus.read()))
+    if (victims.nonEmpty)
+      graft.store.CorpusForget.forgetDocs(corpus, "doc_id", victims,
+        Seq(graft.store.CorpusForget.DerivedTier("bm25", bm25)),
+        txnId = Some("q174-forget")): Unit
+    val queries = Retrieval.prefixQueries(corpus.read())
+    val out =
+      try graft.core.Pin.snapshot(
+        Retrieval.bm25TopKFromIndex(bm25.read(), queries, k = 5)
+          .orderBy($"query_id", $"rank"))
+      finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    out
+  }
+
   /** DuckDB oracle for [[q170RetentionExpire]]: the q103 BM25 chain
     * over the RETAINED corpus (`doc_id div 10 >= cutoff`, cutoff =
     * one-third of the day span) — the fresh-build result the

@@ -199,7 +199,7 @@ class VersionedTable(spark: SparkSession, root: String,
     ("""\{"file":"((?:[^"\\]|\\.)*)","commit":"((?:[^"\\]|\\.)*)"""" +
       """(?:,"stats":"((?:[^"\\]|\\.)*)")?\}""").r
   private val headerRe =
-    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete|compact|expire)"""" +
+    ("""\{"version":(\d+),"txn":"((?:[^"\\]|\\.)*)","op":"(append|replace|delete|update|compact|expire)"""" +
       """(?:,"schema":"((?:[^"\\]|\\.)*)")?(?:,"audit":"((?:[^"\\]|\\.)*)")?\}""").r
   // pre-v2 (op-less header) manifests are NOT readable: their entry
   // lines ({"dir":...,"min":...,"max":...}) don't parse either, and
@@ -812,6 +812,76 @@ class VersionedTable(spark: SparkSession, root: String,
           (for { t <- rowsOf(touched); r <- rowsOf(rewritten) }
             yield "rows_removed" -> (t - r).toString)
         publishManifest("delete", untouched ++ rewritten,
+          m.schema.getOrElse(kept.schema), txnId, audit)
+    }
+  }
+
+  /** COPY-ON-WRITE ROW UPDATE — one commit rewriting the rows whose
+    * `keyCol` is in `keys` through `transform`, everything else
+    * untouched: the third delete-class primitive (delete by key,
+    * delete by age, now UPDATE by key), built for retroactive
+    * rewrites like [[graft.operators.Blocklist]]'s rescrub — a
+    * catalog-growth event must scrub ALREADY-LANDED documents
+    * without rewriting the whole table.
+    *
+    * Same file-stats pruning as [[deleteKeys]]: files whose [min,max]
+    * band misses every key carry into the new manifest VERBATIM
+    * (never read); touched files are re-read, their NON-matching rows
+    * carried as-is, their matching rows replaced by
+    * `transform(matching)`. The transform must preserve the row
+    * SCHEMA (same columns and types — loud failure otherwise: a
+    * shape-changing rewrite is [[replace]]'s job) but may change any
+    * value, drop rows (return fewer), or expand rows. NULL-keyed rows
+    * are never matched (the delete-class predicate contract).
+    *
+    * Publishes op `update`; time travel spans it; [[changesSince]]
+    * takes the [[rowDiff]] path and reports each changed row as its
+    * delete/insert pair over ONLY the touched files — the CDC feed
+    * standing-index repair consumes. Idempotent under `txnId` replay;
+    * keys that touch no file publish nothing.
+    */
+  def updateRows(keyCol: String, keys: Seq[Any],
+      transform: DataFrame => DataFrame,
+      txnId: Option[String] = None): Long = {
+    require(keys.nonEmpty, s"$root: updateRows with an empty key list")
+    require(keys.forall(_ != null), s"$root: updateRows with a NULL key")
+    txnId.filter(txnCommitted) match {
+      case Some(_) => currentVersion.get
+      case None =>
+        val v = currentVersion.getOrElse(
+          throw new IllegalStateException(s"$root: no committed version"))
+        val m = readManifest(v)
+        val dt = m.schema.flatMap(s =>
+          s.fields.find(_.name == keyCol).map(_.dataType))
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        val keyStrs = keys.map(_.toString)
+        val (touched, untouched) = m.files.partition { f =>
+          f.stats.get(keyCol) match {
+            case Some((mn, mx)) =>
+              keyStrs.exists(k => overlaps(dt, mn, mx, k, k))
+            case None => true
+          }
+        }
+        if (touched.isEmpty) return v
+        val base = readFiles(m.schema, touched)
+        val matchPred = col(keyCol).isin(keys: _*)
+        val transformed = transform(base.filter(matchPred))
+        val want = base.schema.fields
+          .map(f => (f.name, f.dataType)).toSeq
+        val got = transformed.schema.fields
+          .map(f => (f.name, f.dataType)).toSeq
+        require(got == want,
+          s"$root: updateRows transform changed the schema " +
+            s"($want -> $got) — a shape-changing rewrite is replace()")
+        val kept = base.filter(!matchPred || col(keyCol).isNull)
+          .unionByName(transformed)
+        val rewritten = writeData(kept)
+        val audit = Map(
+          "key_col" -> keyCol,
+          "key_count" -> keys.distinct.size.toString,
+          "files_touched" -> touched.size.toString,
+          "files_carried" -> untouched.size.toString)
+        publishManifest("update", untouched ++ rewritten,
           m.schema.getOrElse(kept.schema), txnId, audit)
     }
   }
