@@ -1258,6 +1258,44 @@ class VersionedTable(spark: SparkSession, root: String,
     out.result()
   }
 
+  /** The COMPLIANCE LEDGER as a DataFrame: one row per (version,
+    * audit key) across the table's retained history — (version, op,
+    * txn, key, value). A deletion-evidence report ("what did every
+    * delete/expire/update remove, and under which transaction") is a
+    * filter on this; versions without audit evidence (appends,
+    * pre-audit manifests) contribute no rows. Driver-side manifest
+    * reads, O(versions).
+    */
+  def auditLog(): DataFrame = {
+    import spark.implicits._
+    versions.flatMap { v =>
+      val m = readManifest(v)
+      m.audit.toSeq.sortBy(_._1).map { case (k, x) =>
+        (v, m.op, m.txn.getOrElse(""), k, x)
+      }
+    }.toDF("version", "op", "txn", "key", "value")
+  }
+
+  /** Execute [[maintenancePlan]]'s recommendations in the safe
+    * order — compact first (creates supersedure), re-sort advisories
+    * SKIPPED (choosing the sort expression is the operator's call —
+    * they stay in the returned plan as advisories), vacuum last.
+    * Returns the plan it acted on — compact/vacuum entries were
+    * executed, resort entries were not. The cron-job composition of
+    * the advisor: call periodically, a table needing nothing runs
+    * nothing.
+    */
+  def maintain(targetBytes: Long = 128L * 1024 * 1024,
+      vacuumRetain: Int = 2,
+      graceMs: Long = VersionedTable.DefaultVacuumGraceMs)
+      : Seq[MaintenanceAction] = {
+    val plan = maintenancePlan(targetBytes, vacuumRetain = vacuumRetain)
+    if (plan.exists(_.action == "compact")) compact(targetBytes): Unit
+    if (plan.exists(_.action == "vacuum"))
+      vacuum(vacuumRetain, graceMs): Unit
+    plan
+  }
+
   /** Replace the whole snapshot with `df` (compaction / rewrite): the
     * new manifest lists ONLY the new commit, but earlier versions
     * remain readable — time travel spans compactions. Old data dirs

@@ -147,6 +147,29 @@ class RescrubSpec extends SparkSpec {
       Blocklist.rescrub(corpus, Seq.empty, Seq("a*b")))
   }
 
+  test("case-folded rescrub: a lowercase delta entry takes down and " +
+      "masks mixed-case occurrences in the landed corpus") {
+    val docs = Seq(
+      (1L, "this has BadPhrase inside", "a"),
+      (2L, "Boiler Plate text here", "b"),
+      (3L, "clean doc", "c"),
+      (4L, "boiler plate again and badphrase", "d"))
+      .toDF("doc_id", "text", "tag")
+    val corpus = new VersionedTable(spark, tmp("rs-fold"),
+      statsCols = Seq("doc_id"))
+    corpus.commit(docs)
+    val r = Blocklist.rescrub(corpus,
+      deltaHard = Seq("badphrase"), deltaSoft = Seq("boiler plate"),
+      caseFold = true)
+    // docs 1 and 4 carried a hard occurrence under the fold: gone
+    assert(r.nHardDeleted === 2 && r.nSoftTouched === 1)
+    val got = corpus.read().orderBy($"doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      (2L, "************ text here", "b"),
+      (3L, "clean doc", "c")))
+  }
+
   test("monotone-cover caveat, pinned: a delta occurrence straddling " +
       "an old mask is invisible to ANY rescanner of the masked text — " +
       "already-masked chars stay masked, nothing un-masks") {

@@ -73,6 +73,50 @@ class MaintenancePlanSpec extends SparkSpec {
     assert(!after.exists(_.action == "vacuum"))
   }
 
+  test("maintain() executes compact then vacuum off the plan and " +
+      "reaches the empty fixed point; a clean table runs nothing") {
+    val vt = fresh(statsCols = Seq("day"))
+    (0L until 4L).foreach { b =>
+      vt.commit((b * 10 to b * 10 + 9).map(i => (i, s"d$i"))
+        .toDF("day", "text").coalesce(1))
+    }
+    val ran = vt.maintain(targetBytes = 1L << 20, vacuumRetain = 1,
+      graceMs = 0)
+    assert(ran.map(_.action).contains("compact"))
+    assert(vt.read().count() === 40L)
+    // compact ran, then its supersedure was NOT yet in that same
+    // plan — one more pass vacuums it, the third is the fixed point
+    vt.maintain(targetBytes = 1L << 20, vacuumRetain = 1, graceMs = 0)
+    assert(vt.maintain(targetBytes = 1L << 20, vacuumRetain = 1,
+      graceMs = 0).isEmpty)
+    assert(vt.read().count() === 40L)
+  }
+
+  test("auditLog exposes every delete-class commit's evidence as one " +
+      "ledger frame; appends contribute no rows and keys never appear") {
+    val vt = fresh(statsCols = Seq("day"))
+    vt.commit((1L to 20L).map(i => (i, s"d$i")).toDF("day", "text")
+      .coalesce(1))
+    vt.deleteKeys("day", Seq(3L, 4L), txnId = Some("takedown-7"))
+    vt.expireBefore("day", "10", txnId = Some("sweep-1"))
+    vt.updateRows("day", Seq(15L),
+      m => m.withColumn("text", org.apache.spark.sql.functions.lit("x")))
+    val log = vt.auditLog()
+      .as[(Long, String, String, String, String)].collect().toSeq
+    val ops = log.map(_._2).toSet
+    assert(ops === Set("delete", "expire", "update"))
+    // the delete's evidence: 2 keys, 2 rows removed, txn recorded
+    val del = log.filter(_._2 == "delete")
+    assert(del.forall(_._3 == "takedown-7"))
+    assert(del.exists(r => r._4 == "key_count" && r._5 == "2"))
+    assert(del.exists(r => r._4 == "rows_removed" && r._5 == "2"))
+    val exp = log.filter(_._2 == "expire")
+    assert(exp.exists(r => r._4 == "cutoff" && r._5 == "10"))
+    assert(exp.exists(r => r._4 == "rows_removed" && r._5 == "7"))
+    // the forgotten key values never enter the ledger
+    assert(!log.exists(r => r._5 == "3" && r._4 != "key_count"))
+  }
+
   test("empty store yields an empty plan; pure appends with no " +
       "superseded dirs never recommend vacuum") {
     val vt = fresh(statsCols = Seq("day"))

@@ -97,6 +97,42 @@ class VersionedTableUpdateSpec extends SparkSpec {
     assert(!audit.values.exists(_.contains("2L")))
   }
 
+  test("property: random interleavings of commit/deleteKeys/" +
+      "updateRows match a driver-side model of the final row set") {
+    val rnd = new scala.util.Random(14014L)
+    (1 to 5).foreach { round =>
+      val vt = fresh()
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      var nextId = 0L
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // commit a fresh id-clustered batch
+            val n = 1 + rnd.nextInt(5)
+            val rows = (nextId until nextId + n).map(i => (i, s"v$i"))
+            nextId += n
+            vt.commit(rows.toDF("id", "text").coalesce(1))
+            rows.foreach { case (i, t) => model(i) = t }
+          case 1 if model.nonEmpty => // delete a random key subset
+            val keys = rnd.shuffle(model.keys.toList)
+              .take(1 + rnd.nextInt(3))
+            vt.deleteKeys("id", keys)
+            keys.foreach(model.remove)
+          case 2 if model.nonEmpty => // bang-suffix a random subset
+            val keys = rnd.shuffle(model.keys.toList)
+              .take(1 + rnd.nextInt(3))
+            vt.updateRows("id", keys,
+              m => m.withColumn("text", concat($"text", lit("!"))))
+            keys.foreach(k => model(k) = model(k) + "!")
+          case _ => ()
+        }
+      }
+      val got =
+        if (vt.currentVersion.isEmpty) Map.empty[Long, String]
+        else vt.read().as[(Long, String)].collect().toMap
+      assert(got === model.toMap, s"round $round")
+    }
+  }
+
   test("a transform may DROP or EXPAND matched rows (fewer/more rows, " +
       "same schema)") {
     val vt = fresh()
