@@ -703,16 +703,9 @@ object Blocklist {
       Seq(RescrubTier("bm25", bm25, Retrieval.docTermStats)),
       txnId = Some("q173-grow")): Unit
     val queries = Retrieval.prefixQueries(corpus.read())
-    val out =
-      try graft.core.Pin.snapshot(
-        Retrieval.bm25TopKFromIndex(bm25.read(), queries, k = 5)
-          .orderBy($"query_id", $"rank"))
-      finally {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true): Unit
-      }
-    out
+    IndexMaintenance.snapshotAndDrop(
+      Retrieval.bm25TopKFromIndex(bm25.read(), queries, k = 5)
+        .orderBy($"query_id", $"rank"), root)
   }
 
   /** DuckDB oracle for [[q173RescrubRepair]]: the fresh build under

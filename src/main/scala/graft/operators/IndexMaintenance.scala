@@ -151,20 +151,35 @@ object IndexMaintenance {
       .filter($"change_type" === "delete").select($"doc_id")
     val repaired = purge(Retrieval.docTermStats(docs), deleted)
     val queries = Retrieval.prefixQueries(vt.read())
+    val report = Retrieval.bm25TopKFromIndex(repaired, queries, k = 5)
+      .orderBy($"query_id", $"rank")
     // the report's plan reads the temp store (vt.read / changesSince);
     // SNAPSHOT it so the fixture store can be deleted before returning
     // — bench/correctness harnesses re-run this query, and without the
-    // cleanup every invocation leaked a corpus-sized store into /tmp
-    val out =
-      try graft.core.Pin.snapshot(
-        Retrieval.bm25TopKFromIndex(repaired, queries, k = 5)
-          .orderBy($"query_id", $"rank"))
+    // cleanup every invocation leaked a corpus-sized store into /tmp.
+    // Plans mode keeps the LAZY plan (explain-only, nothing executes)
+    // and cleans the store prefixes itself.
+    snapshotAndDrop(report, root)
+  }
+
+  /** Fixture-store hygiene shared by the lifecycle queries (q170/
+    * q173/q174): pin the report, delete the temp store. Under
+    * `spark.graft.keepFixtureStores=true` (set by `graft.Plans`)
+    * returns the lazy frame instead so the physical plan stays
+    * inspectable.
+    */
+  private[operators] def snapshotAndDrop(report: DataFrame,
+      root: String): DataFrame = {
+    val spark = report.sparkSession
+    if (spark.conf.getOption("spark.graft.keepFixtureStores")
+        .contains("true")) report
+    else
+      try graft.core.Pin.snapshot(report)
       finally {
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true): Unit
       }
-    out
   }
 
   /** Q174 — FORGET-DOCS END-TO-END: the corpus-side right-to-be-
@@ -198,16 +213,9 @@ object IndexMaintenance {
         Seq(graft.store.CorpusForget.DerivedTier("bm25", bm25)),
         txnId = Some("q174-forget")): Unit
     val queries = Retrieval.prefixQueries(corpus.read())
-    val out =
-      try graft.core.Pin.snapshot(
-        Retrieval.bm25TopKFromIndex(bm25.read(), queries, k = 5)
-          .orderBy($"query_id", $"rank"))
-      finally {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true): Unit
-      }
-    out
+    snapshotAndDrop(
+      Retrieval.bm25TopKFromIndex(bm25.read(), queries, k = 5)
+        .orderBy($"query_id", $"rank"), root)
   }
 
   /** DuckDB oracle for [[q170RetentionExpire]]: the q103 BM25 chain
