@@ -526,6 +526,135 @@ object Blocklist {
        |$maskingCtesSql""".stripMargin
   }
 
+  /** CONSERVATIVE (wildcard-tolerant) cover for rescrub over
+    * already-masked text: an occurrence of `pat` FIRES at `i` when
+    * every position either equals the (optionally folded) pattern
+    * char or is ALREADY COVERED (a masked char could have been
+    * anything in the unretained original, so it matches everything)
+    * AND at least one matching position is still VISIBLE — a fire
+    * must carry evidence; without the visible-anchor rule any masked
+    * run would "match" every pattern that fits inside it, and a hard
+    * takedown would remove every doc carrying an old mask.
+    *
+    * Iterated to a per-document FIXPOINT: a fire's newly-covered
+    * chars can enable further evidential fires (pattern B mismatched
+    * the original at a char pattern A just masked), so one pass is
+    * not idempotent — the loop re-scans until no new char covers.
+    * Masked coverage only grows and is bounded by |text|, so the
+    * fixpoint exists; in practice it lands in 1–2 iterations.
+    *
+    * GUARANTEE (the conservative contract): the fixpoint cover is a
+    * SUPERSET of the fresh full-catalog build's cover — any true
+    * delta occurrence in the original either straddles the old cover
+    * (its visible chars match, its hidden chars are wildcards → it
+    * fires) or lies entirely inside it (already masked). The price
+    * is possible OVER-masking: a wildcard window whose hidden
+    * original chars did NOT spell the pattern also fires. Never
+    * under-masks; may over-mask — the compliance-safe direction.
+    *
+    * Returns (final text, newly-masked char count, maximal runs of
+    * newly-masked chars, per-pattern evidential fire counts).
+    * O(iterations · |pats| · |text|) per doc — affordable because
+    * rescrub deltas are SMALL (a growth event adds entries; it does
+    * not re-ship the catalog).
+    */
+  private[operators] def conservativeCover(text: String,
+      pats: Array[String], mask: Char, caseFold: Boolean)
+      : (String, Long, Long, Array[Long]) = {
+    val n = text.length
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i < n) { covered(i) = text.charAt(i) == mask; i += 1 }
+    val newlyCovered = new Array[Boolean](n)
+    val hits = new Array[Long](pats.length)
+    var changed = true
+    while (changed) {
+      changed = false
+      var p = 0
+      while (p < pats.length) {
+        val pat = pats(p)
+        var s = 0
+        val last = n - pat.length
+        while (s <= last) {
+          var j = 0
+          var ok = true
+          var visible = false
+          while (ok && j < pat.length) {
+            if (!covered(s + j)) {
+              val c = text.charAt(s + j)
+              val f = if (caseFold) foldChar(c) else c
+              val q =
+                if (caseFold) foldChar(pat.charAt(j)) else pat.charAt(j)
+              if (f != q) ok = false else visible = true
+            }
+            j += 1
+          }
+          if (ok && visible) {
+            hits(p) += 1L
+            var k = s
+            while (k < s + pat.length) {
+              if (!covered(k)) {
+                covered(k) = true
+                newlyCovered(k) = true
+                changed = true
+              }
+              k += 1
+            }
+          }
+          s += 1
+        }
+        p += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var nMasked = 0L
+    var nSpans = 0L
+    var prev = false
+    i = 0
+    while (i < n) {
+      sb.append(if (covered(i)) mask else text.charAt(i))
+      if (newlyCovered(i)) {
+        nMasked += 1
+        if (!prev) nSpans += 1
+      }
+      prev = newlyCovered(i)
+      i += 1
+    }
+    (sb.toString, nMasked, nSpans, hits)
+  }
+
+  /** CONSERVATIVE redaction over already-masked text — the DataFrame
+    * face of [[conservativeCover]]: (doc_id, masked, n_masked,
+    * n_spans) where n_masked/n_spans count NEWLY masked chars/runs
+    * (zero ⟺ the delta changes nothing about this doc — the
+    * convergence test rescrub's conservative mode uses). NULL text
+    * passes through NULL.
+    */
+  def redactConservative(docs: DataFrame, patterns: Seq[String],
+      mask: Char = '*', caseFold: Boolean = false): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    require(patterns.nonEmpty, "blocklist catalog is empty")
+    require(patterns.forall(p => p != null && p.nonEmpty),
+      "blocklist catalog has an empty pattern")
+    require(patterns.forall(!_.contains(mask)),
+      s"a pattern containing the mask char '$mask' cannot be scanned " +
+        "conservatively")
+    val pats = patterns.toArray
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null) (id, null: String, 0L, 0L)
+          else {
+            val (m, nm, ns, _) =
+              conservativeCover(text, pats, mask, caseFold)
+            (id, m, nm, ns)
+          }
+        }
+      }
+      .toDF("doc_id", "masked", "n_masked", "n_spans")
+  }
+
   /** One standing text-index family [[rescrub]] repairs: `extract`
     * rebuilds the tier's rows from a (doc_id, text, …) document
     * frame (e.g. `Retrieval.docTermStats` for BM25 postings,
@@ -595,6 +724,7 @@ object Blocklist {
       deltaSoft: Seq[String] = Seq.empty,
       tiers: Seq[RescrubTier] = Seq.empty,
       mask: Char = '*', caseFold: Boolean = false,
+      conservative: Boolean = false,
       txnId: Option[String] = None): RescrubReport = {
     require(deltaHard.nonEmpty || deltaSoft.nonEmpty,
       "rescrub with an empty catalog delta")
@@ -604,23 +734,50 @@ object Blocklist {
       s"a delta pattern containing the mask char '$mask' would " +
         "re-match already-masked text and break replay idempotence")
     val snap = graft.core.Pin.reuse(corpus.read())
-    val combined = deltaHard ++ deltaSoft
-    val nHard = deltaHard.size
-    // one corpus pass: the combined delta automaton, ids split by
-    // pattern_id afterwards (hard wins — a doc leaving the corpus
-    // never also rewrites)
-    val hits = graft.core.Pin.reuse(
-      scanCounts(snap, combined, caseFold)
-        .select(col("doc_id"), col("pattern_id")).distinct())
-    val hardIds: Seq[Any] =
-      if (deltaHard.isEmpty) Seq.empty
-      else hits.filter(col("pattern_id") < nHard)
-        .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
-    val softIds: Seq[Any] =
-      if (deltaSoft.isEmpty) Seq.empty
-      else hits.filter(col("pattern_id") >= nHard)
-        .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
-        .filterNot(hardIds.toSet)
+    // ---- touched-doc detection ----
+    // exact mode: ONE corpus pass of the combined delta automaton,
+    // ids split by pattern_id (hard wins — a doc leaving the corpus
+    // never also rewrites). Conservative mode: the wildcard-tolerant
+    // fixpoint cover, which treats already-masked chars as matching
+    // anything — closes the monotone-cover caveat by construction
+    // (never under-masks; may over-mask), at O(|delta| · text).
+    val (hardIds, softIds): (Seq[Any], Seq[Any]) =
+      if (!conservative) {
+        val combined = deltaHard ++ deltaSoft
+        val nHard = deltaHard.size
+        val hits = graft.core.Pin.reuse(
+          scanCounts(snap, combined, caseFold)
+            .select(col("doc_id"), col("pattern_id")).distinct())
+        val h: Seq[Any] =
+          if (deltaHard.isEmpty) Seq.empty
+          else hits.filter(col("pattern_id") < nHard)
+            .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
+        val s: Seq[Any] =
+          if (deltaSoft.isEmpty) Seq.empty
+          else hits.filter(col("pattern_id") >= nHard)
+            .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
+            .filterNot(h.toSet)
+        (h, s)
+      } else {
+        // a doc is hard-touched when any hard pattern fires with a
+        // visible anchor; soft-touched when the soft cover would
+        // newly mask ≥ 1 char (n_masked > 0 ⟺ the delta changes the
+        // doc — also the convergence test: a rescrubbed corpus
+        // reports 0 everywhere)
+        val h: Seq[Any] =
+          if (deltaHard.isEmpty) Seq.empty
+          else redactConservative(snap, deltaHard, mask, caseFold)
+            .filter(col("n_masked") > 0)
+            .select(col("doc_id")).collect().map(_.get(0)).toSeq
+        val rem =
+          if (h.isEmpty) snap else snap.filter(!col("doc_id").isin(h: _*))
+        val s: Seq[Any] =
+          if (deltaSoft.isEmpty) Seq.empty
+          else redactConservative(rem, deltaSoft, mask, caseFold)
+            .filter(col("n_masked") > 0)
+            .select(col("doc_id")).collect().map(_.get(0)).toSeq
+        (h, s)
+      }
     if (hardIds.isEmpty && softIds.isEmpty)
       return RescrubReport(0, 0, corpus.currentVersion.getOrElse(
         throw new IllegalStateException("rescrub: empty corpus store")))
@@ -631,8 +788,11 @@ object Blocklist {
       if (softIds.isEmpty) None
       else {
         val softDocs = snap.filter(col("doc_id").isin(softIds: _*))
-        val m = redact(softDocs, deltaSoft, mask, caseFold)
-          .select(col("doc_id"), col("masked").as("text"))
+        val scrub =
+          if (conservative)
+            redactConservative(softDocs, deltaSoft, mask, caseFold)
+          else redact(softDocs, deltaSoft, mask, caseFold)
+        val m = scrub.select(col("doc_id"), col("masked").as("text"))
         Some(graft.core.Pin.reuse(
           softDocs.drop("text").join(m, Seq("doc_id"))
             .select(snap.columns.map(col).toIndexedSeq: _*)))

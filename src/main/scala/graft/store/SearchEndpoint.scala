@@ -376,12 +376,26 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
     scrub: Seq[String] = Nil) {
   require(nThreads > 0, "nThreads must be positive")
 
-  // the scrub catalog compiles to its automaton ONCE at construction
-  // (deployment constant, like the tiers' layouts); every /scrub
-  // request is pure driver compute — zero Spark jobs by construction
-  private val scrubAc =
+  // the scrub catalog compiles to its automaton at construction and
+  // every /scrub request is pure driver compute — zero Spark jobs by
+  // construction. CATALOG GROWTH (the rescrub event) reaches the
+  // online tier through [[reloadScrubCatalog]]: one driver-side
+  // automaton rebuild, atomically swapped — in-flight requests finish
+  // on the old automaton, the next request masks under the grown
+  // catalog. No restart, still zero Spark jobs.
+  @volatile private var scrubAc =
     if (scrub.isEmpty) null
     else graft.operators.Blocklist.buildAutomaton(scrub)
+
+  /** Swap the scrub catalog for a grown one (the online leg of
+    * `Blocklist.rescrub` — the batch side rewrites the landed corpus,
+    * this keeps request-time masking in step). Pure driver compute;
+    * the same catalog validation as the batch automaton build.
+    */
+  def reloadScrubCatalog(patterns: Seq[String],
+      caseFold: Boolean = false): Unit = {
+    scrubAc = graft.operators.Blocklist.buildAutomaton(patterns, caseFold)
+  }
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -505,13 +519,19 @@ final class SearchHttpEndpoint(bm25: Bm25SearchTier, ivf: IvfSearchTier,
 
   // GET /scrub?text=… — the online leg of the blocklist family
   // (q171's cover masking at request time): {"masked":…,
-  // "n_masked":N,"n_spans":N}. Only when a scrub catalog is wired.
-  if (scrubAc != null) server.createContext("/scrub", handler { ex =>
-    queryParam(ex, "text") match {
+  // "n_masked":N,"n_spans":N}. 503 until a catalog is wired
+  // (at construction or via reloadScrubCatalog) — answering
+  // UNMASKED text from a scrub route would be the silent
+  // compliance failure.
+  server.createContext("/scrub", handler { ex =>
+    val ac = scrubAc // one volatile read per request
+    if (ac == null)
+      (503, """{"error":"no scrub catalog wired"}""")
+    else queryParam(ex, "text") match {
       case None =>
         (400, """{"error":"missing required query parameter 'text'"}""")
       case Some(t) =>
-        val (m, nm, ns) = scrubAc.maskCovered(t, '*')
+        val (m, nm, ns) = ac.maskCovered(t, '*')
         (200,
           s"""{"masked":"${jsonEsc(m)}","n_masked":$nm,"n_spans":$ns}""")
     }

@@ -170,6 +170,104 @@ class RescrubSpec extends SparkSpec {
       (3L, "clean doc", "c")))
   }
 
+  test("CONSERVATIVE mode closes the straddle caveat: masked chars " +
+      "match as wildcards (with a visible anchor), so a straddling " +
+      "delta occurrence masks exactly like the fresh full build") {
+    val docs = Seq((1L, "xabcdx")).toDF("doc_id", "text")
+    val landed = scrubbed(docs, Nil, Seq("bc")).localCheckpoint(true)
+    val corpus = new VersionedTable(spark, tmp("rs-cons"),
+      statsCols = Seq("doc_id"))
+    corpus.commit(landed)
+    val r = Blocklist.rescrub(corpus, Seq.empty, Seq("cd"),
+      conservative = true)
+    assert(r.nSoftTouched === 1)
+    // fresh full build over the ORIGINAL: bc covers 2-3, cd covers
+    // 3-4 -> "xa***x" — conservative rescrub reaches it without the
+    // original
+    assert(corpus.read().select($"text").as[String].head() === "xa***x")
+    val fresh = scrubbed(docs, Nil, Seq("bc", "cd"))
+    assert(fresh.select($"text").as[String].head() === "xa***x")
+    // value idempotence: a second conservative pass changes nothing
+    val v = corpus.currentVersion.get
+    val r2 = Blocklist.rescrub(corpus, Seq.empty, Seq("cd"),
+      conservative = true)
+    assert(r2.nSoftTouched === 0 && corpus.currentVersion.get === v)
+  }
+
+  test("conservative mode may OVER-mask (the documented trade: never " +
+      "under-mask) and iterates to a per-doc fixpoint so cascaded " +
+      "fires land in ONE call") {
+    // over-mask: old 'ab' masked "zabz" -> "z**z"; delta 'cz' never
+    // occurred in the original, but the wildcards admit it at 2-3
+    val d1 = Seq((1L, "zabz")).toDF("doc_id", "text")
+    val landed1 = scrubbed(d1, Nil, Seq("ab")).localCheckpoint(true)
+    assert(landed1.select($"text").as[String].head() === "z**z")
+    val c1 = new VersionedTable(spark, tmp("rs-over"),
+      statsCols = Seq("doc_id"))
+    c1.commit(landed1)
+    Blocklist.rescrub(c1, Seq.empty, Seq("cz"), conservative = true)
+    assert(c1.read().select($"text").as[String].head() === "z***")
+    // fresh full build would keep "z**z" — conservative is a strict
+    // SUPERSET here, never the reverse
+    assert(scrubbed(d1, Nil, Seq("ab", "cz"))
+      .select($"text").as[String].head() === "z**z")
+
+    // cascade: 'acq' fires off the old mask (visible anchor q) and
+    // covers q; 'my' mismatched the ORIGINAL at q but fires once q
+    // is covered — the fixpoint finds it in the same call
+    val d2 = Seq((2L, "zabqy")).toDF("doc_id", "text")
+    val landed2 = scrubbed(d2, Nil, Seq("ab")).localCheckpoint(true)
+    assert(landed2.select($"text").as[String].head() === "z**qy")
+    val c2 = new VersionedTable(spark, tmp("rs-casc"),
+      statsCols = Seq("doc_id"))
+    c2.commit(landed2)
+    val r = Blocklist.rescrub(c2, Seq.empty, Seq("acq", "my"),
+      conservative = true)
+    assert(r.nSoftTouched === 1)
+    assert(c2.read().select($"text").as[String].head() === "z****")
+    // converged: the second call touches nothing
+    assert(Blocklist.rescrub(c2, Seq.empty, Seq("acq", "my"),
+      conservative = true).nSoftTouched === 0)
+  }
+
+  test("property: the conservative cover is a SUPERSET of the fresh " +
+      "full-catalog cover on random corpora (and equals it whenever " +
+      "no delta fire involves a masked char)") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abc"
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (round <- 1 to 12) {
+      val old = (1 to 3).map(_ => randStr(2 + rnd.nextInt(2))).distinct
+      val delta = (1 to 3).map(_ => randStr(2 + rnd.nextInt(2)))
+        .distinct.filterNot(old.contains)
+      if (delta.nonEmpty) {
+        val texts = (1L to 8L).map(i => (i, randStr(10 + rnd.nextInt(30))))
+        val docs = texts.toDF("doc_id", "text")
+        val landed = scrubbed(docs, Nil, old)
+        val cons = Blocklist
+          .redactConservative(landed, delta)
+          .select($"doc_id", $"masked").as[(Long, String)]
+          .collect().toMap
+        val fresh = scrubbed(docs, Nil, old ++ delta)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .collect().toMap
+        for ((id, orig) <- texts) {
+          val c = cons(id)
+          val f = fresh(id)
+          (0 until orig.length).foreach { i =>
+            if (f.charAt(i) == '*')
+              assert(c.charAt(i) === '*',
+                s"round $round doc $id pos $i: fresh masked, " +
+                  s"conservative did not ('$orig' old=$old delta=$delta)")
+            if (c.charAt(i) != '*')
+              assert(c.charAt(i) === orig.charAt(i))
+          }
+        }
+      }
+    }
+  }
+
   test("monotone-cover caveat, pinned: a delta occurrence straddling " +
       "an old mask is invisible to ANY rescanner of the masked text — " +
       "already-masked chars stay masked, nothing un-masks") {

@@ -233,6 +233,48 @@ class SearchEndpointSpec extends SparkSpec {
         s""""n_spans":${want._4}}""")
       assert(want._3 > 0L) // the probe text really matched
       assert(get(port, "/scrub").contains("missing required"))
+
+      // CATALOG GROWTH reaches the online tier (the rescrub event's
+      // serving leg): reload with a grown catalog, the next request
+      // masks the new pattern too — still zero Spark jobs
+      val grown = cat :+ "tail"
+      ep.reloadScrubCatalog(grown)
+      val want2 = graft.operators.Blocklist
+        .redact(Seq((1L, text)).toDF("doc_id", "text"), grown)
+        .as[(Long, String, Long, Long)].head()
+      var body2 = ""
+      val jobs2 = countJobs {
+        body2 = get(port,
+          s"/scrub?text=${java.net.URLEncoder.encode(text, "UTF-8")}")
+      }
+      assert(jobs2 === 0, s"post-reload /scrub ran $jobs2 Spark jobs")
+      assert(body2 ===
+        s"""{"masked":"${want2._2}","n_masked":${want2._3},""" +
+        s""""n_spans":${want2._4}}""")
+      assert(want2._3 > want._3) // the grown catalog really masks more
+    } finally ep.stop()
+  }
+
+  test("/scrub answers 503 until a catalog is wired — an unmasked " +
+      "answer from a scrub route would be the silent compliance " +
+      "failure; a reload brings it live") {
+    val bm25Dir = Files.createTempDirectory("bm25-noscrub").toString
+    SearchEndpoint.writeBm25Index(
+      Retrieval.docTermStats(
+        Tables.load(spark, sf, "documents").limit(10)), bm25Dir)
+    val ivfDir = Files.createTempDirectory("ivf-noscrub").toString
+    val emb = Tables.load(spark, sf, "embeddings").limit(16)
+    val (indexed, model) = IvfIndex.buildPivots(emb, nLists = 2)
+    SearchEndpoint.writeIvfIndex(indexed, ivfDir)
+    val ep = new SearchHttpEndpoint(
+      new Bm25SearchTier(spark, bm25Dir),
+      new IvfSearchTier(spark, ivfDir, model))
+    val port = ep.start()
+    try {
+      assert(get(port, "/scrub?text=x").contains("no scrub catalog"))
+      ep.reloadScrubCatalog(Seq("bad"))
+      assert(get(port, "/scrub?text=a%20bad%20day") ===
+        """{"masked":"a *** day","n_masked":3,"n_spans":1}""")
     } finally ep.stop()
   }
 }
