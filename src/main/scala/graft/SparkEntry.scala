@@ -261,6 +261,10 @@ object SparkEntry {
       Blocklist.q173RescrubRepair(s, d)),
     "q174_forget_docs" -> ((s: SparkSession, d: String) =>
       IndexMaintenance.q174ForgetDocs(s, d)),
+    "q175_k_anonymity" -> ((s: SparkSession, d: String) =>
+      Privacy.q175KAnonymity(s, d)),
+    "q176_k_suppress" -> ((s: SparkSession, d: String) =>
+      Privacy.q176KSuppress(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1929,6 +1933,11 @@ object SparkEntry {
     // q174: corpus-side right-to-be-forgotten through the ONE
     // txn-fenced forgetDocs call — the q153 reduced-corpus contract
     "q174_forget_docs" -> IndexMaintenance.deleteRepairOracleSql(11L),
+    // q175/q176: pre-release privacy auditing — k-anonymity/l-diversity
+    // census over quasi-identifier groups, and the suppression release
+    // whose every row provably sits in a group of >= k
+    "q175_k_anonymity" -> Privacy.kAnonymityOracleSql(),
+    "q176_k_suppress" -> Privacy.kSuppressOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** PRIVACY-RISK AUDITING for data releases — the census a customer
+  * dataset must pass BEFORE it ships as training data or a shared
+  * extract. Re-identification risk comes from QUASI-IDENTIFIER
+  * combinations (Sweeney's k-anonymity): a row whose (nation,
+  * segment, spend band) combination is shared by fewer than k rows
+  * is linkable, even with every direct identifier removed; and a
+  * k-large group whose SENSITIVE attribute barely varies leaks that
+  * attribute to anyone who can place a person in the group
+  * (Machanavajjhala's l-diversity).
+  *
+  * Reference scope: absent from the reference (no privacy auditing);
+  * extends the r13/r14 compliance family (takedown, retention,
+  * right-to-be-forgotten, blocklists, deletion audit) with the
+  * pre-RELEASE leg: forget/expire remove what must go, this measures
+  * whether what REMAINS is safe to hand out.
+  *
+  * Scale shape: the census is one quasi-identifier groupBy with
+  * algebraic aggregates (count + distinct-sensitive via a two-level
+  * agg) — partial aggregation before the exchange, group-count-sized
+  * output. Suppression is a windowed group count over the same key —
+  * one shuffle, no join. Both run unchanged at any corpus size.
+  */
+object Privacy {
+
+  /** K-ANONYMITY / L-DIVERSITY census: one row per quasi-identifier
+    * group — (quasi cols…, group_n, l_div, k_risk, l_risk). `k_risk`:
+    * fewer than `k` rows share the combination (re-identifiable).
+    * `l_risk`: fewer than `l` distinct sensitive values in the group
+    * (attribute disclosure). NULL quasi values group as their own
+    * combination (NULL is itself linkable); NULL sensitive values
+    * count as one value.
+    */
+  def kAnonymityCensus(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "k-anonymity needs quasi-identifiers")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    val qs = quasiCols.map(col)
+    df.select(qs :+ sensitiveCol.as("_sens"): _*)
+      // two-level agg: distinct sensitive per group without
+      // count_distinct's per-group state explosion on wide groups
+      .groupBy(qs :+ col("_sens"): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(qs: _*)
+      .agg(sum(col("_n")).as("group_n"), count(lit(1)).as("l_div"))
+      .withColumn("k_risk", col("group_n") < k)
+      .withColumn("l_risk", col("l_div") < l)
+  }
+
+  /** SUPPRESSION release — the minimal k-anonymization: drop every
+    * row whose quasi-identifier group is smaller than `k`; the
+    * released rows all sit in groups of ≥ k by construction. One
+    * window count over the quasi key, no join, row set deterministic.
+    */
+  def kSuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "k-suppression needs quasi-identifiers")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("_gn", count(lit(1)).over(w))
+      .filter(col("_gn") >= k)
+      .drop("_gn")
+  }
+
+  /** Q175 — privacy census over `customer`: quasi-identifiers
+    * (nation, market segment, spend band = floor(acctbal / 2000)),
+    * sensitive attribute = the spend band's FINER sibling
+    * (floor(acctbal / 500)): per group, size, sensitive diversity,
+    * and the k=8 / l=3 risk flags.
+    */
+  def q175KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("spend_band",
+        floor($"c_acctbal" / 2000.0).cast("long"))
+    kAnonymityCensus(cust,
+        Seq("c_nationkey", "c_mktsegment", "spend_band"),
+        floor($"c_acctbal" / 500.0).cast("long"), k = 8L, l = 3L)
+      .orderBy($"c_nationkey", $"c_mktsegment", $"spend_band")
+  }
+
+  /** DuckDB oracle for [[q175KAnonymity]]. */
+  def kAnonymityOracleSql(k: Long = 8L, l: Long = 3L): String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  floor(c_acctbal / 2000.0)::BIGINT AS spend_band,
+       |  count(*)::BIGINT AS group_n,
+       |  count(DISTINCT floor(c_acctbal / 500.0)::BIGINT) AS l_div,
+       |  count(*) < $k AS k_risk,
+       |  count(DISTINCT floor(c_acctbal / 500.0)::BIGINT) < $l AS l_risk
+       |FROM customer
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q176 — the suppression release at the q175 quasi-identifiers and
+    * k=8: the customers that survive, with their group size (proof
+    * every released row sits in a group of ≥ k).
+    */
+  def q176KSuppress(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("spend_band",
+        floor($"c_acctbal" / 2000.0).cast("long"))
+    kSuppress(cust, Seq("c_nationkey", "c_mktsegment", "spend_band"),
+        k = 8L)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"spend_band")
+      .orderBy($"c_custkey")
+  }
+
+  /** DuckDB oracle for [[q176KSuppress]]. */
+  def kSuppressOracleSql(k: Long = 8L): String =
+    s"""SELECT c_custkey, c_nationkey, c_mktsegment, spend_band
+       |FROM (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / 2000.0)::BIGINT AS spend_band,
+       |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+       |      floor(c_acctbal / 2000.0)::BIGINT) AS gn
+       |  FROM customer)
+       |WHERE gn >= $k
+       |ORDER BY c_custkey""".stripMargin
+}
