@@ -171,6 +171,13 @@ class FeatureStore(spark: SparkSession, val conf: FeatureStoreConf) {
   /** Committed history versions, ascending. */
   def offlineVersions: Seq[Long] = offlineTable.versions
 
+  /** The offline history's compliance ledger (see
+    * [[VersionedTable.auditLog]]): every delete-class commit's
+    * evidence — a [[forgetKeys]] call's history commit reports its
+    * key count and rows removed here, never the keys.
+    */
+  def offlineAuditLog(): DataFrame = offlineTable.auditLog()
+
   /** CDC over the history: rows committed after `fromVersion`, tagged
     * `change_type` — O(delta) file reads on the append-only chain
     * ([[VersionedTable.changesSince]]). Incremental consumers (online

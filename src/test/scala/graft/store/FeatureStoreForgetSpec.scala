@@ -120,6 +120,23 @@ class FeatureStoreForgetSpec extends SparkSpec {
     } finally ep.stop()
   }
 
+  test("forgetKeys leaves compliance-reportable audit evidence on the " +
+      "history commit — key count and rows removed, never the keys") {
+    val fs = freshStore()
+    fs.ingest(batch)
+    fs.forgetKeys(Seq(1L), txnId = Some("rtbf-9"))
+    val log = fs.offlineAuditLog()
+      .as[(Long, String, String, String, String)].collect().toSeq
+    val del = log.filter(_._2 == "delete")
+    assert(del.nonEmpty && del.forall(_._3 == "rtbf-9"))
+    assert(del.exists(r => r._4 == "key_count" && r._5 == "1"))
+    // customer 1 had TWO history records — both counted as removed
+    assert(del.exists(r => r._4 == "rows_removed" && r._5 == "2"))
+    assert(del.exists(r => r._4 == "key_col" && r._5 == "customer_id"))
+    // the forgotten identifier itself never appears in the ledger
+    assert(!del.exists(r => r._4 != "key_count" && r._5 == "1"))
+  }
+
   test("history deletion is time-travel-visible and vacuumable, like " +
       "any takedown") {
     val fs = freshStore()

@@ -154,5 +154,22 @@ class MediaOpsStreamingSpec extends SparkSpec {
     val expR = Blocklist.redact(docs.toDF("doc_id", "text"), pats)
     agree(spark.table("s_blockredact"), expR)
     assert(expR.filter($"n_spans" >= 2).count() > 0)
+
+    // the CONSERVATIVE (wildcard fixpoint) redact is also a stateless
+    // projection: stream ≡ batch over already-masked inputs
+    val masked = expR.select($"doc_id", $"masked".as("text"))
+      .as[(Long, String)].collect().toSeq
+    val delta = Seq("phrase tail") // straddles "bad phrase"'s mask
+    val ms3 = MemoryStream[(Long, String)]
+    ms3.addData(masked: _*)
+    val q3 = Blocklist
+      .redactConservative(ms3.toDF().toDF("doc_id", "text"), delta)
+      .writeStream.format("memory").queryName("s_consredact")
+      .outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val expC = Blocklist
+      .redactConservative(masked.toDF("doc_id", "text"), delta)
+    agree(spark.table("s_consredact"), expC)
+    assert(expC.filter($"n_masked" > 0).count() > 0) // the straddle fired
   }
 }
