@@ -265,6 +265,8 @@ object SparkEntry {
       Privacy.q175KAnonymity(s, d)),
     "q176_k_suppress" -> ((s: SparkSession, d: String) =>
       Privacy.q176KSuppress(s, d)),
+    "q177_dp_counts" -> ((s: SparkSession, d: String) =>
+      Privacy.q177DpCounts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1938,6 +1940,10 @@ object SparkEntry {
     // whose every row provably sits in a group of >= k
     "q175_k_anonymity" -> Privacy.kAnonymityOracleSql(),
     "q176_k_suppress" -> Privacy.kSuppressOracleSql(),
+    // q177: DP count release — the Laplace mechanism with the
+    // deterministic fingerprint-derived noise seam (oracle runs the
+    // identical inverse-CDF draw)
+    "q177_dp_counts" -> Privacy.dpCountsOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

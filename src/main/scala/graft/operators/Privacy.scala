@@ -67,6 +67,64 @@ object Privacy {
       .drop("_gn")
   }
 
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE mechanics — the third
+    * privacy leg: where [[kSuppress]] protects by dropping rows,
+    * the Laplace mechanism releases EVERY group with calibrated
+    * noise: released = max(0, n + round(Laplace(1/ε))) — a count
+    * query has sensitivity 1 (one person changes any group count by
+    * at most 1), so Laplace noise of scale b = 1/ε gives ε-DP
+    * (Dwork et al. 2006). Clamping at 0 and rounding to integers are
+    * standard post-processing (DP survives post-processing).
+    *
+    * NOISE SOURCE SEAM: the engine draws the Laplace sample by
+    * inverse CDF from a uniform DERIVED DETERMINISTICALLY from the
+    * group key and a caller seed (the shared
+    * [[TextAnalysis.fingerprint]] polynomial hash — a native codegen
+    * expression with an exact DuckDB mirror). That makes the release
+    * testable and oracle-checkable end-to-end — and, deliberately
+    * documented: a PREDICTABLE noise source is NOT differential
+    * privacy. The mechanism (sensitivity analysis, scale
+    * calibration, clamp/round post-processing, the one-shuffle
+    * group-count plan) is the engine deliverable; production swaps
+    * the uniform for a CSPRNG draw by replacing one column
+    * expression. Noise magnitude is bounded by b·ln(2^31) ≈ 21.5·b
+    * (the inverse CDF of the coarsest representable uniform).
+    *
+    * `epsilonTicks` is ε in the repo's 1e6-tick convention
+    * (1_000_000 = ε 1.0). Scale shape: one quasi-key groupBy with a
+    * partial-agg count; the noise is a per-group projection.
+    */
+  def dpCounts(df: DataFrame, quasiCols: Seq[String],
+      epsilonTicks: Long = 1000000L, seed: Long = 0L): DataFrame = {
+    require(quasiCols.nonEmpty, "dpCounts needs group columns")
+    require(epsilonTicks > 0, "epsilon must be positive")
+    val qs = quasiCols.map(col)
+    val b = 1e6 / epsilonTicks
+    // group key || seed, NULLs as a sentinel (concat_ws would skip
+    // them and collide NULL with empty)
+    val keyStr = concat_ws("\u0001",
+      quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002"))) :+
+        lit(seed.toString): _*)
+    df.groupBy(qs: _*).agg(count(lit(1)).as("_n"))
+      // fingerprint then the Knuth multiplicative mix (the q165
+      // grouping device): the polynomial fingerprint of SHORT
+      // structured keys is not uniform (adjacent keys give adjacent
+      // values), the multiplication spreads any change across the
+      // 31-bit range
+      .withColumn("_m",
+        pmod(TextAnalysis.fingerprint(keyStr) * lit(2654435761L),
+          lit(2147483648L)))
+      .withColumn("_u", (col("_m") + lit(0.5)) / lit(2.147483648e9))
+      .withColumn("_c", col("_u") - lit(0.5))
+      .withColumn("_lap", -lit(b) * signum(col("_c")) *
+        log(lit(1.0) - lit(2.0) * abs(col("_c"))))
+      .select(qs :+
+        greatest(lit(0L),
+          col("_n") + round(col("_lap"), 0).cast("long"))
+          .as("released_n"): _*)
+  }
+
   /** Q175 — privacy census over `customer`: quasi-identifiers
     * (nation, market segment, spend band = floor(acctbal / 2000)),
     * sensitive attribute = the spend band's FINER sibling
@@ -109,6 +167,42 @@ object Privacy {
         k = 8L)
       .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"spend_band")
       .orderBy($"c_custkey")
+  }
+
+  /** Q177 — DP count release over `customer` by (nation, segment) at
+    * ε = 0.5 (scale b = 2), seed 177: every group released with
+    * calibrated integer Laplace noise, clamped at 0.
+    */
+  def q177DpCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dpCounts(Tables.load(spark, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        epsilonTicks = 500000L, seed = 177L)
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  /** DuckDB oracle for [[q177DpCounts]] — the same inverse-CDF
+    * Laplace draw from the same fingerprint-derived uniform.
+    */
+  def dpCountsOracleSql(epsilonTicks: Long = 500000L,
+      seed: Long = 177L): String = {
+    val b = 1e6 / epsilonTicks
+    val key = "concat_ws(chr(1), coalesce(c_nationkey::VARCHAR, chr(2)), " +
+      s"coalesce(c_mktsegment::VARCHAR, chr(2)), '$seed')"
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+       |    $key AS gk
+       |  FROM customer GROUP BY 1, 2),
+       | u AS (SELECT c_nationkey, c_mktsegment, n,
+       |    ((((${TextAnalysis.fingerprintSql("gk")}) * 2654435761)
+       |        % 2147483648 + 0.5)
+       |      / 2147483648.0) - 0.5 AS c
+       |  FROM g)
+       |SELECT c_nationkey, c_mktsegment,
+       |  greatest(0, n + round(-$b * sign(c) * ln(1.0 - 2.0 * abs(c)),
+       |    0)::BIGINT) AS released_n
+       |FROM u
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
   }
 
   /** DuckDB oracle for [[q176KSuppress]]. */

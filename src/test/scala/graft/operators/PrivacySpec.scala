@@ -51,6 +51,63 @@ class PrivacySpec extends SparkSpec {
     assert(recensus.filter($"k_risk").isEmpty)
   }
 
+  test("dpCounts: released counts equal a driver-side recompute of " +
+      "the inverse-CDF Laplace formula; noise is bounded, seeded, " +
+      "non-vacuous, and the zero clamp holds") {
+    val data = (1 to 40).map(i => (s"n${i % 5}", s"s${i % 2}", i.toLong))
+    val d = data.toDF("nation", "segment", "id")
+    val eps = 400000L // 0.4 -> b = 2.5
+    val b = 1e6 / eps
+    def fp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def lap(key: String): Double = {
+      val m = (fp(key) * 2654435761L) % 2147483648L
+      val u = (m + 0.5) / 2147483648.0
+      val c = u - 0.5
+      -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    def expected(seed: Long): Map[(String, String), Long] =
+      data.groupBy(r => (r._1, r._2)).map { case ((n, s), rs) =>
+        val noise = lap(n + "\u0001" + s + "\u0001" + seed)
+        (n, s) -> math.max(0L,
+          rs.size + BigDecimal(noise)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    val got = Privacy.dpCounts(d, Seq("nation", "segment"),
+        epsilonTicks = eps, seed = 7L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected(7L))
+    assert(got.values.forall(_ >= 0L))
+    // non-vacuous: at eps 0.4 some group really moved off its true n
+    val truth = data.groupBy(r => (r._1, r._2)).view.mapValues(_.size.toLong)
+    assert(got.exists { case (k, v) => truth(k) != v })
+    // deterministic per seed; a different seed draws different noise
+    val again = Privacy.dpCounts(d, Seq("nation", "segment"),
+        epsilonTicks = eps, seed = 7L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(again === got)
+    val other = Privacy.dpCounts(d, Seq("nation", "segment"),
+        epsilonTicks = eps, seed = 8L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(other === expected(8L))
+    assert(other !== got)
+    // noise bound: |released - n| <= b * ln(1e9+7) + 1 (rounding)
+    val bound = b * math.log(2147483648.0) + 1
+    assert(got.forall { case (k, v) => math.abs(v - truth(k)) <= bound })
+    // clamp really fires somewhere over the seed space on a 1-row
+    // group (negative noise beyond the count floors at zero)
+    val tiny = Seq(("solo", "g", 1L)).toDF("nation", "segment", "id")
+    val clamped = (0L to 200L).exists { s =>
+      Privacy.dpCounts(tiny, Seq("nation", "segment"),
+          epsilonTicks = eps, seed = s)
+        .as[(String, String, Long)].head()._3 == 0L
+    }
+    assert(clamped)
+  }
+
   test("property: for random data, the release equals the rows whose " +
       "census group is safe, and suppressed rows are exactly the " +
       "k-risky groups' rows") {
