@@ -267,6 +267,8 @@ object SparkEntry {
       Privacy.q176KSuppress(s, d)),
     "q177_dp_counts" -> ((s: SparkSession, d: String) =>
       Privacy.q177DpCounts(s, d)),
+    "q178_generalize" -> ((s: SparkSession, d: String) =>
+      Privacy.q178Generalize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1944,6 +1946,9 @@ object SparkEntry {
     // deterministic fingerprint-derived noise seam (oracle runs the
     // identical inverse-CDF draw)
     "q177_dp_counts" -> Privacy.dpCountsOracleSql(),
+    // q178: generalization release — coarsen the band ladder to the
+    // smallest k-anonymous width, suppress the residual
+    "q178_generalize" -> Privacy.generalizeOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -125,6 +125,51 @@ object Privacy {
           .as("released_n"): _*)
   }
 
+  /** GENERALIZATION release — the anonymization trio's third
+    * strategy (suppress drops rows, [[dpCounts]] adds noise,
+    * generalization COARSENS): widen a numeric quasi-identifier's
+    * band until every (static quasi cols, band) group reaches k,
+    * then release at that width. The width ladder is deterministic —
+    * baseWidth · 2^j for j = 0..maxDoublings, smallest passing j
+    * wins (the classic single-attribute full-domain generalization);
+    * if even the coarsest width leaves small groups, the residual
+    * suppresses ([[kSuppress]] at the chosen width — a no-op
+    * whenever the width passes outright, so the release ALWAYS
+    * satisfies k-anonymity by construction). The raw numeric value
+    * never ships — only the band and the width that was needed.
+    *
+    * Scale shape: ONE pass computes every candidate width's weakest
+    * group simultaneously (explode the ladder — rows × (j+1), one
+    * groupBy), a (j+1)-row driver read picks the width, then the
+    * suppression window. No iteration over the corpus.
+    */
+  def generalize(df: DataFrame, staticQuasi: Seq[String],
+      numCol: String, k: Long, baseWidth: Double,
+      maxDoublings: Int): DataFrame = {
+    require(baseWidth > 0 && maxDoublings >= 0 && k >= 1,
+      "generalize needs baseWidth > 0, maxDoublings >= 0, k >= 1")
+    val widths = (0 to maxDoublings).map(j => baseWidth * (1L << j))
+    val statics = staticQuasi.map(col)
+    val mins = df
+      .select(statics :+ col(numCol).as("_v"): _*)
+      .withColumn("_j", explode(lit((0 to maxDoublings).toArray)))
+      .withColumn("_band",
+        floor(col("_v") / (lit(baseWidth) * pow(lit(2.0), col("_j"))))
+          .cast("long"))
+      .groupBy((col("_j") +: statics) :+ col("_band"): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("_j")).agg(min(col("_n")).as("_mn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val j = (0 to maxDoublings).find(j => mins.get(j).exists(_ >= k))
+      .getOrElse(maxDoublings)
+    val w = widths(j)
+    val banded = df
+      .withColumn("band", floor(col(numCol) / w).cast("long"))
+      .withColumn("width", lit(w))
+      .drop(numCol)
+    kSuppress(banded, staticQuasi :+ "band", k)
+  }
+
   /** Q175 — privacy census over `customer`: quasi-identifiers
     * (nation, market segment, spend band = floor(acctbal / 2000)),
     * sensitive attribute = the spend band's FINER sibling
@@ -203,6 +248,46 @@ object Privacy {
        |    0)::BIGINT) AS released_n
        |FROM u
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  }
+
+  /** Q178 — the generalization release over `customer`: static quasi
+    * column `c_mktsegment`, the account balance generalized on the
+    * 500 · 2^j ladder (j ≤ 5) to the smallest width where every
+    * (segment, band) group reaches k = 25; residual suppression
+    * guarantees the release.
+    */
+  def q178Generalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generalize(Tables.load(spark, dir, "customer"),
+        Seq("c_mktsegment"), "c_acctbal",
+        k = 25L, baseWidth = 500.0, maxDoublings = 5)
+      .select($"c_custkey", $"c_mktsegment", $"band", $"width")
+      .orderBy($"c_custkey")
+  }
+
+  /** DuckDB oracle for [[q178Generalize]] — the same ladder, pick,
+    * and residual suppression.
+    */
+  def generalizeOracleSql(k: Long = 25L, baseWidth: Double = 500.0,
+      maxDoublings: Int = 5): String = {
+    val widths = (0 to maxDoublings)
+      .map(j => s"($j, ${baseWidth * (1L << j)})").mkString(", ")
+    s"""WITH W(j, w) AS (VALUES $widths),
+       | g AS (SELECT j, w, c_mktsegment,
+       |     floor(c_acctbal / w)::BIGINT AS band, count(*) AS n
+       |   FROM customer CROSS JOIN W GROUP BY 1, 2, 3, 4),
+       | m AS (SELECT j, min(n) AS mn FROM g GROUP BY 1),
+       | pick AS (SELECT coalesce(
+       |     (SELECT min(j) FROM m WHERE mn >= $k), $maxDoublings) AS j),
+       | pw AS (SELECT w FROM W JOIN pick USING (j)),
+       | rel AS (SELECT c_custkey, c_mktsegment,
+       |     floor(c_acctbal / pw.w)::BIGINT AS band, pw.w AS width,
+       |     count(*) OVER (PARTITION BY c_mktsegment,
+       |       floor(c_acctbal / pw.w)::BIGINT) AS gn
+       |   FROM customer, pw)
+       |SELECT c_custkey, c_mktsegment, band, width
+       |FROM rel WHERE gn >= $k
+       |ORDER BY c_custkey""".stripMargin
   }
 
   /** DuckDB oracle for [[q176KSuppress]]. */

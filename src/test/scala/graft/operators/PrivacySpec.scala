@@ -108,6 +108,40 @@ class PrivacySpec extends SparkSpec {
     assert(clamped)
   }
 
+  test("generalize picks the smallest k-anonymous width on the " +
+      "ladder, releases every row there, and falls back to residual " +
+      "suppression at the coarsest width") {
+    // one segment, values 0..19: at width 5 each band holds 5 rows,
+    // at width 10 each holds 10
+    val d = (0 until 20).map(i => ("A", i.toDouble, i.toLong))
+      .toDF("seg", "v", "id")
+    val r5 = Privacy.generalize(d, Seq("seg"), "v", k = 5L,
+        baseWidth = 5.0, maxDoublings = 3)
+      .select($"id", $"band", $"width")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r5.size === 20 && r5.forall(_._3 === 5.0))
+    assert(r5.map(_._2).distinct.sorted === Seq(0L, 1L, 2L, 3L))
+    // k = 7 cannot hold at width 5 (bands of 5) but holds at 10
+    val r7 = Privacy.generalize(d, Seq("seg"), "v", k = 7L,
+        baseWidth = 5.0, maxDoublings = 3)
+      .select($"id", $"width").as[(Long, Double)].collect()
+    assert(r7.length === 20 && r7.forall(_._2 === 10.0))
+    // k = 30 unreachable even at the coarsest width (20 rows total
+    // in one band at width 40): residual suppression empties the
+    // release rather than shipping a linkable group
+    val r30 = Privacy.generalize(d, Seq("seg"), "v", k = 30L,
+        baseWidth = 5.0, maxDoublings = 3)
+    assert(r30.isEmpty)
+    // partial residual: two segments, one tiny — the tiny one
+    // suppresses at the chosen width, the big one releases
+    val d2 = ((0 until 16).map(i => ("A", (i % 4).toDouble, i.toLong)) ++
+      Seq(("B", 0.0, 99L))).toDF("seg", "v", "id")
+    val r = Privacy.generalize(d2, Seq("seg"), "v", k = 4L,
+        baseWidth = 1.0, maxDoublings = 2)
+      .select($"id").as[Long].collect().toSet
+    assert(!r.contains(99L) && r.size === 16)
+  }
+
   test("property: for random data, the release equals the rows whose " +
       "census group is safe, and suppressed rows are exactly the " +
       "k-risky groups' rows") {
