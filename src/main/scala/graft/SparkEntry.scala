@@ -269,6 +269,14 @@ object SparkEntry {
       Privacy.q177DpCounts(s, d)),
     "q178_generalize" -> ((s: SparkSession, d: String) =>
       Privacy.q178Generalize(s, d)),
+    "q179_kl_suppress" -> ((s: SparkSession, d: String) =>
+      Privacy.q179KlSuppress(s, d)),
+    "q180_mondrian" -> ((s: SparkSession, d: String) =>
+      Mondrian.q180Mondrian(s, d)),
+    "q181_dp_sum" -> ((s: SparkSession, d: String) =>
+      Privacy.q181DpSum(s, d)),
+    "q182_dp_mean" -> ((s: SparkSession, d: String) =>
+      Privacy.q182DpMean(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1949,6 +1957,20 @@ object SparkEntry {
     // q178: generalization release — coarsen the band ladder to the
     // smallest k-anonymous width, suppress the residual
     "q178_generalize" -> Privacy.generalizeOracleSql(),
+    // q179: the k+l suppression release — q176's k-anonymity AND
+    // l-diversity on the finer spend band (the census's l-risky
+    // groups, which plain q176 releases, now suppress)
+    "q179_kl_suppress" -> Privacy.klSuppressOracleSql(),
+    // q180: Mondrian multidimensional generalization — greedy
+    // deterministic median cuts over (acctbal, nationkey), unrolled
+    // round-by-round in the oracle (the q90 unrolled-recurrence
+    // pattern)
+    "q180_mondrian" -> Mondrian.mondrianOracleSql(),
+    // q181/q182: DP sum and mean releases — per-row clamped
+    // contributions bound the sensitivity; same deterministic noise
+    // seam as q177, independent salts per mechanism
+    "q181_dp_sum" -> Privacy.dpSumOracleSql(),
+    "q182_dp_mean" -> Privacy.dpMeanOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

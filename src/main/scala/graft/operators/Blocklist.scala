@@ -552,6 +552,20 @@ object Blocklist {
     * original chars did NOT spell the pattern also fires. Never
     * under-masks; may over-mask — the compliance-safe direction.
     *
+    * ASSUMPTION (r14 ADVICE): prior coverage is inferred FROM THE
+    * MASK CHARACTER ITSELF — there is no span metadata — so a mask
+    * char occurring NATURALLY in stored text (markdown emphasis
+    * `*bold*`, shell globs) counts as a wildcard too: it can anchor
+    * fires the original text never contained, which over-masks, and
+    * in hard-delta mode can take down a document that never matched
+    * any pattern. A corpus whose text can contain the mask char
+    * natively must either redact with a char that cannot occur
+    * (U+FFFD is the conventional choice) or accept the inflated
+    * cover; [[redactConservative]] enforces the same rule it always
+    * enforced for patterns (no pattern may contain the mask char)
+    * but CANNOT validate the corpus side cheaply — the trade is
+    * documented rather than silently made.
+    *
     * Returns (final text, newly-masked char count, maximal runs of
     * newly-masked chars, per-pattern evidential fire counts).
     * O(iterations · |pats| · |text|) per doc — affordable because
@@ -628,7 +642,11 @@ object Blocklist {
     * n_spans) where n_masked/n_spans count NEWLY masked chars/runs
     * (zero ⟺ the delta changes nothing about this doc — the
     * convergence test rescrub's conservative mode uses). NULL text
-    * passes through NULL.
+    * passes through NULL. Assumes the corpus contains no NATURAL
+    * occurrences of `mask` (see [[conservativeCover]] — a native
+    * '*' counts as prior coverage and can fire patterns the text
+    * never contained); pick an impossible mask char (U+FFFD) when
+    * that assumption cannot hold.
     */
   def redactConservative(docs: DataFrame, patterns: Seq[String],
       mask: Char = '*', caseFold: Boolean = false): DataFrame = {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -25,8 +24,12 @@ import graft.core.Tables
   * Scale shape: the census is one quasi-identifier groupBy with
   * algebraic aggregates (count + distinct-sensitive via a two-level
   * agg) — partial aggregation before the exchange, group-count-sized
-  * output. Suppression is a windowed group count over the same key —
-  * one shuffle, no join. Both run unchanged at any corpus size.
+  * output. Suppression reuses that shape and BROADCASTS the safe
+  * group list back as a null-safe semi-join: the fact table never
+  * shuffles (r14 verdict #1 — a window count over the quasi key puts
+  * every row of a group through one task's buffer, and k-anonymous
+  * groups are large BY DESIGN). Both run unchanged at any corpus
+  * size.
   */
 object Privacy {
 
@@ -56,15 +59,72 @@ object Privacy {
 
   /** SUPPRESSION release — the minimal k-anonymization: drop every
     * row whose quasi-identifier group is smaller than `k`; the
-    * released rows all sit in groups of ≥ k by construction. One
-    * window count over the quasi key, no join, row set deterministic.
+    * released rows all sit in groups of ≥ k by construction. With a
+    * `sensitive` column and `l > 1` the release ALSO enforces
+    * l-diversity (r14 verdict missing #4): a group of 10,000 rows
+    * whose sensitive attribute barely varies leaks it to anyone who
+    * can place a person in the group, so groups with fewer than `l`
+    * distinct sensitive values suppress too — the census FLAGS that
+    * risk, this is the release op that acts on it.
+    *
+    * Scale shape (r14 verdict #1 — replaces the full-table window
+    * count): group sizes come from the census's own partial-agg
+    * groupBy (group-count-sized exchange, map-side combine absorbs
+    * any quasi-key skew), and the SAFE group list — group-count-sized
+    * by definition — broadcasts back as a LEFT SEMI join. The fact
+    * table never shuffles and no task ever buffers a whole group
+    * (k-anonymous groups are large BY DESIGN; the window plan put
+    * tens of GBs through single tasks at 100 TB). The join is
+    * NULL-SAFE (`<=>`) so a NULL quasi combination — its own
+    * linkable group, same as the census — suppresses or releases as
+    * a group like any other.
     */
-  def kSuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+  def kSuppress(df: DataFrame, quasiCols: Seq[String], k: Long,
+      sensitive: Option[Column] = None, l: Long = 1L): DataFrame = {
     require(quasiCols.nonEmpty, "k-suppression needs quasi-identifiers")
-    val w = Window.partitionBy(quasiCols.map(col): _*)
-    df.withColumn("_gn", count(lit(1)).over(w))
-      .filter(col("_gn") >= k)
-      .drop("_gn")
+    require(l >= 1, "l must be >= 1")
+    require(l == 1L || sensitive.nonEmpty,
+      "enforcing l-diversity (l > 1) needs the sensitive column")
+    val qs = quasiCols.map(col)
+    val safe = sensitive match {
+      case Some(s) =>
+        kAnonymityCensus(df, quasiCols, s, k, l)
+          .filter(!col("k_risk") && !col("l_risk"))
+      case None =>
+        df.groupBy(qs: _*).agg(count(lit(1)).as("group_n"))
+          .filter(col("group_n") >= k)
+    }
+    val keys = safe.select(
+      quasiCols.map(c => col(c).as(s"_safe_$c")): _*)
+    val cond = quasiCols
+      .map(c => col(c) <=> col(s"_safe_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(keys), cond, "left_semi")
+  }
+
+  /** Group key || salt for the noise seam, NULLs as a sentinel
+    * (concat_ws would skip them and collide NULL with empty).
+    */
+  private def noiseKey(quasiCols: Seq[String], salt: String): Column =
+    concat_ws("\u0001",
+      quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002"))) :+
+        lit(salt): _*)
+
+  /** The deterministic Laplace(b) draw of the noise seam: fingerprint
+    * then the Knuth multiplicative mix (the q165 grouping device —
+    * the polynomial fingerprint of SHORT structured keys is not
+    * uniform, adjacent keys give adjacent values; the multiplication
+    * spreads any change across the 31-bit range), inverse CDF from
+    * the resulting uniform. Long-safe: fingerprint < 1e9+7, times the
+    * Knuth constant < 2^63.
+    */
+  private def laplaceDraw(keyStr: Column, b: Double): Column = {
+    val m = pmod(TextAnalysis.fingerprint(keyStr) * lit(2654435761L),
+      lit(2147483648L))
+    val u = (m + lit(0.5)) / lit(2.147483648e9)
+    val c = u - lit(0.5)
+    -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
   }
 
   /** DIFFERENTIALLY-PRIVATE COUNT RELEASE mechanics — the third
@@ -100,29 +160,123 @@ object Privacy {
     require(epsilonTicks > 0, "epsilon must be positive")
     val qs = quasiCols.map(col)
     val b = 1e6 / epsilonTicks
-    // group key || seed, NULLs as a sentinel (concat_ws would skip
-    // them and collide NULL with empty)
-    val keyStr = concat_ws("\u0001",
-      quasiCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0002"))) :+
-        lit(seed.toString): _*)
     df.groupBy(qs: _*).agg(count(lit(1)).as("_n"))
-      // fingerprint then the Knuth multiplicative mix (the q165
-      // grouping device): the polynomial fingerprint of SHORT
-      // structured keys is not uniform (adjacent keys give adjacent
-      // values), the multiplication spreads any change across the
-      // 31-bit range
-      .withColumn("_m",
-        pmod(TextAnalysis.fingerprint(keyStr) * lit(2654435761L),
-          lit(2147483648L)))
-      .withColumn("_u", (col("_m") + lit(0.5)) / lit(2.147483648e9))
-      .withColumn("_c", col("_u") - lit(0.5))
-      .withColumn("_lap", -lit(b) * signum(col("_c")) *
-        log(lit(1.0) - lit(2.0) * abs(col("_c"))))
+      .withColumn("_lap",
+        laplaceDraw(noiseKey(quasiCols, seed.toString), b))
       .select(qs :+
         greatest(lit(0L),
           col("_n") + round(col("_lap"), 0).cast("long"))
           .as("released_n"): _*)
+  }
+
+  /** DP SUM RELEASE with BOUNDED SENSITIVITY (r14 verdict missing
+    * #6) — the actually useful release for spend-style columns. A
+    * raw sum has unbounded sensitivity (one row's contribution is
+    * unbounded), so every contribution is CLAMPED per row to
+    * [loTicks, hiTicks] FIRST; changing one row then moves the
+    * clamped sum by at most (hi − lo), which is the sensitivity, and
+    * Laplace noise of scale b = (hi − lo)/ε gives ε-DP (Dwork et al.
+    * 2006). Values are integer TICKS (the repo convention — exact
+    * long sums, no cross-engine float association drift); the
+    * released sum is the clamped true sum plus rounded noise,
+    * UNCLAMPED (a sum may legitimately be negative when lo < 0;
+    * range post-processing is the caller's choice). Same
+    * deterministic noise seam — and the same NOT-DP-until-production-
+    * swaps-the-CSPRNG caveat — as [[dpCounts]]; the salt suffix
+    * `:sum` keeps the draw independent of a count release over the
+    * same groups.
+    *
+    * Scale shape: one quasi-key groupBy with a partial-agg sum of the
+    * clamped column; noise is a per-group projection.
+    */
+  def dpSum(df: DataFrame, quasiCols: Seq[String], valueTicks: Column,
+      loTicks: Long, hiTicks: Long, epsilonTicks: Long = 1000000L,
+      seed: Long = 0L): DataFrame = {
+    require(quasiCols.nonEmpty, "dpSum needs group columns")
+    require(epsilonTicks > 0, "epsilon must be positive")
+    require(loTicks < hiTicks, "dpSum needs a clamp range lo < hi")
+    val qs = quasiCols.map(col)
+    val b = (hiTicks - loTicks) * 1e6 / epsilonTicks
+    val clamped = greatest(least(valueTicks.cast("long"),
+      lit(hiTicks)), lit(loTicks))
+    df.groupBy(qs: _*).agg(sum(clamped).as("_s"))
+      .withColumn("_lap",
+        laplaceDraw(noiseKey(quasiCols, s"$seed:sum"), b))
+      .select(qs :+
+        (col("_s") + round(col("_lap"), 0).cast("long"))
+          .as("released_sum"): _*)
+  }
+
+  /** DP MEAN RELEASE — the standard composition: an ε/2 noised
+    * clamped sum ([[dpSum]]'s clamp, so sum sensitivity is hi − lo)
+    * divided by an ε/2 noised count (sequential composition spends ε
+    * total; the ratio is post-processing, which DP survives). The
+    * denominator clamps at 1 so an emptied-out noisy count cannot
+    * divide by zero or flip the sign. Released as a double — the
+    * division of two exact longs is deterministic across engines.
+    * Distinct salt suffixes (`:sum`, `:cnt`) keep the two draws
+    * independent.
+    */
+  def dpMean(df: DataFrame, quasiCols: Seq[String], valueTicks: Column,
+      loTicks: Long, hiTicks: Long, epsilonTicks: Long = 1000000L,
+      seed: Long = 0L): DataFrame = {
+    require(quasiCols.nonEmpty, "dpMean needs group columns")
+    require(epsilonTicks > 1, "dpMean splits epsilon; needs >= 2 ticks")
+    require(loTicks < hiTicks, "dpMean needs a clamp range lo < hi")
+    val qs = quasiCols.map(col)
+    val epsSum = epsilonTicks / 2
+    val epsCnt = epsilonTicks - epsSum
+    val bSum = (hiTicks - loTicks) * 1e6 / epsSum
+    val bCnt = 1e6 / epsCnt.toDouble
+    val clamped = greatest(least(valueTicks.cast("long"),
+      lit(hiTicks)), lit(loTicks))
+    df.groupBy(qs: _*)
+      .agg(sum(clamped).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_ls",
+        laplaceDraw(noiseKey(quasiCols, s"$seed:sum"), bSum))
+      .withColumn("_lc",
+        laplaceDraw(noiseKey(quasiCols, s"$seed:cnt"), bCnt))
+      .select(qs :+
+        ((col("_s") + round(col("_ls"), 0).cast("long"))
+            .cast("double") /
+          greatest(lit(1L),
+            col("_n") + round(col("_lc"), 0).cast("long"))
+            .cast("double"))
+          .as("released_mean"): _*)
+  }
+
+  /** Publish a DP release INTO A VERSIONED TABLE with its privacy
+    * budget on the ledger (r14 verdict missing #6, second half): the
+    * release frame appends via an audited commit whose manifest
+    * records `privacy.mechanism` and `privacy.epsilon_ticks`, so the
+    * table's `auditLog()` — the same compliance ledger deletion
+    * evidence rides — answers "what ε has this release table
+    * consumed" ([[epsilonSpentTicks]] sums it). Sequential
+    * composition is exactly additive ε, which is why a per-release
+    * ledger is the right accounting surface. Idempotent under txn
+    * replay like any commit: a replayed release spends its ε once.
+    */
+  def releaseDp(table: graft.store.VersionedTable, release: DataFrame,
+      mechanism: String, epsilonTicks: Long,
+      txnId: Option[String] = None): Long = {
+    require(epsilonTicks > 0, "epsilon must be positive")
+    table.commitAudited(release, Map(
+      "privacy.mechanism" -> mechanism,
+      "privacy.epsilon_ticks" -> epsilonTicks.toString), txnId)
+  }
+
+  /** Total ε (in ticks) spent by every DP release committed to
+    * `table` — the budget a data-governance gate compares against its
+    * cap before allowing another release. Driver-side manifest reads
+    * via `auditLog()`, O(versions).
+    */
+  def epsilonSpentTicks(table: graft.store.VersionedTable): Long = {
+    val rows = table.auditLog()
+      .filter(col("key") === "privacy.epsilon_ticks")
+      .agg(sum(col("value").cast("long")).as("eps"))
+      .collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) 0L
+    else rows.head.getLong(0)
   }
 
   /** GENERALIZATION release — the anonymization trio's third
@@ -138,26 +292,42 @@ object Privacy {
     * satisfies k-anonymity by construction). The raw numeric value
     * never ships — only the band and the width that was needed.
     *
-    * Scale shape: ONE pass computes every candidate width's weakest
-    * group simultaneously (explode the ladder — rows × (j+1), one
-    * groupBy), a (j+1)-row driver read picks the width, then the
-    * suppression window. No iteration over the corpus.
+    * Scale shape (r14 verdict #8 — replaces the rows × (j+1) ladder
+    * explode): the ladder is derivable from the BASE-WIDTH band
+    * histogram alone, because floor(floor(v/w)/2^j) = floor(v/(w·2^j))
+    * — halving a band index is exactly doubling the width. So ONE
+    * pass over the corpus builds the base histogram
+    * (group-count-sized, partial aggs), the (j+1)-level ladder
+    * explodes the HISTOGRAM (tiny), and a (j+1)-row driver read picks
+    * the width; then the suppression semi-join. No iteration over the
+    * corpus, no row multiplication.
     */
   def generalize(df: DataFrame, staticQuasi: Seq[String],
       numCol: String, k: Long, baseWidth: Double,
-      maxDoublings: Int): DataFrame = {
+      maxDoublings: Int, sensitive: Option[Column] = None,
+      l: Long = 1L): DataFrame = {
     require(baseWidth > 0 && maxDoublings >= 0 && k >= 1,
       "generalize needs baseWidth > 0, maxDoublings >= 0, k >= 1")
+    // 1L << 63 wraps negative (ADVICE r14): fail loudly, the file's
+    // convention — nobody doubles a band width 62 times on purpose
+    require(maxDoublings <= 62,
+      s"maxDoublings=$maxDoublings overflows the 2^j width ladder " +
+        "(max 62)")
     val widths = (0 to maxDoublings).map(j => baseWidth * (1L << j))
     val statics = staticQuasi.map(col)
     val mins = df
-      .select(statics :+ col(numCol).as("_v"): _*)
-      .withColumn("_j", explode(lit((0 to maxDoublings).toArray)))
-      .withColumn("_band",
-        floor(col("_v") / (lit(baseWidth) * pow(lit(2.0), col("_j"))))
-          .cast("long"))
-      .groupBy((col("_j") +: statics) :+ col("_band"): _*)
+      .select(statics :+
+        floor(col(numCol) / baseWidth).cast("long").as("_b"): _*)
+      .groupBy(statics :+ col("_b"): _*)
       .agg(count(lit(1)).as("_n"))
+      // ladder rollup over the histogram: band at width w·2^j is
+      // floor(base band / 2^j) — float-exact (2^j is an exact double,
+      // |_b| ≪ 2^53)
+      .withColumn("_j", explode(lit((0 to maxDoublings).toArray)))
+      .withColumn("_bj",
+        floor(col("_b") / pow(lit(2.0), col("_j"))).cast("long"))
+      .groupBy((col("_j") +: statics) :+ col("_bj"): _*)
+      .agg(sum(col("_n")).as("_n"))
       .groupBy(col("_j")).agg(min(col("_n")).as("_mn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val j = (0 to maxDoublings).find(j => mins.get(j).exists(_ >= k))
@@ -166,8 +336,8 @@ object Privacy {
     val banded = df
       .withColumn("band", floor(col(numCol) / w).cast("long"))
       .withColumn("width", lit(w))
+    kSuppress(banded, staticQuasi :+ "band", k, sensitive, l)
       .drop(numCol)
-    kSuppress(banded, staticQuasi :+ "band", k)
   }
 
   /** Q175 — privacy census over `customer`: quasi-identifiers
@@ -187,17 +357,27 @@ object Privacy {
       .orderBy($"c_nationkey", $"c_mktsegment", $"spend_band")
   }
 
-  /** DuckDB oracle for [[q175KAnonymity]]. */
-  def kAnonymityOracleSql(k: Long = 8L, l: Long = 3L): String =
+  /** DuckDB oracle for [[q175KAnonymity]]. The sensitive expression
+    * wraps in coalesce(…::VARCHAR, chr(2)) because the ENGINE counts
+    * a NULL sensitive value as one distinct value (its own group in
+    * the two-level agg) while SQL count(DISTINCT) ignores NULLs — on
+    * a nullable sensitive column the bare form would under-count
+    * l_div by one (r14 ADVICE; the TPC-H fixture is non-null, so the
+    * values are unchanged there).
+    */
+  def kAnonymityOracleSql(k: Long = 8L, l: Long = 3L): String = {
+    val sens =
+      "coalesce((floor(c_acctbal / 500.0)::BIGINT)::VARCHAR, chr(2))"
     s"""SELECT c_nationkey, c_mktsegment,
        |  floor(c_acctbal / 2000.0)::BIGINT AS spend_band,
        |  count(*)::BIGINT AS group_n,
-       |  count(DISTINCT floor(c_acctbal / 500.0)::BIGINT) AS l_div,
+       |  count(DISTINCT $sens) AS l_div,
        |  count(*) < $k AS k_risk,
-       |  count(DISTINCT floor(c_acctbal / 500.0)::BIGINT) < $l AS l_risk
+       |  count(DISTINCT $sens) < $l AS l_risk
        |FROM customer
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2, 3""".stripMargin
+  }
 
   /** Q176 — the suppression release at the q175 quasi-identifiers and
     * k=8: the customers that survive, with their group size (proof
@@ -301,4 +481,131 @@ object Privacy {
        |  FROM customer)
        |WHERE gn >= $k
        |ORDER BY c_custkey""".stripMargin
+
+  /** Q179 — the k+l suppression release (r14 verdict missing #4): the
+    * q175 quasi set at k=8 AND l-diversity l=3 on the finer spend
+    * band. The q175 census itself reports l-risky groups that plain
+    * q176 releases; this is the release that refuses them.
+    */
+  def q179KlSuppress(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("spend_band",
+        floor($"c_acctbal" / 2000.0).cast("long"))
+    kSuppress(cust, Seq("c_nationkey", "c_mktsegment", "spend_band"),
+        k = 8L,
+        sensitive = Some(floor($"c_acctbal" / 500.0).cast("long")),
+        l = 3L)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+        $"spend_band")
+      .orderBy($"c_custkey")
+  }
+
+  /** DuckDB oracle for [[q179KlSuppress]] — group stats in a CTE
+    * (count + NULL-as-a-value distinct, mirroring the census), joined
+    * back; the fixture's quasi columns are non-null so the equi-join
+    * matches the engine's null-safe semi-join.
+    */
+  def klSuppressOracleSql(k: Long = 8L, l: Long = 3L): String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / 2000.0)::BIGINT AS spend_band,
+       |    coalesce((floor(c_acctbal / 500.0)::BIGINT)::VARCHAR,
+       |      chr(2)) AS sens
+       |  FROM customer),
+       | g AS (
+       |  SELECT c_nationkey, c_mktsegment, spend_band,
+       |    count(*) AS gn, count(DISTINCT sens) AS ld
+       |  FROM c GROUP BY 1, 2, 3)
+       |SELECT c_custkey, c_nationkey, c_mktsegment, spend_band
+       |FROM c JOIN g USING (c_nationkey, c_mktsegment, spend_band)
+       |WHERE gn >= $k AND ld >= $l
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Q181 — DP SUM release over `customer` by market segment:
+    * account balance in integer cents, clamped per row to
+    * [0, 500000] (negative balances contribute 0, balances above
+    * $$5000 contribute the cap — bounding the sensitivity at 500000
+    * ticks), ε = 1.0, seed 181.
+    */
+  def q181DpSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dpSum(Tables.load(spark, dir, "customer"), Seq("c_mktsegment"),
+        round($"c_acctbal" * 100, 0).cast("long"),
+        loTicks = 0L, hiTicks = 500000L,
+        epsilonTicks = 1000000L, seed = 181L)
+      .orderBy($"c_mktsegment")
+  }
+
+  /** DuckDB oracle for [[q181DpSum]] — same clamp, same exact long
+    * sum, same noise dag.
+    */
+  def dpSumOracleSql(loTicks: Long = 0L, hiTicks: Long = 500000L,
+      epsilonTicks: Long = 1000000L, seed: Long = 181L): String = {
+    val b = (hiTicks - loTicks) * 1e6 / epsilonTicks
+    val key = "concat_ws(chr(1), coalesce(c_mktsegment::VARCHAR, " +
+      s"chr(2)), '$seed:sum')"
+    s"""WITH g AS (
+       |  SELECT c_mktsegment,
+       |    sum(greatest(least(round(c_acctbal * 100, 0)::BIGINT,
+       |      $hiTicks), $loTicks))::BIGINT AS s,
+       |    $key AS gk
+       |  FROM customer GROUP BY 1),
+       | u AS (SELECT c_mktsegment, s,
+       |    ((((${TextAnalysis.fingerprintSql("gk")}) * 2654435761)
+       |        % 2147483648 + 0.5)
+       |      / 2147483648.0) - 0.5 AS c
+       |  FROM g)
+       |SELECT c_mktsegment,
+       |  s + round(-$b * sign(c) * ln(1.0 - 2.0 * abs(c)), 0)::BIGINT
+       |    AS released_sum
+       |FROM u
+       |ORDER BY c_mktsegment""".stripMargin
+  }
+
+  /** Q182 — DP MEAN release over `customer` by nation: mean account
+    * balance in cents, contributions clamped to [0, 1000000], total
+    * ε = 2.0 split evenly between the sum and the count, seed 182.
+    */
+  def q182DpMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dpMean(Tables.load(spark, dir, "customer"), Seq("c_nationkey"),
+        round($"c_acctbal" * 100, 0).cast("long"),
+        loTicks = 0L, hiTicks = 1000000L,
+        epsilonTicks = 2000000L, seed = 182L)
+      .orderBy($"c_nationkey")
+  }
+
+  /** DuckDB oracle for [[q182DpMean]] — two independent draws (salt
+    * `:sum` / `:cnt`), the noised-long division released as double.
+    */
+  def dpMeanOracleSql(loTicks: Long = 0L, hiTicks: Long = 1000000L,
+      epsilonTicks: Long = 2000000L, seed: Long = 182L): String = {
+    val epsSum = epsilonTicks / 2
+    val epsCnt = epsilonTicks - epsSum
+    val bSum = (hiTicks - loTicks) * 1e6 / epsSum
+    val bCnt = 1e6 / epsCnt.toDouble
+    def key(salt: String) =
+      "concat_ws(chr(1), coalesce(c_nationkey::VARCHAR, chr(2)), " +
+        s"'$seed:$salt')"
+    def draw(k: String, b: Double) =
+      s"""round(-$b * sign(((((${TextAnalysis.fingerprintSql(k)})
+         |      * 2654435761) % 2147483648 + 0.5)
+         |      / 2147483648.0) - 0.5)
+         |    * ln(1.0 - 2.0 * abs(((((${TextAnalysis.fingerprintSql(k)})
+         |      * 2654435761) % 2147483648 + 0.5)
+         |      / 2147483648.0) - 0.5)), 0)::BIGINT""".stripMargin
+    s"""WITH g AS (
+       |  SELECT c_nationkey,
+       |    sum(greatest(least(round(c_acctbal * 100, 0)::BIGINT,
+       |      $hiTicks), $loTicks))::BIGINT AS s,
+       |    count(*)::BIGINT AS n,
+       |    ${key("sum")} AS gks, ${key("cnt")} AS gkc
+       |  FROM customer GROUP BY 1)
+       |SELECT c_nationkey,
+       |  (s + ${draw("gks", bSum)})
+       |    / greatest(1, n + ${draw("gkc", bCnt)}) AS released_mean
+       |FROM g
+       |ORDER BY c_nationkey""".stripMargin
+  }
 }

@@ -79,6 +79,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q176/q178/q179: suppression releases carry NO window — the " +
+      "safe-group list broadcasts back as a LEFT SEMI join and the " +
+      "fact table never shuffles its rows (r14 verdict #1)") {
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    Seq(
+      "q176" -> Privacy.q176KSuppress(spark, sf),
+      "q178" -> Privacy.q178Generalize(spark, sf),
+      "q179" -> Privacy.q179KlSuppress(spark, sf)).foreach {
+      case (name, df) =>
+        val p = finalPlan(df)
+        assert(!p.contains("Window"),
+          s"$name must not buffer quasi groups in a window")
+        assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+          s"$name must broadcast the safe-group semi-join")
+        assert(!p.contains("SortMergeJoin"), name)
+    }
+  }
+
+  test("q180: every Mondrian join (cut tables, final ranges) " +
+      "broadcasts — the fact rows never sort-merge") {
+    val df = Mondrian.q180Mondrian(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q43: chunking is shuffle-free — pure per-row fan-out on the scan") {
     val p = plan(TextStats.chunk(Tables.load(spark, sf, "documents")))
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")

@@ -142,6 +142,205 @@ class PrivacySpec extends SparkSpec {
     assert(!r.contains(99L) && r.size === 16)
   }
 
+  test("k+l suppression: a k-large group whose sensitive attribute " +
+      "barely varies suppresses too — plain k-suppression releases " +
+      "it (the r14 gap this closes)") {
+    val d = Seq(
+      // k-passes (4 rows) but l_div = 1: the attribute-disclosure group
+      ("US", "AUTO", 1L, 1L), ("US", "AUTO", 1L, 2L),
+      ("US", "AUTO", 1L, 3L), ("US", "AUTO", 1L, 4L),
+      // passes both k=3 and l=2
+      ("DE", "AUTO", 1L, 5L), ("DE", "AUTO", 2L, 6L),
+      ("DE", "AUTO", 3L, 7L), ("DE", "AUTO", 1L, 8L),
+      ("FR", "BIKE", 1L, 9L), ("FR", "BIKE", 2L, 10L),
+      ("FR", "BIKE", 2L, 11L),
+      // fails k
+      ("JP", "AUTO", 1L, 12L))
+      .toDF("nation", "segment", "sens", "id")
+    val plainIds = Privacy.kSuppress(d, Seq("nation", "segment"), 3L)
+      .select($"id").as[Long].collect().toSet
+    assert(plainIds === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    val klIds = Privacy.kSuppress(d, Seq("nation", "segment"), 3L,
+        sensitive = Some($"sens"), l = 2L)
+      .select($"id").as[Long].collect().toSet
+    assert(klIds === Set(5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    // invariant: re-census of the k+l release flags nothing
+    val recensus = Privacy.kAnonymityCensus(
+      Privacy.kSuppress(d, Seq("nation", "segment"), 3L,
+        sensitive = Some($"sens"), l = 2L),
+      Seq("nation", "segment"), $"sens", k = 3L, l = 2L)
+    assert(recensus.filter($"k_risk" || $"l_risk").isEmpty)
+    // l > 1 without the sensitive column is a loud error
+    intercept[IllegalArgumentException] {
+      Privacy.kSuppress(d, Seq("nation", "segment"), 3L, l = 2L)
+    }
+  }
+
+  test("dpSum: per-row clamp bounds the sensitivity, the sum is " +
+      "exact long arithmetic, and the release equals a driver-side " +
+      "recompute of the seeded draw") {
+    // values straddle the clamp range [-10, 10] on both sides
+    val data = Seq(
+      ("A", -25L), ("A", 3L), ("A", 40L),   // clamped: -10 + 3 + 10 = 3
+      ("B", 5L), ("B", 7L),                 // in range: 12
+      ("C", -2L))                           // -2
+    val d = data.toDF("g", "v")
+    val eps = 500000L // 0.5 -> b = (hi-lo)/eps = 20/0.5 = 40
+    val b = (10L - (-10L)) * 1e6 / eps
+    def fp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def lap(key: String): Double = {
+      val m = (fp(key) * 2654435761L) % 2147483648L
+      val u = (m + 0.5) / 2147483648.0
+      val c = u - 0.5
+      -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    def draw(g: String, seed: Long): Long =
+      BigDecimal(lap(g + "\u0001" + seed + ":sum"))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val clampedSums = Map("A" -> 3L, "B" -> 12L, "C" -> -2L)
+    val got = Privacy.dpSum(d, Seq("g"), $"v", loTicks = -10L,
+        hiTicks = 10L, epsilonTicks = eps, seed = 9L)
+      .as[(String, Long)].collect().toMap
+    assert(got === clampedSums.map { case (g, s) => g -> (s + draw(g, 9L)) })
+    // seed changes the noise, determinism per seed
+    val again = Privacy.dpSum(d, Seq("g"), $"v", loTicks = -10L,
+        hiTicks = 10L, epsilonTicks = eps, seed = 9L)
+      .as[(String, Long)].collect().toMap
+    assert(again === got)
+    val other = Privacy.dpSum(d, Seq("g"), $"v", loTicks = -10L,
+        hiTicks = 10L, epsilonTicks = eps, seed = 10L)
+      .as[(String, Long)].collect().toMap
+    assert(other === clampedSums.map { case (g, s) => g -> (s + draw(g, 10L)) })
+    assert(other !== got)
+    // noise is bounded by the mechanism's own ceiling
+    val bound = b * math.log(2147483648.0) + 1
+    assert(got.forall { case (g, v) =>
+      math.abs(v - clampedSums(g)) <= bound })
+    intercept[IllegalArgumentException] {
+      Privacy.dpSum(d, Seq("g"), $"v", loTicks = 10L, hiTicks = 10L)
+    }
+  }
+
+  test("dpMean: epsilon splits across the sum and count draws, the " +
+      "denominator clamps at 1, and the release equals the " +
+      "driver-side recompute") {
+    val data = Seq(("A", 4L), ("A", 8L), ("A", 100L), ("B", 6L))
+    val d = data.toDF("g", "v")
+    val (lo, hi) = (0L, 10L)
+    val eps = 400000L // 0.4: epsSum = epsCnt = 200000 (0.2 each)
+    val bSum = (hi - lo) * 1e6 / 200000L
+    val bCnt = 1e6 / 200000.0
+    def fp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def lap(key: String, b: Double): Double = {
+      val m = (fp(key) * 2654435761L) % 2147483648L
+      val u = (m + 0.5) / 2147483648.0
+      val c = u - 0.5
+      -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    def rnd(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def expected(seed: Long): Map[String, Double] = {
+      val sums = Map("A" -> (4L + 8L + 10L), "B" -> 6L) // 100 clamps to 10
+      val ns = Map("A" -> 3L, "B" -> 1L)
+      sums.map { case (g, s) =>
+        val noisedS = s + rnd(lap(g + "\u0001" + seed + ":sum", bSum))
+        val noisedN = math.max(1L,
+          ns(g) + rnd(lap(g + "\u0001" + seed + ":cnt", bCnt)))
+        g -> noisedS.toDouble / noisedN.toDouble
+      }
+    }
+    val got = Privacy.dpMean(d, Seq("g"), $"v", lo, hi,
+        epsilonTicks = eps, seed = 11L)
+      .as[(String, Double)].collect().toMap
+    assert(got === expected(11L))
+    // the max(1, ...) denominator clamp is reachable over the seed
+    // space on a 1-row group at this count-noise scale (b = 5)
+    val tiny = Seq(("solo", 5L)).toDF("g", "v")
+    val clampFired = (0L to 300L).exists { s =>
+      val m = Privacy.dpMean(tiny, Seq("g"), $"v", lo, hi,
+          epsilonTicks = eps, seed = s)
+        .as[(String, Double)].head()._2
+      // denominator 1 means the release IS the noised sum exactly
+      val noisedS = 5L + rnd(lap("solo" + "\u0001" + s + ":sum", bSum))
+      val noisedN = 1L + rnd(lap("solo" + "\u0001" + s + ":cnt", bCnt))
+      noisedN < 1L && m == noisedS.toDouble
+    }
+    assert(clampFired)
+  }
+
+  test("generalize's histogram-rollup ladder picks the identical " +
+      "width as the r14 row-explode formulation on random data " +
+      "(floor(floor(v/w)/2^j) = floor(v/(w*2^j)))") {
+    val rnd = new scala.util.Random(178L)
+    for (round <- 1 to 5) {
+      val n = 40 + rnd.nextInt(80)
+      val data = (0 until n).map { i =>
+        (s"s${rnd.nextInt(3)}",
+          (rnd.nextDouble() - 0.3) * 2000.0, i.toLong)
+      }
+      val d = data.toDF("seg", "v", "id")
+      val (k, bw, mj) = (2L + rnd.nextInt(6), 37.5, 4)
+      // the r14 explode formulation, inline: min group size per width
+      val explodeMins = d
+        .withColumn("_j", explode(lit((0 to mj).toArray)))
+        .withColumn("_band",
+          floor($"v" / (lit(bw) * pow(lit(2.0), $"_j"))).cast("long"))
+        .groupBy($"_j", $"seg", $"_band").agg(count(lit(1)).as("_n"))
+        .groupBy($"_j").agg(min($"_n").as("_mn"))
+        .as[(Int, Long)].collect().toMap
+      val jWant = (0 to mj).find(j => explodeMins.get(j).exists(_ >= k))
+        .getOrElse(mj)
+      val wWant = bw * (1L << jWant)
+      val got = Privacy.generalize(d, Seq("seg"), "v", k, bw, mj)
+        .select($"id", $"band", $"width")
+        .as[(Long, Long, Double)].collect()
+      assert(got.forall(_._3 === wWant), s"round $round")
+      // and the released rows equal the explode-picked width's own
+      // k-suppression
+      val want = data.groupBy(r => (r._1, math.floor(r._2 / wWant).toLong))
+        .filter(_._2.size >= k).flatMap(_._2.map(_._3)).toSet
+      assert(got.map(_._1).toSet === want, s"round $round")
+    }
+    // the 2^j ladder overflow guard (r14 ADVICE)
+    val d = Seq(("A", 1.0, 1L)).toDF("seg", "v", "id")
+    intercept[IllegalArgumentException] {
+      Privacy.generalize(d, Seq("seg"), "v", 1L, 1.0, 63)
+    }
+  }
+
+  test("releaseDp puts each release's epsilon on the table's audit " +
+      "ledger; two releases sum; txn replay spends epsilon once") {
+    val vt = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-ledger")
+        .toString)
+    val d = Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("g", "v")
+    val r1 = Privacy.dpCounts(d, Seq("g"), epsilonTicks = 500000L,
+      seed = 1L)
+    Privacy.releaseDp(vt, r1, "laplace_count", 500000L): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 500000L)
+    val r2 = Privacy.dpSum(d, Seq("g"), $"v", 0L, 10L,
+      epsilonTicks = 250000L, seed = 2L)
+    Privacy.releaseDp(vt, r2, "laplace_sum", 250000L,
+      txnId = Some("rel-2")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 750000L)
+    // replaying the same release transaction does NOT double-spend
+    Privacy.releaseDp(vt, r2, "laplace_sum", 250000L,
+      txnId = Some("rel-2")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 750000L)
+    // the ledger rows carry the mechanism evidence
+    val mechs = vt.auditLog()
+      .filter($"key" === "privacy.mechanism")
+      .select($"value").as[String].collect().sorted.toSeq
+    assert(mechs === Seq("laplace_count", "laplace_sum"))
+    // a fresh table has spent nothing
+    val vt2 = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-ledger")
+        .toString)
+    assert(Privacy.epsilonSpentTicks(vt2) === 0L)
+  }
+
   test("property: for random data, the release equals the rows whose " +
       "census group is safe, and suppressed rows are exactly the " +
       "k-risky groups' rows") {

@@ -133,4 +133,24 @@ class SkewStressSpec extends SparkSpec {
       info(s"salted agg task inputs: ${salted.sorted.mkString(",")}")
     }
   }
+
+  test("kSuppress keeps the busiest task within 2x the median at a " +
+      "40% hot quasi group (r14 verdict #1: quasi groups are large " +
+      "BY DESIGN — the window plan buffered a whole group per task)") {
+    // AQE off so its skew handling can't mask the plan's own shape;
+    // the broadcast of the safe-group list is the OPERATOR's hint, so
+    // autoBroadcastJoinThreshold stays off like the other legs
+    withSkewConfs {
+      val fact = skewedFact(400000, 500)
+      val inputs = reduceTaskInputs {
+        Privacy.kSuppress(fact, Seq("k"), k = 100L).count(): Unit
+      }
+      // the only shuffle is the group-count agg: map-side combine
+      // bounds any task's input by (#map tasks x #groups-per-task),
+      // independent of the hot group's row count
+      assert(spreadRatio(inputs) <= 2.0,
+        s"kSuppress max/median must be <= 2; task inputs ${inputs.sorted}")
+      info(s"kSuppress agg task inputs: ${inputs.sorted.mkString(",")}")
+    }
+  }
 }

@@ -92,6 +92,47 @@ class MaintenancePlanSpec extends SparkSpec {
     assert(vt.read().count() === 40L)
   }
 
+  test("maintain(resortBy) executes an opted-in resort advisory as " +
+      "ONE replace commit: clustering depth restores, the advisory " +
+      "disappears, CDC sees the replace; a resortBy column with no " +
+      "advisory does nothing (r14 verdict missing #8)") {
+    val vt = fresh(statsCols = Seq("day"))
+    (0L until 4L).foreach { b =>
+      vt.commit((b to 27L + b by 4L).map(i => (i, s"x$i"))
+        .toDF("day", "text").coalesce(1))
+    }
+    val before = vt.clusteringDepth("day")
+    val plan0 = vt.maintenancePlan(targetBytes = 1L)
+    assert(plan0.exists(a => a.action == "resort" && a.target == "day"))
+    val v0 = vt.currentVersion.get
+
+    // opting in executes the resort; compact (if advised) is subsumed
+    val ran = vt.maintain(targetBytes = 1L, vacuumRetain = 1,
+      graceMs = 0, resortBy = Seq("day"))
+    assert(ran.exists(a => a.action == "resort" && a.target == "day"))
+    assert(vt.read().count() === 28L) // nothing lost
+    val after = vt.clusteringDepth("day")
+    assert(after.meanStartDepthTicks < before.meanStartDepthTicks)
+    assert(!vt.maintenancePlan(targetBytes = 1L)
+      .exists(_.action == "resort"))
+    // exactly one replace commit landed on top
+    val newOps = ((v0 + 1) to vt.currentVersion.get)
+      .map(v => vt.readManifest(v).op)
+    assert(newOps === Seq("replace"))
+
+    // no standing advisory -> resortBy is a no-op (advisory-driven)
+    val v1 = vt.currentVersion.get
+    val again = vt.maintain(targetBytes = 1L, vacuumRetain = 1,
+      graceMs = 0, resortBy = Seq("day"))
+    assert(!again.exists(_.action == "resort"))
+    assert(vt.currentVersion.get === v1)
+
+    // a non-stats column is a loud error, not a silent skip
+    intercept[IllegalArgumentException] {
+      vt.maintain(resortBy = Seq("text"))
+    }
+  }
+
   test("auditLog exposes every delete-class commit's evidence as one " +
       "ledger frame; appends contribute no rows and keys never appear") {
     val vt = fresh(statsCols = Seq("day"))
