@@ -277,6 +277,10 @@ object SparkEntry {
       Privacy.q181DpSum(s, d)),
     "q182_dp_mean" -> ((s: SparkSession, d: String) =>
       Privacy.q182DpMean(s, d)),
+    "q183_dp_topk" -> ((s: SparkSession, d: String) =>
+      Privacy.q183DpTopK(s, d)),
+    "q184_release_quality" -> ((s: SparkSession, d: String) =>
+      Privacy.q184ReleaseQuality(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1971,6 +1975,14 @@ object SparkEntry {
     // seam as q177, independent salts per mechanism
     "q181_dp_sum" -> Privacy.dpSumOracleSql(),
     "q182_dp_mean" -> Privacy.dpMeanOracleSql(),
+    // q183: DP top-k selection — the exponential mechanism via the
+    // one-shot Gumbel trick; group identities and ranks ship, counts
+    // never do
+    "q183_dp_topk" -> Privacy.dpTopKOracleSql(),
+    // q184: anonymization quality census over the q180 Mondrian
+    // release — NCP + discernibility per released partition (the
+    // oracle nests the full unrolled Mondrian CTE)
+    "q184_release_quality" -> Privacy.releaseQualityOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -245,6 +245,88 @@ object Privacy {
           .as("released_mean"): _*)
   }
 
+  /** DP TOP-K SELECTION — the EXPONENTIAL MECHANISM (McSherry &
+    * Talwar FOCS'07) specialization the other releases can't express:
+    * release WHICH k groups are largest without releasing their
+    * counts (a noisy-counts release still leaks magnitudes; selection
+    * leaks only identity + rank). Utility = group count (sensitivity
+    * Δu = 1), one selection draws a group with probability
+    * ∝ exp(ε·u/2Δ); the classic Gumbel-max identity (argmax of
+    * ε·u/2 + Gumbel(0,1) IS that draw) turns k peeled selections at
+    * ε/k each — simple sequential composition, total ε — into ONE
+    * top-k over noisy scores (the one-shot Gumbel trick, Durfee &
+    * Rogers NeurIPS'19). Ranks ship; counts never do.
+    *
+    * The Gumbel draw rides the same deterministic noise seam (and the
+    * same NOT-DP-until-production-swaps-the-CSPRNG caveat) as
+    * [[dpCounts]]: g = −ln(−ln(u)) with u from the fingerprint mix,
+    * salt suffix `:topk`. Ties (same noisy score — measure-zero but
+    * the contract is total) break by the quasi columns ascending.
+    *
+    * Scale shape: one quasi-key groupBy (partial aggs), a per-group
+    * score projection, and a TakeOrderedAndProject top-k — never a
+    * global sort; the rank window runs over the k survivors only.
+    */
+  def dpTopK(df: DataFrame, quasiCols: Seq[String], k: Int,
+      epsilonTicks: Long = 1000000L, seed: Long = 0L): DataFrame = {
+    require(quasiCols.nonEmpty, "dpTopK needs group columns")
+    require(k >= 1, "k must be >= 1")
+    require(epsilonTicks > 0, "epsilon must be positive")
+    val qs = quasiCols.map(col)
+    // per-selection ε/k, utility coefficient ε_sel / (2Δ), Δ = 1
+    val coef = epsilonTicks / 1e6 / k / 2.0
+    val m = pmod(
+      TextAnalysis.fingerprint(noiseKey(quasiCols, s"$seed:topk")) *
+        lit(2654435761L), lit(2147483648L))
+    val u = (m + lit(0.5)) / lit(2.147483648e9)
+    df.groupBy(qs: _*).agg(count(lit(1)).as("_n"))
+      .withColumn("_score", lit(coef) * col("_n") - log(-log(u)))
+      .orderBy(col("_score").desc +: qs.map(_.asc): _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(org.apache.spark.sql
+        .expressions.Window
+        .orderBy(col("_score").desc +: qs.map(_.asc): _*)))
+      .select(qs :+ col("rank"): _*)
+  }
+
+  /** ANONYMIZATION QUALITY CENSUS over a range-generalized release —
+    * the information-loss side of the privacy trade, measured so a
+    * release pipeline can pick k / cut depth on evidence instead of
+    * folklore: per released partition (the distinct [lo, hi] range
+    * combination), its size `n`, its NORMALIZED CERTAINTY PENALTY in
+    * integer millionths (`ncp_ticks` — mean over dimensions of range
+    * width / global domain width, Xu et al. KDD'06: 0 = exact values
+    * survived, 1e6 = the dimension collapsed to its whole domain) and
+    * its DISCERNIBILITY cost (`dm` = n², Bayardo & Agrawal ICDE'05 —
+    * every row is indistinguishable from n−1 others). Totals are
+    * exact-long sums of these per-group rows, so the census is
+    * partition-invariant like everything else.
+    *
+    * `dims` are the base column names; the release carries
+    * `<dim>_lo` / `<dim>_hi` (the [[Mondrian.generalize]] shape);
+    * `globalRange` is the ORIGINAL domain width per dim (0-width
+    * domains contribute 0 penalty — a constant column loses nothing
+    * by generalization). One groupBy over the release, group-count-
+    * sized output.
+    */
+  def releaseQuality(release: DataFrame, dims: Seq[String],
+      globalRange: Map[String, Double]): DataFrame = {
+    require(dims.nonEmpty, "releaseQuality needs dimensions")
+    require(dims.forall(globalRange.contains),
+      s"globalRange must cover $dims")
+    val ncp = dims.map { d =>
+      val w = globalRange(d)
+      if (w > 0) (col(s"${d}_hi") - col(s"${d}_lo")) / lit(w)
+      else lit(0.0)
+    }.reduce(_ + _) / lit(dims.size.toDouble)
+    release
+      .groupBy(dims.flatMap(d =>
+        Seq(col(s"${d}_lo"), col(s"${d}_hi"))): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ncp_ticks", round(ncp * 1e6, 0).cast("long"))
+      .withColumn("dm", col("n") * col("n"))
+  }
+
   /** Publish a DP release INTO A VERSIONED TABLE with its privacy
     * budget on the ledger (r14 verdict missing #6, second half): the
     * release frame appends via an audited commit whose manifest
@@ -263,6 +345,31 @@ object Privacy {
     table.commitAudited(release, Map(
       "privacy.mechanism" -> mechanism,
       "privacy.epsilon_ticks" -> epsilonTicks.toString), txnId)
+  }
+
+  /** [[releaseDp]] behind the BUDGET GATE: refuses (throws, loudly —
+    * the house convention for silent-miss paths) when the ledger's
+    * spent ε plus this release would exceed `capTicks`. The gate is
+    * the point of keeping the ledger: sequential composition means a
+    * table's cumulative ε is its real privacy guarantee, and a
+    * pipeline that keeps releasing past the cap has no guarantee at
+    * all. Check-then-commit races with a concurrent releaser are the
+    * manifest protocol's single-writer caveat, same as every commit.
+    */
+  def releaseDpGated(table: graft.store.VersionedTable,
+      release: DataFrame, mechanism: String, epsilonTicks: Long,
+      capTicks: Long, txnId: Option[String] = None): Long = {
+    require(capTicks > 0, "epsilon cap must be positive")
+    // a replayed txn is already on the ledger — spend nothing, gate
+    // nothing, return idempotently (releaseDp short-circuits too)
+    if (!txnId.exists(table.txnCommitted)) {
+      val spent = epsilonSpentTicks(table)
+      require(spent + epsilonTicks <= capTicks,
+        s"privacy budget exhausted: spent ${spent / 1e6} of " +
+          s"${capTicks / 1e6} epsilon; release of " +
+          s"${epsilonTicks / 1e6} refused")
+    }
+    releaseDp(table, release, mechanism, epsilonTicks, txnId)
   }
 
   /** Total ε (in ticks) spent by every DP release committed to
@@ -575,6 +682,83 @@ object Privacy {
         epsilonTicks = 2000000L, seed = 182L)
       .orderBy($"c_nationkey")
   }
+
+  /** Q183 — DP top-k selection over `customer`: the 10 largest
+    * (nation, segment) groups by the exponential mechanism at total
+    * ε = 2.0 (ε/k = 0.2 per selection), seed 183 — group identities
+    * and ranks ship, counts never do.
+    */
+  def q183DpTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dpTopK(Tables.load(spark, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10,
+        epsilonTicks = 2000000L, seed = 183L)
+      .orderBy($"rank")
+  }
+
+  /** DuckDB oracle for [[q183DpTopK]] — the same Gumbel-perturbed
+    * scores, same total order (score desc, quasi asc), top k.
+    */
+  def dpTopKOracleSql(k: Int = 10, epsilonTicks: Long = 2000000L,
+      seed: Long = 183L): String = {
+    val coef = epsilonTicks / 1e6 / k / 2.0
+    val key = "concat_ws(chr(1), coalesce(c_nationkey::VARCHAR, " +
+      s"chr(2)), coalesce(c_mktsegment::VARCHAR, chr(2)), '$seed:topk')"
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+       |    $key AS gk
+       |  FROM customer GROUP BY 1, 2),
+       | s AS (SELECT c_nationkey, c_mktsegment,
+       |    $coef * n - ln(-ln((((${TextAnalysis.fingerprintSql("gk")})
+       |        * 2654435761) % 2147483648 + 0.5)
+       |      / 2147483648.0)) AS score
+       |  FROM g)
+       |SELECT c_nationkey, c_mktsegment,
+       |  row_number() OVER (ORDER BY score DESC, c_nationkey,
+       |    c_mktsegment) AS rank
+       |FROM s
+       |ORDER BY score DESC, c_nationkey, c_mktsegment
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Q184 — the anonymization QUALITY census of the q180 Mondrian
+    * release: per released partition, size, normalized certainty
+    * penalty (ticks), and discernibility cost — the evidence a
+    * release pipeline tunes k against.
+    */
+  def q184ReleaseQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+    val gr = cust.agg(
+      (max($"c_acctbal") - min($"c_acctbal")).cast("double").as("g1"),
+      (max($"c_nationkey") - min($"c_nationkey")).cast("double")
+        .as("g2")).head()
+    val ranges = Map(
+      "c_acctbal" -> (if (gr.isNullAt(0)) 0.0 else gr.getDouble(0)),
+      "c_nationkey" -> (if (gr.isNullAt(1)) 0.0 else gr.getDouble(1)))
+    releaseQuality(Mondrian.q180Mondrian(spark, dir),
+        Seq("c_acctbal", "c_nationkey"), ranges)
+      .orderBy($"c_acctbal_lo", $"c_nationkey_lo")
+  }
+
+  /** DuckDB oracle for [[q184ReleaseQuality]] — the q180 Mondrian
+    * oracle as a CTE, metrics recomputed over its released ranges
+    * with global domain widths from the original table.
+    */
+  def releaseQualityOracleSql(): String =
+    s"""WITH rel AS (${Mondrian.mondrianOracleSql()}),
+       | gr AS (SELECT max(c_acctbal) - min(c_acctbal) AS g1,
+       |   (max(c_nationkey) - min(c_nationkey))::DOUBLE AS g2
+       |   FROM customer)
+       |SELECT c_acctbal_lo, c_acctbal_hi, c_nationkey_lo,
+       |  c_nationkey_hi, count(*)::BIGINT AS n,
+       |  round(((c_acctbal_hi - c_acctbal_lo) / g.g1
+       |      + (c_nationkey_hi - c_nationkey_lo) / g.g2) / 2.0 * 1e6,
+       |    0)::BIGINT AS ncp_ticks,
+       |  (count(*) * count(*))::BIGINT AS dm
+       |FROM rel, gr g
+       |GROUP BY 1, 2, 3, 4, g.g1, g.g2
+       |ORDER BY 1, 3""".stripMargin
 
   /** DuckDB oracle for [[q182DpMean]] — two independent draws (salt
     * `:sum` / `:cnt`), the noised-long division released as double.

@@ -310,6 +310,111 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("dpTopK: released ranks equal a driver-side recompute of the " +
+      "Gumbel-perturbed exponential-mechanism scores; counts never " +
+      "ship; the noisy ranking genuinely deviates from the true one") {
+    val data = (1 to 100).map { i =>
+      // group sizes 22/21/20/19/18 over g0..g4: close enough that
+      // Gumbel noise at eps/k = 0.2 actually reorders
+      val g = if (i <= 22) 0 else if (i <= 43) 1 else if (i <= 63) 2
+        else if (i <= 82) 3 else 4
+      (s"g$g", i.toLong)
+    }
+    val d = data.toDF("g", "id")
+    val (k, eps, seed) = (3, 1000000L, 17L)
+    val coef = eps / 1e6 / k / 2.0
+    def fp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def gumbel(key: String): Double = {
+      val m = (fp(key) * 2654435761L) % 2147483648L
+      val u = (m + 0.5) / 2147483648.0
+      -math.log(-math.log(u))
+    }
+    def expected(seed: Long): Seq[(String, Int)] =
+      data.groupBy(_._1).view.mapValues(_.size).toSeq
+        .map { case (g, n) =>
+          (g, coef * n + gumbel(g + "\u0001" + seed + ":topk"))
+        }
+        .sortBy { case (g, s) => (-s, g) }
+        .take(k).zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
+    val got = Privacy.dpTopK(d, Seq("g"), k, eps, seed)
+      .as[(String, Int)].collect().toSeq
+    assert(got.map(_._1).toSet.size === k)
+    assert(got === expected(seed))
+    assert(!Privacy.dpTopK(d, Seq("g"), k, eps, seed)
+      .columns.contains("_n")) // counts never ship
+    // determinism per seed; and over the seed space the selection
+    // really deviates from the true top-k order (non-vacuous noise)
+    assert(Privacy.dpTopK(d, Seq("g"), k, eps, seed)
+      .as[(String, Int)].collect().toSeq === got)
+    val trueTop = Seq("g0", "g1", "g2").zipWithIndex
+      .map { case (g, i) => (g, i + 1) }
+    val deviates = (0L to 40L).exists { s =>
+      Privacy.dpTopK(d, Seq("g"), k, eps, s)
+        .as[(String, Int)].collect().toSeq != trueTop
+    }
+    assert(deviates)
+    // every seed's release matches its own recompute
+    (0L to 10L).foreach { s =>
+      assert(Privacy.dpTopK(d, Seq("g"), k, eps, s)
+        .as[(String, Int)].collect().toSeq === expected(s), s"seed $s")
+    }
+  }
+
+  test("releaseQuality: hand-computed NCP and discernibility per " +
+      "partition; a zero-width domain contributes zero penalty") {
+    // two partitions over dims a, b: global ranges a: 10, b: 0
+    val rel = Seq(
+      (1L, 0.0, 5.0, 7.0, 7.0), (2L, 0.0, 5.0, 7.0, 7.0),
+      (3L, 0.0, 5.0, 7.0, 7.0),
+      (4L, 5.0, 10.0, 7.0, 7.0), (5L, 5.0, 10.0, 7.0, 7.0))
+      .toDF("id", "a_lo", "a_hi", "b_lo", "b_hi")
+    val got = Privacy.releaseQuality(rel, Seq("a", "b"),
+        Map("a" -> 10.0, "b" -> 0.0))
+      .orderBy($"a_lo")
+      .as[(Double, Double, Double, Double, Long, Long, Long)]
+      .collect().toSeq
+    // ncp = ((5/10) + 0)/2 = 0.25 -> 250000 ticks; dm = n^2
+    assert(got === Seq(
+      (0.0, 5.0, 7.0, 7.0, 3L, 250000L, 9L),
+      (5.0, 10.0, 7.0, 7.0, 2L, 250000L, 4L)))
+    // exact release (lo = hi everywhere) scores zero information loss
+    val exact = Seq((1L, 2.0, 2.0, 7.0, 7.0), (2L, 2.0, 2.0, 7.0, 7.0))
+      .toDF("id", "a_lo", "a_hi", "b_lo", "b_hi")
+    val z = Privacy.releaseQuality(exact, Seq("a", "b"),
+        Map("a" -> 10.0, "b" -> 0.0))
+      .select($"ncp_ticks").as[Long].collect()
+    assert(z.toSeq === Seq(0L))
+  }
+
+  test("releaseDpGated refuses a release that would blow the budget " +
+      "cap, admits one under it, and lets a replayed txn through " +
+      "idempotently") {
+    val vt = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-gate")
+        .toString)
+    val d = Seq(("A", 1L), ("B", 2L)).toDF("g", "v")
+    val r = Privacy.dpCounts(d, Seq("g"), 600000L, seed = 3L)
+    Privacy.releaseDpGated(vt, r, "laplace_count", 600000L,
+      capTicks = 1000000L, txnId = Some("g-1")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 600000L)
+    // 600k spent + 600k requested > 1M cap -> loud refusal, no commit
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.releaseDpGated(vt, r, "laplace_count", 600000L,
+        capTicks = 1000000L, txnId = Some("g-2"))
+    }
+    assert(ex.getMessage.contains("budget exhausted"))
+    assert(Privacy.epsilonSpentTicks(vt) === 600000L)
+    // an under-cap release passes
+    Privacy.releaseDpGated(vt, r, "laplace_count", 400000L,
+      capTicks = 1000000L, txnId = Some("g-3")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 1000000L)
+    // replaying a committed txn is idempotent even at the cap
+    Privacy.releaseDpGated(vt, r, "laplace_count", 400000L,
+      capTicks = 1000000L, txnId = Some("g-3")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 1000000L)
+  }
+
   test("releaseDp puts each release's epsilon on the table's audit " +
       "ledger; two releases sum; txn replay spends epsilon once") {
     val vt = new graft.store.VersionedTable(spark,
