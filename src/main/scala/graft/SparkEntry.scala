@@ -281,6 +281,10 @@ object SparkEntry {
       Privacy.q183DpTopK(s, d)),
     "q184_release_quality" -> ((s: SparkSession, d: String) =>
       Privacy.q184ReleaseQuality(s, d)),
+    "q185_t_closeness" -> ((s: SparkSession, d: String) =>
+      Privacy.q185TCloseness(s, d)),
+    "q186_t_suppress" -> ((s: SparkSession, d: String) =>
+      Privacy.q186TSuppress(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1983,6 +1987,12 @@ object SparkEntry {
     // release — NCP + discernibility per released partition (the
     // oracle nests the full unrolled Mondrian CTE)
     "q184_release_quality" -> Privacy.releaseQualityOracleSql(),
+    // q185/q186: t-closeness — ordered-domain EMD between each quasi
+    // group's sensitive distribution and the global one (the third
+    // privacy model: k bounds identity, l bounds diversity, t bounds
+    // the distribution gap), and the release that enforces it
+    "q185_t_closeness" -> Privacy.tClosenessOracleSql(),
+    "q186_t_suppress" -> Privacy.tSuppressOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -102,6 +102,104 @@ object Privacy {
     df.join(broadcast(keys), cond, "left_semi")
   }
 
+  /** T-CLOSENESS census (Li, Li & Venkatasubramanian ICDE'07) — the
+    * third privacy model of the trio, catching what k-anonymity and
+    * l-diversity both miss: a group can be large (k passes) with many
+    * distinct sensitive values (l passes) whose DISTRIBUTION still
+    * differs sharply from the table's — e.g. a group whose spend
+    * bands are all in the top decile discloses "high spender" to
+    * anyone who can place a person in it. t-closeness bounds the
+    * Earth Mover's Distance between each group's sensitive
+    * distribution and the GLOBAL one; for an ordered discrete domain
+    * of D values, EMD = Σ|cumulative difference| / (D − 1) (the
+    * paper's ordered-distance formula). Output: one row per quasi
+    * group — (quasi…, group_n, emd_ticks, t_risk) with EMD in
+    * integer millionths and `t_risk` ⟺ emd > tTicks.
+    *
+    * Per-term ticks round BEFORE the per-group sum, so the sum is
+    * exact long arithmetic (partition-invariant, the house
+    * convention); the one double division (Σticks / (D−1)) is
+    * deterministic. Rows with a NULL sensitive value are EXCLUDED:
+    * the ordered-domain EMD needs every value to have a position and
+    * NULL has none (the k/l census is where NULL-as-a-value belongs);
+    * a single-value domain (D = 1) has EMD 0 by definition.
+    *
+    * Scale shape: two histogram aggs (quasi×sensitive and global
+    * sensitive — both partial-agg, histogram-sized), the dense
+    * group×domain frame via a BROADCAST cross of the domain
+    * (G×D rows — D is the banded-sensitive domain, bounded by
+    * design), cumulative windows partitioned per GROUP over D rows
+    * each (never over raw rows), one final group agg.
+    */
+  def tClosenessCensus(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, tTicks: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "t-closeness needs quasi-identifiers")
+    require(tTicks >= 0, "t must be >= 0")
+    val qs = quasiCols.map(col)
+    val base = df.select(qs :+ sensitiveCol.as("_sens"): _*)
+      .filter(col("_sens").isNotNull)
+    val hist = base.groupBy(qs :+ col("_sens"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val global = base.groupBy(col("_sens"))
+      .agg(count(lit(1)).as("_gcnt"))
+    val total = base.agg(count(lit(1)).as("_N"))
+    val groups = hist.groupBy(qs: _*).agg(sum(col("_cnt")).as("_ng"))
+    // the histogram side renames its columns: groupBy preserves expr
+    // ids, so a bare self-join condition would be ambiguous
+    val hist2 = hist.select(
+      quasiCols.map(c => col(c).as(s"_h_$c")) :+
+        col("_sens").as("_hsens") :+ col("_cnt"): _*)
+    val dense = groups
+      .crossJoin(broadcast(global.select(col("_sens").as("_dsens"),
+        col("_gcnt"))))
+      .join(hist2,
+        quasiCols.map(c => col(c) <=> col(s"_h_$c"))
+          .reduce(_ && _) && col("_dsens") === col("_hsens"),
+        "left")
+      .select(qs :+ col("_dsens") :+
+        col("_ng") :+ col("_gcnt") :+
+        coalesce(col("_cnt"), lit(0L)).as("_cnt"): _*)
+      .crossJoin(broadcast(total))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("_dsens"))
+    dense
+      .withColumn("_cumg", sum(col("_cnt")).over(w))
+      .withColumn("_cuma", sum(col("_gcnt")).over(w))
+      .withColumn("_tt", round(lit(1e6) *
+        abs(col("_cumg").cast("double") / col("_ng") -
+          col("_cuma").cast("double") / col("_N")), 0).cast("long"))
+      .groupBy(qs: _*)
+      .agg(max(col("_ng")).as("group_n"), sum(col("_tt")).as("_s"),
+        count(lit(1)).as("_d"))
+      .withColumn("emd_ticks",
+        when(col("_d") > 1,
+          round(col("_s").cast("double") / (col("_d") - 1), 0)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("t_risk", col("emd_ticks") > tTicks)
+      .drop("_s", "_d")
+  }
+
+  /** T-SUPPRESSION release: drop every row whose quasi group's
+    * sensitive distribution strays more than `tTicks` EMD from the
+    * global one — the release op for the census above, in the
+    * [[kSuppress]] shape (group stats partial-agg'd, the safe-group
+    * list broadcast back as a null-safe semi-join; the fact table
+    * never shuffles). Compose with [[kSuppress]] for k+l+t releases —
+    * each gate is a semi-join against a group-count-sized list.
+    */
+  def tSuppress(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, tTicks: Long): DataFrame = {
+    val safe = tClosenessCensus(df, quasiCols, sensitiveCol, tTicks)
+      .filter(!col("t_risk"))
+    val keys = safe.select(
+      quasiCols.map(c => col(c).as(s"_safe_$c")): _*)
+    val cond = quasiCols
+      .map(c => col(c) <=> col(s"_safe_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(keys), cond, "left_semi")
+  }
+
   /** Group key || salt for the noise seam, NULLs as a sentinel
     * (concat_ws would skip them and collide NULL with empty).
     */
@@ -759,6 +857,95 @@ object Privacy {
        |FROM rel, gr g
        |GROUP BY 1, 2, 3, 4, g.g1, g.g2
        |ORDER BY 1, 3""".stripMargin
+
+  /** Q185 — t-closeness census over `customer`: quasi (market
+    * segment, nation), sensitive = the floor(acctbal/2000) spend
+    * band, t = 0.06: per group, size, EMD from the global spend
+    * distribution in ticks, and the risk flag. The sensitive
+    * attribute is INDEPENDENT of the quasi columns here — that is
+    * the regime t-closeness audits (a quasi-derived sensitive, like
+    * a finer band of a quasi band, makes every group trivially
+    * far-from-global); the flags are non-vacuous BOTH directions at
+    * BOTH sfs (101/125 risky at sf0.01's ~12-row groups, 4/125 at
+    * sf0.1's ~120-row groups — empirical EMD shrinks as groups grow).
+    */
+  def q185TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tClosenessCensus(Tables.load(spark, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        floor($"c_acctbal" / 2000.0).cast("long"), tTicks = 60000L)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Q186 — the t-suppression release at the q185 parameters: the
+    * customers whose group's sensitive distribution stays within
+    * t = 0.06 EMD of the global one.
+    */
+  def q186TSuppress(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tSuppress(Tables.load(spark, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        floor($"c_acctbal" / 2000.0).cast("long"), tTicks = 60000L)
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** Shared DuckDB CTE chain computing per-group EMD for the q185
+    * quasi/sensitive shape — the census and suppression oracles both
+    * build on it.
+    */
+  private def tClosenessCtes: String =
+    s"""c AS (
+       |  SELECT c_custkey, c_mktsegment, c_nationkey,
+       |    floor(c_acctbal / 2000.0)::BIGINT AS sens
+       |  FROM customer WHERE c_acctbal IS NOT NULL),
+       | h AS (SELECT c_mktsegment, c_nationkey, sens,
+       |    count(*)::BIGINT AS cnt FROM c GROUP BY 1, 2, 3),
+       | g AS (SELECT sens, count(*)::BIGINT AS gcnt FROM c GROUP BY 1),
+       | tot AS (SELECT count(*)::BIGINT AS N FROM c),
+       | grp AS (SELECT c_mktsegment, c_nationkey,
+       |    sum(cnt)::BIGINT AS ng FROM h GROUP BY 1, 2),
+       | dense AS (SELECT grp.c_mktsegment, grp.c_nationkey, grp.ng,
+       |    g.sens, g.gcnt, coalesce(h.cnt, 0) AS cnt
+       |  FROM grp CROSS JOIN g
+       |  LEFT JOIN h ON h.c_mktsegment = grp.c_mktsegment
+       |    AND h.c_nationkey = grp.c_nationkey AND h.sens = g.sens),
+       | cum AS (SELECT c_mktsegment, c_nationkey, ng,
+       |    sum(cnt) OVER (PARTITION BY c_mktsegment, c_nationkey
+       |      ORDER BY sens) AS cumg,
+       |    sum(gcnt) OVER (PARTITION BY c_mktsegment, c_nationkey
+       |      ORDER BY sens) AS cuma,
+       |    tot.N AS N
+       |  FROM dense, tot),
+       | terms AS (SELECT c_mktsegment, c_nationkey, ng,
+       |    round(1e6 * abs(cumg::DOUBLE / ng - cuma::DOUBLE / N),
+       |      0)::BIGINT AS tt
+       |  FROM cum),
+       | e AS (SELECT c_mktsegment, c_nationkey, max(ng) AS group_n,
+       |    sum(tt)::BIGINT AS s, count(*)::BIGINT AS d
+       |  FROM terms GROUP BY 1, 2),
+       | emd AS (SELECT c_mktsegment, c_nationkey, group_n,
+       |    CASE WHEN d > 1
+       |      THEN round(s::DOUBLE / (d - 1), 0)::BIGINT
+       |      ELSE 0 END AS emd_ticks
+       |  FROM e)""".stripMargin
+
+  /** DuckDB oracle for [[q185TCloseness]]. */
+  def tClosenessOracleSql(tTicks: Long = 60000L): String =
+    s"""WITH $tClosenessCtes
+       |SELECT c_mktsegment, c_nationkey, group_n, emd_ticks,
+       |  emd_ticks > $tTicks AS t_risk
+       |FROM emd
+       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** DuckDB oracle for [[q186TSuppress]]. */
+  def tSuppressOracleSql(tTicks: Long = 60000L): String =
+    s"""WITH $tClosenessCtes
+       |SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey
+       |FROM c JOIN emd ON c.c_mktsegment = emd.c_mktsegment
+       |  AND c.c_nationkey = emd.c_nationkey
+       |WHERE emd.emd_ticks <= $tTicks
+       |ORDER BY c.c_custkey""".stripMargin
 
   /** DuckDB oracle for [[q182DpMean]] — two independent draws (salt
     * `:sum` / `:cnt`), the noised-long division released as double.

@@ -310,6 +310,56 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("t-closeness: hand-computed ordered-domain EMD per group; a " +
+      "skewed-distribution group flags even though it would pass k " +
+      "and l; suppression releases exactly the within-t groups") {
+    // global sens distribution over domain {1, 2}: (4/6, 2/6)
+    // A = (1,1,2,2): cum diff at 1 = |2/4 - 4/6| = 1/6 -> 166667
+    // B = (1,1):     cum diff at 1 = |1 - 2/3|  = 1/3 -> 333333
+    val d = Seq(("A", 1L, 1L), ("A", 1L, 2L), ("A", 2L, 3L),
+      ("A", 2L, 4L), ("B", 1L, 5L), ("B", 1L, 6L))
+      .toDF("g", "sens", "id")
+    val got = Privacy.tClosenessCensus(d, Seq("g"), $"sens", 200000L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(("A", 4L, 166667L, false),
+      ("B", 2L, 333333L, true)))
+    val rel = Privacy.tSuppress(d, Seq("g"), $"sens", 200000L)
+      .select($"id").as[Long].collect().toSet
+    assert(rel === Set(1L, 2L, 3L, 4L))
+    // B passes k=2 and l=1 — t is the model that catches it
+    val kl = Privacy.kSuppress(d, Seq("g"), 2L,
+        sensitive = Some($"sens"), l = 1L)
+      .select($"id").as[Long].collect().toSet
+    assert(kl === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("t-closeness: NULL sensitive rows are excluded from the " +
+      "distance (ordered EMD needs a position); a single-value " +
+      "domain has EMD 0; an all-NULL group never releases") {
+    val d = Seq(
+      ("A", Some(1L), 1L), ("A", Some(2L), 2L), ("A", None, 3L),
+      ("B", Some(1L), 4L), ("B", Some(2L), 5L),
+      ("C", None, 6L), ("C", None, 7L))
+      .toDF("g", "sens", "id")
+    val census = Privacy.tClosenessCensus(d, Seq("g"), $"sens", 100000L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    // A and B both see (1, 2) once each = exactly the global
+    // distribution -> EMD 0; the NULL rows don't skew A; C (all
+    // NULL) has no census row at all
+    assert(census === Set(("A", 2L, 0L, false), ("B", 2L, 0L, false)))
+    // suppression: safe groups release ALL their rows (the NULL-sens
+    // row of A rides along — group membership is the quasi key);
+    // C has no distance evidence, so it conservatively suppresses
+    val rel = Privacy.tSuppress(d, Seq("g"), $"sens", 100000L)
+      .select($"id").as[Long].collect().toSet
+    assert(rel === Set(1L, 2L, 3L, 4L, 5L))
+    // single-value domain: every group's EMD is 0 by definition
+    val one = Seq(("A", 7L, 1L), ("B", 7L, 2L)).toDF("g", "sens", "id")
+    val c1 = Privacy.tClosenessCensus(one, Seq("g"), $"sens", 0L)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(c1 === Set(("A", 1L, 0L, false), ("B", 1L, 0L, false)))
+  }
+
   test("dpTopK: released ranks equal a driver-side recompute of the " +
       "Gumbel-perturbed exponential-mechanism scores; counts never " +
       "ship; the noisy ranking genuinely deviates from the true one") {
