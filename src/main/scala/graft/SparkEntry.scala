@@ -285,6 +285,8 @@ object SparkEntry {
       Privacy.q185TCloseness(s, d)),
     "q186_t_suppress" -> ((s: SparkSession, d: String) =>
       Privacy.q186TSuppress(s, d)),
+    "q187_quasi_scan" -> ((s: SparkSession, d: String) =>
+      Privacy.q187QuasiScan(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1993,6 +1995,10 @@ object SparkEntry {
     // the distribution gap), and the release that enforces it
     "q185_t_closeness" -> Privacy.tClosenessOracleSql(),
     "q186_t_suppress" -> Privacy.tSuppressOracleSql(),
+    // q187: quasi-identifier discovery — every candidate-column
+    // combination's uniqueness risk in ONE grouping-sets pass (the
+    // oracle pays per-combo GROUP BYs instead)
+    "q187_quasi_scan" -> Privacy.quasiScanOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

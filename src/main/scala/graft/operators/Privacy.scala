@@ -102,6 +102,70 @@ object Privacy {
     df.join(broadcast(keys), cond, "left_semi")
   }
 
+  /** QUASI-IDENTIFIER DISCOVERY — the governance step BEFORE every
+    * census above: the k/l/t audits all take the quasi columns as
+    * GIVEN, but in practice nobody hands them over; someone has to
+    * find which column combinations are re-identifying (Sweeney's
+    * original observation was exactly this measurement: 87% of the
+    * US population is unique under (ZIP, birth date, sex)). For every
+    * combination of `candidates` up to `maxArity`, one row:
+    * (combo, arity, n_groups, singleton_groups — combinations unique
+    * to ONE row, the directly re-identifying ones — and rows_at_risk,
+    * rows in groups under `k`). A combo with high singletons/at-risk
+    * counts is a quasi-identifier; feed it to the censuses and
+    * releases above.
+    *
+    * Scale shape: ONE grouping-sets aggregation computes every
+    * combo's group histogram in a single pass and a single shuffle
+    * (partial aggs as always) — not one groupBy per combo; a
+    * second combo-keyed agg (combo-count-sized) folds histograms to
+    * the per-combo stats. The combinatorial guard is explicit:
+    * ≤ 12 candidates and the grouping-set count is capped, because
+    * the lattice is exponential and a silent 2^20-set plan is worse
+    * than a loud refusal. NULL candidate values group as their own
+    * combination (linkable, like the census); grouping-set NULLs are
+    * disambiguated by grouping_id, not by value.
+    */
+  def quasiScan(df: DataFrame, candidates: Seq[String],
+      maxArity: Int, k: Long): DataFrame = {
+    require(candidates.nonEmpty && candidates.size <= 12,
+      "quasiScan needs 1..12 candidate columns")
+    require(candidates.distinct.size == candidates.size,
+      "duplicate candidate column")
+    require(maxArity >= 1 && maxArity <= candidates.size,
+      s"maxArity out of [1, ${candidates.size}]")
+    require(k >= 1, "k must be >= 1")
+    val combos: Seq[Seq[String]] =
+      (1 to maxArity).flatMap(a => candidates.combinations(a))
+    require(combos.size <= 256,
+      s"${combos.size} grouping sets — cap is 256; lower maxArity")
+    val m = candidates.size
+    // SQL-standard grouping_id: bit (m-1-i) SET when candidate i is
+    // NOT in the row's grouping set
+    def gidOf(combo: Seq[String]): Long =
+      candidates.zipWithIndex
+        .filterNot { case (c, _) => combo.contains(c) }
+        .map { case (_, i) => 1L << (m - 1 - i) }.sum
+    val label = combos.foldRight(lit(null).cast("string")) { (c, els) =>
+      when(col("_gid") === gidOf(c), lit(c.mkString("+")))
+        .otherwise(els)
+    }
+    val arity = combos.foldRight(lit(0)) { (c, els) =>
+      when(col("_gid") === gidOf(c), lit(c.size)).otherwise(els)
+    }
+    df.groupingSets(combos.map(_.map(col)), candidates.map(col): _*)
+      .agg(grouping_id().as("_gid"), count(lit(1)).as("_n"))
+      .withColumn("combo", label)
+      .withColumn("arity", arity)
+      .groupBy(col("combo"), col("arity"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_n") === 1L, 1L).otherwise(0L))
+          .as("singleton_groups"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L))
+          .as("rows_at_risk"))
+  }
+
   /** T-CLOSENESS census (Li, Li & Venkatasubramanian ICDE'07) — the
     * third privacy model of the trio, catching what k-anonymity and
     * l-diversity both miss: a group can be large (k passes) with many
@@ -857,6 +921,57 @@ object Privacy {
        |FROM rel, gr g
        |GROUP BY 1, 2, 3, 4, g.g1, g.g2
        |ORDER BY 1, 3""".stripMargin
+
+  /** Q187 — quasi-identifier discovery over `customer`: candidates
+    * (market segment, nation, coarse spend band, FINE spend band),
+    * all combinations up to arity 2, k = 8 — which combinations
+    * would re-identify if the extract shipped. The fine band
+    * (floor(acctbal/100), ~110 values) is the deliberately planted
+    * hazard: a precise-looking numeric column races toward
+    * singletons when paired with anything else, the way
+    * (ZIP, birthdate) does in Sweeney's original measurement —
+    * exactly the column a scan must catch BEFORE the q175-style
+    * census is even configured.
+    */
+  def q187QuasiScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("spend_band",
+        floor($"c_acctbal" / 2000.0).cast("long"))
+      .withColumn("fine_band",
+        floor($"c_acctbal" / 100.0).cast("long"))
+    quasiScan(cust,
+        Seq("c_mktsegment", "c_nationkey", "spend_band",
+          "fine_band"), maxArity = 2, k = 8L)
+      .orderBy($"combo")
+  }
+
+  /** DuckDB oracle for [[q187QuasiScan]] — one plain GROUP BY per
+    * combination, UNION ALL'd (the oracle pays the per-combo passes
+    * the engine's single grouping-sets plan avoids).
+    */
+  def quasiScanOracleSql(k: Long = 8L): String = {
+    val candidates = Seq("c_mktsegment", "c_nationkey", "spend_band",
+      "fine_band")
+    val combos = (1 to 2).flatMap(a => candidates.combinations(a))
+    val parts = combos.map { c =>
+      s"""SELECT '${c.mkString("+")}' AS combo, ${c.size} AS arity,
+         |  count(*)::BIGINT AS n_groups,
+         |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS singleton_groups,
+         |  sum(CASE WHEN n < $k THEN n ELSE 0 END)::BIGINT
+         |    AS rows_at_risk
+         |FROM (SELECT count(*)::BIGINT AS n FROM c
+         |  GROUP BY ${c.mkString(", ")}) t""".stripMargin
+    }
+    s"""WITH c AS (SELECT c_mktsegment, c_nationkey,
+       |    floor(c_acctbal / 2000.0)::BIGINT AS spend_band,
+       |    floor(c_acctbal / 100.0)::BIGINT AS fine_band
+       |  FROM customer)
+       |SELECT * FROM (
+       |${parts.mkString("\nUNION ALL\n")}) u
+       |ORDER BY combo""".stripMargin
+  }
 
   /** Q185 — t-closeness census over `customer`: quasi (market
     * segment, nation), sensitive = the floor(acctbal/2000) spend

@@ -310,6 +310,44 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("quasiScan: hand-computed uniqueness stats per combination in " +
+      "one grouping-sets pass; refinement monotonicity (a superset " +
+      "combo never loses singletons); loud combinatorial guards") {
+    // a: 2 values, b: 3 values; (a, b) has two singleton combos
+    val d = Seq(
+      ("x", 1L, 1L), ("x", 1L, 2L), ("x", 2L, 3L),
+      ("y", 2L, 4L), ("y", 3L, 5L))
+      .toDF("a", "b", "id")
+    val got = Privacy.quasiScan(d, Seq("a", "b"), maxArity = 2, k = 2L)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // a: groups x(3), y(2) -> no singletons, no rows under k=2
+    // b: 1(2), 2(2), 3(1) -> 1 singleton, 1 row at risk
+    // a+b: x1(2), x2(1), y2(1), y3(1) -> 3 singletons, 3 rows at risk
+    assert(got === Map(
+      "a" -> ((1, 2L, 0L, 0L)),
+      "b" -> ((1, 3L, 1L, 1L)),
+      "a+b" -> ((2, 4L, 3L, 3L))))
+    // refinement: singletons("a+b") >= singletons("a"), ("b")
+    assert(got("a+b")._3 >= got("a")._3 && got("a+b")._3 >= got("b")._3)
+    // NULL candidate values form their own (linkable) combination
+    val dn = Seq((Some("x"), 1L), (Option.empty[String], 2L),
+      (Option.empty[String], 3L)).toDF("a", "id")
+    val gn = Privacy.quasiScan(dn, Seq("a"), 1, 2L)
+      .as[(String, Int, Long, Long, Long)].head()
+    assert(gn === (("a", 1, 2L, 1L, 1L))) // groups {x}, {NULL x2}
+    intercept[IllegalArgumentException] {
+      Privacy.quasiScan(d, Seq("a", "a"), 1, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.quasiScan(d, Seq("a", "b"), 3, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.quasiScan(d,
+        (1 to 12).map(i => s"c$i"), 12, 2L) // 4095 sets > 256 cap
+    }
+  }
+
   test("t-closeness: hand-computed ordered-domain EMD per group; a " +
       "skewed-distribution group flags even though it would pass k " +
       "and l; suppression releases exactly the within-t groups") {
