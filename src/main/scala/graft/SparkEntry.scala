@@ -287,6 +287,8 @@ object SparkEntry {
       Privacy.q186TSuppress(s, d)),
     "q187_quasi_scan" -> ((s: SparkSession, d: String) =>
       Privacy.q187QuasiScan(s, d)),
+    "q188_mondrian_kl" -> ((s: SparkSession, d: String) =>
+      Mondrian.q188MondrianKl(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1999,6 +2001,11 @@ object SparkEntry {
     // combination's uniqueness risk in ONE grouping-sets pass (the
     // oracle pays per-combo GROUP BYs instead)
     "q187_quasi_scan" -> Privacy.quasiScanOracleSql(),
+    // q188: Mondrian k+l — the q180 cut tree with l-diversity
+    // enforced at release; the sensitive correlates with the cut
+    // dimension, so deep acctbal cuts collapse leaf diversity
+    "q188_mondrian_kl" -> Mondrian.mondrianOracleSql(
+      sensSql = Some("floor(c_acctbal / 2000.0)::BIGINT"), l = 3L),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -44,9 +44,25 @@ object Mondrian {
     * final partition's per-dimension min/max. Partitions smaller than
     * k never arise from a cut (the allowable rule); only the ROOT can
     * be under k (a table smaller than k), and then nothing releases.
+    *
+    * With a `sensitive` column and `l > 1` the RELEASE also enforces
+    * l-diversity (r15, mirroring `Privacy.kSuppress` — the release
+    * ops must agree on what "safe" means): a final partition with
+    * fewer than `l` distinct sensitive values suppresses whole. This
+    * is RELEASE-side enforcement, deliberately NOT the cut-refusal
+    * variant (LeFevre's l-diverse Mondrian refuses cuts that would
+    * break l, keeping partitions coarser): suppression never ships
+    * an l-risky group either, is deterministic with the same cut
+    * tree as the k-only release (oracle reuse), and mirrors how the
+    * one-dimensional releases compose their gates. NULL sensitive
+    * values count as one value (the census convention). The common
+    * failure it catches is structural: cutting a dimension the
+    * sensitive attribute correlates with collapses per-partition
+    * sensitive diversity — the q188 fixture plants exactly that.
     */
   def generalize(df: DataFrame, idCol: String, dims: Seq[String],
-      k: Long, rounds: Int): DataFrame = {
+      k: Long, rounds: Int, sensitive: Option[Column] = None,
+      l: Long = 1L): DataFrame = {
     require(dims.size >= 2,
       "Mondrian is the MULTI-dimensional generalization — use " +
         "Privacy.generalize for one attribute")
@@ -54,13 +70,18 @@ object Mondrian {
     require(rounds >= 1 && rounds <= 20,
       "rounds out of [1, 20] — leaves double per round; past ~20 " +
         "every leaf has long hit k")
+    require(l >= 1, "l must be >= 1")
+    require(l == 1L || sensitive.nonEmpty,
+      "enforcing l-diversity (l > 1) needs the sensitive column")
     val ss = df.sparkSession
     import ss.implicits._
     val d = dims.size
     val vCols = (1 to d).map(i => s"_v$i")
-    val base = df.select(col(idCol).as("_id") +:
+    val sensCol = sensitive.map(sc =>
+      coalesce(sc.cast("string"), lit("\u0002")).as("_sens")).toSeq
+    val base = df.select((col(idCol).as("_id") +:
       dims.zipWithIndex.map { case (c, i) =>
-        col(c).cast("double").as(s"_v${i + 1}") }: _*)
+        col(c).cast("double").as(s"_v${i + 1}") }) ++ sensCol: _*)
     // global per-dimension ranges for choose_dimension normalization
     // (one tiny agg; d doubles to the driver)
     val grRow = base.agg(
@@ -128,14 +149,27 @@ object Mondrian {
       r += 1
     }
     // release: per-leaf ranges broadcast back; only the uncut root
-    // can sit under k, and then it suppresses
+    // can sit under k, and then it suppresses. With l > 1, leaves
+    // whose sensitive diversity is under l suppress whole (diversity
+    // via the census's two-level agg — no distinct-state explosion)
     val fin = rows.groupBy(col("_leaf")).agg(
       count(lit(1)).as("_n"),
       (1 to d).flatMap(i => Seq(
         min(col(s"_v$i")).as(s"_lo$i"),
         max(col(s"_v$i")).as(s"_hi$i"))): _*)
-    rows.join(broadcast(fin), Seq("_leaf"))
+    val released = rows.join(broadcast(fin), Seq("_leaf"))
       .filter(col("_n") >= k)
+    val gated =
+      if (l <= 1L) released
+      else {
+        val lDiv = rows.groupBy(col("_leaf"), col("_sens"))
+          .agg(count(lit(1)).as("_c"))
+          .groupBy(col("_leaf")).agg(count(lit(1)).as("_ldiv"))
+          .filter(col("_ldiv") >= l)
+          .select(col("_leaf"))
+        released.join(broadcast(lDiv), Seq("_leaf"), "left_semi")
+      }
+    gated
       .select(col("_id").as(idCol) +:
         dims.zipWithIndex.flatMap { case (c, i) => Seq(
           col(s"_lo${i + 1}").as(s"${c}_lo"),
@@ -153,17 +187,42 @@ object Mondrian {
       .orderBy($"c_custkey")
   }
 
+  /** Q188 — Mondrian k+l release: the q180 partitioning with
+    * l-diversity enforced at release (sensitive = the coarse spend
+    * band floor(acctbal/2000), l = 3). The planted structural hazard:
+    * the sensitive correlates with cut dimension 1 (acctbal), so the
+    * deeper the acctbal cuts go, the fewer spend bands a partition
+    * spans — 12 of the 16 leaves collapse to under 3 bands and
+    * suppress at BOTH sfs, 4 release.
+    */
+  def q188MondrianKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generalize(Tables.load(spark, dir, "customer"), "c_custkey",
+        Seq("c_acctbal", "c_nationkey"), k = 50L, rounds = 4,
+        sensitive = Some(floor($"c_acctbal" / 2000.0).cast("long")),
+        l = 3L)
+      .orderBy($"c_custkey")
+  }
+
   /** DuckDB oracle for [[q180Mondrian]] — the recursion unrolled
     * round-by-round (hist → running counts → per-leaf per-dim cut
     * stats → normalized-range pick → leaf extension), the q90/q110
     * unrolled-recurrence pattern. Fixed to the q180 shape: 2
     * dimensions over customer.
     */
-  def mondrianOracleSql(k: Long = 50L, rounds: Int = 4): String = {
+  def mondrianOracleSql(k: Long = 50L, rounds: Int = 4,
+      sensSql: Option[String] = None, l: Long = 1L): String = {
+    val sensSel = sensSql
+      .map(e => s", coalesce(($e)::VARCHAR, chr(2)) AS sens")
+      .getOrElse("")
+    val sensCarry = if (sensSql.isDefined) ", r.sens" else ""
+    val sensFin = if (sensSql.isDefined)
+      ", count(DISTINCT sens) AS ld" else ""
+    val sensGate = if (l > 1L) s" AND f.ld >= $l" else ""
     val sb = new StringBuilder
     sb ++= "WITH r0 AS (SELECT c_custkey AS id, " +
-      "c_acctbal::DOUBLE AS v1, c_nationkey::DOUBLE AS v2, " +
-      "'' AS leaf FROM customer),\n"
+      "c_acctbal::DOUBLE AS v1, c_nationkey::DOUBLE AS v2" +
+      sensSel + ", '' AS leaf FROM customer),\n"
     sb ++= " gr AS (SELECT max(v1) - min(v1) AS g1, " +
       "max(v2) - min(v2) AS g2 FROM r0),\n"
     for (r <- 1 to rounds) {
@@ -190,20 +249,21 @@ object Mondrian {
         s"SELECT * FROM m${r}_2) m, gr g " +
         s"WHERE m.lcnt >= $k AND m.tot - m.lcnt >= $k) q " +
         "WHERE rn = 1),\n"
-      sb ++= s" r$r AS (SELECT r.id, r.v1, r.v2, " +
+      sb ++= s" r$r AS (SELECT r.id, r.v1, r.v2$sensCarry, " +
         "CASE WHEN p.dim IS NULL THEN r.leaf ELSE " +
         "r.leaf || '|' || p.dim::VARCHAR || " +
         "(CASE WHEN (CASE p.dim WHEN 1 THEN r.v1 ELSE r.v2 END) " +
         "<= p.med THEN 'L' ELSE 'R' END) END AS leaf " +
         s"FROM $prev r LEFT JOIN p$r p ON r.leaf = p.leaf),\n"
     }
-    sb ++= s" fin AS (SELECT leaf, count(*) AS n, " +
+    sb ++= s" fin AS (SELECT leaf, count(*) AS n$sensFin, " +
       "min(v1) AS lo1, max(v1) AS hi1, min(v2) AS lo2, " +
       s"max(v2) AS hi2 FROM r$rounds GROUP BY 1)\n"
     sb ++= "SELECT r.id AS c_custkey, f.lo1 AS c_acctbal_lo, " +
       "f.hi1 AS c_acctbal_hi, f.lo2 AS c_nationkey_lo, " +
       s"f.hi2 AS c_nationkey_hi FROM r$rounds r " +
-      s"JOIN fin f ON r.leaf = f.leaf WHERE f.n >= $k ORDER BY 1"
+      s"JOIN fin f ON r.leaf = f.leaf WHERE f.n >= $k$sensGate " +
+      "ORDER BY 1"
     sb.toString
   }
 }

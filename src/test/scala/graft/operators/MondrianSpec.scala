@@ -102,6 +102,40 @@ class MondrianSpec extends SparkSpec {
     }
   }
 
+  test("l-diversity gate: a k-passing leaf whose sensitive values " +
+      "collapsed suppresses whole; NULL sensitive counts as one " +
+      "value; l > 1 without the sensitive column throws") {
+    // one cut on v1 at median 1 (k=2): left leaf {0,0,1,1} right
+    // {2,2,3,3}; sensitive: left all "x" (l_div 1), right x/y (2)
+    val d = Seq(
+      (0L, 0.0, 0.0, "x"), (1L, 0.0, 10.0, "x"),
+      (2L, 1.0, 0.0, "x"), (3L, 1.0, 10.0, "x"),
+      (4L, 2.0, 0.0, "x"), (5L, 2.0, 10.0, "y"),
+      (6L, 3.0, 0.0, "x"), (7L, 3.0, 10.0, "y"))
+      .toDF("id", "v1", "v2", "s")
+    val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
+        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L)
+      .select($"id").as[Long].collect().toSet
+    assert(rel === Set(4L, 5L, 6L, 7L))
+    // without l the same cut releases everything
+    val relK = Mondrian.generalize(d, "id", Seq("v1", "v2"),
+        k = 4L, rounds = 1)
+      .select($"id").as[Long].collect().toSet
+    assert(relK === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // NULL sensitive is one value: a leaf of {NULL, "x"} has l_div 2
+    val dn = Seq(
+      (0L, 0.0, 0.0, Option.empty[String]), (1L, 0.0, 1.0, Some("x")),
+      (2L, 1.0, 0.0, Option.empty[String]), (3L, 1.0, 1.0, Some("x")))
+      .toDF("id", "v1", "v2", "s")
+    val reln = Mondrian.generalize(dn, "id", Seq("v1", "v2"),
+        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L)
+      .select($"id").as[Long].collect().toSet
+    assert(reln === Set(0L, 1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Mondrian.generalize(d, "id", Seq("v1", "v2"), 2L, 1, None, 2L)
+    }
+  }
+
   test("empty input releases nothing; guards fire loudly") {
     val empty = Seq.empty[(Long, Double, Double)].toDF("id", "v1", "v2")
     assert(Mondrian.generalize(empty, "id", Seq("v1", "v2"),
