@@ -869,8 +869,7 @@ object Blocklist {
     val softDelta = Seq("fast table")
     val landed = redact(docs, softOld)
       .select($"doc_id", $"masked".as("text"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-rescrub").toString
+    val root = graft.core.Scratch.dir(spark, "graft-rescrub")
     val corpus = new graft.store.VersionedTable(spark, s"$root/corpus",
       statsCols = Seq("doc_id"))
     corpus.commit(landed)

@@ -132,8 +132,7 @@ object IndexMaintenance {
     }
     val maxDay = maxDayRow.getLong(0)
     val cutoff = (maxDay + 1) / 3
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-retention").toString
+    val root = graft.core.Scratch.dir(spark, "graft-retention")
     val vt = new graft.store.VersionedTable(spark, root,
       statsCols = Seq("ingest_day"))
     // day-clustered ingest: batch b holds days [b·w, (b+1)·w) — the
@@ -200,8 +199,7 @@ object IndexMaintenance {
       .select($"doc_id", $"text")
     val victims = docs.filter($"doc_id" % mod === 0)
       .select($"doc_id").as[Long].collect().toSeq
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-forget").toString
+    val root = graft.core.Scratch.dir(spark, "graft-forget")
     val corpus = new graft.store.VersionedTable(spark, s"$root/corpus",
       statsCols = Seq("doc_id"))
     corpus.commit(docs)

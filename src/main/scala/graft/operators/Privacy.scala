@@ -269,6 +269,16 @@ object Privacy {
     * list broadcast back as a null-safe semi-join; the fact table
     * never shuffles). Compose with [[kSuppress]] for k+l+t releases —
     * each gate is a semi-join against a group-count-sized list.
+    *
+    * ALL-NULL-SENSITIVE groups SUPPRESS (r15 ADVICE #4, now the
+    * documented contract): NULL sensitive rows contribute nothing to
+    * the census base, so a quasi group whose sensitive values are ALL
+    * NULL gets no census row at all and the semi-join drops it —
+    * deliberately the conservative direction. Such a group carries no
+    * distribution evidence either way, and a release gate must not
+    * ship what it cannot measure; a caller who wants "unknown
+    * sensitive" to count as ordinary evidence should encode NULL as a
+    * domain value before the census (the band-it-first convention).
     */
   def tSuppress(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: Column, tTicks: Long,

@@ -650,7 +650,22 @@ class VersionedTable(spark: SparkSession, root: String,
           case _ => (addFiles, StructType(
             addSchema.fields.map(_.copy(nullable = true))))
         }
-        val body = (header(next, txnId, op, schema, audit) +: files.map(encFile))
+        // BUDGET CARRY-FORWARD (r15 ADVICE #2): the privacy ledger's
+        // running totals must survive vacuum, but vacuum retains
+        // purely by count — if ordinary commits (appends, maintain's
+        // compact/replace) follow the last DP release and vacuum runs
+        // with a small retain, every manifest carrying the totals
+        // would drop and the budget gate would silently reset. So the
+        // monotone ledger keys fold FORWARD onto EVERY manifest this
+        // table publishes: the newest manifest — which vacuum always
+        // retains (retain >= 1) — always carries the full history,
+        // structurally, with no vacuum-side special case. A release
+        // commit's own audit map overrides the carried values (it
+        // computed the new totals).
+        val carried = base.map(_.audit).getOrElse(Map.empty)
+          .view.filterKeys(VersionedTable.CarryForwardAuditKeys).toMap
+        val body = (header(next, txnId, op, schema, carried ++ audit) +:
+          files.map(encFile))
           .mkString("", "\n", "\n")
         val tmp = new Path(manifestsDir, s"v_$next.manifest.tmp")
         val out = fs.create(tmp, true)
@@ -1453,4 +1468,17 @@ object VersionedTable {
     * unmatched claim may belong to a LIVE writer (see [[VersionedTable.vacuum]]).
     */
   val DefaultVacuumGraceMs: Long = 24L * 3600 * 1000
+
+  /** Audit keys that fold forward onto every subsequent manifest —
+    * the MONOTONE ledger state (privacy-budget running totals and the
+    * per-scope composition state) that must survive vacuum dropping
+    * the release manifests that first recorded it. Per-release
+    * evidence keys (epsilon_ticks, mechanism, removal counts) do NOT
+    * carry: they describe one commit, and losing them to vacuum is
+    * the normal retention trade every table format documents.
+    */
+  val CarryForwardAuditKeys: Set[String] = Set(
+    "privacy.epsilon_spent_total_ticks",
+    "privacy.delta_spent_total_ticks",
+    "privacy.budget_state")
 }

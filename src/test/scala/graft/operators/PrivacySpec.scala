@@ -603,6 +603,20 @@ class PrivacySpec extends SparkSpec {
       Privacy.releaseDpGated(vt, r2, "laplace_sum", 300000L,
         capTicks = 1000000L)
     }
+    // ... and survives ORDINARY commits followed by vacuum (r15
+    // ADVICE #2: vacuum retains purely by count — if appends or
+    // maintain()'s compact/replace land after the last release and
+    // vacuum runs with a small retain, every RELEASE manifest drops;
+    // the totals must fold forward onto every manifest so the newest
+    // one, which vacuum always keeps, carries the budget)
+    vt.commit(d): Unit
+    vt.replace(d): Unit
+    vt.vacuum(retain = 1, graceMs = 0): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 750000L)
+    intercept[IllegalArgumentException] {
+      Privacy.releaseDpGated(vt, r2, "laplace_sum", 300000L,
+        capTicks = 1000000L)
+    }
     // a fresh table has spent nothing
     val vt2 = new graft.store.VersionedTable(spark,
       java.nio.file.Files.createTempDirectory("graft-priv-ledger")
