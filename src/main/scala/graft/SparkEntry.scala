@@ -291,6 +291,10 @@ object SparkEntry {
       Mondrian.q188MondrianKl(s, d)),
     "q189_dp_quantile" -> ((s: SparkSession, d: String) =>
       Privacy.q189DpQuantile(s, d)),
+    "q190_mondrian_cut_refusal" -> ((s: SparkSession, d: String) =>
+      Mondrian.q190MondrianCutRefusal(s, d)),
+    "q191_mondrian_categorical" -> ((s: SparkSession, d: String) =>
+      Mondrian.q191MondrianCategorical(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2012,6 +2016,24 @@ object SparkEntry {
     // (Smith'11 DP median): per-group spend median released without
     // the distribution; disjoint groups = parallel composition
     "q189_dp_quantile" -> Privacy.dpQuantileOracleSql(),
+    // q190: Mondrian under CUT-REFUSAL l-diversity (LeFevre's
+    // l-diverse variant): the q188 fixture, but cuts that would break
+    // per-side sensitive diversity are refused up front — partitions
+    // stay coarser and EVERY row releases where q188 suppresses 75%
+    "q190_mondrian_cut_refusal" -> Mondrian.mondrianOracleSql(
+      sensSql = Some("floor(c_acctbal / 2000.0)::BIGINT"), l = 3L,
+      lDiverseCuts = true),
+    // q191: Mondrian over a MIXED quasi set — two categorical
+    // dimensions (market segment, nation name) through the
+    // ordered-label encoding plus cents-banded account balance;
+    // released lo/hi are label strings for the categoricals
+    "q191_mondrian_categorical" -> Mondrian.mondrianOracleSql(
+      dims = Seq(
+        Mondrian.OracleDim("c_mktsegment", "c_mktsegment",
+          categorical = true),
+        Mondrian.OracleDim("n_name", "n_name", categorical = true),
+        Mondrian.OracleDim("c_acctbal", "c_acctbal")),
+      from = "customer JOIN nation ON c_nationkey = n_nationkey"),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 import graft.core.Tables
 
@@ -28,41 +29,101 @@ import graft.core.Tables
   * recursion unrolls round-by-round in DuckDB CTEs — the q90/q110
   * unrolled-recurrence oracle pattern.
   *
+  * BOUNDED TICK DOMAINS (r15 verdict #1 — the scale contract): the
+  * engine partitions TICKS, never raw continuous values. A continuous
+  * dimension must arrive banded — pass `ticks` (cents for TPC-H money:
+  * `round(v*100)`, lossless because the data is cents-exact, so the
+  * cuts are bit-identical to value cuts) — and an unbanded fractional
+  * dimension is refused loudly. This mirrors the t-closeness census's
+  * "band it first" convention, and it is what makes every per-round
+  * structure DOMAIN-bounded instead of data-bounded: the r15 plan put
+  * a cumulative window over the per-leaf VALUE histogram, and at
+  * round 1 (one leaf) on an effectively-unique column that window
+  * sorted the whole table's distinct values in ONE task — ~1.5B rows
+  * at 100 TB. Ticks bound the histogram; the split below bounds every
+  * window.
+  *
   * Scale shape: per round and dimension, ONE histogram aggregation
-  * (groupBy (leaf, value) — distinct-value-sized, partial aggs absorb
-  * row skew), running-count windows over the HISTOGRAM (never over
-  * rows), and the per-leaf cut table — ≤ 2^round rows, a bounded
-  * driver read (the [[Privacy.generalize]] (j+1)-row pick contract) —
-  * broadcast-joined back. The fact table never shuffles; rounds are
-  * capped (leaf count doubles per round, so `rounds` beyond ~20 is
-  * meaningless anyway — every leaf long since hit k).
+  * over the fact rows (groupBy (leaf, tick) — tick-domain-sized,
+  * partial aggs absorb row skew; pinned, it is the only fact-sized
+  * pass). The lower median then comes from a TWO-LEVEL prefix sum
+  * over the pinned histogram: ticks split into coarse buckets by an
+  * arithmetic shift of ~half the domain bits, so the per-leaf
+  * running-count window runs per (leaf, COARSE BUCKET) — ≤ 2^(b/2)
+  * histogram rows per task — with per-bucket offsets from a window
+  * over the (leaf, bucket) subtotals — ≤ 2^(b/2) rows per leaf. No
+  * window anywhere is partitioned by `_leaf` alone over tick- or
+  * value-ordered rows (PlanShapeSpec pins this), so the busiest task
+  * is bounded by the DOMAIN contract (≤ 2^20 rows at the 40-bit
+  * ceiling), independent of the corpus. The per-leaf cut table —
+  * ≤ 2^round rows, a bounded driver read (the [[Privacy.generalize]]
+  * (j+1)-row pick contract) — broadcasts back. The fact table never
+  * shuffles; rounds are capped (leaf count doubles per round, so
+  * `rounds` beyond ~20 is meaningless anyway — every leaf long since
+  * hit k).
   */
 object Mondrian {
 
-  /** Partition `df` by strict Mondrian over numeric `dims` and
-    * release (idCol, dim1_lo, dim1_hi, …): every row tagged with its
-    * final partition's per-dimension min/max. Partitions smaller than
-    * k never arise from a cut (the allowable rule); only the ROOT can
-    * be under k (a table smaller than k), and then nothing releases.
+  /** Refuse tick domains wider than 2^40: the two-level split bounds
+    * every window task at ~2^(bits/2) rows, so 40 bits caps the
+    * busiest task at ~2^20 histogram rows. A wider domain means the
+    * dimension was not actually banded — band it coarser.
+    */
+  val MaxTickDomainBits: Int = 40
+
+  /** Categorical dictionaries are driver-built (sorted distinct
+    * labels, the bounded-driver-read contract); refuse domains past
+    * 65536 labels — a "categorical" column with more distinct values
+    * than that is an identifier, not a category.
+    */
+  val MaxCategories: Long = 65536L
+
+  /** Partition `df` by strict Mondrian over quasi `dims` and release
+    * (idCol, dim1_lo, dim1_hi, …): every row tagged with its final
+    * partition's per-dimension min/max.
     *
-    * With a `sensitive` column and `l > 1` the RELEASE also enforces
-    * l-diversity (r15, mirroring `Privacy.kSuppress` — the release
-    * ops must agree on what "safe" means): a final partition with
-    * fewer than `l` distinct sensitive values suppresses whole. This
-    * is RELEASE-side enforcement, deliberately NOT the cut-refusal
-    * variant (LeFevre's l-diverse Mondrian refuses cuts that would
-    * break l, keeping partitions coarser): suppression never ships
-    * an l-risky group either, is deterministic with the same cut
-    * tree as the k-only release (oracle reuse), and mirrors how the
-    * one-dimensional releases compose their gates. NULL sensitive
-    * values count as one value (the census convention). The common
-    * failure it catches is structural: cutting a dimension the
-    * sensitive attribute correlates with collapses per-partition
-    * sensitive diversity — the q188 fixture plants exactly that.
+    * Dimension kinds (decided from `df`'s schema):
+    *  - INTEGRAL numeric: ticks are the values themselves.
+    *  - FRACTIONAL numeric: pass a monotone long banding in `ticks`
+    *    (cents `round(v*100)` for money). An INJECTIVE banding keeps
+    *    cuts identical to value cuts; a coarser banding is the
+    *    documented semantics — rows sharing a tick never separate.
+    *    Ranges always release from the RAW values.
+    *  - STRING (categorical): LeFevre's ordered-label encoding — the
+    *    sorted distinct values become ticks 1..m via a broadcast
+    *    dictionary, cuts split label prefixes, and the released
+    *    lo/hi are the partition's min/max labels AS STRINGS
+    *    (lexicographic order = label order by construction).
+    *
+    * Rows with a NULL in ANY dimension (value or tick) have no
+    * position in the quasi space: they are excluded from partitioning
+    * AND release (the conservative direction, the t-closeness NULL
+    * convention).
+    *
+    * With a `sensitive` column and `l > 1` the release also enforces
+    * l-diversity, in one of two modes (r15 verdict missing #5):
+    *  - RELEASE-side (default, mirroring [[Privacy.kSuppress]]): a
+    *    final partition with fewer than `l` distinct sensitive values
+    *    suppresses whole. Deterministic with the same cut tree as the
+    *    k-only release (oracle reuse), but the utility cost can be
+    *    severe when the sensitive correlates with a cut dimension —
+    *    the q188 fixture suppresses 75% of its rows.
+    *  - CUT-REFUSAL (`lDiverseCuts = true`, LeFevre's l-diverse
+    *    variant): a cut is allowable only if BOTH halves hold ≥ k
+    *    rows AND ≥ l distinct sensitive values, so partitions stay
+    *    coarser and everything releases (only a root under k or
+    *    under l suppresses). Per-side diversity comes from the
+    *    (leaf, sensitive) tick-SPAN table — a sensitive value sits
+    *    left of the median iff its min tick does, right iff its max
+    *    tick exceeds it — one group-count-sized agg per dimension,
+    *    never a distinct-count over row pairs.
+    * NULL sensitive values count as one value (the census convention)
+    * in both modes.
     */
   def generalize(df: DataFrame, idCol: String, dims: Seq[String],
       k: Long, rounds: Int, sensitive: Option[Column] = None,
-      l: Long = 1L): DataFrame = {
+      l: Long = 1L, ticks: Map[String, Column] = Map.empty,
+      lDiverseCuts: Boolean = false): DataFrame = {
     require(dims.size >= 2,
       "Mondrian is the MULTI-dimensional generalization — use " +
         "Privacy.generalize for one attribute")
@@ -73,78 +134,141 @@ object Mondrian {
     require(l >= 1, "l must be >= 1")
     require(l == 1L || sensitive.nonEmpty,
       "enforcing l-diversity (l > 1) needs the sensitive column")
+    require(!lDiverseCuts || (l > 1L && sensitive.nonEmpty),
+      "lDiverseCuts needs l > 1 and the sensitive column")
     val ss = df.sparkSession
     import ss.implicits._
     val d = dims.size
-    val vCols = (1 to d).map(i => s"_v$i")
+    val fieldType = dims.map { c =>
+      c -> df.schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"Mondrian dimension '$c' is not a column of the frame"))
+    }.toMap
+    val isCat = dims.map(c => fieldType(c) == StringType)
+    // categorical dictionaries: sorted distinct labels -> ticks 1..m,
+    // driver-built under the MaxCategories guard (the bounded-read
+    // contract) and broadcast back. Lexicographic label order makes
+    // string min/max the released range bounds for free.
+    val dicts: Map[Int, DataFrame] = dims.zipWithIndex.collect {
+      case (c, ix) if isCat(ix) =>
+        val vals = df.select(col(c).cast("string").as("_v"))
+          .filter(col("_v").isNotNull).distinct()
+        val cnt = vals.count()
+        require(cnt <= MaxCategories,
+          s"Mondrian categorical dimension '$c' has $cnt distinct " +
+            s"values (max $MaxCategories) — that is an identifier, " +
+            "not a category; band or hash it first")
+        val labels = vals.orderBy(col("_v")).as[String].collect()
+        ix -> labels.zipWithIndex
+          .map { case (v, j) => (v, (j + 1).toLong) }.toSeq
+          .toDF(s"_dv${ix + 1}", s"_dt${ix + 1}")
+    }.toMap
+    val joined = dicts.foldLeft(df) { case (acc, (ix, dict)) =>
+      acc.join(broadcast(dict),
+        col(dims(ix)).cast("string") <=> col(s"_dv${ix + 1}"), "left")
+    }
+    // per-dimension working columns: _v = raw release value (double
+    // for numeric, string for categorical), _t = the bounded tick
+    // (integral values / caller banding / dictionary label)
+    val vCols = dims.zipWithIndex.map { case (c, ix) =>
+      if (isCat(ix)) col(c).cast("string").as(s"_v${ix + 1}")
+      else col(c).cast("double").as(s"_v${ix + 1}")
+    }
+    val tCols = dims.zipWithIndex.map { case (c, ix) =>
+      val t =
+        if (isCat(ix)) col(s"_dt${ix + 1}")
+        else ticks.get(c) match {
+          case Some(expr) => expr.cast("long")
+          case None =>
+            fieldType(c) match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                col(c).cast("long")
+              case dt => throw new IllegalArgumentException(
+                s"Mondrian dimension '$c' is ${dt.simpleString}: a " +
+                  "fractional dimension must arrive BANDED — pass " +
+                  "ticks (a monotone long banding, e.g. cents " +
+                  "round(v*100)); the engine partitions bounded " +
+                  "tick domains, never raw continuous values")
+            }
+        }
+      t.as(s"_t${ix + 1}")
+    }
+    // the choose_dimension measure: raw double for numeric (range
+    // normalization on the values the caller sees), label for
+    // categorical (the only order it has)
+    def measure(i: Int): Column =
+      if (isCat(i - 1)) col(s"_t$i").cast("double") else col(s"_v$i")
     val sensCol = sensitive.map(sc =>
       coalesce(sc.cast("string"), lit("\u0002")).as("_sens")).toSeq
-    // rows with a NULL in ANY dimension have no position in the quasi
-    // space: they are excluded from partitioning AND release (the
-    // conservative direction, the t-closeness NULL convention — a
-    // NULL-keyed row can neither satisfy a cut predicate nor carry a
-    // range). r15 review finding: Spark windows order NULLS FIRST vs
-    // DuckDB's NULLS LAST, and a NULL-counted left side would route
-    // its rows Right — excluding them removes both hazards.
-    val base = df.select((col(idCol).as("_id") +:
-      dims.zipWithIndex.map { case (c, i) =>
-        col(c).cast("double").as(s"_v${i + 1}") }) ++ sensCol: _*)
-      .filter((1 to dims.size)
-        .map(i => col(s"_v$i").isNotNull).reduce(_ && _))
-    // global per-dimension ranges for choose_dimension normalization
-    // (one tiny agg; d doubles to the driver)
+    val base = joined.select((col(idCol).as("_id") +: (vCols ++ tCols))
+      ++ sensCol: _*)
+      .filter((1 to d)
+        .map(i => col(s"_v$i").isNotNull && col(s"_t$i").isNotNull)
+        .reduce(_ && _))
+    // one tiny agg: global per-dimension measure ranges (the
+    // choose_dimension normalizer) and tick bounds (the coarse/fine
+    // shift split); 4·d scalars to the driver
     val grRow = base.agg(
-      (max(col(vCols.head)) - min(col(vCols.head))).as("_g1"),
-      vCols.tail.zipWithIndex.map { case (v, i) =>
-        (max(col(v)) - min(col(v))).as(s"_g${i + 2}") }: _*).head()
+      (max(measure(1)) - min(measure(1))).as("_g1"),
+      ((2 to d).map(i =>
+        (max(measure(i)) - min(measure(i))).as(s"_g$i")) ++
+        (1 to d).flatMap(i => Seq(
+          min(col(s"_t$i")).as(s"_tlo$i"),
+          max(col(s"_t$i")).as(s"_thi$i")))): _*).head()
     val g = (0 until d).map(i =>
       if (grRow.isNullAt(i)) 0.0 else grRow.getDouble(i))
+    val shiftBits = (1 to d).map { i =>
+      val loIx = d + 2 * (i - 1)
+      if (grRow.isNullAt(loIx)) 0
+      else {
+        val span =
+          try Math.subtractExact(grRow.getLong(loIx + 1), grRow.getLong(loIx))
+          catch {
+            case _: ArithmeticException => throw new IllegalArgumentException(
+              s"Mondrian dimension '${dims(i - 1)}' tick span overflows " +
+                "a long — the banding is not a bounded domain")
+          }
+        val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(span, 1L))
+        require(bits <= MaxTickDomainBits,
+          s"Mondrian dimension '${dims(i - 1)}' spans ~2^$bits ticks " +
+            s"(max 2^$MaxTickDomainBits) — band it coarser; the " +
+            "two-level median split bounds window tasks at " +
+            "~2^(bits/2) rows only for bounded domains")
+        bits / 2
+      }
+    }
     var rows = base.withColumn("_leaf", lit(""))
     var r = 1
     var live = true
     while (live && r <= rounds) {
-      // per-dimension per-leaf cut stats off the VALUE HISTOGRAM:
-      // lower median = first value whose running count reaches
-      // ceil(tot/2) (cum*2 >= tot — integer arithmetic, no
-      // division), left size = that running count
-      val stats = (1 to d).map { i =>
-        val hist = rows.groupBy(col("_leaf"), col(s"_v$i").as("_v"))
-          .agg(count(lit(1)).as("_n"))
-        val wCum = Window.partitionBy("_leaf").orderBy("_v")
-        val wAll = Window.partitionBy("_leaf")
-        hist
-          .withColumn("_cum", sum(col("_n")).over(wCum))
-          .withColumn("_tot", sum(col("_n")).over(wAll))
-          .groupBy(col("_leaf"))
-          .agg(
-            min(when(col("_cum") * 2 >= col("_tot"), col("_v")))
-              .as("_med"),
-            min(when(col("_cum") * 2 >= col("_tot"), col("_cum")))
-              .as("_lcnt"),
-            max(col("_tot")).as("_tot"),
-            (max(col("_v")) - min(col("_v"))).as("_rng"))
-          .withColumn("_dim", lit(i))
-      }
+      val stats = (1 to d).map(i =>
+        dimCutStats(rows, i, shiftBits(i - 1), measure(i),
+          if (lDiverseCuts) Some(l) else None))
       val normRng = (1 to d).foldLeft(lit(0.0)) { (acc, i) =>
         when(col("_dim") === i,
           if (g(i - 1) > 0) col("_rng") / g(i - 1) else lit(0.0))
           .otherwise(acc)
       }
+      val allowable =
+        if (lDiverseCuts)
+          col("_lcnt") >= k && col("_tot") - col("_lcnt") >= k &&
+            col("_ldl") >= l && col("_ldr") >= l
+        else col("_lcnt") >= k && col("_tot") - col("_lcnt") >= k
       val cuts = stats.reduce(_ unionByName _)
-        .filter(col("_lcnt") >= k && col("_tot") - col("_lcnt") >= k)
+        .filter(allowable)
         .withColumn("_nrm", normRng)
         .withColumn("_rn", row_number().over(Window
           .partitionBy("_leaf")
           .orderBy(col("_nrm").desc, col("_dim"))))
         .filter(col("_rn") === 1)
         .select(col("_leaf"), col("_dim"), col("_med"))
-        .as[(String, Int, Double)]
+        .as[(String, Int, Long)]
         .collect() // <= 2^(round-1) rows: the bounded cut-table read
       if (cuts.isEmpty) live = false // fixed point: no allowable cut
       else {
         val cutDf = cuts.toSeq.toDF("_leaf", "_cdim", "_cmed")
-        val vPicked = (1 to d).foldLeft(lit(Double.NaN)) { (acc, i) =>
-          when(col("_cdim") === i, col(s"_v$i")).otherwise(acc)
+        val tPicked = (1 to d).foldLeft(lit(Long.MinValue)) { (acc, i) =>
+          when(col("_cdim") === i, col(s"_t$i")).otherwise(acc)
         }
         // pin the round's output (Pin.iterative — reliable on a
         // cluster, localCheckpoint locally): without the cut, round
@@ -156,7 +280,7 @@ object Mondrian {
               when(col("_cdim").isNull, col("_leaf"))
                 .otherwise(concat(col("_leaf"), lit("|"),
                   col("_cdim").cast("string"),
-                  when(vPicked <= col("_cmed"), lit("L"))
+                  when(tPicked <= col("_cmed"), lit("L"))
                     .otherwise(lit("R")))))
             .drop("_cdim", "_cmed"))
       }
@@ -165,7 +289,9 @@ object Mondrian {
     // release: per-leaf ranges broadcast back; only the uncut root
     // can sit under k, and then it suppresses. With l > 1, leaves
     // whose sensitive diversity is under l suppress whole (diversity
-    // via the census's two-level agg — no distinct-state explosion)
+    // via the census's two-level agg — no distinct-state explosion).
+    // Under lDiverseCuts this gate only ever fires for the root: every
+    // cut leaf inherits ≥ l per-side diversity from the allowable rule.
     val fin = rows.groupBy(col("_leaf")).agg(
       count(lit(1)).as("_n"),
       (1 to d).flatMap(i => Seq(
@@ -190,14 +316,86 @@ object Mondrian {
           col(s"_hi${i + 1}").as(s"${c}_hi")) }: _*)
   }
 
+  /** Per-(leaf, dimension) cut statistics off the pinned tick
+    * histogram, every window DOMAIN-bounded (r15 verdict #1): the
+    * lower median tick (first tick whose running count reaches
+    * ceil(tot/2) — cum·2 ≥ tot, integer arithmetic), the left-side
+    * row count, the leaf total, and the measure range for
+    * choose_dimension. The running count is a two-level prefix sum:
+    * coarse buckets = ticks arithmetic-shifted by ~half the domain
+    * bits (order-preserving on negatives), per-bucket offsets from a
+    * window over the (leaf, bucket) SUBTOTALS (≤ 2^(b−s) rows per
+    * leaf), the fine cum from a window per (leaf, bucket) (≤ 2^s
+    * histogram rows per task). The histogram is the only fact-sized
+    * pass and is pinned (tick-domain-bounded, two consumers).
+    *
+    * With `lEnforce` (cut-refusal l-diversity) the stats also carry
+    * per-side sensitive diversity for THIS dimension's candidate
+    * median, from the (leaf, sensitive) tick-span table: a sensitive
+    * value has presence on the left iff its min tick ≤ median, on
+    * the right iff its max tick > median.
+    */
+  private[graft] def dimCutStats(rows: DataFrame, i: Int,
+      shift: Int, measureCol: Column,
+      lEnforce: Option[Long]): DataFrame = {
+    val hist = graft.core.Pin.reuse(
+      rows.groupBy(col("_leaf"), col(s"_t$i").as("_t"))
+        .agg(count(lit(1)).as("_n"),
+          min(measureCol).as("_mlo"), max(measureCol).as("_mhi"))
+        .withColumn("_crs", shiftright(col("_t"), shift)))
+    val wOff = Window.partitionBy("_leaf").orderBy("_crs")
+    val offs = hist.groupBy(col("_leaf"), col("_crs"))
+      .agg(sum(col("_n")).as("_cn"))
+      .withColumn("_off", sum(col("_cn")).over(wOff) - col("_cn"))
+    val tots = offs.groupBy(col("_leaf")).agg(sum(col("_cn")).as("_tot"))
+    val wFine = Window.partitionBy("_leaf", "_crs").orderBy("_t")
+    val stats = hist
+      .join(offs.select(col("_leaf"), col("_crs"), col("_off")),
+        Seq("_leaf", "_crs"))
+      .withColumn("_cum", sum(col("_n")).over(wFine) + col("_off"))
+      .join(broadcast(tots), Seq("_leaf"))
+      .groupBy(col("_leaf"))
+      .agg(
+        min(when(col("_cum") * 2 >= col("_tot"), col("_t")))
+          .as("_med"),
+        min(when(col("_cum") * 2 >= col("_tot"), col("_cum")))
+          .as("_lcnt"),
+        max(col("_tot")).as("_tot"),
+        (max(col("_mhi")) - min(col("_mlo"))).as("_rng"))
+      .withColumn("_dim", lit(i))
+    lEnforce match {
+      case None => stats.withColumn("_ldl", lit(Long.MaxValue))
+        .withColumn("_ldr", lit(Long.MaxValue))
+      case Some(_) =>
+        // (leaf, sensitive) tick spans: one group-count-sized agg
+        val span = rows.groupBy(col("_leaf"), col("_sens"))
+          .agg(min(col(s"_t$i")).as("_tmn"), max(col(s"_t$i")).as("_tmx"))
+        val ld = span
+          .join(broadcast(stats.select(col("_leaf"), col("_med"))),
+            Seq("_leaf"))
+          .groupBy(col("_leaf"))
+          .agg(count(when(col("_tmn") <= col("_med"), lit(1)))
+            .as("_ldl"),
+            count(when(col("_tmx") > col("_med"), lit(1)))
+              .as("_ldr"))
+        stats.join(ld, Seq("_leaf"), "left")
+          .withColumn("_ldl", coalesce(col("_ldl"), lit(0L)))
+          .withColumn("_ldr", coalesce(col("_ldr"), lit(0L)))
+    }
+  }
+
   /** Q180 — Mondrian release over `customer`: quasi dimensions
-    * (account balance, nation), k = 50, 4 breadth-first rounds; each
-    * customer ships as its partition's (acctbal, nationkey) ranges.
+    * (account balance at CENTS ticks — lossless on cents-exact money,
+    * so cuts are bit-identical to value cuts — and nation), k = 50,
+    * 4 breadth-first rounds; each customer ships as its partition's
+    * (acctbal, nationkey) ranges.
     */
   def q180Mondrian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     generalize(Tables.load(spark, dir, "customer"), "c_custkey",
-        Seq("c_acctbal", "c_nationkey"), k = 50L, rounds = 4)
+        Seq("c_acctbal", "c_nationkey"), k = 50L, rounds = 4,
+        ticks = Map("c_acctbal" ->
+          round($"c_acctbal" * 100).cast("long")))
       .orderBy($"c_custkey")
   }
 
@@ -214,18 +412,85 @@ object Mondrian {
     generalize(Tables.load(spark, dir, "customer"), "c_custkey",
         Seq("c_acctbal", "c_nationkey"), k = 50L, rounds = 4,
         sensitive = Some(floor($"c_acctbal" / 2000.0).cast("long")),
-        l = 3L)
+        l = 3L,
+        ticks = Map("c_acctbal" ->
+          round($"c_acctbal" * 100).cast("long")))
       .orderBy($"c_custkey")
   }
 
-  /** DuckDB oracle for [[q180Mondrian]] — the recursion unrolled
+  /** Q190 — Mondrian under CUT-REFUSAL l-diversity (LeFevre's
+    * l-diverse variant): the exact q188 fixture — sensitive
+    * correlated with cut dimension 1 — but instead of suppressing
+    * the 12 collapsed leaves after the fact, cuts that would break
+    * per-side diversity are refused up front, partitions stay
+    * coarser, and EVERY row releases (q188 ships 25% of the table;
+    * this ships 100% at wider ranges — the utility/granularity trade
+    * the two modes exist to expose).
+    */
+  def q190MondrianCutRefusal(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    generalize(Tables.load(spark, dir, "customer"), "c_custkey",
+        Seq("c_acctbal", "c_nationkey"), k = 50L, rounds = 4,
+        sensitive = Some(floor($"c_acctbal" / 2000.0).cast("long")),
+        l = 3L,
+        ticks = Map("c_acctbal" ->
+          round($"c_acctbal" * 100).cast("long")),
+        lDiverseCuts = true)
+      .orderBy($"c_custkey")
+  }
+
+  /** Q191 — Mondrian over a MIXED quasi set (r15 verdict missing #4:
+    * real quasi sets are mostly categorical): (market segment,
+    * nation name, account balance) — two categorical dimensions
+    * through the ordered-label encoding, one continuous at cents
+    * ticks; k = 50, 4 rounds. Released ranges are label strings for
+    * the categoricals, numeric bounds for the balance.
+    */
+  def q191MondrianCategorical(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    val joinedDf = c.join(broadcast(n),
+      $"c_nationkey" === $"n_nationkey")
+    generalize(joinedDf, "c_custkey",
+        Seq("c_mktsegment", "n_name", "c_acctbal"), k = 50L,
+        rounds = 4,
+        ticks = Map("c_acctbal" ->
+          round($"c_acctbal" * 100).cast("long")))
+      .orderBy($"c_custkey")
+  }
+
+  /** One oracle-side quasi dimension: `valueSql` is the released raw
+    * value (and, for numeric dimensions, the cut key — equal to the
+    * engine's tick cuts whenever the banding is injective, q180's
+    * cents case); categorical dimensions cut on a dictionary label
+    * built by the same sorted-distinct rule as the engine.
+    */
+  final case class OracleDim(valueSql: String, name: String,
+      categorical: Boolean = false)
+
+  /** DuckDB oracle for the Mondrian releases — the recursion unrolled
     * round-by-round (hist → running counts → per-leaf per-dim cut
     * stats → normalized-range pick → leaf extension), the q90/q110
-    * unrolled-recurrence pattern. Fixed to the q180 shape: 2
-    * dimensions over customer.
+    * unrolled-recurrence pattern, generalized over any dimension list
+    * (categorical dims via dictionary-label CTEs), the optional
+    * release-side k+l gate, and the optional cut-refusal predicate.
+    * Defaults reproduce the q180 shape: 2 numeric dimensions over
+    * customer.
     */
   def mondrianOracleSql(k: Long = 50L, rounds: Int = 4,
-      sensSql: Option[String] = None, l: Long = 1L): String = {
+      sensSql: Option[String] = None, l: Long = 1L,
+      dims: Seq[OracleDim] = Seq(
+        OracleDim("c_acctbal", "c_acctbal"),
+        OracleDim("c_nationkey", "c_nationkey")),
+      from: String = "customer", idSql: String = "c_custkey",
+      idName: String = "c_custkey",
+      lDiverseCuts: Boolean = false): String = {
+    val d = dims.size
+    val ds = dims.zipWithIndex.map { case (od, ix) => (od, ix + 1) }
     val sensSel = sensSql
       .map(e => s", coalesce(($e)::VARCHAR, chr(2)) AS sens")
       .getOrElse("")
@@ -233,50 +498,108 @@ object Mondrian {
     val sensFin = if (sensSql.isDefined)
       ", count(DISTINCT sens) AS ld" else ""
     val sensGate = if (l > 1L) s" AND f.ld >= $l" else ""
+    def caseDim(alias: String, of: Int => String): String =
+      if (d == 2)
+        s"(CASE $alias.dim WHEN 1 THEN ${of(1)} ELSE ${of(2)} END)"
+      else
+        s"(CASE $alias.dim " +
+          (1 to d).map(i => s"WHEN $i THEN ${of(i)}").mkString(" ") +
+          " END)"
     val sb = new StringBuilder
-    sb ++= "WITH r0 AS (SELECT c_custkey AS id, " +
-      "c_acctbal::DOUBLE AS v1, c_nationkey::DOUBLE AS v2" +
-      sensSel + ", '' AS leaf FROM customer " +
-      "WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL),\n"
-    sb ++= " gr AS (SELECT max(v1) - min(v1) AS g1, " +
-      "max(v2) - min(v2) AS g2 FROM r0),\n"
+    sb ++= "WITH "
+    // dictionary CTEs for categorical dims (sorted distinct -> label)
+    ds.filter(_._1.categorical).foreach { case (od, i) =>
+      sb ++= s"dict$i AS (SELECT v, row_number() OVER (ORDER BY v) " +
+        s"AS lbl FROM (SELECT DISTINCT ${od.valueSql} AS v " +
+        s"FROM $from WHERE ${od.valueSql} IS NOT NULL) dd$i),\n"
+    }
+    // r0: id, per-dim released value v_i and cut key c_i (numeric:
+    // the value; categorical: the label), the NULL-dim exclusion
+    val sel = ds.map { case (od, i) =>
+      if (od.categorical)
+        s"${od.valueSql} AS v$i, d$i.lbl::DOUBLE AS c$i"
+      else
+        s"${od.valueSql}::DOUBLE AS v$i, ${od.valueSql}::DOUBLE AS c$i"
+    }.mkString(", ")
+    val dictJoins = ds.filter(_._1.categorical).map { case (od, i) =>
+      s" JOIN dict$i d$i ON ${od.valueSql} = d$i.v"
+    }.mkString
+    val notNull = ds.map { case (od, _) =>
+      s"${od.valueSql} IS NOT NULL" }.mkString(" AND ")
+    // AS MATERIALIZED: DuckDB inlines CTEs by default, and the
+    // unrolled recursion references each round's frame several times
+    // (histograms per dim, sensitive spans under cut refusal, the
+    // next round, the final ranges) — inlined, the expansion is
+    // EXPONENTIAL in rounds; materialized, each round evaluates once
+    sb ++= s"r0 AS MATERIALIZED (SELECT $idSql AS id, $sel$sensSel, " +
+      s"'' AS leaf FROM $from$dictJoins WHERE $notNull),\n"
+    sb ++= " gr AS (SELECT " + ds.map { case (_, i) =>
+      s"max(c$i) - min(c$i) AS g$i" }.mkString(", ") + " FROM r0),\n"
+    val vCarry = ds.map { case (_, i) => s"r.v$i" }.mkString(", ")
+    val cCarry = ds.map { case (_, i) => s"r.c$i" }.mkString(", ")
     for (r <- 1 to rounds) {
       val prev = s"r${r - 1}"
-      for (i <- 1 to 2) {
-        sb ++= s" h${r}_$i AS (SELECT leaf, v$i AS v, " +
+      for ((_, i) <- ds) {
+        sb ++= s" h${r}_$i AS MATERIALIZED (SELECT leaf, c$i AS c, " +
           s"count(*)::BIGINT AS n FROM $prev GROUP BY 1, 2),\n"
-        sb ++= s" s${r}_$i AS (SELECT leaf, v, " +
-          "sum(n) OVER (PARTITION BY leaf ORDER BY v) AS cum, " +
+        sb ++= s" s${r}_$i AS (SELECT leaf, c, " +
+          "sum(n) OVER (PARTITION BY leaf ORDER BY c) AS cum, " +
           s"sum(n) OVER (PARTITION BY leaf) AS tot FROM h${r}_$i),\n"
-        sb ++= s" m${r}_$i AS (SELECT leaf, $i AS dim, " +
-          "min(CASE WHEN cum*2 >= tot THEN v END) AS med, " +
+        sb ++= s" m${r}_$i AS MATERIALIZED (SELECT leaf, $i AS dim, " +
+          "min(CASE WHEN cum*2 >= tot THEN c END) AS med, " +
           "min(CASE WHEN cum*2 >= tot THEN cum END) AS lcnt, " +
-          "max(tot) AS tot, max(v) - min(v) AS rng " +
+          "max(tot) AS tot, max(c) - min(c) AS rng " +
           s"FROM s${r}_$i GROUP BY 1),\n"
+        if (lDiverseCuts) {
+          sb ++= s" sp${r}_$i AS MATERIALIZED (SELECT leaf, sens, " +
+            s"min(c$i) AS tmn, " +
+            s"max(c$i) AS tmx FROM $prev GROUP BY 1, 2),\n"
+          sb ++= s" ld${r}_$i AS (SELECT s.leaf, " +
+            "count(CASE WHEN s.tmn <= m.med THEN 1 END) AS ldl, " +
+            "count(CASE WHEN s.tmx > m.med THEN 1 END) AS ldr " +
+            s"FROM sp${r}_$i s JOIN m${r}_$i m ON s.leaf = m.leaf " +
+            "GROUP BY 1),\n"
+        }
       }
+      val unioned =
+        if (lDiverseCuts)
+          ds.map { case (_, i) =>
+            s"SELECT m.*, d.ldl, d.ldr FROM m${r}_$i m " +
+              s"JOIN ld${r}_$i d ON m.leaf = d.leaf"
+          }.mkString(" UNION ALL ")
+        else
+          ds.map { case (_, i) => s"SELECT * FROM m${r}_$i" }
+            .mkString(" UNION ALL ")
+      val allowExtra =
+        if (lDiverseCuts) s" AND m.ldl >= $l AND m.ldr >= $l" else ""
+      val gOf = (i: Int) => s"g.g$i"
       sb ++= s" p$r AS (SELECT leaf, dim, med FROM (" +
         "SELECT m.leaf, m.dim, m.med, row_number() OVER (" +
         "PARTITION BY m.leaf ORDER BY (CASE WHEN " +
-        "(CASE m.dim WHEN 1 THEN g.g1 ELSE g.g2 END) > 0 THEN " +
-        "m.rng / (CASE m.dim WHEN 1 THEN g.g1 ELSE g.g2 END) " +
+        caseDim("m", gOf) + " > 0 THEN " +
+        s"m.rng / ${caseDim("m", gOf)} " +
         "ELSE 0 END) DESC, m.dim) AS rn " +
-        s"FROM (SELECT * FROM m${r}_1 UNION ALL " +
-        s"SELECT * FROM m${r}_2) m, gr g " +
-        s"WHERE m.lcnt >= $k AND m.tot - m.lcnt >= $k) q " +
+        s"FROM ($unioned) m, gr g " +
+        s"WHERE m.lcnt >= $k AND m.tot - m.lcnt >= $k$allowExtra) q " +
         "WHERE rn = 1),\n"
-      sb ++= s" r$r AS (SELECT r.id, r.v1, r.v2$sensCarry, " +
+      val cOf = (i: Int) => s"r.c$i"
+      sb ++= s" r$r AS MATERIALIZED (SELECT r.id, $vCarry, " +
+        s"$cCarry$sensCarry, " +
         "CASE WHEN p.dim IS NULL THEN r.leaf ELSE " +
         "r.leaf || '|' || p.dim::VARCHAR || " +
-        "(CASE WHEN (CASE p.dim WHEN 1 THEN r.v1 ELSE r.v2 END) " +
+        s"(CASE WHEN ${caseDim("p", cOf)} " +
         "<= p.med THEN 'L' ELSE 'R' END) END AS leaf " +
         s"FROM $prev r LEFT JOIN p$r p ON r.leaf = p.leaf),\n"
     }
     sb ++= s" fin AS (SELECT leaf, count(*) AS n$sensFin, " +
-      "min(v1) AS lo1, max(v1) AS hi1, min(v2) AS lo2, " +
-      s"max(v2) AS hi2 FROM r$rounds GROUP BY 1)\n"
-    sb ++= "SELECT r.id AS c_custkey, f.lo1 AS c_acctbal_lo, " +
-      "f.hi1 AS c_acctbal_hi, f.lo2 AS c_nationkey_lo, " +
-      s"f.hi2 AS c_nationkey_hi FROM r$rounds r " +
+      ds.map { case (_, i) =>
+        s"min(v$i) AS lo$i, max(v$i) AS hi$i" }.mkString(", ") +
+      s" FROM r$rounds GROUP BY 1)\n"
+    sb ++= s"SELECT r.id AS $idName, " +
+      ds.map { case (od, i) =>
+        s"f.lo$i AS ${od.name}_lo, f.hi$i AS ${od.name}_hi"
+      }.mkString(", ") +
+      s" FROM r$rounds r " +
       s"JOIN fin f ON r.leaf = f.leaf WHERE f.n >= $k$sensGate " +
       "ORDER BY 1"
     sb.toString

@@ -110,6 +110,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("Mondrian round stats: no window is partitioned by _leaf " +
+      "alone over tick-ordered histogram rows (r15 verdict #1 — that " +
+      "shape sorts the whole table's distinct values in ONE task at " +
+      "round 1); the running count runs per (leaf, coarse bucket) " +
+      "with offsets from the bucket-subtotal frame") {
+    import org.apache.spark.sql.functions._
+    // the internal per-round frame shape: (_leaf, _v1, _t1) over an
+    // effectively-unique banded dimension — the q180 acctbal regime
+    val rows = spark.range(20000L).select(
+      lit("").as("_leaf"),
+      (col("id") % 9973 * 7 % 9973).cast("double").as("_v1"),
+      (col("id") % 9973 * 7 % 9973).as("_t1"))
+    val stats = Mondrian.dimCutStats(rows, 1, shift = 7,
+      measureCol = col("_v1"), lEnforce = None)
+    stats.collect()
+    val p = stats.queryExecution.executedPlan.toString
+    // windows partitioned by _leaf alone may order ONLY by the coarse
+    // bucket id (the subtotal frame, <= 2^(b-s) rows per leaf); the
+    // tick-ordered window must carry _crs in its partition spec
+    val leafOnly = """windowspecdefinition\(_leaf#\d+, _(t|v)#"""
+      .r.findFirstIn(p)
+    assert(leafOnly.isEmpty,
+      s"per-leaf tick/value-ordered window found: $leafOnly")
+    val leafUnordered =
+      """windowspecdefinition\(_leaf#\d+, specifiedwindowframe"""
+        .r.findFirstIn(p)
+    assert(leafUnordered.isEmpty,
+      s"per-leaf unordered (whole-leaf) window found: $leafUnordered")
+    assert(p.contains("_crs"), "the coarse/fine split must be planned")
+  }
+
   test("q43: chunking is shuffle-free — pure per-row fan-out on the scan") {
     val p = plan(TextStats.chunk(Tables.load(spark, sf, "documents")))
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")

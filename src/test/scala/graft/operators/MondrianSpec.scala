@@ -7,12 +7,19 @@ import graft.SparkSpec
 /** [[Mondrian]] — strict multidimensional k-anonymity by greedy
   * median cuts (LeFevre ICDE'06): the allowable-cut rule (both halves
   * ≥ k), the lower-median/left-inclusive split convention, the
-  * normalized-range dimension pick with ties by dimension order, and
-  * the release invariants (every released partition ≥ k, every row's
-  * values inside its shipped ranges, a root under k suppresses).
+  * normalized-range dimension pick with ties by dimension order, the
+  * release invariants (every released partition ≥ k, every row's
+  * values inside its shipped ranges, a root under k suppresses), the
+  * bounded-tick-domain contract (r15 verdict #1), categorical
+  * dimensions via the ordered-label encoding, and the two l-diversity
+  * modes (release-side suppression vs cut refusal).
   */
 class MondrianSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Integral-valued doubles band losslessly at unit ticks. */
+  private val unitTicks = Map(
+    "v1" -> col("v1").cast("long"), "v2" -> col("v2").cast("long"))
 
   test("hand-traced 2-round partition: round 1 cuts dim 1 at the " +
       "lower median (ties at normalized range 1.0 go to dimension " +
@@ -27,7 +34,7 @@ class MondrianSpec extends SparkSpec {
       (i.toLong, (i / 2).toDouble, (i % 2 * 10).toDouble)
     }.toDF("id", "v1", "v2")
     val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
-        k = 2L, rounds = 2)
+        k = 2L, rounds = 2, ticks = unitTicks)
       .as[(Long, Double, Double, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     assert(rel.size === 8)
@@ -53,7 +60,7 @@ class MondrianSpec extends SparkSpec {
     val d = (0 until 5).map(i => (i.toLong, i.toDouble, 0.0))
       .toDF("id", "v1", "v2")
     val whole = Mondrian.generalize(d, "id", Seq("v1", "v2"),
-        k = 3L, rounds = 3)
+        k = 3L, rounds = 3, ticks = unitTicks)
       .as[(Long, Double, Double, Double, Double)].collect()
     assert(whole.length === 5)
     assert(whole.forall(r => r._2 == 0.0 && r._3 == 4.0 &&
@@ -62,7 +69,7 @@ class MondrianSpec extends SparkSpec {
     val tiny = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0))
       .toDF("id", "v1", "v2")
     assert(Mondrian.generalize(tiny, "id", Seq("v1", "v2"),
-      k = 3L, rounds = 2).isEmpty)
+      k = 3L, rounds = 2, ticks = unitTicks).isEmpty)
   }
 
   test("property: random data — every released partition holds >= k " +
@@ -77,7 +84,7 @@ class MondrianSpec extends SparkSpec {
       val d = data.toDF("id", "v1", "v2")
       val k = 5L + rnd.nextInt(10)
       val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
-          k = k, rounds = 4)
+          k = k, rounds = 4, ticks = unitTicks)
         .as[(Long, Double, Double, Double, Double)].collect()
       assert(rel.length === n, s"round $round (root >= k: no loss)")
       val byPart = rel.groupBy(r => (r._2, r._3, r._4, r._5))
@@ -102,6 +109,52 @@ class MondrianSpec extends SparkSpec {
     }
   }
 
+  test("banding semantics: ticks coarser than the values keep " +
+      "tick-mates together — the cut lands between BANDS, and the " +
+      "released ranges still ship raw values") {
+    // v1 0..7 at width-2 bands -> ticks 0,0,1,1,2,2,3,3; k=2, 1 round:
+    // median tick 1 (running count 4 of 8) -> left = v1 in 0..3,
+    // right = v1 in 4..7 — a value cut would have split identically
+    // here, but ticks guarantee 2 and 3 (tick 1) can never separate
+    val d = (0 until 8).map(i => (i.toLong, i.toDouble, 0.0))
+      .toDF("id", "v1", "v2")
+    val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
+        k = 2L, rounds = 1,
+        ticks = Map("v1" -> floor(col("v1") / 2).cast("long"),
+          "v2" -> col("v2").cast("long")))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert((0 to 3).forall(i => rel(i.toLong) === ((0.0, 3.0))))
+    assert((4 to 7).forall(i => rel(i.toLong) === ((4.0, 7.0))))
+  }
+
+  test("categorical dimensions: ordered-label cuts split the sorted " +
+      "label domain, released lo/hi are strings, and a mixed " +
+      "categorical+numeric quasi set partitions both kinds") {
+    // seg in {A,B,C,D} (labels 1..4) and v in {0, 10}, all 8 combos
+    // twice (seg and v independent): round 1 ties at 1.0 -> dim 1
+    // (seg) cuts at label median 2 (B) -> {A,B} | {C,D}; round 2's
+    // seg range has shrunk to 1/3 normalized, so v (still 1.0) cuts
+    // at 0 within each leaf
+    val d = (0 until 16).map { i =>
+      (i.toLong, ('A' + i % 4).toChar.toString, (i / 4 % 2 * 10).toDouble)
+    }.toDF("id", "seg", "v")
+    val rel = Mondrian.generalize(d, "id", Seq("seg", "v"),
+        k = 4L, rounds = 2,
+        ticks = Map("v" -> col("v").cast("long")))
+      .as[(Long, String, String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rel.size === 16)
+    for (i <- 0 until 16) {
+      val seg = ('A' + i % 4).toChar.toString
+      val v = (i / 4 % 2 * 10).toDouble
+      val want = (if (seg <= "B") ("A", "B") else ("C", "D"),
+        (v, v))
+      assert(rel(i.toLong) ===
+        ((want._1._1, want._1._2, want._2._1, want._2._2)), s"id $i")
+    }
+  }
+
   test("l-diversity gate: a k-passing leaf whose sensitive values " +
       "collapsed suppresses whole; NULL sensitive counts as one " +
       "value; l > 1 without the sensitive column throws") {
@@ -114,12 +167,13 @@ class MondrianSpec extends SparkSpec {
       (6L, 3.0, 0.0, "x"), (7L, 3.0, 10.0, "y"))
       .toDF("id", "v1", "v2", "s")
     val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
-        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L)
+        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L,
+        ticks = unitTicks)
       .select($"id").as[Long].collect().toSet
     assert(rel === Set(4L, 5L, 6L, 7L))
     // without l the same cut releases everything
     val relK = Mondrian.generalize(d, "id", Seq("v1", "v2"),
-        k = 4L, rounds = 1)
+        k = 4L, rounds = 1, ticks = unitTicks)
       .select($"id").as[Long].collect().toSet
     assert(relK === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
     // NULL sensitive is one value: a leaf of {NULL, "x"} has l_div 2
@@ -128,18 +182,92 @@ class MondrianSpec extends SparkSpec {
       (2L, 1.0, 0.0, Option.empty[String]), (3L, 1.0, 1.0, Some("x")))
       .toDF("id", "v1", "v2", "s")
     val reln = Mondrian.generalize(dn, "id", Seq("v1", "v2"),
-        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L)
+        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L,
+        ticks = unitTicks)
       .select($"id").as[Long].collect().toSet
     assert(reln === Set(0L, 1L, 2L, 3L))
     intercept[IllegalArgumentException] {
-      Mondrian.generalize(d, "id", Seq("v1", "v2"), 2L, 1, None, 2L)
+      Mondrian.generalize(d, "id", Seq("v1", "v2"), 2L, 1, None, 2L,
+        unitTicks)
     }
   }
 
-  test("empty input releases nothing; guards fire loudly") {
+  test("cut-refusal l-diversity: the cut the release-side gate " +
+      "suppresses under is REFUSED instead, the partition stays " +
+      "coarse, and everything releases; a cut that keeps both sides " +
+      "diverse still happens") {
+    // the release-gate fixture above: cutting v1 at 1 leaves the left
+    // side with one sensitive value -> under cut refusal that cut is
+    // not allowable; v2's cut (at 0) keeps both sides {x[,y]} ... left
+    // of v2=0 is {x,x,x,y} (ids 0,2,4,6 -> s x,x,x,x — wait: sens by
+    // id: 0..4 x, 5 y, 6 x, 7 y; v2=0 side = ids 0,2,4,6 all "x")
+    // so v2's cut is refused too (left side l_div 1) -> NO cut at
+    // all, the root releases whole at full ranges
+    val d = Seq(
+      (0L, 0.0, 0.0, "x"), (1L, 0.0, 10.0, "x"),
+      (2L, 1.0, 0.0, "x"), (3L, 1.0, 10.0, "x"),
+      (4L, 2.0, 0.0, "x"), (5L, 2.0, 10.0, "y"),
+      (6L, 3.0, 0.0, "x"), (7L, 3.0, 10.0, "y"))
+      .toDF("id", "v1", "v2", "s")
+    val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
+        k = 2L, rounds = 2, sensitive = Some($"s"), l = 2L,
+        ticks = unitTicks, lDiverseCuts = true)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rel.length === 8)
+    assert(rel.forall(r => r._2 == 0.0 && r._3 == 3.0 &&
+      r._4 == 0.0 && r._5 == 10.0))
+    // interleave the sensitive across v1 so both halves stay diverse:
+    // the k-allowable cut is now l-allowable too and happens
+    val d2 = Seq(
+      (0L, 0.0, 0.0, "x"), (1L, 0.0, 10.0, "y"),
+      (2L, 1.0, 0.0, "x"), (3L, 1.0, 10.0, "y"),
+      (4L, 2.0, 0.0, "x"), (5L, 2.0, 10.0, "y"),
+      (6L, 3.0, 0.0, "x"), (7L, 3.0, 10.0, "y"))
+      .toDF("id", "v1", "v2", "s")
+    val rel2 = Mondrian.generalize(d2, "id", Seq("v1", "v2"),
+        k = 4L, rounds = 1, sensitive = Some($"s"), l = 2L,
+        ticks = unitTicks, lDiverseCuts = true)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(rel2(_) === ((0.0, 1.0))))
+    assert(Seq(4L, 5L, 6L, 7L).forall(rel2(_) === ((2.0, 3.0))))
+  }
+
+  test("property: under cut refusal with a root that satisfies k and " +
+      "l, NOTHING suppresses and every leaf holds >= k rows and >= l " +
+      "distinct sensitive values") {
+    val rnd = new scala.util.Random(190L)
+    for (round <- 1 to 4) {
+      val n = 80 + rnd.nextInt(120)
+      val data = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(40).toDouble, rnd.nextInt(6).toDouble,
+          s"s${rnd.nextInt(4)}")
+      }
+      val d = data.toDF("id", "v1", "v2", "s")
+      val k = 5L + rnd.nextInt(8)
+      val rel = Mondrian.generalize(d, "id", Seq("v1", "v2"),
+          k = k, rounds = 4, sensitive = Some($"s"), l = 2L,
+          ticks = unitTicks, lDiverseCuts = true)
+        .as[(Long, Double, Double, Double, Double)].collect()
+      // the fixture's root always has >= 2 sensitive values and
+      // n >= k, so zero suppression is the invariant
+      assert(rel.length === n, s"round $round (no suppression)")
+      val sensById = data.map(r => r._1 -> r._4).toMap
+      val byPart = rel.groupBy(r => (r._2, r._3, r._4, r._5))
+      byPart.foreach { case (part, rs) =>
+        assert(rs.length >= k, s"round $round $part size")
+        assert(rs.map(r => sensById(r._1)).distinct.length >= 2,
+          s"round $round $part diversity")
+      }
+    }
+  }
+
+  test("empty input releases nothing; guards fire loudly — including " +
+      "the bounded-domain contract (fractional dims need ticks, " +
+      "tick spans past 2^40 refuse)") {
     val empty = Seq.empty[(Long, Double, Double)].toDF("id", "v1", "v2")
     assert(Mondrian.generalize(empty, "id", Seq("v1", "v2"),
-      k = 2L, rounds = 2).isEmpty)
+      k = 2L, rounds = 2, ticks = unitTicks).isEmpty)
     val d = Seq((1L, 1.0, 1.0)).toDF("id", "v1", "v2")
     intercept[IllegalArgumentException] {
       Mondrian.generalize(d, "id", Seq("v1"), k = 2L, rounds = 2)
@@ -150,5 +278,25 @@ class MondrianSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mondrian.generalize(d, "id", Seq("v1", "v2"), k = 2L, rounds = 21)
     }
+    // a fractional dimension without ticks is refused loudly: the
+    // engine partitions bounded tick domains, never raw continuous
+    // values (r15 verdict #1)
+    val exFrac = intercept[IllegalArgumentException] {
+      Mondrian.generalize(d, "id", Seq("v1", "v2"), k = 2L, rounds = 2)
+    }
+    assert(exFrac.getMessage.contains("BANDED"))
+    // a tick span wider than 2^40 means the banding is not bounded
+    val wide = Seq((1L, 0L, 0.0), (2L, 1L << 45, 1.0))
+      .toDF("id", "t", "v2")
+    val exWide = intercept[IllegalArgumentException] {
+      Mondrian.generalize(wide, "id", Seq("t", "v2"), k = 1L,
+        rounds = 1, ticks = Map("v2" -> col("v2").cast("long")))
+    }
+    assert(exWide.getMessage.contains("band it coarser"))
+    // integral dims band as themselves — no ticks needed
+    val ints = (0 until 4).map(i => (i.toLong, i.toLong, i % 2))
+      .toDF("id", "t", "v2")
+    assert(Mondrian.generalize(ints, "id", Seq("t", "v2"),
+      k = 2L, rounds = 1).count() === 4L)
   }
 }

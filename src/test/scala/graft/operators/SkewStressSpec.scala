@@ -153,4 +153,29 @@ class SkewStressSpec extends SparkSpec {
       info(s"kSuppress agg task inputs: ${inputs.sorted.mkString(",")}")
     }
   }
+
+  test("Mondrian cut stats keep the busiest task within 2x the " +
+      "median on a wide banded domain with a 40% hot tick (r15 " +
+      "verdict #1: the old per-leaf histogram window sorted every " +
+      "distinct value of the round-1 single leaf in ONE task)") {
+    withSkewConfs {
+      import org.apache.spark.sql.functions._
+      // one leaf (the round-1 regime), ~100k distinct ticks, 40% of
+      // rows on one hot tick — the shape that funneled the whole
+      // histogram through one window task before the two-level split
+      val rows = spark.range(400000L).selectExpr(
+        "'' AS _leaf",
+        "CASE WHEN id % 5 < 2 THEN 1.0 ELSE " +
+          "cast(1 + pmod(id * 2654435761, 100000) as double) END AS _v1")
+        .withColumn("_t1", col("_v1").cast("long"))
+      val inputs = reduceTaskInputs {
+        Mondrian.dimCutStats(rows, 1, shift = 9,
+          measureCol = col("_v1"), lEnforce = None).count(): Unit
+      }
+      assert(spreadRatio(inputs) <= 2.0,
+        s"Mondrian stats max/median must be <= 2; " +
+          s"task inputs ${inputs.sorted}")
+      info(s"Mondrian stats task inputs: ${inputs.sorted.mkString(",")}")
+    }
+  }
 }
