@@ -624,6 +624,119 @@ class PrivacySpec extends SparkSpec {
     assert(Privacy.epsilonSpentTicks(vt2) === 0L)
   }
 
+  test("releaseKSuppress puts the information-loss counts on the " +
+      "manifest (rows in/released, groups total/suppressed — counts " +
+      "only, never keys); txn replay skips the evidence jobs") {
+    val vt = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-loss")
+        .toString)
+    // fixture groups: (US,AUTO)=3, (US,BIKE)=1, (DE,AUTO)=3,
+    // (NULL,AUTO)=2; k=2 -> BIKE's singleton group suppresses:
+    // 8 of 9 rows released, 1 of 4 groups suppressed
+    val v = Privacy.releaseKSuppress(vt, df.withColumn("id",
+        monotonically_increasing_id()),
+      Seq("nation", "segment"), k = 2L, txnId = Some("loss-1"))
+    val audit = vt.auditOf(v)
+    assert(audit("privacy.mechanism") === "k_suppress")
+    assert(audit("privacy.k") === "2")
+    assert(audit("privacy.rows_in") === "9")
+    assert(audit("privacy.rows_released") === "8")
+    assert(audit("privacy.groups_total") === "4")
+    assert(audit("privacy.groups_suppressed") === "1")
+    assert(vt.read().count() === 8L)
+    // the release content matches the plain operator
+    assert(vt.read().select($"nation", $"segment").distinct().count()
+      === 3L)
+    // replay: same version back, nothing recommitted
+    assert(Privacy.releaseKSuppress(vt, df,
+      Seq("nation", "segment"), k = 2L, txnId = Some("loss-1")) === v)
+    assert(vt.currentVersion.get === v)
+    // the k+l variant records l too
+    val v2 = Privacy.releaseKSuppress(vt, df,
+      Seq("nation", "segment"), k = 2L, sensitive = Some($"sens"),
+      l = 2L, txnId = Some("loss-2"))
+    val a2 = vt.auditOf(v2)
+    assert(a2("privacy.l") === "2")
+    // (NULL,AUTO) has one sensitive value -> it now suppresses too
+    assert(a2("privacy.rows_released") === "6")
+    assert(a2("privacy.groups_suppressed") === "2")
+  }
+
+  test("releaseTSuppress evidence counts TRUE group sizes (NULL " +
+      "sensitive rows ride with safe groups) and counts the " +
+      "conservatively-suppressed all-NULL group") {
+    val vt = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-tloss")
+        .toString)
+    // the tSuppress fixture: A and B match the global distribution
+    // (EMD 0, safe); C is all-NULL sensitive -> suppresses with no
+    // census row; A's NULL row releases with its safe group
+    val d = Seq(
+      ("A", Some(1L), 1L), ("A", Some(2L), 2L), ("A", None, 3L),
+      ("B", Some(1L), 4L), ("B", Some(2L), 5L),
+      ("C", None, 6L), ("C", None, 7L))
+      .toDF("g", "sens", "id")
+    val v = Privacy.releaseTSuppress(vt, d, Seq("g"), $"sens",
+      tTicks = 100000L, txnId = Some("tloss-1"))
+    val audit = vt.auditOf(v)
+    assert(audit("privacy.mechanism") === "t_suppress")
+    assert(audit("privacy.rows_in") === "7")
+    assert(audit("privacy.rows_released") === "5")
+    assert(audit("privacy.groups_total") === "3")
+    assert(audit("privacy.groups_suppressed") === "1")
+    assert(vt.read().select($"id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("parallel composition: releases on DISJOINT scopes spend the " +
+      "MAX, same-scope and unscoped releases ADD, the gate admits a " +
+      "scoped release a naive sum would refuse, and the state " +
+      "survives appends + vacuum") {
+    val vt = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-par")
+        .toString)
+    val d = Seq(("A", 1L), ("B", 2L)).toDF("g", "v")
+    val r = Privacy.dpCounts(d, Seq("g"), 500000L, seed = 7L)
+    // two disjoint scopes at 400k each: composed spend is max = 400k
+    Privacy.releaseDp(vt, r, "laplace_count", 400000L,
+      scope = Some("region-eu")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 400000L)
+    Privacy.releaseDp(vt, r, "laplace_count", 400000L,
+      scope = Some("region-us")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 400000L)
+    // same scope again: that scope rises to 800k -> composed 800k
+    Privacy.releaseDp(vt, r, "laplace_count", 400000L,
+      scope = Some("region-eu")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 800000L)
+    // an unscoped release adds on top of the scoped maximum
+    Privacy.releaseDp(vt, r, "laplace_count", 100000L,
+      deltaTicks = 5L): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 900000L)
+    assert(Privacy.deltaSpentTicks(vt) === 5L)
+    // the gate sees composed totals: +300k on region-us lands at
+    // 700k composed -> under a 1.1M cap even though the naive sum
+    // (400+400+400+100+300) would blow it; +300k MORE on region-eu
+    // would compose to 1.2M -> refused
+    Privacy.releaseDpGated(vt, r, "laplace_count", 300000L,
+      capTicks = 1100000L, scope = Some("region-us")): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 900000L)
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.releaseDpGated(vt, r, "laplace_count", 300000L,
+        capTicks = 1100000L, scope = Some("region-eu"))
+    }
+    assert(ex.getMessage.contains("budget exhausted"))
+    // scope state folds forward across ordinary commits and vacuum
+    vt.commit(d): Unit
+    vt.vacuum(retain = 1, graceMs = 0): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === 900000L)
+    assert(Privacy.budgetState(vt)("region-eu")._1 === 800000L)
+    // scope hygiene is loud
+    intercept[IllegalArgumentException] {
+      Privacy.releaseDp(vt, r, "laplace_count", 1L,
+        scope = Some("bad;scope"))
+    }
+  }
+
   test("property: for random data, the release equals the rows whose " +
       "census group is safe, and suppressed rows are exactly the " +
       "k-risky groups' rows") {
