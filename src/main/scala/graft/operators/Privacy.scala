@@ -220,10 +220,22 @@ object Privacy {
       .filter(col("_sens").isNotNull)
     val hist = base.groupBy(qs :+ col("_sens"): _*)
       .agg(count(lit(1)).as("_cnt"))
-    val global = base.groupBy(col("_sens"))
-      .agg(count(lit(1)).as("_gcnt"))
-    // _N from the global HISTOGRAM (histogram-sized input), not a
-    // third scan of the fact table
+    tCensusFromHist(hist, quasiCols, tTicks)
+  }
+
+  /** The census tail shared with the STREAMING leg
+    * ([[graft.streaming.StreamingTCensus]]): given the per-(quasi,
+    * sensitive) count histogram — the mergeable state both legs
+    * maintain — compute the ordered-domain EMD census. Everything
+    * here is histogram-sized: the global distribution is a
+    * sensitive-domain-sized rollup OF THE HISTOGRAM, never a second
+    * fact scan.
+    */
+  private[graft] def tCensusFromHist(hist: DataFrame,
+      quasiCols: Seq[String], tTicks: Long): DataFrame = {
+    val qs = quasiCols.map(col)
+    val global = hist.groupBy(col("_sens"))
+      .agg(sum(col("_cnt")).as("_gcnt"))
     val total = global.agg(sum(col("_gcnt")).as("_N"))
     val groups = hist.groupBy(qs: _*).agg(sum(col("_cnt")).as("_ng"))
     // the histogram side renames its columns: groupBy preserves expr

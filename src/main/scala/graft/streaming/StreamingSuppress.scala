@@ -85,4 +85,101 @@ object StreamingSuppress {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         updateGroup(k))
   }
+
+  /** A timestamped observation for the TTL gate. */
+  final case class ObsT(quasi: String, payload: String,
+      ts: java.sql.Timestamp)
+
+  /** One gated row: `released = true` is a normal release;
+    * `released = false` is the DEAD-LETTER leg — the row's group
+    * never reached k within the TTL, so its buffer expired to the
+    * DLQ instead of being silently released (or silently leaked as
+    * state forever). Route on the flag: the false rows go to the
+    * quarantine sink, never the extract.
+    */
+  final case class Gated(quasi: String, payload: String,
+      released: Boolean)
+
+  /** [[observations]] with the event timestamp the TTL clock runs on. */
+  def observationsTimed(df: DataFrame, quasiCols: Seq[String],
+      payload: Column, ts: Column): Dataset[ObsT] = {
+    require(quasiCols.nonEmpty, "suppression needs quasi-identifiers")
+    import df.sparkSession.implicits._
+    df.select(
+      concat_ws("\u0001", quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+        .as("quasi"),
+      payload.cast("string").as("payload"),
+      ts.cast("timestamp").as("ts"))
+      .as[ObsT]
+  }
+
+  private def updateGroupTtl(k: Long, ttlMs: Long)(
+      quasi: String, obs: Iterator[ObsT],
+      state: GroupState[GroupBuf]): Iterator[Gated] = {
+    if (state.hasTimedOut) {
+      val prior = state.getOption.getOrElse(GroupBuf(0L, Nil))
+      if (prior.buffered.nonEmpty) {
+        // an under-k buffer went stale: expire it to the DLQ and drop
+        // ALL the group's state — a late k-th arrival starts a FRESH
+        // group (the expired rows are in quarantine, not in the
+        // release; re-admitting them would need a re-ingest)
+        state.remove()
+        prior.buffered.iterator.map(Gated(quasi, _, released = false))
+      } else {
+        // a stale timeout on a group that crossed k before it fired:
+        // keep the pass-through state, register no new timeout
+        state.update(prior)
+        Iterator.empty
+      }
+    } else {
+      val prior = state.getOption.getOrElse(GroupBuf(0L, Nil))
+      val batch = obs.toSeq
+      val n = prior.n + batch.size
+      if (n >= k) {
+        state.update(GroupBuf(n, Nil))
+        (prior.buffered ++ batch.map(_.payload)).iterator
+          .map(Gated(quasi, _, released = true))
+      } else {
+        state.update(GroupBuf(n, prior.buffered ++ batch.map(_.payload)))
+        // the TTL clock is event time: expire when the watermark
+        // passes the group's newest event + ttl (the set point must
+        // sit past the current watermark or Spark rejects it)
+        val maxTs = batch.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
+  }
+
+  /** The hold-until-k gate with an EVENT-TIME TTL (r15 ADVICE #3 /
+    * verdict next-round #8): the plain gate buffers an under-k
+    * group's payloads FOREVER by design — on a long-lived stream
+    * with a fine quasi key that state is unbounded in group count,
+    * each stuck group pinning up to k−1 full payloads. This variant
+    * expires a buffer whose group has seen nothing for `ttlMs` of
+    * event time: the buffered rows emit on the DEAD-LETTER leg
+    * (`released = false` — never silently released, never silently
+    * dropped) and the group's state is removed, so a late arrival
+    * starts a fresh group. Crossed-k groups keep their O(1) count
+    * state and pass through forever, exactly like the plain gate.
+    *
+    * The released-true prefix still equals `Privacy.kSuppress` over
+    * the NON-EXPIRED rows; expiry deliberately trades the exact
+    * whole-prefix equivalence for bounded payload state — the DLQ is
+    * the audit trail of that trade. `watermarkDelay` is the usual
+    * lateness allowance applied to `ts` before the stateful gate.
+    */
+  def withTtl(obs: Dataset[ObsT], k: Long, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Gated] = {
+    import obs.sparkSession.implicits._
+    require(k >= 1, "k must be >= 1")
+    require(ttlMs > 0, "ttl must be positive")
+    obs.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.quasi)
+      .flatMapGroupsWithState[GroupBuf, Gated](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateGroupTtl(k, ttlMs))
+  }
 }

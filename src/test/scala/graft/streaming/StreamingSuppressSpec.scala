@@ -97,4 +97,78 @@ class StreamingSuppressSpec extends SparkSpec {
     assert(spark.table("suppress_bound").count() === 5L)
     q.stop()
   }
+
+  test("event-time TTL: an under-k buffer expires to the DEAD-LETTER " +
+      "leg when the watermark passes its newest event + ttl — never " +
+      "released, never silently dropped — and a late k-th arrival " +
+      "starts a FRESH group") {
+    import StreamingSuppress.{Gated, ObsT}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val input = MemoryStream[ObsT]
+    val q = StreamingSuppress.withTtl(input.toDS(), k = 3L,
+        ttlMs = 1000L)
+      .writeStream.format("memory").queryName("ttl_gate")
+      .outputMode(OutputMode.Append()).start()
+    def table(): Seq[(String, String, Boolean)] =
+      spark.table("ttl_gate")
+        .as[(String, String, Boolean)].collect().toSeq
+    // batch 1: group A buffers 2 of k=3; W is the watermark driver
+    input.addData(Seq(ObsT("A", "a1", ts(1000L)), ObsT("A", "a2", ts(2000L)),
+      ObsT("W", "w1", ts(500L))))
+    q.processAllAvailable()
+    // nothing reaches k in batch 1; W's own lone row (ts 500, so its
+    // ttl point 1500 sits under the new 2000 watermark) may already
+    // expire to the DLQ — never released either way
+    assert(table().forall(r => !r._3), "nothing reaches k in batch 1")
+    assert(table().forall(_._1 != "A"), "A's buffer holds in batch 1")
+    // batch 2 pushes the watermark far past A's newest event + ttl;
+    // the timeout fires in the NEXT batch (watermarks advance at
+    // batch boundaries)
+    input.addData(Seq(ObsT("W", "w2", ts(50000L))))
+    q.processAllAvailable()
+    input.addData(Seq(ObsT("W", "w3", ts(51000L))))
+    q.processAllAvailable()
+    val afterExpiry = table()
+    assert(afterExpiry.filter(r => r._1 == "A" && !r._3)
+      .map(_._2).toSet === Set("a1", "a2"),
+      s"A's buffer must land on the DLQ leg, got $afterExpiry")
+    assert(afterExpiry.filter(r => r._1 == "A" && r._3).isEmpty,
+      "expired rows are never released")
+    // late arrivals for A start a FRESH group: 3 new rows reach k and
+    // release; the expired a1/a2 stay in quarantine; W never reaches
+    // k=3 within any ttl window, so no W row ever releases
+    input.addData(Seq(ObsT("A", "a3", ts(52000L)),
+      ObsT("A", "a4", ts(52100L)), ObsT("A", "a5", ts(52200L))))
+    q.processAllAvailable()
+    q.stop()
+    val fin = table()
+    assert(fin.filter(r => r._1 == "A" && r._3).map(_._2).toSet ===
+      Set("a3", "a4", "a5"))
+    assert(fin.filter(r => r._1 == "A" && !r._3).map(_._2).toSet ===
+      Set("a1", "a2"))
+    assert(fin.filter(r => r._1 == "W" && r._3).isEmpty)
+  }
+
+  test("TTL gate without expiry pressure matches the plain gate: " +
+      "released-true rows equal batch kSuppress over the prefix") {
+    import StreamingSuppress.{Gated, ObsT}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val obsT = obsSeq.zipWithIndex.map { case (o, i) =>
+      ObsT(o.quasi, o.payload, ts(1000L + i)) }
+    val input = MemoryStream[ObsT]
+    val q = StreamingSuppress.withTtl(input.toDS(), k = 2L,
+        ttlMs = 3600000L)
+      .writeStream.format("memory").queryName("ttl_plain")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(obsT.take(4)); q.processAllAvailable()
+    input.addData(obsT.drop(4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttl_plain")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(got.forall(_._3), "nothing expired under a huge ttl")
+    assert(got.map(_._2).toSet === batchReleased(2L))
+  }
+
 }
