@@ -241,9 +241,8 @@ object Mondrian {
     var r = 1
     var live = true
     while (live && r <= rounds) {
-      val stats = (1 to d).map(i =>
-        dimCutStats(rows, i, shiftBits(i - 1), measure(i),
-          if (lDiverseCuts) Some(l) else None))
+      val stats = cutStats(rows, shiftBits, (1 to d).map(measure),
+        if (lDiverseCuts) Some(l) else None)
       val normRng = (1 to d).foldLeft(lit(0.0)) { (acc, i) =>
         when(col("_dim") === i,
           if (g(i - 1) > 0) col("_rng") / g(i - 1) else lit(0.0))
@@ -254,7 +253,7 @@ object Mondrian {
           col("_lcnt") >= k && col("_tot") - col("_lcnt") >= k &&
             col("_ldl") >= l && col("_ldr") >= l
         else col("_lcnt") >= k && col("_tot") - col("_lcnt") >= k
-      val cuts = stats.reduce(_ unionByName _)
+      val cuts = stats
         .filter(allowable)
         .withColumn("_nrm", normRng)
         .withColumn("_rn", row_number().over(Window
@@ -316,45 +315,67 @@ object Mondrian {
           col(s"_hi${i + 1}").as(s"${c}_hi")) }: _*)
   }
 
-  /** Per-(leaf, dimension) cut statistics off the pinned tick
-    * histogram, every window DOMAIN-bounded (r15 verdict #1): the
-    * lower median tick (first tick whose running count reaches
+  /** Cut statistics for EVERY dimension of a round off ONE melted
+    * frame — (leaf, dim, med, lcnt, tot, rng [, per-side diversity]):
+    * the lower median tick (first tick whose running count reaches
     * ceil(tot/2) — cum·2 ≥ tot, integer arithmetic), the left-side
     * row count, the leaf total, and the measure range for
-    * choose_dimension. The running count is a two-level prefix sum:
+    * choose_dimension. Melting the d dimensions into (leaf, dim,
+    * tick, measure) rows BEFORE the histogram costs the same total
+    * row throughput as d per-dimension passes but collapses the
+    * round to ONE stage chain — at d separate chains the wall was
+    * stage-count, not data (measured on q180: the per-dim variant
+    * doubled the query).
+    *
+    * Every window is DOMAIN-bounded (r15 verdict #1): the running
+    * count is a two-level prefix sum over the tick histogram —
     * coarse buckets = ticks arithmetic-shifted by ~half the domain
-    * bits (order-preserving on negatives), per-bucket offsets from a
-    * window over the (leaf, bucket) SUBTOTALS (≤ 2^(b−s) rows per
-    * leaf), the fine cum from a window per (leaf, bucket) (≤ 2^s
-    * histogram rows per task). The histogram is the only fact-sized
-    * pass and is pinned (tick-domain-bounded, two consumers).
+    * bits (order-preserving on negatives), per-(leaf, dim) bucket
+    * offsets AND leaf totals from one Window operator over the
+    * bucket SUBTOTALS (≤ 2^(b−s) rows per partition; running +
+    * unbounded frames share the sort), the fine cum per (leaf, dim,
+    * bucket) (≤ 2^s histogram rows per task). The histogram is
+    * deliberately unpinned: its two consumers sit in the same
+    * cut-table collect job, and recomputing an aggregate of the
+    * PINNED round frame beat both an eager per-dim local-checkpoint
+    * barrier and a columnar cache in measurement.
     *
     * With `lEnforce` (cut-refusal l-diversity) the stats also carry
-    * per-side sensitive diversity for THIS dimension's candidate
-    * median, from the (leaf, sensitive) tick-span table: a sensitive
-    * value has presence on the left iff its min tick ≤ median, on
-    * the right iff its max tick > median.
+    * per-side sensitive diversity for each dimension's candidate
+    * median, from the (leaf, dim, sensitive) tick-span table: a
+    * sensitive value has presence on the left iff its min tick ≤
+    * median, on the right iff its max tick > median.
     */
-  private[graft] def dimCutStats(rows: DataFrame, i: Int,
-      shift: Int, measureCol: Column,
-      lEnforce: Option[Long]): DataFrame = {
-    val hist = graft.core.Pin.reuse(
-      rows.groupBy(col("_leaf"), col(s"_t$i").as("_t"))
-        .agg(count(lit(1)).as("_n"),
-          min(measureCol).as("_mlo"), max(measureCol).as("_mhi"))
-        .withColumn("_crs", shiftright(col("_t"), shift)))
-    val wOff = Window.partitionBy("_leaf").orderBy("_crs")
-    val offs = hist.groupBy(col("_leaf"), col("_crs"))
+  private[graft] def cutStats(rows: DataFrame, shifts: Seq[Int],
+      measures: Seq[Column], lEnforce: Option[Long]): DataFrame = {
+    val d = shifts.size
+    val carry = col("_leaf") +:
+      (if (lEnforce.isDefined) Seq(col("_sens")) else Nil)
+    val melted = rows.select(carry :+ explode(array(
+        (1 to d).map(i => struct(
+          lit(i).as("_dim"),
+          col(s"_t$i").as("_t"),
+          shiftright(col(s"_t$i"), shifts(i - 1)).as("_crs"),
+          measures(i - 1).as("_m"))): _*)).as("_x"): _*)
+      .select(carry :+ col("_x.*"): _*)
+    val hist = melted
+      .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"))
+      .agg(count(lit(1)).as("_n"),
+        min(col("_m")).as("_mlo"), max(col("_m")).as("_mhi"))
+    val wOff = Window.partitionBy("_leaf", "_dim").orderBy("_crs")
+    val wTot = wOff.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = hist.groupBy(col("_leaf"), col("_dim"), col("_crs"))
       .agg(sum(col("_n")).as("_cn"))
       .withColumn("_off", sum(col("_cn")).over(wOff) - col("_cn"))
-    val tots = offs.groupBy(col("_leaf")).agg(sum(col("_cn")).as("_tot"))
-    val wFine = Window.partitionBy("_leaf", "_crs").orderBy("_t")
+      .withColumn("_tot", sum(col("_cn")).over(wTot))
+    val wFine = Window.partitionBy("_leaf", "_dim", "_crs")
+      .orderBy("_t")
     val stats = hist
-      .join(offs.select(col("_leaf"), col("_crs"), col("_off")),
-        Seq("_leaf", "_crs"))
+      .join(offs.select(col("_leaf"), col("_dim"), col("_crs"),
+        col("_off"), col("_tot")), Seq("_leaf", "_dim", "_crs"))
       .withColumn("_cum", sum(col("_n")).over(wFine) + col("_off"))
-      .join(broadcast(tots), Seq("_leaf"))
-      .groupBy(col("_leaf"))
+      .groupBy(col("_leaf"), col("_dim"))
       .agg(
         min(when(col("_cum") * 2 >= col("_tot"), col("_t")))
           .as("_med"),
@@ -362,26 +383,44 @@ object Mondrian {
           .as("_lcnt"),
         max(col("_tot")).as("_tot"),
         (max(col("_mhi")) - min(col("_mlo"))).as("_rng"))
-      .withColumn("_dim", lit(i))
     lEnforce match {
       case None => stats.withColumn("_ldl", lit(Long.MaxValue))
         .withColumn("_ldr", lit(Long.MaxValue))
       case Some(_) =>
-        // (leaf, sensitive) tick spans: one group-count-sized agg
-        val span = rows.groupBy(col("_leaf"), col("_sens"))
-          .agg(min(col(s"_t$i")).as("_tmn"), max(col(s"_t$i")).as("_tmx"))
+        // the stats feed BOTH the diversity join's median side and
+        // the final output: a lazy cache on the (leaf × d)-row frame
+        // dedupes the whole histogram chain within the one collect
+        // job (tiny frame — the columnar-cache cost objection to
+        // pinning the histogram does not apply here)
+        val statsP = stats.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // (leaf, dim, sensitive) tick spans: one group-count-sized agg
+        val span = melted
+          .groupBy(col("_leaf"), col("_dim"), col("_sens"))
+          .agg(min(col("_t")).as("_tmn"), max(col("_t")).as("_tmx"))
         val ld = span
-          .join(broadcast(stats.select(col("_leaf"), col("_med"))),
-            Seq("_leaf"))
-          .groupBy(col("_leaf"))
+          .join(broadcast(statsP.select(col("_leaf"), col("_dim"),
+            col("_med"))), Seq("_leaf", "_dim"))
+          .groupBy(col("_leaf"), col("_dim"))
           .agg(count(when(col("_tmn") <= col("_med"), lit(1)))
             .as("_ldl"),
             count(when(col("_tmx") > col("_med"), lit(1)))
               .as("_ldr"))
-        stats.join(ld, Seq("_leaf"), "left")
+        statsP.join(ld, Seq("_leaf", "_dim"), "left")
           .withColumn("_ldl", coalesce(col("_ldl"), lit(0L)))
           .withColumn("_ldr", coalesce(col("_ldr"), lit(0L)))
     }
+  }
+
+  /** Single-dimension stats — the plan-shape/skew spec hook (the
+    * fixtures plant one dimension; production rounds go through
+    * [[cutStats]] with every dimension melted into the same frame).
+    */
+  private[graft] def dimCutStats(rows: DataFrame, i: Int,
+      shift: Int, measureCol: Column,
+      lEnforce: Option[Long]): DataFrame = {
+    require(i == 1, "the spec hook plants dimension 1")
+    cutStats(rows, Seq(shift), Seq(measureCol), lEnforce)
   }
 
   /** Q180 — Mondrian release over `customer`: quasi dimensions
