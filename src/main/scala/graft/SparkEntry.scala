@@ -295,6 +295,8 @@ object SparkEntry {
       Mondrian.q190MondrianCutRefusal(s, d)),
     "q191_mondrian_categorical" -> ((s: SparkSession, d: String) =>
       Mondrian.q191MondrianCategorical(s, d)),
+    "q192_dp_sum_gaussian" -> ((s: SparkSession, d: String) =>
+      Privacy.q192DpSumGaussian(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2034,6 +2036,10 @@ object SparkEntry {
         Mondrian.OracleDim("n_name", "n_name", categorical = true),
         Mondrian.OracleDim("c_acctbal", "c_acctbal")),
       from = "customer JOIN nation ON c_nationkey = n_nationkey"),
+    // q192: Gaussian-mechanism sum release — the (eps, delta) pair
+    // that exercises the ledger's delta field; sigma calibrated once
+    // driver-side and shared with the oracle as an exact double
+    "q192_dp_sum_gaussian" -> Privacy.dpSumGaussianOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

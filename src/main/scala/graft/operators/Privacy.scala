@@ -431,6 +431,22 @@ object Privacy {
     -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
   }
 
+  /** The deterministic STANDARD-NORMAL draw of the noise seam — the
+    * Gaussian-mechanism counterpart of [[laplaceDraw]]: Box–Muller
+    * from TWO independent fingerprint-mixed uniforms,
+    * z = sqrt(−2·ln u1) · cos(2π·u2). The same engine-portability
+    * contract as the Laplace/Gumbel draws (ln already proven
+    * bit-identical across Spark and DuckDB by the q177/q181/q183
+    * oracles; cos/sqrt verified by the q192 oracle at both sfs), and
+    * the same NOT-DP-until-production-swaps-the-CSPRNG caveat.
+    */
+  private def gaussianDraw(key1: Column, key2: Column): Column = {
+    def u(k: Column): Column =
+      (pmod(TextAnalysis.fingerprint(k) * lit(2654435761L),
+        lit(2147483648L)) + lit(0.5)) / lit(2.147483648e9)
+    sqrt(lit(-2.0) * log(u(key1))) * cos(lit(2.0 * math.Pi) * u(key2))
+  }
+
   /** DIFFERENTIALLY-PRIVATE COUNT RELEASE mechanics — the third
     * privacy leg: where [[kSuppress]] protects by dropping rows,
     * the Laplace mechanism releases EVERY group with calibrated
@@ -510,6 +526,59 @@ object Privacy {
         (col("_s") + round(col("_lap"), 0).cast("long"))
           .as("released_sum"): _*)
   }
+
+  /** DP SUM under the GAUSSIAN MECHANISM — the (ε, δ) release that
+    * puts the ledger's δ field to work: for ε ∈ (0, 1), noise
+    * N(0, σ²) with σ = Δ·sqrt(2·ln(1.25/δ))/ε and Δ = hi − lo is
+    * (ε, δ)-DP (the classic Gaussian mechanism, Dwork & Roth 2014
+    * Thm A.1). Why a pipeline picks it over [[dpSum]]'s Laplace:
+    * Gaussian noise CONCENTRATES (sub-gaussian tails) and composes
+    * by summing VARIANCES, so across many releases the same total
+    * privacy buys materially less noise — at the price of the δ
+    * failure mass, which is exactly what the ledger records
+    * ([[releaseDp]] with `deltaTicks`; disjoint scopes compose in
+    * parallel for δ too). Per-row clamp bounds the L2 sensitivity at
+    * Δ (each row contributes to ONE group), exact long sums, and a
+    * deterministic Box–Muller draw on the shared seam (salt suffixes
+    * `:gs1`/`:gs2` keep the two uniforms independent of each other
+    * and of any Laplace release over the same groups). σ is
+    * calibrated ONCE driver-side and inlined, so the oracle shares
+    * the exact double.
+    */
+  def dpSumGaussian(df: DataFrame, quasiCols: Seq[String],
+      valueTicks: Column, loTicks: Long, hiTicks: Long,
+      epsilonTicks: Long = 500000L, deltaTicks: Long = 1000L,
+      seed: Long = 0L): DataFrame = {
+    require(quasiCols.nonEmpty, "dpSumGaussian needs group columns")
+    require(epsilonTicks > 0 && epsilonTicks < 1000000L,
+      "the classic Gaussian-mechanism calibration holds for " +
+        "0 < epsilon < 1 (ticks in (0, 1e6)); for epsilon >= 1 use " +
+        "the Laplace dpSum")
+    require(deltaTicks > 0 && deltaTicks < 1000000L,
+      "delta must sit in (0, 1) ticks — delta = 0 is pure-epsilon " +
+        "territory (Laplace); delta >= 1 is no guarantee at all")
+    require(loTicks < hiTicks, "dpSumGaussian needs a clamp range lo < hi")
+    val qs = quasiCols.map(col)
+    val sigma = gaussianSigma(loTicks, hiTicks, epsilonTicks, deltaTicks)
+    val clamped = greatest(least(valueTicks.cast("long"),
+      lit(hiTicks)), lit(loTicks))
+    df.groupBy(qs: _*).agg(sum(clamped).as("_s"))
+      .withColumn("_z", gaussianDraw(
+        noiseKey(quasiCols, s"$seed:gs1"),
+        noiseKey(quasiCols, s"$seed:gs2")))
+      .select(qs :+
+        (col("_s") + round(lit(sigma) * col("_z"), 0).cast("long"))
+          .as("released_sum"): _*)
+  }
+
+  /** The classic Gaussian-mechanism scale, computed ONCE driver-side
+    * so the engine and the oracle share the identical double.
+    */
+  private[graft] def gaussianSigma(loTicks: Long, hiTicks: Long,
+      epsilonTicks: Long, deltaTicks: Long): Double =
+    (hiTicks - loTicks) *
+      math.sqrt(2.0 * math.log(1.25 / (deltaTicks / 1e6))) /
+      (epsilonTicks / 1e6)
 
   /** DP MEAN RELEASE — the standard composition: an ε/2 noised
     * clamped sum ([[dpSum]]'s clamp, so sum sensitivity is hi − lo)
@@ -1143,6 +1212,51 @@ object Privacy {
        |    AS released_sum
        |FROM u
        |ORDER BY c_mktsegment""".stripMargin
+  }
+
+  /** Q192 — GAUSSIAN-MECHANISM sum release over `customer` by
+    * (segment, nation): cents spend sums, contributions clamped to
+    * [0, 500000], (ε, δ) = (0.5, 1e-3), seed 192 — the release whose
+    * δ actually lands on the ledger (see [[releaseDp]]).
+    */
+  def q192DpSumGaussian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dpSumGaussian(Tables.load(spark, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        round($"c_acctbal" * 100, 0).cast("long"),
+        loTicks = 0L, hiTicks = 500000L,
+        epsilonTicks = 500000L, deltaTicks = 1000L, seed = 192L)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** DuckDB oracle for [[q192DpSumGaussian]] — same clamp, same exact
+    * long sum, same Box–Muller dag; σ inlined as the driver-computed
+    * double (shortest-round-trip literal parses back bit-identical).
+    */
+  def dpSumGaussianOracleSql(loTicks: Long = 0L,
+      hiTicks: Long = 500000L, epsilonTicks: Long = 500000L,
+      deltaTicks: Long = 1000L, seed: Long = 192L): String = {
+    val sigma = gaussianSigma(loTicks, hiTicks, epsilonTicks, deltaTicks)
+    def key(salt: String): String =
+      "concat_ws(chr(1), coalesce(c_mktsegment::VARCHAR, chr(2)), " +
+        s"coalesce(c_nationkey::VARCHAR, chr(2)), '$seed:$salt')"
+    def unif(gk: String): String =
+      s"((((${TextAnalysis.fingerprintSql(gk)}) * 2654435761) " +
+        "% 2147483648 + 0.5) / 2147483648.0)"
+    s"""WITH g AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    sum(greatest(least(round(c_acctbal * 100, 0)::BIGINT,
+       |      $hiTicks), $loTicks))::BIGINT AS s,
+       |    ${key("gs1")} AS gk1, ${key("gs2")} AS gk2
+       |  FROM customer GROUP BY 1, 2),
+       | u AS (SELECT c_mktsegment, c_nationkey, s,
+       |    ${unif("gk1")} AS u1, ${unif("gk2")} AS u2
+       |  FROM g)
+       |SELECT c_mktsegment, c_nationkey,
+       |  s + round($sigma * (sqrt(-2.0 * ln(u1))
+       |      * cos(${2.0 * math.Pi} * u2)), 0)::BIGINT AS released_sum
+       |FROM u
+       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
   }
 
   /** Q182 — DP MEAN release over `customer` by nation: mean account

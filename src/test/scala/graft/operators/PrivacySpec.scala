@@ -624,6 +624,70 @@ class PrivacySpec extends SparkSpec {
     assert(Privacy.epsilonSpentTicks(vt2) === 0L)
   }
 
+  test("dpSumGaussian: released sums equal a driver-side recompute " +
+      "of the Box-Muller dag at the driver-calibrated sigma; " +
+      "deterministic per seed; noise bounded; the delta lands on the " +
+      "ledger; guards fire for the epsilon/delta domains") {
+    val data = (1 to 60).map(i =>
+      (s"n${i % 5}", s"s${i % 2}", (i * 37 % 200).toLong))
+    val d = data.toDF("nation", "segment", "v")
+    val (lo, hi, eps, del) = (0L, 100L, 500000L, 1000L)
+    val sigma = Privacy.gaussianSigma(lo, hi, eps, del)
+    def fp(str: String): Long =
+      str.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def unif(key: String): Double = {
+      val m = (fp(key) * 2654435761L) % 2147483648L
+      (m + 0.5) / 2147483648.0
+    }
+    def z(n: String, sgm: String, seed: Long): Double = {
+      val u1 = unif(n + "\u0001" + sgm + "\u0001" + s"$seed:gs1")
+      val u2 = unif(n + "\u0001" + sgm + "\u0001" + s"$seed:gs2")
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+    def expected(seed: Long): Map[(String, String), Long] =
+      data.groupBy(r => (r._1, r._2)).map { case ((n, sgm), rs) =>
+        val cs = rs.map(r => math.max(lo, math.min(hi, r._3))).sum
+        (n, sgm) -> (cs + BigDecimal(sigma * z(n, sgm, seed))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    val got = Privacy.dpSumGaussian(d, Seq("nation", "segment"), $"v",
+        lo, hi, epsilonTicks = eps, deltaTicks = del, seed = 5L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected(5L))
+    // deterministic per seed; a different seed draws differently
+    assert(Privacy.dpSumGaussian(d, Seq("nation", "segment"), $"v",
+        lo, hi, epsilonTicks = eps, deltaTicks = del, seed = 6L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap === expected(6L))
+    // non-vacuous noise, bounded by sigma * maxima of the B-M dag
+    // over the coarse uniform: |z| <= sqrt(2 ln 2^31) ~ 6.56
+    val truth = data.groupBy(r => (r._1, r._2)).view.mapValues(rs =>
+      rs.map(r => math.max(lo, math.min(hi, r._3))).sum)
+    assert(got.exists { case (k, v) => truth(k) != v })
+    val bound = sigma * math.sqrt(2.0 * math.log(2.147483648e9)) + 1
+    assert(got.forall { case (k, v) => math.abs(v - truth(k)) <= bound })
+    // the (eps, delta) pair lands on the ledger via releaseDp
+    val vt = new graft.store.VersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-priv-gauss")
+        .toString)
+    Privacy.releaseDp(vt,
+      Privacy.dpSumGaussian(d, Seq("nation", "segment"), $"v", lo, hi,
+        eps, del, seed = 5L),
+      "gaussian_sum", epsilonTicks = eps, deltaTicks = del): Unit
+    assert(Privacy.epsilonSpentTicks(vt) === eps)
+    assert(Privacy.deltaSpentTicks(vt) === del)
+    // guards: the classic calibration needs eps < 1 and delta in (0,1)
+    intercept[IllegalArgumentException] {
+      Privacy.dpSumGaussian(d, Seq("nation"), $"v", lo, hi,
+        epsilonTicks = 1000000L, deltaTicks = del)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpSumGaussian(d, Seq("nation"), $"v", lo, hi,
+        epsilonTicks = eps, deltaTicks = 0L)
+    }
+  }
+
   test("releaseKSuppress puts the information-loss counts on the " +
       "manifest (rows in/released, groups total/suppressed — counts " +
       "only, never keys); txn replay skips the evidence jobs") {
