@@ -297,6 +297,10 @@ object SparkEntry {
       Mondrian.q191MondrianCategorical(s, d)),
     "q192_dp_sum_gaussian" -> ((s: SparkSession, d: String) =>
       Privacy.q192DpSumGaussian(s, d)),
+    "q193_dp_prefix" -> ((s: SparkSession, d: String) =>
+      DpPrefix.q193DpPrefix(s, d)),
+    "q194_rr_frequency" -> ((s: SparkSession, d: String) =>
+      LocalDp.q194RrFrequency(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2040,6 +2044,16 @@ object SparkEntry {
     // that exercises the ledger's delta field; sigma calibrated once
     // driver-side and shared with the oracle as an exact double
     "q192_dp_sum_gaussian" -> Privacy.dpSumGaussianOracleSql(),
+    // q193: continual-release DP counts (binary mechanism) — dyadic
+    // node counts + set-bit prefix decomposition at hour grain; the
+    // noise seam rides the shared fingerprint + Knuth mix, keyed by
+    // (level, node), so Spark and DuckDB draw identical Laplace
+    "q193_dp_prefix" -> DpPrefix.dpPrefixOracleSql(),
+    // q194: local-DP randomized response — the no-trusted-curator
+    // model; one fingerprint, two multiplier remixes (correlated-
+    // coin finding, see LocalDp), channel constants inlined driver-
+    // side so both engines share exact doubles
+    "q194_rr_frequency" -> LocalDp.rrFrequencyOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed

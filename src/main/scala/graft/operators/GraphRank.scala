@@ -1316,14 +1316,14 @@ object GraphRank {
     * rows are excluded by contract.
     *
     * Scale shape: one scalar total (1-row cross join, plan-side),
-    * one partial-agg leftover scalar, ONE global window — over
-    * DOMAINS, not URLs (millions of rows, not billions; the q126
-    * per-domain-window contrast is deliberate: apportionment is
-    * inherently a global order over remainders). At 100M+ domains
-    * the documented refinement is a distributed selection of the
-    * L-th remainder, filtering to the tie boundary before ranking.
-    * The weight table is pinned: it feeds the total, the leftover,
-    * and the ranked output.
+    * one partial-agg leftover scalar, and the remainder rank via
+    * [[graft.core.Ranks.globalRowNumber]] — apportionment is
+    * inherently a global order over remainders, but the rank runs as
+    * a range-partitioned two-level row number ((rem desc, domain) is
+    * total, so ranks are partition-invariant), never as the
+    * single-reducer window that would funnel 100M+ domains through
+    * one task. The weight table is pinned: it feeds the total, the
+    * leftover, and the ranked output.
     */
   def crawlBudget(weights: DataFrame, budget: Long): DataFrame = {
     import weights.sparkSession.implicits._
@@ -1335,10 +1335,8 @@ object GraphRank {
       .withColumn("rem", expr(s"($budget * wt) % W"))
       .transform(Pin.reuse)
     val leftover = based.agg((lit(budget) - sum($"base")).as("L"))
-    based.crossJoin(leftover)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"rem".desc, $"domain")))
+    graft.core.Ranks.globalRowNumber(based.crossJoin(leftover),
+        Seq($"rem".desc, $"domain"), "rk")
       .select($"domain", $"wt".as("weight"), $"base".as("base_quota"),
         when($"rk" <= $"L", 1L).otherwise(0L).as("extra"))
       .withColumn("quota", $"base_quota" + $"extra")

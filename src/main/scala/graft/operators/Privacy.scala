@@ -398,7 +398,7 @@ object Privacy {
   /** Group key || salt for the noise seam, NULLs as a sentinel
     * (concat_ws would skip them and collide NULL with empty).
     */
-  private def noiseKey(quasiCols: Seq[String], salt: String): Column =
+  private[operators] def noiseKey(quasiCols: Seq[String], salt: String): Column =
     concat_ws("\u0001",
       quasiCols.map(c =>
         coalesce(col(c).cast("string"), lit("\u0002"))) :+
@@ -423,28 +423,47 @@ object Privacy {
     -log(-log(u))
   }
 
-  private def laplaceDraw(keyStr: Column, b: Double): Column = {
-    val m = pmod(TextAnalysis.fingerprint(keyStr) * lit(2654435761L),
-      lit(2147483648L))
+  private[operators] def laplaceDraw(keyStr: Column, b: Double): Column =
+    laplaceDrawMult(TextAnalysis.fingerprint(keyStr), b, 2654435761L)
+
+  /** One Laplace(b) from a SHARED fingerprint and a draw-specific
+    * odd multiplier — the r16 decorrelation device (see
+    * [[gaussianDraw]]): a release that needs TWO draws per group
+    * remixes one fingerprint rather than salting two keys, because
+    * same-length salts give affine-correlated fingerprints.
+    */
+  private[operators] def laplaceDrawMult(f: Column, b: Double,
+      mult: Long): Column = {
+    val m = pmod(f * lit(mult), lit(2147483648L))
     val u = (m + lit(0.5)) / lit(2.147483648e9)
     val c = u - lit(0.5)
     -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
   }
 
   /** The deterministic STANDARD-NORMAL draw of the noise seam — the
-    * Gaussian-mechanism counterpart of [[laplaceDraw]]: Box–Muller
-    * from TWO independent fingerprint-mixed uniforms,
-    * z = sqrt(−2·ln u1) · cos(2π·u2). The same engine-portability
-    * contract as the Laplace/Gumbel draws (ln already proven
-    * bit-identical across Spark and DuckDB by the q177/q181/q183
-    * oracles; cos/sqrt verified by the q192 oracle at both sfs), and
-    * the same NOT-DP-until-production-swaps-the-CSPRNG caveat.
+    * Gaussian-mechanism counterpart of [[laplaceDraw]]: Box–Muller,
+    * z = sqrt(−2·ln u1) · cos(2π·u2). The two uniforms come from ONE
+    * fingerprint mixed by TWO different odd multipliers (Knuth's
+    * 2654435761 and xxHash's 2246822519) — the r16 q194 finding: two
+    * SALTED keys are NOT two independent draws, because the
+    * polynomial fingerprint is affine in key differences, so the
+    * original `:gs1`/`:gs2` pair had u2 = u1 + const (mod 1) and the
+    * Box–Muller angle was a deterministic function of the radius
+    * (draws traced a 1-D curve, not a 2-D Gaussian; measured
+    * radius-angle rank correlation ≈ 1 on the q192 groups). The
+    * multiplicative remix decorrelates (measured ≈ 0). Same
+    * engine-portability contract as the Laplace/Gumbel draws
+    * (ln/cos/sqrt bit-identical across Spark and DuckDB by the
+    * q177/q181/q183/q192 oracles) and the same
+    * NOT-DP-until-production-swaps-the-CSPRNG caveat.
     */
-  private def gaussianDraw(key1: Column, key2: Column): Column = {
-    def u(k: Column): Column =
-      (pmod(TextAnalysis.fingerprint(k) * lit(2654435761L),
-        lit(2147483648L)) + lit(0.5)) / lit(2.147483648e9)
-    sqrt(lit(-2.0) * log(u(key1))) * cos(lit(2.0 * math.Pi) * u(key2))
+  private def gaussianDraw(key: Column): Column = {
+    val f = TextAnalysis.fingerprint(key)
+    def u(mult: Long): Column =
+      (pmod(f * lit(mult), lit(2147483648L)) + lit(0.5)) /
+        lit(2.147483648e9)
+    sqrt(lit(-2.0) * log(u(2654435761L))) *
+      cos(lit(2.0 * math.Pi) * u(2246822519L))
   }
 
   /** DIFFERENTIALLY-PRIVATE COUNT RELEASE mechanics — the third
@@ -539,9 +558,10 @@ object Privacy {
     * ([[releaseDp]] with `deltaTicks`; disjoint scopes compose in
     * parallel for δ too). Per-row clamp bounds the L2 sensitivity at
     * Δ (each row contributes to ONE group), exact long sums, and a
-    * deterministic Box–Muller draw on the shared seam (salt suffixes
-    * `:gs1`/`:gs2` keep the two uniforms independent of each other
-    * and of any Laplace release over the same groups). σ is
+    * deterministic Box–Muller draw on the shared seam (ONE `:gs`
+    * salted key, two multiplier remixes — see [[gaussianDraw]] for
+    * why two salted keys would NOT be independent — keeping the pair
+    * independent of any Laplace release over the same groups). σ is
     * calibrated ONCE driver-side and inlined, so the oracle shares
     * the exact double.
     */
@@ -564,8 +584,7 @@ object Privacy {
       lit(hiTicks)), lit(loTicks))
     df.groupBy(qs: _*).agg(sum(clamped).as("_s"))
       .withColumn("_z", gaussianDraw(
-        noiseKey(quasiCols, s"$seed:gs1"),
-        noiseKey(quasiCols, s"$seed:gs2")))
+        noiseKey(quasiCols, s"$seed:gs")))
       .select(qs :+
         (col("_s") + round(lit(sigma) * col("_z"), 0).cast("long"))
           .as("released_sum"): _*)
@@ -587,8 +606,14 @@ object Privacy {
     * denominator clamps at 1 so an emptied-out noisy count cannot
     * divide by zero or flip the sign. Released as a double — the
     * division of two exact longs is deterministic across engines.
-    * Distinct salt suffixes (`:sum`, `:cnt`) keep the two draws
-    * independent.
+    * The two draws remix ONE `:mean`-salted fingerprint with two odd
+    * multipliers — distinct same-length salts (the pre-r16 `:sum`/
+    * `:cnt`) gave affine-CORRELATED uniforms (u_cnt = u_sum + const
+    * mod 1, the q194 finding), which collapsed the claimed two-draw
+    * sequential composition into one effective draw: an observer of
+    * both coordinates could pin the shared uniform and strip both
+    * noises. The remix restores a decorrelated pair on the
+    * deterministic seam (production still swaps in a CSPRNG).
     */
   def dpMean(df: DataFrame, quasiCols: Seq[String], valueTicks: Column,
       loTicks: Long, hiTicks: Long, epsilonTicks: Long = 1000000L,
@@ -603,12 +628,12 @@ object Privacy {
     val bCnt = 1e6 / epsCnt.toDouble
     val clamped = greatest(least(valueTicks.cast("long"),
       lit(hiTicks)), lit(loTicks))
+    val f = TextAnalysis.fingerprint(
+      noiseKey(quasiCols, s"$seed:mean"))
     df.groupBy(qs: _*)
       .agg(sum(clamped).as("_s"), count(lit(1)).as("_n"))
-      .withColumn("_ls",
-        laplaceDraw(noiseKey(quasiCols, s"$seed:sum"), bSum))
-      .withColumn("_lc",
-        laplaceDraw(noiseKey(quasiCols, s"$seed:cnt"), bCnt))
+      .withColumn("_ls", laplaceDrawMult(f, bSum, 2654435761L))
+      .withColumn("_lc", laplaceDrawMult(f, bCnt, 2246822519L))
       .select(qs :+
         ((col("_s") + round(col("_ls"), 0).cast("long"))
             .cast("double") /
@@ -1237,21 +1262,23 @@ object Privacy {
       hiTicks: Long = 500000L, epsilonTicks: Long = 500000L,
       deltaTicks: Long = 1000L, seed: Long = 192L): String = {
     val sigma = gaussianSigma(loTicks, hiTicks, epsilonTicks, deltaTicks)
-    def key(salt: String): String =
+    val key =
       "concat_ws(chr(1), coalesce(c_mktsegment::VARCHAR, chr(2)), " +
-        s"coalesce(c_nationkey::VARCHAR, chr(2)), '$seed:$salt')"
-    def unif(gk: String): String =
-      s"((((${TextAnalysis.fingerprintSql(gk)}) * 2654435761) " +
-        "% 2147483648 + 0.5) / 2147483648.0)"
+        s"coalesce(c_nationkey::VARCHAR, chr(2)), '$seed:gs')"
+    def unif(mult: String): String =
+      s"(((f * $mult) % 2147483648 + 0.5) / 2147483648.0)"
     s"""WITH g AS (
        |  SELECT c_mktsegment, c_nationkey,
        |    sum(greatest(least(round(c_acctbal * 100, 0)::BIGINT,
        |      $hiTicks), $loTicks))::BIGINT AS s,
-       |    ${key("gs1")} AS gk1, ${key("gs2")} AS gk2
+       |    $key AS gk
        |  FROM customer GROUP BY 1, 2),
+       | fpd AS (SELECT c_mktsegment, c_nationkey, s,
+       |    (${TextAnalysis.fingerprintSql("gk")}) AS f
+       |  FROM g),
        | u AS (SELECT c_mktsegment, c_nationkey, s,
-       |    ${unif("gk1")} AS u1, ${unif("gk2")} AS u2
-       |  FROM g)
+       |    ${unif("2654435761")} AS u1, ${unif("2246822519")} AS u2
+       |  FROM fpd)
        |SELECT c_mktsegment, c_nationkey,
        |  s + round($sigma * (sqrt(-2.0 * ln(u1))
        |      * cos(${2.0 * math.Pi} * u2)), 0)::BIGINT AS released_sum
@@ -1554,8 +1581,9 @@ object Privacy {
        |WHERE emd.emd_ticks <= $tTicks
        |ORDER BY t.c_custkey""".stripMargin
 
-  /** DuckDB oracle for [[q182DpMean]] — two independent draws (salt
-    * `:sum` / `:cnt`), the noised-long division released as double.
+  /** DuckDB oracle for [[q182DpMean]] — two independent clamp/sum, the ONE
+    * `:mean` fingerprint remixed by the two multipliers, the
+    * noised-long division released as double.
     */
   def dpMeanOracleSql(loTicks: Long = 0L, hiTicks: Long = 1000000L,
       epsilonTicks: Long = 2000000L, seed: Long = 182L): String = {
@@ -1563,27 +1591,28 @@ object Privacy {
     val epsCnt = epsilonTicks - epsSum
     val bSum = (hiTicks - loTicks) * 1e6 / epsSum
     val bCnt = 1e6 / epsCnt.toDouble
-    def key(salt: String) =
+    val key =
       "concat_ws(chr(1), coalesce(c_nationkey::VARCHAR, chr(2)), " +
-        s"'$seed:$salt')"
-    def draw(k: String, b: Double) =
-      s"""round(-$b * sign(((((${TextAnalysis.fingerprintSql(k)})
-         |      * 2654435761) % 2147483648 + 0.5)
+        s"'$seed:mean')"
+    def draw(mult: String, b: Double) =
+      s"""round(-$b * sign((((f * $mult) % 2147483648 + 0.5)
          |      / 2147483648.0) - 0.5)
-         |    * ln(1.0 - 2.0 * abs(((((${TextAnalysis.fingerprintSql(k)})
-         |      * 2654435761) % 2147483648 + 0.5)
+         |    * ln(1.0 - 2.0 * abs((((f * $mult) % 2147483648 + 0.5)
          |      / 2147483648.0) - 0.5)), 0)::BIGINT""".stripMargin
     s"""WITH g AS (
        |  SELECT c_nationkey,
        |    sum(greatest(least(round(c_acctbal * 100, 0)::BIGINT,
        |      $hiTicks), $loTicks))::BIGINT AS s,
        |    count(*)::BIGINT AS n,
-       |    ${key("sum")} AS gks, ${key("cnt")} AS gkc
-       |  FROM customer GROUP BY 1)
+       |    $key AS gk
+       |  FROM customer GROUP BY 1),
+       | fpd AS (SELECT c_nationkey, s, n,
+       |    (${TextAnalysis.fingerprintSql("gk")}) AS f
+       |  FROM g)
        |SELECT c_nationkey,
-       |  (s + ${draw("gks", bSum)})
-       |    / greatest(1, n + ${draw("gkc", bCnt)}) AS released_mean
-       |FROM g
+       |  (s + ${draw("2654435761", bSum)})
+       |    / greatest(1, n + ${draw("2246822519", bCnt)}) AS released_mean
+       |FROM fpd
        |ORDER BY c_nationkey""".stripMargin
   }
 }

@@ -141,6 +141,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_crs"), "the coarse/fine split must be planned")
   }
 
+  test("q137: the apportionment rank never funnels domains through " +
+      "one task — the row number windows per range bucket, and the " +
+      "only SinglePartition exchanges feed scalar aggregates") {
+    val df = GraphRank.q137CrawlBudget(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(_rnk_pid"),
+      s"rank must window per range bucket:\n$p")
+    // no unpartitioned DATA window: every windowspecdefinition either
+    // partitions (first arg is a bare column) or is the bounded
+    // offsets frame ordered by the bucket id
+    val dataUnpart =
+      """windowspecdefinition\((?!_rnk_pid)\S+ (ASC|DESC)""".r
+        .findFirstIn(p)
+    assert(dataUnpart.isEmpty,
+      s"unpartitioned data window crept back: $dataUnpart\n$p")
+  }
+
   test("q43: chunking is shuffle-free — pure per-row fan-out on the scan") {
     val p = plan(TextStats.chunk(Tables.load(spark, sf, "documents")))
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")

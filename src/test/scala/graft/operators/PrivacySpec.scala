@@ -233,8 +233,8 @@ class PrivacySpec extends SparkSpec {
     val bCnt = 1e6 / 200000.0
     def fp(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
-    def lap(key: String, b: Double): Double = {
-      val m = (fp(key) * 2654435761L) % 2147483648L
+    def lap(f: Long, mult: Long, b: Double): Double = {
+      val m = (f * mult) % 2147483648L
       val u = (m + 0.5) / 2147483648.0
       val c = u - 0.5
       -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
@@ -245,9 +245,11 @@ class PrivacySpec extends SparkSpec {
       val sums = Map("A" -> (4L + 8L + 10L), "B" -> 6L) // 100 clamps to 10
       val ns = Map("A" -> 3L, "B" -> 1L)
       sums.map { case (g, s) =>
-        val noisedS = s + rnd(lap(g + "\u0001" + seed + ":sum", bSum))
+        // one :mean key, two multiplier remixes (r16 decorrelation)
+        val f = fp(g + "\u0001" + seed + ":mean")
+        val noisedS = s + rnd(lap(f, 2654435761L, bSum))
         val noisedN = math.max(1L,
-          ns(g) + rnd(lap(g + "\u0001" + seed + ":cnt", bCnt)))
+          ns(g) + rnd(lap(f, 2246822519L, bCnt)))
         g -> noisedS.toDouble / noisedN.toDouble
       }
     }
@@ -263,8 +265,9 @@ class PrivacySpec extends SparkSpec {
           epsilonTicks = eps, seed = s)
         .as[(String, Double)].head()._2
       // denominator 1 means the release IS the noised sum exactly
-      val noisedS = 5L + rnd(lap("solo" + "\u0001" + s + ":sum", bSum))
-      val noisedN = 1L + rnd(lap("solo" + "\u0001" + s + ":cnt", bCnt))
+      val fSolo = fp("solo" + "\u0001" + s + ":mean")
+      val noisedS = 5L + rnd(lap(fSolo, 2654435761L, bSum))
+      val noisedN = 1L + rnd(lap(fSolo, 2246822519L, bCnt))
       noisedN < 1L && m == noisedS.toDouble
     }
     assert(clampFired)
@@ -635,13 +638,15 @@ class PrivacySpec extends SparkSpec {
     val sigma = Privacy.gaussianSigma(lo, hi, eps, del)
     def fp(str: String): Long =
       str.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
-    def unif(key: String): Double = {
-      val m = (fp(key) * 2654435761L) % 2147483648L
+    def unif(f: Long, mult: Long): Double = {
+      val m = (f * mult) % 2147483648L
       (m + 0.5) / 2147483648.0
     }
     def z(n: String, sgm: String, seed: Long): Double = {
-      val u1 = unif(n + "\u0001" + sgm + "\u0001" + s"$seed:gs1")
-      val u2 = unif(n + "\u0001" + sgm + "\u0001" + s"$seed:gs2")
+      // one key, two multiplier remixes (the r16 decorrelation)
+      val f = fp(n + "\u0001" + sgm + "\u0001" + s"$seed:gs")
+      val u1 = unif(f, 2654435761L)
+      val u2 = unif(f, 2246822519L)
       math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
     }
     def expected(seed: Long): Map[(String, String), Long] =
