@@ -301,6 +301,8 @@ object SparkEntry {
       DpPrefix.q193DpPrefix(s, d)),
     "q194_rr_frequency" -> ((s: SparkSession, d: String) =>
       LocalDp.q194RrFrequency(s, d)),
+    "q195_svt_nations" -> ((s: SparkSession, d: String) =>
+      Svt.q195SvtNations(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2054,6 +2056,9 @@ object SparkEntry {
     // coin finding, see LocalDp), channel constants inlined driver-
     // side so both engines share exact doubles
     "q194_rr_frequency" -> LocalDp.rrFrequencyOracleSql(),
+    // q195: sparse vector technique — the c=3 restarts unrolled as
+    // CTEs; identities and pass order ship, counts never do
+    "q195_svt_nations" -> Svt.svtOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed
