@@ -61,17 +61,38 @@ object LocalDp {
       .filter(col("_cat").isNotNull)
     val cats = rows.select(col("_cat")).distinct()
       .orderBy(col("_cat")).limit(4097)
-      .collect().map(_.getString(0))
+      .collect().map(_.getString(0)).toIndexedSeq
     require(cats.length >= 2,
       "randomized response needs at least 2 categories")
     require(cats.length <= 4096,
       s"category domain exceeds 4096 — a local-DP release over an" +
         " unbounded domain needs a sketch, not a dictionary")
+    val counts = rrReport(rows, col("_cat"), col("_rk"), cats,
+        epsilonTicks, seed)
+      .groupBy(col("category")).agg(count(lit(1)).as("reported_n"))
+    estimates(counts, rows.count(), cats, epsilonTicks)
+  }
+
+  /** The CLIENT side of the channel, per row against a FIXED
+    * dictionary — streaming-safe (pure projections, no aggregation),
+    * so `readStream → rrReport → groupBy(category).count` maintains
+    * the reported counts incrementally (Update mode, state
+    * k-sized) and [[estimates]] over the maintained table is the
+    * batch release: the [[DpPrefix]] split, spec'd batch ≡ stream.
+    * Rows whose category is outside the dictionary (impossible in
+    * batch, possible on an open stream) are dropped — an LDP channel
+    * only transports enumerated categories.
+    */
+  def rrReport(df: DataFrame, category: Column, rowKey: Column,
+      cats: Seq[String], epsilonTicks: Long, seed: Long): DataFrame = {
     val k = cats.length
     val eps = epsilonTicks / 1e6
     val p = math.exp(eps) / (math.exp(eps) + k - 1)
-    val q = (1.0 - p) / (k - 1)
     val dict = array(cats.map(lit): _*)
+    val rows = df.select(category.cast("string").as("_cat"),
+        rowKey.cast("string").as("_rk"))
+      .filter(col("_cat").isNotNull)
+      .filter(array_contains(dict, col("_cat")))
     // true index from the broadcast dictionary (1-based array_position)
     val idx = (array_position(dict, col("_cat")) - 1L).cast("int")
     val f = TextAnalysis.fingerprint(
@@ -81,11 +102,20 @@ object LocalDp {
       lit(k - 1)).cast("int")
     val reported = when(keep, idx)
       .otherwise(when(other >= idx, other + 1).otherwise(other))
-    val counts = rows.select(element_at(dict, reported + 1).as("category"))
-      .groupBy(col("category")).agg(count(lit(1)).as("reported_n"))
-    val n = rows.count()
-    // every category ships a row, reported or not (total release)
-    import rows.sparkSession.implicits._
+    rows.select(element_at(dict, reported + 1).as("category"))
+  }
+
+  /** Channel inversion over a (category, reported_n) table: every
+    * dictionary category ships a row (total release), reported or
+    * not, with the unbiased estimate.
+    */
+  def estimates(counts: DataFrame, n: Long, cats: Seq[String],
+      epsilonTicks: Long): DataFrame = {
+    val k = cats.length
+    val eps = epsilonTicks / 1e6
+    val p = math.exp(eps) / (math.exp(eps) + k - 1)
+    val q = (1.0 - p) / (k - 1)
+    import counts.sparkSession.implicits._
     cats.toIndexedSeq.toDF("category")
       .join(counts, Seq("category"), "left")
       .withColumn("reported_n", coalesce(col("reported_n"), lit(0L)))
