@@ -93,7 +93,11 @@ object DpPrefix {
     * ARE the level-0 nodes; each tick fans out to its set-bit
     * decomposition, left-joins true counts (empty nodes still draw
     * noise — the mechanism releases every node), and sums. The node
-    * table is tick-domain-sized, so it broadcasts.
+    * table is tick-domain-sized; the join deliberately carries NO
+    * broadcast hint — a hint is honored at ANY size, but AQE already
+    * broadcasts the table when it is small (every fixture regime)
+    * and falls back to a shuffled join when a years-of-seconds tick
+    * domain makes it tens of millions of rows.
     */
   def releases(nodes: DataFrame, levels: Int,
       epsilonTicks: Long = 1000000L, seed: Long = 0L): DataFrame = {
@@ -107,7 +111,7 @@ object DpPrefix {
       .filter(col("_x._j") % 2 === 1)
       .select(col("_t"), col("_x._l").as("_l"), col("_x._j").as("_j"))
     dec
-      .join(broadcast(nodes), Seq("_l", "_j"), "left")
+      .join(nodes, Seq("_l", "_j"), "left")
       .withColumn("_lap", Privacy.laplaceDraw(
         Privacy.noiseKey(Seq("_l", "_j"), s"$seed:pfx"), b))
       .groupBy(col("_t"))

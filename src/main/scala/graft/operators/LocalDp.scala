@@ -62,6 +62,13 @@ object LocalDp {
     val cats = rows.select(col("_cat")).distinct()
       .orderBy(col("_cat")).limit(4097)
       .collect().map(_.getString(0)).toIndexedSeq
+    // empty-in, empty-out (the house contract EmptyInputSpec pins):
+    // no observations means no channel and nothing to release
+    if (cats.isEmpty) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(String, Long, Long)]
+        .toDF("category", "reported_n", "est_n")
+    }
     require(cats.length >= 2,
       "randomized response needs at least 2 categories")
     require(cats.length <= 4096,
