@@ -44,14 +44,16 @@ import graft.core.Tables
   */
 object IndexMaintenance {
 
-  /** Drop every index row whose `idCol` is in `deleted` — broadcast
-    * anti-join, the one purge primitive every per-row-keyed standing
-    * index repairs with. `deleted` needs a single `idCol` column
-    * (extra columns are ignored).
+  /** Drop every index row whose `idCol` is in `deleted` — an
+    * UNHINTED anti-join, the one purge primitive every per-row-keyed
+    * standing index repairs with: AQE broadcasts a takedown batch
+    * while it is small and shuffles an RTBF wave past threshold (a
+    * forced broadcast hint is honored at any size). `deleted` needs a
+    * single `idCol` column (extra columns are ignored).
     */
   def purge(index: DataFrame, deleted: DataFrame,
       idCol: String = "doc_id"): DataFrame =
-    index.join(broadcast(deleted.select(col(idCol)).distinct()),
+    index.join(deleted.select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
   /** Q153 — takedown end-to-end: build the BM25 postings index over

@@ -165,8 +165,10 @@ object NearDup {
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("co"))
-    co.join(broadcast(counts.select($"doc_id".as("doc_a"), $"n".as("na"))), "doc_a")
-      .join(broadcast(counts.select($"doc_id".as("doc_b"), $"n".as("nb"))), "doc_b")
+    // counts is DOC-count-sized: unhinted, so AQE broadcasts it at
+    // small corpora and shuffles the pair table past threshold
+    co.join(counts.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(counts.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .withColumn("jac", $"co".cast("double") / ($"na" + $"nb" - $"co"))
       .filter($"jac" >= minJaccard)
       .select($"doc_a", $"doc_b", $"jac")
@@ -272,7 +274,7 @@ object NearDup {
     val co = bPost.join(cPost, "sh")
       .groupBy($"doc_id", $"dup_of")
       .agg(count(lit(1)).as("co"))
-    co.join(broadcast(bs.select($"doc_id", size($"shs").cast("long").as("na"))),
+    co.join(bs.select($"doc_id", size($"shs").cast("long").as("na")),
         "doc_id")
       .join(cs.select($"doc_id".as("dup_of"), size($"shs").cast("long").as("nb")),
         "dup_of")

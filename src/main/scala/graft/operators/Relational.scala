@@ -74,16 +74,18 @@ object Relational {
 
   /** Q4 — left-outer enrich + coalesce cold-start defaults (J1 + P4;
     * reference `core/inference.py:89-126`: existing customer → stored
-    * averages, new customer → avg=value, hist=0). The aggregated feature
-    * side is one row per key — small relative to the event stream — so
-    * it is broadcast; no shuffle of the big side.
+    * averages, new customer → avg=value, hist=0). The aggregated
+    * feature side is one row per USER — smaller than the event stream
+    * but user-domain-sized, so the join is UNHINTED: AQE broadcasts
+    * it while small and falls back to a shuffle when the user base
+    * outgrows executor memory (the SCALE.md enrichment note).
     */
   def q4EnrichJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = t(spark, dir, "events")
     val features = e.groupBy($"user_id")
       .agg(avg($"value").as("f_avg_value"), count(lit(1)).as("f_n"))
-    e.join(broadcast(features), Seq("user_id"), "left_outer")
+    e.join(features, Seq("user_id"), "left_outer")
       .select(
         $"event_id", $"user_id", $"value",
         coalesce($"f_avg_value", $"value").as("avg_value"),

@@ -60,7 +60,7 @@ object SemDedup {
       .select($"id".as("vec_id"), lit(true).as("is_dup_survivor"))
     pinned.select($"vec_id", $"cell")
       .join(nonKeepers, Seq("vec_id"), "left_anti")
-      .join(broadcast(reps), Seq("vec_id"), "left")
+      .join(reps, Seq("vec_id"), "left")
       .select($"vec_id", $"cell",
         coalesce($"is_dup_survivor", lit(false)).as("is_dup_survivor"))
   }

@@ -87,8 +87,9 @@ object TextAnalysis {
     *    group ([[TextNorm]]) — a truncated/extended variant.
     *
     * Shape: one projection for the counts, one partial-agg'd
-    * (doc, token) → (doc) max for the repetition rule, and a
-    * broadcast of the (dup-sized) canonical groups.
+    * (doc, token) → (doc) max for the repetition rule, and an
+    * UNHINTED join of the (dup-count-sized) canonical groups — AQE
+    * broadcasts them while small, shuffles past threshold.
     */
   def qualityGateReport(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -104,7 +105,7 @@ object TextAnalysis {
       .filter($"doc_id" =!= $"canon_id")
       .select($"doc_id", lit(true).as("dup0"))
     base.join(maxTok, "doc_id")
-      .join(broadcast(dupPre), Seq("doc_id"), "left")
+      .join(dupPre, Seq("doc_id"), "left")
       .select($"doc_id",
         ($"n_tok" < 30L).as("too_short"),
         ($"n_stop" * 20L < $"n_tok").as("low_stopword"),

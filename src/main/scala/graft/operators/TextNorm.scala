@@ -48,7 +48,7 @@ object TextNorm {
     val groups = keyed.groupBy($"canon")
       .agg(min($"doc_id").as("canon_id"), count(lit(1)).as("group_size"))
       .filter($"group_size" > 1L)
-    keyed.join(broadcast(groups), "canon")
+    keyed.join(groups, "canon")
       .select($"doc_id", $"canon_id", $"group_size")
   }
 

@@ -117,8 +117,10 @@ object TextStats {
     * round differently across engines and flip near-ties.)
     *
     * Shape at scale: tf is one (doc, term) partial-agg; df one
-    * (term) agg, broadcast (vocabularies are bounded; a df-side
-    * shuffle join is the fallback switch); per-doc top-k is a window
+    * (term) agg, joined UNHINTED — AQE broadcasts the vocabulary
+    * while it is small and flips to a shuffle join past threshold (a
+    * forced hint would be honored at ANY size — the r16 DpPrefix
+    * lesson); per-doc top-k is a window
     * over ≤ |doc| rows per key — bounded groups, so the window is the
     * right tool here (unlike q16's corpus-sized probe groups).
     */
@@ -128,7 +130,7 @@ object TextStats {
     val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val ranked = tf.join(broadcast(df), "term")
+    val ranked = tf.join(df, "term")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
           .orderBy($"tf".desc, $"df".asc, $"term".asc)))
@@ -297,7 +299,7 @@ object TextStats {
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val c2 = c12.groupBy($"w2").agg(sum($"c12").as("c2"))
     val t = c12.agg(sum($"c12").as("t"))
-    c12.join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+    c12.join(c1, "w1").join(c2, "w2")
       .crossJoin(broadcast(t))
       .filter($"c12" >= minCount)
       .select($"w1", $"w2", $"c12", $"c1", $"c2",
