@@ -132,7 +132,8 @@ object Plans {
       "q186_t_suppress", "q187_quasi_scan", "q188_mondrian_kl",
       "q189_dp_quantile", "q190_mondrian_cut_refusal",
       "q191_mondrian_categorical", "q192_dp_sum_gaussian",
-      "q193_dp_prefix", "q194_rr_frequency", "q195_svt_nations")
+      "q193_dp_prefix", "q194_rr_frequency", "q195_svt_nations",
+      "q196_cms_frequency")
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of headline queries\n\n"
     out ++= s"Generated by `graft.Plans` on `$sf`. What to look for:\n"

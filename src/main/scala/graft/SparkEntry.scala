@@ -303,6 +303,8 @@ object SparkEntry {
       LocalDp.q194RrFrequency(s, d)),
     "q195_svt_nations" -> ((s: SparkSession, d: String) =>
       Svt.q195SvtNations(s, d)),
+    "q196_cms_frequency" -> ((s: SparkSession, d: String) =>
+      CmsLdp.q196CmsFrequency(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2059,6 +2061,9 @@ object SparkEntry {
     // q195: sparse vector technique — the c=3 restarts unrolled as
     // CTEs; identities and pass order ship, counts never do
     "q195_svt_nations" -> Svt.svtOracleSql(),
+    // q196: one-bit count-mean sketch (open-domain LDP) — the
+    // nonlinear squaring scramble keeps (j, l) cells Poisson-flat
+    "q196_cms_frequency" -> CmsLdp.cmsOracleSql(),
     // q105: hybrid RRF — fuses the q103 BM25 ranking (k=10) with the
     // q16-contract cosine ranking (k=10, self excluded) on RANKS
     // only; the fused score is two 1/(60+rank) terms added in a fixed
