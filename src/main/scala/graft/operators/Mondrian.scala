@@ -57,8 +57,11 @@ import graft.core.Tables
   * is bounded by the DOMAIN contract (≤ 2^20 rows at the 40-bit
   * ceiling), independent of the corpus. The per-leaf cut table —
   * ≤ 2^round rows, a bounded driver read (the [[Privacy.generalize]]
-  * (j+1)-row pick contract) — broadcasts back. The fact table never
-  * shuffles; rounds are capped (leaf count doubles per round, so
+  * (j+1)-row pick contract) — folds back as a literal CASE projection
+  * (broadcast join only past [[MaxLiteralCuts]] cuts per round), so
+  * the working frame stays a chain of projections over ONE pinned
+  * base: the fact table never shuffles and, since r16, never re-pins
+  * per round; rounds are capped (leaf count doubles per round, so
   * `rounds` beyond ~20 is meaningless anyway — every leaf long since
   * hit k).
   */
@@ -77,6 +80,14 @@ object Mondrian {
     * than that is an identifier, not a category.
     */
   val MaxCategories: Long = 65536L
+
+  /** Cut/leaf tables fold back into the plan as literal CASE
+    * projections up to this many branches (the bench queries run 4
+    * rounds — ≤ 15 cuts, ≤ 16 leaves); past it (deep-round runs) the
+    * broadcast-join + per-round-pin shape takes over, because a
+    * multi-thousand-branch CASE outgrows codegen method limits.
+    */
+  val MaxLiteralCuts: Int = 128
 
   /** Partition `df` by strict Mondrian over quasi `dims` and release
     * (idCol, dim1_lo, dim1_hi, …): every row tagged with its final
@@ -151,14 +162,18 @@ object Mondrian {
     // string min/max the released range bounds for free.
     val dicts: Map[Int, DataFrame] = dims.zipWithIndex.collect {
       case (c, ix) if isCat(ix) =>
-        val vals = df.select(col(c).cast("string").as("_v"))
+        // ONE job (TakeOrdered of MaxCategories+1): the old
+        // count-then-collect pair cost two full aggregations per
+        // categorical dimension, and the limit keeps the driver read
+        // bounded even when the guard is about to fire
+        val labels = df.select(col(c).cast("string").as("_v"))
           .filter(col("_v").isNotNull).distinct()
-        val cnt = vals.count()
-        require(cnt <= MaxCategories,
-          s"Mondrian categorical dimension '$c' has $cnt distinct " +
-            s"values (max $MaxCategories) — that is an identifier, " +
-            "not a category; band or hash it first")
-        val labels = vals.orderBy(col("_v")).as[String].collect()
+          .orderBy(col("_v")).limit(MaxCategories.toInt + 1)
+          .as[String].collect()
+        require(labels.length <= MaxCategories,
+          s"Mondrian categorical dimension '$c' has more than " +
+            s"$MaxCategories distinct values — that is an " +
+            "identifier, not a category; band or hash it first")
         ix -> labels.zipWithIndex
           .map { case (v, j) => (v, (j + 1).toLong) }.toSeq
           .toDF(s"_dv${ix + 1}", s"_dt${ix + 1}")
@@ -200,11 +215,20 @@ object Mondrian {
       if (isCat(i - 1)) col(s"_t$i").cast("double") else col(s"_v$i")
     val sensCol = sensitive.map(sc =>
       coalesce(sc.cast("string"), lit("\u0002")).as("_sens")).toSeq
-    val base = joined.select((col(idCol).as("_id") +: (vCols ++ tCols))
-      ++ sensCol: _*)
-      .filter((1 to d)
-        .map(i => col(s"_v$i").isNotNull && col(s"_t$i").isNotNull)
-        .reduce(_ && _))
+    // pinned ONCE (r16 optimization): every round's stats action, the
+    // final ranges and the l-div gate all re-read this narrow
+    // (id, values, ticks[, sens]) projection. The old shape pinned
+    // the FULL working frame once per round (a table-sized
+    // localCheckpoint write per round at 100 TB); pinning the base
+    // projection once and attaching cuts as literal CASE projections
+    // (below) makes every later round a pure re-projection of these
+    // pinned blocks — zero further writes.
+    val base = graft.core.Pin.reuse(
+      joined.select((col(idCol).as("_id") +: (vCols ++ tCols))
+        ++ sensCol: _*)
+        .filter((1 to d)
+          .map(i => col(s"_v$i").isNotNull && col(s"_t$i").isNotNull)
+          .reduce(_ && _)))
     // one tiny agg: global per-dimension measure ranges (the
     // choose_dimension normalizer) and tick bounds (the coarse/fine
     // shift split); 4·d scalars to the driver
@@ -238,6 +262,14 @@ object Mondrian {
       }
     }
     var rows = base.withColumn("_leaf", lit(""))
+    // driver-side leaf → cut-path map (dim, med, tookLeft): a leaf id
+    // IS its cut path, so each leaf is equivalently a BOX in tick
+    // space — the release pass below filters and projects on the box
+    // predicates (≤ `rounds` long comparisons per leaf) instead of on
+    // the leaf-string CASE chain, which the optimizer would otherwise
+    // inline wholesale into any pushed-down filter
+    var paths = Map("" -> Vector.empty[(Int, Long, Boolean)])
+    var pathsValid = true
     var r = 1
     var live = true
     while (live && r <= rounds) {
@@ -264,15 +296,40 @@ object Mondrian {
         .as[(String, Int, Long)]
         .collect() // <= 2^(round-1) rows: the bounded cut-table read
       if (cuts.isEmpty) live = false // fixed point: no allowable cut
-      else {
+      else if (cuts.length <= MaxLiteralCuts) {
+        // attach the round's cuts as a LITERAL CASE projection (r16
+        // optimization): the cut table is already a bounded driver
+        // read, so folding it back as `when(_leaf === lf, lf|dim|side)`
+        // branches removes the per-round broadcast build AND the
+        // per-round pin — the frame stays a chain of cheap projections
+        // over the ONE pinned base, so re-executing prior rounds costs
+        // a projection, not a join chain (the hazard the old per-round
+        // pin existed to cap). CollapseProject keeps each round its
+        // own layer (the CASE is non-cheap and multiply referenced),
+        // so the expression growth across rounds is linear.
+        val newLeaf = cuts.foldLeft(col("_leaf")) {
+          case (acc, (lf, dim, med)) =>
+            when(col("_leaf") === lf,
+              concat(lit(s"$lf|$dim"),
+                when(col(s"_t$dim") <= med, lit("L"))
+                  .otherwise(lit("R"))))
+              .otherwise(acc)
+        }
+        rows = rows.withColumn("_leaf", newLeaf)
+        cuts.foreach { case (lf, dim, med) =>
+          val p = paths(lf)
+          paths = paths - lf +
+            (s"$lf|${dim}L" -> (p :+ ((dim, med, true)))) +
+            (s"$lf|${dim}R" -> (p :+ ((dim, med, false))))
+        }
+      } else {
+        // wide-cut regime (> MaxLiteralCuts leaves cut in one round —
+        // deep-round runs only): the literal CASE would outgrow
+        // codegen, so keep the broadcast-join + per-round-pin shape
         val cutDf = cuts.toSeq.toDF("_leaf", "_cdim", "_cmed")
         val tPicked = (1 to d).foldLeft(lit(Long.MinValue)) { (acc, i) =>
           when(col("_cdim") === i, col(s"_t$i")).otherwise(acc)
         }
-        // pin the round's output (Pin.iterative — reliable on a
-        // cluster, localCheckpoint locally): without the cut, round
-        // r's stats and the final release re-execute every prior
-        // round's join chain from the base scan (r15 review finding)
         rows = graft.core.Pin.iterative(
           rows.join(broadcast(cutDf), Seq("_leaf"), "left")
             .withColumn("_leaf",
@@ -282,37 +339,81 @@ object Mondrian {
                   when(tPicked <= col("_cmed"), lit("L"))
                     .otherwise(lit("R")))))
             .drop("_cdim", "_cmed"))
+        pathsValid = false
       }
       r += 1
     }
-    // release: per-leaf ranges broadcast back; only the uncut root
-    // can sit under k, and then it suppresses. With l > 1, leaves
-    // whose sensitive diversity is under l suppress whole (diversity
-    // via the census's two-level agg — no distinct-state explosion).
-    // Under lDiverseCuts this gate only ever fires for the root: every
-    // cut leaf inherits ≥ l per-side diversity from the allowable rule.
+    // release: per-leaf ranges fold back as literals. The fin frame
+    // is ≤ 2^rounds rows (the same bounded-driver-read contract as
+    // the cut tables), so collecting it and attaching (lo, hi) as a
+    // per-leaf CASE removes the broadcast build and the range join
+    // from the release pass — the final plan is filter + projection
+    // over the pinned base. Only the uncut root can sit under k, and
+    // then it suppresses. With l > 1, leaves whose sensitive
+    // diversity is under l suppress whole (diversity via the
+    // census's two-level agg — no distinct-state explosion). Under
+    // lDiverseCuts this gate only ever fires for the root: every cut
+    // leaf inherits ≥ l per-side diversity from the allowable rule.
+    // Past MaxLiteralCuts leaves (deep-round runs) the broadcast-join
+    // shape returns — the CASE would outgrow codegen.
+    // the l-diversity count rides the SAME aggregation (countDistinct
+    // = the census's two-level distinct count, one exec instead of
+    // two; _ldiv appended last so the lo/hi column indices are stable)
     val fin = rows.groupBy(col("_leaf")).agg(
       count(lit(1)).as("_n"),
       (1 to d).flatMap(i => Seq(
         min(col(s"_v$i")).as(s"_lo$i"),
-        max(col(s"_v$i")).as(s"_hi$i"))): _*)
-    val released = rows.join(broadcast(fin), Seq("_leaf"))
-      .filter(col("_n") >= k)
-    val gated =
-      if (l <= 1L) released
+        max(col(s"_v$i")).as(s"_hi$i")))
+        ++ (if (l > 1L) Seq(countDistinct(col("_sens")).as("_ldiv"))
+            else Nil): _*)
+    val finRows = fin.collect()
+    if (pathsValid && finRows.length <= MaxLiteralCuts) {
+      val passing = finRows.toSeq.filter(rw =>
+        rw.getLong(1) >= k &&
+          (l <= 1L || rw.getLong(2 + 2 * d) >= l))
+      // a leaf's membership predicate over raw TICKS (its box in the
+      // cut tree): ≤ `rounds` long comparisons — cheap enough that
+      // the optimizer pushing the release filter to the scan is
+      // harmless, unlike the leaf-string CASE chain it replaces
+      def box(lf: String): Column =
+        paths(lf).foldLeft(lit(true)) {
+          case (acc, (dim, med, left)) =>
+            acc && (if (left) col(s"_t$dim") <= med
+                    else col(s"_t$dim") > med)
+        }
+      if (passing.isEmpty)
+        base.filter(lit(false)).select(col("_id").as(idCol) +:
+          dims.zipWithIndex.flatMap { case (c, i) => Seq(
+            col(s"_v${i + 1}").as(s"${c}_lo"),
+            col(s"_v${i + 1}").as(s"${c}_hi")) }: _*)
       else {
-        val lDiv = rows.groupBy(col("_leaf"), col("_sens"))
-          .agg(count(lit(1)).as("_c"))
-          .groupBy(col("_leaf")).agg(count(lit(1)).as("_ldiv"))
-          .filter(col("_ldiv") >= l)
-          .select(col("_leaf"))
-        released.join(broadcast(lDiv), Seq("_leaf"), "left_semi")
+        def range(valIx: Int): Column =
+          passing.foldLeft(lit(null).cast(
+              if (isCat((valIx - 2) / 2)) StringType
+              else org.apache.spark.sql.types.DoubleType)) {
+            (acc, rw) =>
+              when(box(rw.getString(0)), lit(rw.get(valIx)))
+                .otherwise(acc)
+          }
+        base.filter(passing.map(rw => box(rw.getString(0)))
+            .reduce(_ || _))
+          .select(col("_id").as(idCol) +:
+            dims.zipWithIndex.flatMap { case (c, i) => Seq(
+              range(2 + 2 * i).as(s"${c}_lo"),
+              range(3 + 2 * i).as(s"${c}_hi")) }: _*)
       }
-    gated
-      .select(col("_id").as(idCol) +:
-        dims.zipWithIndex.flatMap { case (c, i) => Seq(
-          col(s"_lo${i + 1}").as(s"${c}_lo"),
-          col(s"_hi${i + 1}").as(s"${c}_hi")) }: _*)
+    } else {
+      val gate =
+        if (l <= 1L) col("_n") >= k
+        else col("_n") >= k && col("_ldiv") >= l
+      val released = rows.join(broadcast(fin.filter(gate)),
+        Seq("_leaf"))
+      released
+        .select(col("_id").as(idCol) +:
+          dims.zipWithIndex.flatMap { case (c, i) => Seq(
+            col(s"_lo${i + 1}").as(s"${c}_lo"),
+            col(s"_hi${i + 1}").as(s"${c}_hi")) }: _*)
+    }
   }
 
   /** Cut statistics for EVERY dimension of a round off ONE melted
@@ -358,10 +459,19 @@ object Mondrian {
           shiftright(col(s"_t$i"), shifts(i - 1)).as("_crs"),
           measures(i - 1).as("_m"))): _*)).as("_x"): _*)
       .select(carry :+ col("_x.*"): _*)
+    // one partial-agg exchange builds the histogram, then ONE re-key
+    // to (leaf, dim, coarse) serves every downstream consumer (r16
+    // optimization): the fine running-count window sorts within the
+    // existing partitioning, the bucket-subtotal agg needs no further
+    // exchange, and the offsets join re-shuffles only the tiny
+    // subtotal side — the old shape re-exchanged the histogram once
+    // per consumer (offs agg + join), two extra histogram-sized
+    // shuffles per round
     val hist = melted
       .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"))
       .agg(count(lit(1)).as("_n"),
         min(col("_m")).as("_mlo"), max(col("_m")).as("_mhi"))
+      .repartition(col("_leaf"), col("_dim"), col("_crs"))
     val wOff = Window.partitionBy("_leaf", "_dim").orderBy("_crs")
     val wTot = wOff.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

@@ -131,11 +131,19 @@ object UrlNorm {
     val labels = col("_u_labels")
     val nl = size(labels)
     def sufK(k: Int) = array_join(slice(labels, -k, k), ".")
+    // isInCollection (InSet past the conversion threshold) instead of
+    // array_contains over a literal array: the literal-array form
+    // materializes all ~170 strings as expression-tree nodes that
+    // every optimizer pass and codegen source generation re-walks —
+    // measured ~0.3 s of driver time per execution on the queries
+    // that stack this chain several times. InSet holds the set as a
+    // single opaque constant (same null semantics: the probe value is
+    // never null here, list entries are non-null literals).
     val pubLen = when(
-        nl >= 3 && array_contains(lit(PublicSuffixes3.toArray), sufK(3)),
+        nl >= 3 && sufK(3).isInCollection(PublicSuffixes3),
         lit(3))
       .when(
-        nl >= 2 && array_contains(lit(PublicSuffixes2.toArray), sufK(2)),
+        nl >= 2 && sufK(2).isInCollection(PublicSuffixes2),
         lit(2))
       .otherwise(lit(1))
     withLabels

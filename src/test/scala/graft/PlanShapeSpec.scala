@@ -100,12 +100,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q180: every Mondrian join (cut tables, final ranges) " +
-      "broadcasts — the fact rows never sort-merge") {
+  test("q180: the Mondrian release plan is join-free — cut tables " +
+      "and final ranges fold back as literal CASE projections over " +
+      "the pinned base (r16: no per-round pin, no range join)") {
     val df = Mondrian.q180Mondrian(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Join"),
+      "the release path must not join at bench leaf counts")
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
   }
