@@ -529,6 +529,88 @@ class VersionedTable(spark: SparkSession, root: String,
       try Some(r.getRecordCount) finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** One-footer-read stats for a freshly written part file (r16
+    * optimization): record count plus, for every wanted column that
+    * is a PLAIN SIGNED INTEGER primitive (INT32/INT64, no logical
+    * annotation beyond signed int — timestamps/dates/decimals render
+    * differently from `cast(c as string)`, and binary stats may be
+    * truncated), the exact (min, max, nulls) across row groups. The
+    * integer restriction is what makes footer stats EQUAL to the
+    * read-back aggregation's `cast to string` values, so the manifest
+    * is byte-identical either way. Returns None when any wanted
+    * column is present but not footer-exact — the caller then falls
+    * back to the read-back aggregation job for the whole commit.
+    */
+  private def footerStats(p: Path, wanted: Seq[String])
+      : Option[(Long, Map[String, (String, String)])] =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val rows = r.getRecordCount
+        val blocks = r.getFooter.getBlocks
+        val out = scala.collection.mutable.Map
+          .empty[String, (String, String)]
+        wanted.foreach { c =>
+          if (schema.containsField(c)) {
+            val tpe = schema.getType(Seq(c): _*)
+            val okType = tpe.isPrimitive && {
+              val pt = tpe.asPrimitiveType()
+              val name = pt.getPrimitiveTypeName
+              val ann = pt.getLogicalTypeAnnotation
+              (name == PrimitiveTypeName.INT64 ||
+                name == PrimitiveTypeName.INT32) &&
+              (ann == null || (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned &&
+                    (i.getBitWidth == 32 || i.getBitWidth == 64)
+                case _ => false
+              }))
+            }
+            if (!okType) return None
+            var nulls = 0L
+            var mn = Option.empty[Long]
+            var mx = Option.empty[Long]
+            val it = blocks.iterator()
+            while (it.hasNext) {
+              val b = it.next()
+              val cc = scala.jdk.CollectionConverters
+                .ListHasAsScala(b.getColumns).asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(return None)
+              val st = cc.getStatistics
+              if (st == null || st.isNumNullsSet == false) return None
+              nulls += st.getNumNulls
+              if (st.hasNonNullValue) {
+                val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Long, b2: java.lang.Long) =>
+                    (a.longValue, b2.longValue)
+                  case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                    (a.longValue, b2.longValue)
+                  case _ => return None
+                }
+                mn = Some(mn.fold(lo)(math.min(_, lo)))
+                mx = Some(mx.fold(hi)(math.max(_, hi)))
+              }
+            }
+            // all-NULL column: the read-back aggregation records no
+            // entries for it (min is NULL) — mirror that exactly
+            (mn, mx) match {
+              case (Some(lo), Some(hi)) =>
+                out += c -> (lo.toString, hi.toString)
+                out += s"$c#nulls" -> (nulls.toString, nulls.toString)
+              case _ => ()
+            }
+          }
+        }
+        Some((rows, out.toMap))
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Σ `#rows` over entries, as long as EVERY entry carries the stat
     * (a partial sum would misreport removals) — None otherwise.
     */
@@ -546,6 +628,21 @@ class VersionedTable(spark: SparkSession, root: String,
       .map(_.getPath)
     val parts = partPaths.map(rel)
     if (parts.isEmpty) return Seq.empty
+    // fast path (r16): ONE footer read per file yields the row count
+    // AND exact integer-column stats — no read-back aggregation job.
+    // Any non-footer-exact stats column drops the whole commit to the
+    // read-back path below, so manifests are identical either way.
+    val fromFooters: Option[Seq[FileEntry]] = {
+      val per = partPaths.map(p => rel(p) -> footerStats(p, statsCols))
+      if (per.forall(_._2.isDefined))
+        Some(per.map { case (p, info) =>
+          val (rows, st) = info.get
+          FileEntry(p, dir,
+            st + ("#rows" -> (rows.toString, rows.toString)))
+        })
+      else None
+    }
+    fromFooters.foreach(entries => return entries)
     val rowCounts: Map[String, Long] = partPaths.flatMap(p =>
       footerRowCount(p).map(rel(p) -> _)).toMap
     val df = spark.read.parquet(s"$root/$dir")

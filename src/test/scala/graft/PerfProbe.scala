@@ -41,7 +41,9 @@ object PerfProbe {
             .find(l => l.contains("graft") && !l.contains("PerfProbe"))
             .getOrElse(si.name).trim.take(90)
           stageCost.merge(s"${si.name.takeWhile(_ != ' ')} @ $site",
-            ms, java.lang.Long.sum): Unit
+            java.lang.Long.valueOf(ms),
+            (a: java.lang.Long, b: java.lang.Long) =>
+              java.lang.Long.valueOf(a + b)): Unit
         }
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
