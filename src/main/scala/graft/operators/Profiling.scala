@@ -463,11 +463,27 @@ object Profiling {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     import df.sparkSession.implicits._
-    val exact = df.groupBy(col(groupCol).as("grp"))
-      .agg(countDistinct(col(valueCol)).as("n_exact"))
-    kmvSketch(df, groupCol, valueCol, k)
-      .join(exact, "grp")
-      .select($"grp", $"n_exact", $"n_kept", $"kth_min", $"est_distinct")
+    // exact count and sketch in ONE aggregation (r16 optimization):
+    // the old two-agg + join shape scanned (and codegen'd) the value
+    // expression chain twice — on q136 that chain is the full URL
+    // canonicalization. The streaming path keeps [[kmvSketch]]
+    // (countDistinct is unsupported on streams — the sketch's reason
+    // to exist).
+    val sketch = udaf(new graft.functions.KmvDistinctAgg(k))
+    val fp = TextAnalysis.fingerprint(col(valueCol))
+    val h = lit(1L) +
+      ((((fp * lit(48271L)) % KmvM) * lit(48271L)) % KmvM)
+    df.select(col(groupCol).as("grp"), col(valueCol).as("_v"),
+        h.as("_h"))
+      .groupBy($"grp")
+      .agg(countDistinct($"_v").as("n_exact"),
+        sketch($"_h").as("_kept"))
+      .select($"grp", $"n_exact",
+        size($"_kept").cast("long").as("n_kept"),
+        element_at($"_kept", -1).as("kth_min"))
+      .withColumn("est_distinct",
+        when($"n_kept" < k, $"n_kept")
+          .otherwise(expr(s"${(k - 1).toLong * KmvM}L div kth_min")))
   }
 
   /** Q136 — distinct canonical URLs per PUBLIC-SUFFIX class (the
