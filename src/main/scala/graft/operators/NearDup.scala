@@ -63,6 +63,45 @@ object NearDup {
     smix(h)
   }
 
+  /** [[tokenHash64]] over `text(from until to)` without materializing
+    * the token — bit-identical to hashing the substring (FNV-1a walks
+    * code units left to right).
+    */
+  @inline def tokenHashRange(text: String, from: Int, to: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < to) {
+      h = (h ^ text.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    smix(h)
+  }
+
+  /** Walk `text`'s `split(" ", -1)` tokens (single-space separator,
+    * empties kept — the corpus-wide tokenizer contract) WITHOUT
+    * allocating the token array or the token strings, calling
+    * `f(tokenIndex, tokenHash)` per token; returns the token count.
+    * The per-token String (and the String[]) the split-based loops
+    * allocated was the dominant cost of every postings/shingle pass
+    * (r16 measurement); hash equality with the split form is exact.
+    */
+  @inline def foreachTokenHash(text: String)(f: (Int, Long) => Unit): Int = {
+    val n = text.length
+    var start = 0
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) == ' ') {
+        f(idx, tokenHashRange(text, start, i))
+        idx += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    f(idx, tokenHashRange(text, start, n))
+    idx + 1
+  }
+
   /** 64-bit hash of one n-gram from per-token hashes `th(i..i+n-1)`:
     * sequential avalanche fold, order-sensitive. Token→string→hash
     * equality is preserved: tokens contain no separator char, so the

@@ -51,14 +51,11 @@ object Retrieval {
     import docs.sparkSession.implicits._
     Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
         val counts = new java.util.HashMap[Long, Long]
-        var i = 0
-        while (i < toks.length) {
-          counts.merge(NearDup.tokenHash64(toks(i)), 1L, java.lang.Long.sum)
-          i += 1
-        }
-        val dl = toks.length.toLong
+        // zero-alloc tokenize+hash (r16): no String[] / token Strings
+        val dl = NearDup.foreachTokenHash(text) { (_, h) =>
+          counts.merge(h, 1L, java.lang.Long.sum): Unit
+        }.toLong
         val out = new Array[(Long, Long, Long, Long)](counts.size)
         val it = counts.entrySet.iterator
         var w = 0
@@ -86,7 +83,49 @@ object Retrieval {
     val corpus = docs
       .select(size(split($"text", " ", -1)).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
-    score(docTermStats(docs), corpus, queries, k, k1, b)
+    // the query-term set was always a bounded driver read (score
+    // broadcasts it); collecting it HERE and filtering inside the
+    // tokenize loop means non-query tokens never even materialize as
+    // aggregation-map entries (r16 — the r9 "only the query terms'
+    // postings leave the scan" lesson taken one step earlier). dl
+    // still counts every token; df over the filtered postings is
+    // still global document frequency.
+    val ths = queries.select(col("th")).distinct()
+      .as[Long].collect().toSet
+    score(docTermStatsFor(docs, ths), corpus, queries, k, k1, b)
+  }
+
+  /** [[docTermStats]] restricted to a driver-collected term set —
+    * the scan-path fast form ([[bm25TopK]]): per-doc term counting
+    * touches only query terms, `dl` still counts every token. The
+    * standing-index builders keep the unrestricted [[docTermStats]].
+    */
+  private[operators] def docTermStatsFor(docs: DataFrame,
+      termHashes: Set[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(termHashes)
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val keep = bc.value
+        it.flatMap { case (id, text) =>
+          val counts = new java.util.HashMap[Long, Long]
+          // zero-alloc tokenize+hash + query-term filter (r16)
+          val dl = NearDup.foreachTokenHash(text) { (_, h) =>
+            if (keep.contains(h))
+              counts.merge(h, 1L, java.lang.Long.sum): Unit
+          }.toLong
+          val out = new Array[(Long, Long, Long, Long)](counts.size)
+          val it2 = counts.entrySet.iterator
+          var w = 0
+          while (it2.hasNext) {
+            val e = it2.next()
+            out(w) = (id, e.getKey, e.getValue, dl)
+            w += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "th", "tf", "dl")
   }
 
   /** [[bm25TopK]] scored from a STANDING postings index (the
@@ -339,9 +378,13 @@ object Retrieval {
     import docs.sparkSession.implicits._
     Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
-        Iterator.tabulate(toks.length)(i =>
-          (id, (i + 1).toLong, NearDup.tokenHash64(toks(i))))
+        // zero-alloc tokenize+hash (r16): no String[] / token Strings
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        NearDup.foreachTokenHash(text) { (i, h) =>
+          buf += ((id, (i + 1).toLong, h)): Unit
+        }
+        buf.iterator
       }
       .toDF("doc_id", "pos", "th")
   }
@@ -415,8 +458,40 @@ object Retrieval {
     * [[phraseSearchAligned]] is the direct all-terms alignment form
     * this one is spec-pinned equivalent to.
     */
-  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame =
-    phraseSearchFromPostings(positionalPostings(docs), phrases)
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // the phrase-term set was always a bounded driver read (the
+    // postings filter broadcasts it); filtering inside the tokenize
+    // loop keeps non-query tokens from materializing as posting rows
+    // at all (r16) — the downstream broadcast term join is idempotent
+    val ths = phrases.select($"th").distinct().as[Long].collect().toSet
+    phraseSearchFromPostings(positionalPostingsFor(docs, ths), phrases)
+  }
+
+  /** [[positionalPostings]] restricted to a driver-collected term
+    * set — the scan-path fast form for [[phraseSearch]] /
+    * [[proximitySearch]]; positions stay global (1-based over ALL
+    * tokens), only non-matching rows are never emitted.
+    */
+  private[operators] def positionalPostingsFor(docs: DataFrame,
+      termHashes: Set[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(termHashes)
+    Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val keep = bc.value
+        it.flatMap { case (id, text) =>
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)]
+          // zero-alloc tokenize+hash + query-term filter (r16)
+          NearDup.foreachTokenHash(text) { (i, h) =>
+            if (keep.contains(h)) buf += ((id, (i + 1).toLong, h)): Unit
+          }
+          buf.iterator
+        }
+      }
+      .toDF("doc_id", "pos", "th")
+  }
 
   /** [[phraseSearch]] over an existing positional-postings frame —
     * the standing-index form feeding [[phraseSearchFromIndex]]/[[proximitySearchFromIndex]].
@@ -556,9 +631,12 @@ object Retrieval {
     * condition where phrase order was the q145 contract.
     */
   def proximitySearch(docs: DataFrame, queries: DataFrame,
-      window: Int, dfCap: Long = Long.MaxValue): DataFrame =
-    proximitySearchFromPostings(positionalPostings(docs), queries,
-      window, dfCap)
+      window: Int, dfCap: Long = Long.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ths = queries.select($"th").distinct().as[Long].collect().toSet
+    proximitySearchFromPostings(positionalPostingsFor(docs, ths),
+      queries, window, dfCap)
+  }
 
   /** [[proximitySearch]] over an existing positional-postings frame —
     * the standing-index form feeding [[phraseSearchFromIndex]]/[[proximitySearchFromIndex]].
