@@ -624,6 +624,15 @@ object GraphRank {
     val verts = e.select($"src".as("v"))
       .union(e.select($"dst".as("v"))).distinct()
       .transform(Pin.reuse)
+    // SPARSE score frames through the loop (r16 optimization): a
+    // vertex missing from h/a carries value 0, and a 0 score
+    // contributes 0 to every raw sum — so the per-half-step
+    // verts-completion LEFT join (a broadcast build + join per
+    // half-step) is unnecessary inside the loop; one completion join
+    // at the end restores the all-vertices output. Values are
+    // unchanged: dropping an edge row whose endpoint scores 0 equals
+    // summing its 0 term, and the max ignores exactly the rows the
+    // old left join padded with 0.
     var h = verts.select($"v", lit(1000000L).as("h"))
     var a = verts.select($"v", lit(0L).as("a"))
     var pinnedPrev: Seq[DataFrame] = Nil
@@ -633,22 +642,24 @@ object GraphRank {
           .select($"dst", ($"h" * $"wt").as("x"))
           .groupBy($"dst").agg(sum($"x").as("xa")))
       val aMax = aRaw.agg(max($"xa").as("ma"))
-      a = verts.join(aRaw, verts("v") === aRaw("dst"), "left")
-        .crossJoin(aMax)
-        .select($"v", expr("(coalesce(xa, 0) * 1000000) div ma").as("a"))
+      a = aRaw.crossJoin(aMax)
+        .select($"dst".as("v"), expr("(xa * 1000000) div ma").as("a"))
       val hRaw = Pin.iterative(
         e.join(a.withColumnRenamed("v", "av"), $"dst" === $"av")
           .select($"src", ($"a" * $"wt").as("x"))
           .groupBy($"src").agg(sum($"x").as("xh")))
       val hMax = hRaw.agg(max($"xh").as("mh"))
-      h = verts.join(hRaw, verts("v") === hRaw("src"), "left")
-        .crossJoin(hMax)
-        .select($"v", expr("(coalesce(xh, 0) * 1000000) div mh").as("h"))
+      h = hRaw.crossJoin(hMax)
+        .select($"src".as("v"), expr("(xh * 1000000) div mh").as("h"))
       pinnedPrev.foreach(Pin.release)
       pinnedPrev = Seq(aRaw, hRaw)
     }
-    h.join(a.withColumnRenamed("v", "va"), $"v" === $"va")
-      .select($"v".as("doc_id"), $"h".as("hub_ticks"), $"a".as("auth_ticks"))
+    verts
+      .join(h.withColumnRenamed("v", "vh"), $"v" === $"vh", "left")
+      .join(a.withColumnRenamed("v", "va"), $"v" === $"va", "left")
+      .select($"v".as("doc_id"),
+        coalesce($"h", lit(0L)).as("hub_ticks"),
+        coalesce($"a", lit(0L)).as("auth_ticks"))
       .orderBy($"auth_ticks".desc, $"hub_ticks".desc, $"doc_id")
   }
 

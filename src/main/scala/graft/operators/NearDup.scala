@@ -77,6 +77,32 @@ object NearDup {
     smix(h)
   }
 
+  /** All token hashes of `text` under the `split(" ", -1)` contract,
+    * without allocating the token array or token strings — the
+    * Array[Long] the shingle passes build, minus the String churn
+    * (two char scans: count, then hash in place).
+    */
+  def tokenHashes(text: String): Array[Long] = {
+    val n = text.length
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (text.charAt(i) == ' ') cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    var start = 0
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (text.charAt(i) == ' ') {
+        out(w) = tokenHashRange(text, start, i)
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out(w) = tokenHashRange(text, start, n)
+    out
+  }
+
   /** Walk `text`'s `split(" ", -1)` tokens (single-space separator,
     * empties kept — the corpus-wide tokenizer contract) WITHOUT
     * allocating the token array or the token strings, calling
@@ -131,13 +157,12 @@ object NearDup {
     import docs.sparkSession.implicits._
     Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
-        if (toks.length < n) None
+        // zero-alloc tokenize+hash (r16): no String[] / token Strings
+        val th = tokenHashes(text)
+        if (th.length < n) None
         else {
-          val th = new Array[Long](toks.length)
           var i = 0
-          while (i < toks.length) { th(i) = tokenHash64(toks(i)); i += 1 }
-          val m = toks.length - n + 1
+          val m = th.length - n + 1
           val out = new Array[Long](m)
           i = 0
           while (i < m) { out(i) = shingleHash(th, i, n); i += 1 }
@@ -533,13 +558,11 @@ object NearDup {
     graft.core.Parallel.fan(docs).select($"doc_id", $"text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
-        if (toks.length < n) Iterator.empty
-        else {
-          val th = toks.map(tokenHash64)
-          Iterator.tabulate(toks.length - n + 1)(i =>
-            (id, (i + 1).toLong, shingleHash(th, i, n)))
-        }
+        // zero-alloc tokenize+hash (r16): no String[] / token Strings
+        val th = tokenHashes(text)
+        if (th.length < n) Iterator.empty
+        else Iterator.tabulate(th.length - n + 1)(i =>
+          (id, (i + 1).toLong, shingleHash(th, i, n)))
       }
       .toDF("doc_id", "pos", "sh")
   }

@@ -56,15 +56,12 @@ object SpanDedup {
     import docs.sparkSession.implicits._
     Parallel.fan(docs).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
-        val m = toks.length - n + 1
+        // zero-alloc tokenize+hash (r16): no String[] / token Strings
+        val th = NearDup.tokenHashes(text)
+        val m = th.length - n + 1
         if (m <= 0) Iterator.empty
-        else {
-          val th = new Array[Long](toks.length)
-          var i = 0
-          while (i < toks.length) { th(i) = NearDup.tokenHash64(toks(i)); i += 1 }
-          (0 until m).iterator.map(i => (id, i, NearDup.shingleHash(th, i, n)))
-        }
+        else (0 until m).iterator
+          .map(i => (id, i, NearDup.shingleHash(th, i, n)))
       })
       .toDF("doc_id", "pos", "sh")
   }
