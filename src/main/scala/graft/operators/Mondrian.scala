@@ -467,10 +467,26 @@ object Mondrian {
     // subtotal side — the old shape re-exchanged the histogram once
     // per consumer (offs agg + join), two extra histogram-sized
     // shuffles per round
-    val hist = melted
-      .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"))
-      .agg(count(lit(1)).as("_n"),
-        min(col("_m")).as("_mlo"), max(col("_m")).as("_mhi"))
+    // under cut-refusal the melt feeds BOTH the histogram and the
+    // sensitive span table — pre-aggregating once WITH the sensitive
+    // key (domain-bounded: histogram × sensitive domain) and deriving
+    // both from the pinned result halves the round's fact passes
+    // (r16; the k-only path keeps the direct single-agg shape)
+    val preAgg = lEnforce.map { _ =>
+      graft.core.Pin.reuse(melted
+        .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"),
+          col("_sens"))
+        .agg(count(lit(1)).as("_n"),
+          min(col("_m")).as("_mlo"), max(col("_m")).as("_mhi")))
+    }
+    val hist = preAgg.fold(
+        melted
+          .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"))
+          .agg(count(lit(1)).as("_n"),
+            min(col("_m")).as("_mlo"), max(col("_m")).as("_mhi")))(p =>
+        p.groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"))
+          .agg(sum(col("_n")).as("_n"),
+            min(col("_mlo")).as("_mlo"), max(col("_mhi")).as("_mhi")))
       .repartition(col("_leaf"), col("_dim"), col("_crs"))
     val wOff = Window.partitionBy("_leaf", "_dim").orderBy("_crs")
     val wTot = wOff.rowsBetween(
@@ -504,8 +520,9 @@ object Mondrian {
         // pinning the histogram does not apply here)
         val statsP = stats.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // (leaf, dim, sensitive) tick spans: one group-count-sized agg
-        val span = melted
+        // (leaf, dim, sensitive) tick spans off the SAME pinned
+        // pre-aggregate the histogram came from — no second fact pass
+        val span = preAgg.get
           .groupBy(col("_leaf"), col("_dim"), col("_sens"))
           .agg(min(col("_t")).as("_tmn"), max(col("_t")).as("_tmx"))
         val ld = span
