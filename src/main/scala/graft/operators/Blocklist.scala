@@ -751,7 +751,12 @@ object Blocklist {
     require((deltaHard ++ deltaSoft).forall(!_.contains(mask)),
       s"a delta pattern containing the mask char '$mask' would " +
         "re-match already-masked text and break replay idempotence")
-    val snap = graft.core.Pin.reuse(corpus.read())
+    // the snapshot needs no pin (r17): a VersionedTable read freezes
+    // its FILE LIST in the manifest, so every later consumer re-reads
+    // the same immutable bytes — the store itself is the
+    // materialization, and the old Pin.reuse paid a table-sized
+    // localCheckpoint/persist copy of the whole corpus for nothing
+    val snap = corpus.read()
     // ---- touched-doc detection ----
     // exact mode: ONE corpus pass of the combined delta automaton,
     // ids split by pattern_id (hard wins — a doc leaving the corpus
@@ -763,18 +768,24 @@ object Blocklist {
       if (!conservative) {
         val combined = deltaHard ++ deltaSoft
         val nHard = deltaHard.size
-        val hits = graft.core.Pin.reuse(
-          scanCounts(snap, combined, caseFold)
-            .select(col("doc_id"), col("pattern_id")).distinct())
+        // ONE bounded collect (r17): the touched set is the
+        // deleteKeys key-list contract (driver-bounded by design), so
+        // the hard/soft split happens on the driver — the old shape
+        // pinned the hit frame and ran TWO filtered collect actions
+        // against it (three jobs where one pass suffices)
+        val hits = scanCounts(snap, combined, caseFold)
+          .select(col("doc_id"), col("pattern_id")).distinct()
+          .collect()
         val h: Seq[Any] =
           if (deltaHard.isEmpty) Seq.empty
-          else hits.filter(col("pattern_id") < nHard)
-            .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
+          else hits.iterator.filter(_.getInt(1) < nHard)
+            .map(_.get(0)).toSeq.distinct
+        val hSet = h.toSet
         val s: Seq[Any] =
           if (deltaSoft.isEmpty) Seq.empty
-          else hits.filter(col("pattern_id") >= nHard)
-            .select(col("doc_id")).distinct().collect().map(_.get(0)).toSeq
-            .filterNot(h.toSet)
+          else hits.iterator.filter(_.getInt(1) >= nHard)
+            .map(_.get(0)).toSeq.distinct
+            .filterNot(hSet)
         (h, s)
       } else {
         // a doc is hard-touched when any hard pattern fires with a

@@ -262,6 +262,15 @@ object Mondrian {
       }
     }
     var rows = base.withColumn("_leaf", lit(""))
+    // per-round pin ledger (r17, ADVICE): under lDiverseCuts each
+    // round's cutStats pins a pre-aggregate (and lazily persists the
+    // stats frame); both are fully consumed by that round's cut
+    // collect, so they release HERE after the collect — without the
+    // release the localCheckpoint/persist blocks accumulate O(rounds)
+    // per generalize() call and live for the session (the exact
+    // hazard Pin.release documents).
+    val roundPins = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.Dataset[_]]
     // driver-side leaf → cut-path map (dim, med, tookLeft): a leaf id
     // IS its cut path, so each leaf is equivalently a BOX in tick
     // space — the release pass below filters and projects on the box
@@ -274,7 +283,7 @@ object Mondrian {
     var live = true
     while (live && r <= rounds) {
       val stats = cutStats(rows, shiftBits, (1 to d).map(measure),
-        if (lDiverseCuts) Some(l) else None)
+        if (lDiverseCuts) Some(l) else None, roundPins)
       val normRng = (1 to d).foldLeft(lit(0.0)) { (acc, i) =>
         when(col("_dim") === i,
           if (g(i - 1) > 0) col("_rng") / g(i - 1) else lit(0.0))
@@ -295,6 +304,8 @@ object Mondrian {
         .select(col("_leaf"), col("_dim"), col("_med"))
         .as[(String, Int, Long)]
         .collect() // <= 2^(round-1) rows: the bounded cut-table read
+      roundPins.foreach(graft.core.Pin.release)
+      roundPins.clear()
       if (cuts.isEmpty) live = false // fixed point: no allowable cut
       else if (cuts.length <= MaxLiteralCuts) {
         // attach the round's cuts as a LITERAL CASE projection (r16
@@ -366,7 +377,15 @@ object Mondrian {
         max(col(s"_v$i")).as(s"_hi$i")))
         ++ (if (l > 1L) Seq(countDistinct(col("_sens")).as("_ldiv"))
             else Nil): _*)
-    val finRows = fin.collect()
+    // guarded collect (r17, ADVICE): in the wide regime (pathsValid
+    // false, or more leaves than MaxLiteralCuts) the literal-CASE
+    // release never runs, so materializing the full leaf table on the
+    // driver is wasted work — take(MaxLiteralCuts + 1) decides the
+    // regime with a bounded read (a take that returns <= MaxLiteralCuts
+    // rows IS the complete leaf table), and the wide path collects
+    // nothing at all.
+    val finRows: Array[org.apache.spark.sql.Row] =
+      if (pathsValid) fin.take(MaxLiteralCuts + 1) else Array.empty
     if (pathsValid && finRows.length <= MaxLiteralCuts) {
       val passing = finRows.toSeq.filter(rw =>
         rw.getLong(1) >= k &&
@@ -448,7 +467,9 @@ object Mondrian {
     * median, on the right iff its max tick > median.
     */
   private[graft] def cutStats(rows: DataFrame, shifts: Seq[Int],
-      measures: Seq[Column], lEnforce: Option[Long]): DataFrame = {
+      measures: Seq[Column], lEnforce: Option[Long],
+      pins: scala.collection.mutable.Buffer[
+        org.apache.spark.sql.Dataset[_]] = null): DataFrame = {
     val d = shifts.size
     val carry = col("_leaf") +:
       (if (lEnforce.isDefined) Seq(col("_sens")) else Nil)
@@ -473,11 +494,13 @@ object Mondrian {
     // both from the pinned result halves the round's fact passes
     // (r16; the k-only path keeps the direct single-agg shape)
     val preAgg = lEnforce.map { _ =>
-      graft.core.Pin.reuse(melted
+      val p = graft.core.Pin.reuse(melted
         .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"),
           col("_sens"))
         .agg(count(lit(1)).as("_n"),
           min(col("_m")).as("_mlo"), max(col("_m")).as("_mhi")))
+      if (pins != null) pins += p
+      p
     }
     val hist = preAgg.fold(
         melted
@@ -520,6 +543,7 @@ object Mondrian {
         // pinning the histogram does not apply here)
         val statsP = stats.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (pins != null) pins += statsP
         // (leaf, dim, sensitive) tick spans off the SAME pinned
         // pre-aggregate the histogram came from — no second fact pass
         val span = preAgg.get

@@ -91,7 +91,7 @@ object Retrieval {
     // still counts every token; df over the filtered postings is
     // still global document frequency.
     val ths = queries.select(col("th")).distinct()
-      .as[Long].collect().toSet
+      .filter($"th".isNotNull).as[Long].collect().toSet
     score(docTermStatsFor(docs, ths), corpus, queries, k, k1, b)
   }
 
@@ -147,10 +147,19 @@ object Retrieval {
     // benign mode; CONFLICTING duplicates (same (doc_id, th),
     // different tf/dl) mean a corrupt index and remain the caller's
     // contract violation.
-    val post = post0.dropDuplicates("doc_id", "th", "tf", "dl")
-    val corpus = post.groupBy($"doc_id").agg(first($"dl").as("dl"))
+    //
+    // r17: the dedup runs AFTER the broadcast query-term filter
+    // (inside `score`, dedupPost) — a row-wise filter commutes with
+    // exact-row dedup, so the result is unchanged while the dedup
+    // exchange shrinks from THE WHOLE INDEX to the matching postings.
+    // The corpus scalars are duplicate-insensitive as computed (the
+    // per-doc groupBy collapses re-landed rows, and benign duplicates
+    // carry identical dl), so they derive from the raw index with one
+    // partially-aggregated pass instead of riding a global dedup
+    // shuffle first.
+    val corpus = post0.groupBy($"doc_id").agg(first($"dl").as("dl"))
       .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
-    score(post, corpus, queries, k)
+    score(post0, corpus, queries, k, dedupPost = true)
   }
 
   /** Shared scoring core: term-filter the postings under the
@@ -164,13 +173,20 @@ object Retrieval {
     */
   private def score(post0: DataFrame, corpus: DataFrame,
       queries0: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      dedupPost: Boolean = false): DataFrame = {
     import post0.sparkSession.implicits._
     val queries = queries0.dropDuplicates("query_id", "th")
     // pin the small filtered set (Pin.reuse): it feeds both the df agg and
-    // the scoring join, and without it the source would scan twice
-    val post = post0
+    // the scoring join, and without it the source would scan twice.
+    // dedupPost (index path): exact-row dedup of the FILTERED set —
+    // see bm25TopKFromIndex; the scan path's postings are unique by
+    // construction and skip it.
+    val filtered = post0
       .join(broadcast(queries.select($"th").distinct()), "th")
+    val post = (if (dedupPost)
+        filtered.dropDuplicates("doc_id", "th", "tf", "dl")
+      else filtered)
       .transform(Pin.reuse)
     val df = post.groupBy($"th").agg(count(lit(1)).as("df"))
     // per-(term,doc) contribution in integer millionths — the exact
@@ -404,16 +420,18 @@ object Retrieval {
     */
   def phraseSearchFromIndex(post0: DataFrame,
       phrases: DataFrame): DataFrame =
-    phraseSearchFromPostings(
-      post0.dropDuplicates("doc_id", "pos", "th"), phrases)
+    // r17: dedup AFTER the query-term filter (dedupPost inside the
+    // postings form) — filter commutes with exact-row dedup, so the
+    // dedup exchange is query-sized instead of index-sized
+    phraseSearchFromPostings(post0, phrases, dedupPost = true)
 
   /** [[proximitySearch]] served from the standing positional index —
     * the [[phraseSearchFromIndex]] contract, proximity leg.
     */
   def proximitySearchFromIndex(post0: DataFrame, queries: DataFrame,
       window: Int, dfCap: Long = Long.MaxValue): DataFrame =
-    proximitySearchFromPostings(
-      post0.dropDuplicates("doc_id", "pos", "th"), queries, window, dfCap)
+    proximitySearchFromPostings(post0, queries, window, dfCap,
+      dedupPost = true)
 
   /** Phrase fixture: the `len` consecutive tokens starting at
     * 1-based `start` of every `mod`-th doc, as (query_id, qpos
@@ -464,7 +482,7 @@ object Retrieval {
     // postings filter broadcasts it); filtering inside the tokenize
     // loop keeps non-query tokens from materializing as posting rows
     // at all (r16) — the downstream broadcast term join is idempotent
-    val ths = phrases.select($"th").distinct().as[Long].collect().toSet
+    val ths = phrases.select($"th").distinct().filter($"th".isNotNull).as[Long].collect().toSet
     phraseSearchFromPostings(positionalPostingsFor(docs, ths), phrases)
   }
 
@@ -497,11 +515,14 @@ object Retrieval {
     * the standing-index form feeding [[phraseSearchFromIndex]]/[[proximitySearchFromIndex]].
     */
   def phraseSearchFromPostings(post: DataFrame,
-      phrases: DataFrame): DataFrame = {
+      phrases: DataFrame, dedupPost: Boolean = false): DataFrame = {
     import post.sparkSession.implicits._
     val plen = phrases.groupBy($"query_id").agg(count(lit(1)).as("_plen"))
-    val filtered = post
+    val filtered0 = post
       .join(broadcast(phrases.select($"th").distinct()), "th")
+    val filtered = (if (dedupPost)
+        filtered0.dropDuplicates("doc_id", "pos", "th")
+      else filtered0)
       .transform(Pin.reuse)
     val anchor = rarestAnchor(filtered, phrases)
     val cands = filtered.join(broadcast(anchor), Seq("th"))
@@ -633,7 +654,7 @@ object Retrieval {
   def proximitySearch(docs: DataFrame, queries: DataFrame,
       window: Int, dfCap: Long = Long.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
-    val ths = queries.select($"th").distinct().as[Long].collect().toSet
+    val ths = queries.select($"th").distinct().filter($"th".isNotNull).as[Long].collect().toSet
     proximitySearchFromPostings(positionalPostingsFor(docs, ths),
       queries, window, dfCap)
   }
@@ -642,7 +663,8 @@ object Retrieval {
     * the standing-index form feeding [[phraseSearchFromIndex]]/[[proximitySearchFromIndex]].
     */
   def proximitySearchFromPostings(post: DataFrame, queries: DataFrame,
-      window: Int, dfCap: Long = Long.MaxValue): DataFrame = {
+      window: Int, dfCap: Long = Long.MaxValue,
+      dedupPost: Boolean = false): DataFrame = {
     import post.sparkSession.implicits._
     val terms0 = queries.select($"query_id", $"th").distinct()
     val terms =
@@ -666,7 +688,14 @@ object Retrieval {
     // pure-SQL engine without per-group state; both replace the old
     // (query, doc)-keyed join whose post-filter band evaluated
     // |hits|² pairs per document.
-    val hits = post.join(broadcast(terms), "th")
+    // dedupPost (index path): terms is distinct on (query_id, th), so
+    // deduping the joined rows on (query_id, doc_id, pos, th) equals
+    // deduping the raw index on (doc_id, pos, th) first — but the
+    // exchange is query-sized, not index-sized (r17)
+    val hits0 = post.join(broadcast(terms), "th")
+    val hits = (if (dedupPost)
+        hits0.dropDuplicates("query_id", "doc_id", "pos", "th")
+      else hits0)
       .join(broadcast(nTerms), "query_id")
       .select($"query_id", $"doc_id", $"pos", $"th", $"_nt")
     hits.as[(Long, Long, Long, Long, Long)]

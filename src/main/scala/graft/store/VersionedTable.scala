@@ -553,10 +553,21 @@ class VersionedTable(spark: SparkSession, root: String,
         val schema = r.getFooter.getFileMetaData.getSchema
         val rows = r.getRecordCount
         val blocks = r.getFooter.getBlocks
-        val out = scala.collection.mutable.Map
-          .empty[String, (String, String)]
-        wanted.foreach { c =>
-          if (schema.containsField(c)) {
+        // per-column outcome, explicit (r17, ADVICE — the old form
+        // used non-local `return` through two try blocks, correct only
+        // because ControlThrowable is not NonFatal and broken under
+        // any wrapper catching Throwable):
+        //   None              — footer not exact: fail the fast path
+        //   Some(None)        — column absent from the file schema or
+        //                       all-NULL: no stats entries, which is
+        //                       exactly what the read-back path
+        //                       records (its `present` filter skips
+        //                       absent columns; an all-NULL min is
+        //                       NULL and records nothing)
+        //   Some(Some(tuple)) — exact (min, max, nulls)
+        def colExact(c: String): Option[Option[(Long, Long, Long)]] =
+          if (!schema.containsField(c)) Some(None)
+          else {
             val tpe = schema.getType(Seq(c): _*)
             val okType = tpe.isPrimitive && {
               val pt = tpe.asPrimitiveType()
@@ -571,43 +582,63 @@ class VersionedTable(spark: SparkSession, root: String,
                 case _ => false
               }))
             }
-            if (!okType) return None
-            var nulls = 0L
-            var mn = Option.empty[Long]
-            var mx = Option.empty[Long]
-            val it = blocks.iterator()
-            while (it.hasNext) {
-              val b = it.next()
-              val cc = scala.jdk.CollectionConverters
-                .ListHasAsScala(b.getColumns).asScala
-                .find(_.getPath.toDotString == c)
-                .getOrElse(return None)
-              val st = cc.getStatistics
-              if (st == null || st.isNumNullsSet == false) return None
-              nulls += st.getNumNulls
-              if (st.hasNonNullValue) {
-                val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-                  case (a: java.lang.Long, b2: java.lang.Long) =>
-                    (a.longValue, b2.longValue)
-                  case (a: java.lang.Integer, b2: java.lang.Integer) =>
-                    (a.longValue, b2.longValue)
-                  case _ => return None
+            if (!okType) None
+            else {
+              var nulls = 0L
+              var mn = Option.empty[Long]
+              var mx = Option.empty[Long]
+              var exact = true
+              val it = blocks.iterator()
+              while (exact && it.hasNext) {
+                val b = it.next()
+                scala.jdk.CollectionConverters
+                  .ListHasAsScala(b.getColumns).asScala
+                  .find(_.getPath.toDotString == c) match {
+                  case None => exact = false
+                  case Some(cc) =>
+                    val st = cc.getStatistics
+                    if (st == null || !st.isNumNullsSet) exact = false
+                    else {
+                      nulls += st.getNumNulls
+                      if (st.hasNonNullValue) {
+                        (st.genericGetMin, st.genericGetMax) match {
+                          case (a: java.lang.Long, b2: java.lang.Long) =>
+                            mn = Some(mn.fold(a.longValue)(
+                              math.min(_, a.longValue)))
+                            mx = Some(mx.fold(b2.longValue)(
+                              math.max(_, b2.longValue)))
+                          case (a: java.lang.Integer,
+                              b2: java.lang.Integer) =>
+                            mn = Some(mn.fold(a.longValue.toLong)(
+                              math.min(_, a.longValue)))
+                            mx = Some(mx.fold(b2.longValue.toLong)(
+                              math.max(_, b2.longValue)))
+                          case _ => exact = false
+                        }
+                      }
+                    }
                 }
-                mn = Some(mn.fold(lo)(math.min(_, lo)))
-                mx = Some(mx.fold(hi)(math.max(_, hi)))
               }
-            }
-            // all-NULL column: the read-back aggregation records no
-            // entries for it (min is NULL) — mirror that exactly
-            (mn, mx) match {
-              case (Some(lo), Some(hi)) =>
-                out += c -> (lo.toString, hi.toString)
-                out += s"$c#nulls" -> (nulls.toString, nulls.toString)
-              case _ => ()
+              if (!exact) None
+              else Some((mn, mx) match {
+                case (Some(lo), Some(hi)) => Some((lo, hi, nulls))
+                case _                    => None // all-NULL column
+              })
             }
           }
+        val out = scala.collection.mutable.Map
+          .empty[String, (String, String)]
+        var allExact = true
+        wanted.foreach { c =>
+          if (allExact) colExact(c) match {
+            case None => allExact = false
+            case Some(None) => ()
+            case Some(Some((lo, hi, nulls))) =>
+              out += c -> (lo.toString, hi.toString)
+              out += s"$c#nulls" -> (nulls.toString, nulls.toString)
+          }
         }
-        Some((rows, out.toMap))
+        if (allExact) Some((rows, out.toMap)) else None
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
