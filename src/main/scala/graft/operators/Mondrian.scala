@@ -493,6 +493,11 @@ object Mondrian {
     // key (domain-bounded: histogram × sensitive domain) and deriving
     // both from the pinned result halves the round's fact passes
     // (r16; the k-only path keeps the direct single-agg shape)
+    // r17 A/B note (VERDICT #2): quiet-host q190/q191 measurement of
+    // this one-fact-pass shape vs the pre-9d7299f two-pass shape —
+    // wall equal-or-better (q190 5.5 vs 6.3 s avg), q190 task-seconds
+    // ~20% lower (15.5–17.6 vs 19.4–21.7); the r16 q191 3.8→8.1 jump
+    // was host noise. The pre-aggregate stays.
     val preAgg = lEnforce.map { _ =>
       val p = graft.core.Pin.reuse(melted
         .groupBy(col("_leaf"), col("_dim"), col("_crs"), col("_t"),
