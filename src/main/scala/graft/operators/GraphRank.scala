@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Pin, Tables}
@@ -60,25 +61,38 @@ object GraphRank {
     import ss.implicits._
     require(iters >= 1, "iters must be >= 1")
     // symmetric closure, defensively dedup'd (see Scaladoc), pinned:
-    // referenced by all `iters` rounds, and its upstream (the Jaccard
-    // pair join) is the expensive part. The distinct rides the pin's
-    // one-time materialization, not the per-iteration path.
+    // its upstream (the Jaccard pair join) is the expensive part.
     val e = edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .filter($"src" =!= $"dst").distinct()
       .transform(Pin.reuse)
-    // symmetric ⇒ out-degree = in-degree and every vertex has ≥ 1 of
-    // each, so the vertex set is invariant across iterations
-    val deg = e.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
-    var ranks = deg.select($"v", lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = ranks.join(deg, "v").select($"v", expr("r div d").as("c"))
-      ranks = e.join(contrib, e("src") === contrib("v"))
-        .groupBy($"dst")
-        .agg(sum($"c").as("s"))
-        .select($"dst".as("v"), (lit(150000L) + expr("(s * 17) div 20")).as("r"))
+    // degree folded into the pinned edge set ONCE (r17, §2.4): the old
+    // loop re-aggregated the degree table and joined it to the rank
+    // frame EVERY round — two extra exchanges per iteration. A window
+    // keeps `e` single-referenced, so the fold is one setup pass.
+    val ed = Pin.reuse(e.withColumn("d",
+      count(lit(1)).over(Window.partitionBy($"src"))))
+    // the rank recurrence folds INLINE into the next round's
+    // contribution: r = 150000 + (s·17) div 20, c = r div d — so loop
+    // state is the contribution-sum frame s and each round is ONE
+    // src-keyed join + ONE dst-keyed partial agg. Round 1 joins
+    // nothing (r0 = 1e6 uniform). The symmetric closure gives every
+    // vertex in- AND out-edges, so s covers the whole vertex set each
+    // round and the inner joins lose nobody.
+    var s = ed.select($"dst", expr("1000000 div d").as("c"))
+      .groupBy($"dst").agg(sum($"c").as("s"))
+    for (_ <- 2 to iters) {
+      s = ed.join(s.select($"dst".as("cv"), $"s".as("ps")),
+          $"src" === $"cv")
+        .select($"dst", expr("(150000 + (ps * 17) div 20) div d").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
     }
-    ranks.join(deg, "v")
+    // per-vertex degree for the output, one agg at the end instead of
+    // one per round (every vertex is a src under the symmetric closure)
+    val deg = ed.groupBy($"src".as("v")).agg(max($"d").as("d"))
+    s.select($"dst".as("v"),
+        (lit(150000L) + expr("(s * 17) div 20")).as("r"))
+      .join(deg, "v")
       .select($"v".as("doc_id"), $"d".cast("long").as("degree"),
         $"r".as("rank_ticks"))
       .orderBy($"rank_ticks".desc, $"doc_id")
@@ -133,33 +147,50 @@ object GraphRank {
       .filter($"src" =!= $"dst")
       .groupBy($"src", $"dst").agg(max($"wt").as("wt"))
       .transform(Pin.reuse)
-    val ws = e.groupBy($"src".as("v")).agg(sum($"wt").as("w"))
-      .transform(Pin.reuse)
-    var ranks = ws.select($"v", lit(1000000L).as("r"))
+    // out-weight folded into the pinned edge set ONCE (r17, §2.4 —
+    // the pageRankTicks treatment): the old loop joined the rank
+    // frame to the weight table every round. The rank recurrence
+    // folds inline into the contribution (see pageRankTicks); loop
+    // state is the contribution-sum frame s.
+    val ew = Pin.reuse(e.withColumn("w",
+      sum($"wt").over(Window.partitionBy($"src"))))
+    def rankOf(sCol: String): Column =
+      lit(150000L) + expr(s"($sCol * 17) div 20")
+    var s: DataFrame = null
     var round = 0
     var moved = Long.MaxValue
     while (round < iters && (tolTicks < 0L || moved > tolTicks)) {
-      val contrib = ranks.join(ws, "v")
-      val next = e.join(contrib, e("src") === contrib("v"))
-        .select($"dst", expr("(r * wt) div w").as("c"))
-        .groupBy($"dst")
-        .agg(sum($"c").as("s"))
-        .select($"dst".as("v"), (lit(150000L) + expr("(s * 17) div 20")).as("r"))
+      val next =
+        if (round == 0)
+          ew.select($"dst", expr("(1000000 * wt) div w").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("s"))
+        else
+          ew.join(s.select($"dst".as("cv"), $"s".as("ps")),
+              $"src" === $"cv")
+            .select($"dst",
+              expr("((150000 + (ps * 17) div 20) * wt) div w").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("s"))
       if (tolTicks >= 0L) {
         // probe mode: pin the round (it feeds the probe AND the next
         // round) and read back ONE Long — never the rank table
         val pinned = Pin.iterative(next)
-        moved = pinned.join(ranks.withColumnRenamed("r", "pr"), "v")
-          .agg(sum(abs($"r" - $"pr")).as("d")).head().getLong(0)
+        moved =
+          if (round == 0)
+            pinned.agg(sum(abs(rankOf("s") - lit(1000000L))).as("d"))
+              .head().getLong(0)
+          else pinned.join(s.select($"dst", $"s".as("ps")), "dst")
+            .agg(sum(abs(rankOf("s") - rankOf("ps"))).as("d"))
+            .head().getLong(0)
         // the previous round's pin has no consumer left after the
         // probe read — release it or blocks accumulate O(rounds)
-        // (round 0's `ranks` is unpinned; release no-ops there)
-        if (round > 0) Pin.release(ranks)
-        ranks = pinned
-      } else ranks = next
+        if (round > 0) Pin.release(s)
+        s = pinned
+      } else s = next
       round += 1
     }
-    ranks.join(ws, "v")
+    val ws = ew.groupBy($"src".as("v")).agg(max($"w").as("w"))
+    s.select($"dst".as("v"), rankOf("s").as("r"))
+      .join(ws, "v")
       .select($"v".as("doc_id"), $"w".as("w_ticks"), $"r".as("rank_ticks"))
       .orderBy($"rank_ticks".desc, $"doc_id")
   }
@@ -202,6 +233,35 @@ object GraphRank {
     // split |V| ways — computed plan-side (cross join), never a
     // driver read
     val nv = verts.agg(count(lit(1)).as("nv"))
+    if (!redistribute) {
+      // plain form (r17, §2.4 — the pageRankTicks treatment): the
+      // rank recurrence folds inline into the next round's
+      // contribution, so the per-round vertex densify join is gone
+      // (a src with no in-links is simply absent from s — the LEFT
+      // join's coalesce(s, 0) supplies the same 150000 floor the
+      // dense frame carried) and round 1 joins nothing at all.
+      // The one densify join runs at the END, for the output.
+      var s: DataFrame = null
+      for (round <- 1 to iters) {
+        s = if (round == 1)
+          e.select($"dst", expr("(1000000 * wt) div w").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("s"))
+        else
+          e.join(s.select($"dst".as("cv"), $"s".as("ps")),
+              $"src" === $"cv", "left")
+            .select($"dst",
+              expr("((150000 + (coalesce(ps, 0) * 17) div 20) * wt) div w")
+                .as("c"))
+            .groupBy($"dst").agg(sum($"c").as("s"))
+      }
+      return verts.join(s, verts("v") === s("dst"), "left")
+        .select($"v",
+          (lit(150000L) + expr("(coalesce(s, 0) * 17) div 20")).as("r"))
+        .join(ws, Seq("v"), "left")
+        .select($"v".as("doc_id"), coalesce($"w", lit(0L)).as("out_w"),
+          $"r".as("rank_ticks"))
+        .orderBy($"rank_ticks".desc, $"doc_id")
+    }
     var ranks = verts.select($"v", lit(1000000L).as("r"))
     var round = 0
     for (_ <- 1 to iters) {
@@ -432,8 +492,6 @@ object GraphRank {
       .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
       .transform(Pin.reuse)
     val ws = e0.groupBy($"src".as("v")).agg(sum($"wt").as("w"))
-    val e = e0.join(ws.withColumnRenamed("v", "src"), "src")
-      .transform(Pin.reuse)
     val verts = e0.select($"src".as("v"))
       .union(e0.select($"dst".as("v"))).distinct()
     // seed flag folded into the vertex set once (seeds outside the
@@ -442,19 +500,34 @@ object GraphRank {
       .join(seeds.toDF("sv").distinct(), verts("v") === $"sv", "left")
       .select($"v", $"sv".isNotNull.as("is_seed"))
       .transform(Pin.reuse)
-    var ranks = vf.select($"v",
-      when($"is_seed", lit(1000000L)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(ranks.withColumnRenamed("v", "cv"), $"src" === $"cv")
-        .select($"dst", expr("(r * wt) div w").as("c"))
-        .groupBy($"dst")
-        .agg(sum($"c").as("s"))
-      ranks = vf.join(contrib, vf("v") === contrib("dst"), "left")
-        .select(vf("v"),
-          (when($"is_seed", lit(150000L)).otherwise(lit(0L)) +
-            expr("(coalesce(s, 0) * 17) div 20")).as("r"))
+    // out-weight AND the source's seed flag folded into the edge set
+    // once (r17, §2.4 — the pageRankTicks treatment): the recurrence
+    // folds inline into the contribution, the per-round vertex
+    // densify join moves to the END, round 1 joins nothing.
+    val e = e0.join(ws.withColumnRenamed("v", "src"), "src")
+      .join(vf.select($"v".as("src"), $"is_seed"), "src")
+      .transform(Pin.reuse)
+    var s: DataFrame = null
+    for (round <- 1 to iters) {
+      s = if (round == 1)
+        e.select($"dst", expr(
+            "((CASE WHEN is_seed THEN 1000000 ELSE 0 END) * wt) div w")
+          .as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
+      else
+        e.join(s.select($"dst".as("cv"), $"s".as("ps")),
+            $"src" === $"cv", "left")
+          .select($"dst", expr(
+              "(((CASE WHEN is_seed THEN 150000 ELSE 0 END) + " +
+                "(coalesce(ps, 0) * 17) div 20) * wt) div w")
+            .as("c"))
+          .groupBy($"dst").agg(sum($"c").as("s"))
     }
-    ranks.join(ws, Seq("v"), "left")
+    vf.join(s, vf("v") === s("dst"), "left")
+      .select(vf("v"),
+        (when($"is_seed", lit(150000L)).otherwise(lit(0L)) +
+          expr("(coalesce(s, 0) * 17) div 20")).as("r"))
+      .join(ws, Seq("v"), "left")
       .select($"v".as("doc_id"), coalesce($"w", lit(0L)).as("out_w"),
         $"r".as("rank_ticks"))
       .orderBy($"rank_ticks".desc, $"doc_id")
