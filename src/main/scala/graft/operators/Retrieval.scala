@@ -74,6 +74,11 @@ object Retrieval {
     * doc (query_id = doc_id) is excluded. k1 = 1.2, b = 0.75 (the
     * standard Okapi constants, baked into the tick expression so both
     * engines evaluate the identical literal dag).
+    *
+    * The queries frame executes twice (the eager term-set collect
+    * here plus score's broadcast) — by contract it is tiny; a caller
+    * passing an EXPENSIVELY DERIVED queries frame should Pin it
+    * first. Same note for [[phraseSearch]]/[[proximitySearch]].
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
